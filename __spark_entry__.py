@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-k over transcripts derived from
+sf0.001. ``queries()`` / ``oracle_sql()`` — one entry per implemented
+operator from SURVEY.md §2, checked against DuckDB at sf0.01.
+
+The transcripts input table (BASELINE.json input_hint) is derived
+deterministically from the driver's ``documents`` table by chunking
+each document into 12-word turns; the identical derivation exists as a
+DuckDB CTE (sources/transcripts.py) so both sides see the same corpus.
+Because turns rejoin losslessly to the original text, corpus-level
+BM25 statistics can be oracle-checked directly against ``documents``.
 """
 
 from __future__ import annotations
@@ -12,27 +17,319 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solr_ocr_processor_spark.config import DEFAULT
+from solr_ocr_processor_spark.operators.build import Index, build_postings
+from solr_ocr_processor_spark.operators.score import bm25_topk, highlights
+from solr_ocr_processor_spark.plans.materialize import materialize_docs, ordered_turns
+from solr_ocr_processor_spark.sources.transcripts import (
+    derive_transcripts,
+    oracle_transcripts_cte,
+)
+
+TW = DEFAULT.turn_words
+FLAGSHIP_QUERY = "spark window merge"
+FLAGSHIP_TERMS = ("spark", "window", "merge")
+
+_index_cache: dict[tuple[int, str], Index] = {}
+
+
+def _index(spark: SparkSession, sf_dir: str) -> Index:
+    key = (id(spark), sf_dir)
+    if key not in _index_cache:
+        t = derive_transcripts(spark, sf_dir, TW)
+        _index_cache[key] = build_postings(t)
+    return _index_cache[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001 transcripts and
+    answer a BM25 top-k query."""
+    idx = _index(spark, "/root/testdata/sf0.001")
+    return bm25_topk(spark, idx, FLAGSHIP_QUERY, k=10)
+
+
+# ---------------------------------------------------------------------------
+# queries(): (spark, sf_dir) -> DataFrame, one per operator
+# ---------------------------------------------------------------------------
+
+
+def _q_doc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY B8/S9: doc materialization with dense ordinals."""
+    idx = _index(spark, sf_dir)
+    return idx.mat.docs.select("doc_id", "conv_id", "n_turns", "n_chars")
+
+
+def _q_turn_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY B8: dense turn ordinal + char-offset payload (T4 analog)."""
+    t = derive_transcripts(spark, sf_dir, TW)
+    return ordered_turns(t).select(
+        "conv_id", "turn_idx", "ordinal", "char_start", "char_end"
+    )
+
+
+def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q6 stats layer: df/cf per term, top 50."""
+    idx = _index(spark, sf_dir)
+    return idx.term_stats.orderBy(F.desc("df"), F.asc("term")).limit(50)
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q8: BM25 top-k (k1=1.2 b=0.75, Lucene idf, ties doc_id asc)."""
+    idx = _index(spark, sf_dir)
+    top = bm25_topk(spark, idx, FLAGSHIP_QUERY, k=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _q_membership_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q1/A7: GET membership check — EXISTS semantics via
+    left-semi-style lookup on the doc-meta table."""
+    idx = _index(spark, sf_dir)
+    probes = spark.createDataFrame(
+        [("c00000001",), ("c00000007",), ("cNOPE",)], "conv_id string"
+    )
+    hit = idx.doc_meta.select("conv_id").distinct().withColumn("present", F.lit(1))
+    return probes.join(hit, "conv_id", "left").select(
+        "conv_id", F.coalesce("present", F.lit(0)).alias("present")
+    )
+
+
+def _q_projection_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q2: projection + hard row cap (reference rows=600)."""
+    idx = _index(spark, sf_dir)
+    return (
+        idx.doc_meta.select("conv_id", "n_chars")
+        .where(F.col("conv_id") < "c00000600")
+        .orderBy("conv_id")
+        .limit(600)
+    )
+
+
+def _q_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q3/A9: delete-by-query as anti-join — docs remaining after
+    deleting every conv whose doc_id % 10 == 3."""
+    idx = _index(spark, sf_dir)
+    victims = idx.doc_meta.where(F.col("doc_id") % 10 == 3).select("conv_id")
+    return (
+        idx.doc_meta.join(victims, "conv_id", "left_anti")
+        .select("doc_id", "conv_id")
+    )
+
+
+def _q_highlight_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q10: per-turn highlight char spans for the flagship query's
+    top-5 docs — the IIIF snippet-coordinate analog."""
+    idx = _index(spark, sf_dir)
+    h = highlights(spark, idx, FLAGSHIP_QUERY, k=5)
+    return h.select(
+        "conv_id", "turn_idx", "term", "start_in_turn", "end_in_turn"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "doc_materialize": _q_doc_materialize,
+        "turn_ordinals": _q_turn_ordinals,
+        "term_stats": _q_term_stats,
+        "bm25_topk": _q_bm25_topk,
+        "membership_check": _q_membership_check,
+        "projection_limit": _q_projection_limit,
+        "delete_by_query": _q_delete_by_query,
+        "highlight_offsets": _q_highlight_offsets,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle_sql(): DuckDB ANSI SQL twins
+# ---------------------------------------------------------------------------
+
+_CTE = oracle_transcripts_cte(TW)
+
+# Dense-ordinal turns (filter empties BEFORE numbering) + char offsets.
+_TURNS = """
+turns AS (
+  SELECT conv_id, turn_idx, ts, text,
+         CAST(row_number() OVER w - 1 AS INT) AS ordinal,
+         CAST(coalesce(sum(length(text) + 1) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx, ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS char_start,
+         CAST(coalesce(sum(length(text) + 1) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx, ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + length(text) AS BIGINT) AS char_end
+  FROM transcripts
+  WHERE length(trim(text)) > 0
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)
+)
+"""
+
+# Materialized docs with dense deterministic doc ids (row_number over
+# sorted conv_id) — doc text equals the source document text, so token
+# stats can be computed straight off `documents`.
+_DOCS = """
+docs AS (
+  SELECT 'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+ids AS (
+  SELECT conv_id, toks,
+         CAST(row_number() OVER (ORDER BY conv_id) - 1 AS BIGINT) AS doc_id,
+         CAST(len(toks) AS BIGINT) AS dl
+  FROM docs
+)
+"""
+
+_BM25 = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored
+ORDER BY raw DESC, doc_id ASC
+LIMIT 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_materialize": f"""
+WITH {_CTE},
+{_TURNS},
+agg AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(length(text)) + count(*) - 1 AS BIGINT) AS n_chars
+  FROM turns GROUP BY conv_id
+)
+SELECT CAST(row_number() OVER (ORDER BY conv_id) - 1 AS BIGINT) AS doc_id,
+       conv_id, n_turns, n_chars
+FROM agg
+""",
+        "turn_ordinals": f"""
+WITH {_CTE},
+{_TURNS}
+SELECT conv_id, turn_idx, ordinal, char_start, char_end FROM turns
+""",
+        "term_stats": """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tfs AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf
+FROM tfs GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 50
+""",
+        "bm25_topk": _BM25,
+        "membership_check": f"""
+WITH {_CTE},
+present AS (
+  SELECT DISTINCT conv_id FROM transcripts WHERE length(trim(text)) > 0
+)
+SELECT p.conv_id,
+       CASE WHEN pr.conv_id IS NULL THEN 0 ELSE 1 END AS present
+FROM (VALUES ('c00000001'), ('c00000007'), ('cNOPE')) AS p(conv_id)
+LEFT JOIN present pr ON p.conv_id = pr.conv_id
+""",
+        "projection_limit": f"""
+WITH {_CTE},
+{_TURNS},
+agg AS (
+  SELECT conv_id,
+         CAST(sum(length(text)) + count(*) - 1 AS BIGINT) AS n_chars
+  FROM turns GROUP BY conv_id
+)
+SELECT conv_id, n_chars FROM agg
+WHERE conv_id < 'c00000600'
+ORDER BY conv_id LIMIT 600
+""",
+        "delete_by_query": f"""
+WITH {_CTE},
+{_TURNS},
+agg AS (SELECT conv_id FROM turns GROUP BY conv_id),
+ids AS (
+  SELECT conv_id,
+         CAST(row_number() OVER (ORDER BY conv_id) - 1 AS BIGINT) AS doc_id
+  FROM agg
+)
+SELECT doc_id, conv_id FROM ids WHERE doc_id % 10 <> 3
+""",
+        "highlight_offsets": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+),
+top5 AS (SELECT doc_id, conv_id FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 5),
+words AS (
+  SELECT t.conv_id, str_split(d.text, ' ') AS w
+  FROM top5 t
+  JOIN documents d
+    ON t.conv_id = 'c' || lpad(CAST(d.doc_id AS VARCHAR), 8, '0')
+),
+positions0 AS (
+  SELECT conv_id, CAST(unnest(range(len(w))) AS INT) AS wpos, w
+  FROM words
+),
+positions AS (
+  SELECT conv_id, wpos, w[wpos + 1] AS word FROM positions0
+),
+offsets AS (
+  SELECT conv_id, wpos, word,
+         CAST(coalesce(sum(length(word) + 1) OVER (
+             PARTITION BY conv_id ORDER BY wpos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS doc_start
+  FROM positions
+),
+turnmap AS (
+  SELECT conv_id, wpos, word, doc_start,
+         CAST(wpos // {TW} AS INT) AS turn_idx
+  FROM offsets
+),
+turn_starts AS (
+  SELECT conv_id, turn_idx, min(doc_start) AS turn_char_start
+  FROM turnmap GROUP BY conv_id, turn_idx
+)
+SELECT tm.conv_id, tm.turn_idx, tm.word AS term,
+       CAST(tm.doc_start - ts.turn_char_start AS INT) AS start_in_turn,
+       CAST(tm.doc_start - ts.turn_char_start + length(tm.word) AS INT) AS end_in_turn
+FROM turnmap tm
+JOIN turn_starts ts USING (conv_id, turn_idx)
+WHERE tm.word IN {FLAGSHIP_TERMS!r}
+""",
+    }

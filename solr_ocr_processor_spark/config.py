@@ -1,0 +1,63 @@
+"""Engine configuration.
+
+Analog of the reference's YAML Configuration struct
+(/root/reference/app/model/config.go:3-18, loaded app/main.go:21-48).
+We keep the semantically meaningful knobs and drop the HTTP plumbing.
+A frozen dataclass ships cleanly via ``spark-submit --py-files``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    # BM25 parameters — Lucene/Solr defaults, pinned by BASELINE.json.
+    k1: float = 1.2
+    b: float = 0.75
+
+    # "full" stores doc text inline in doc_meta; "lazy" stores only a
+    # pointer back to the source table (reference full-vs-lazy indexing,
+    # app/process/solr.go:127-202, rationale app/assets/build/config.yml:27-33).
+    index_type: str = "full"
+
+    # Index-time text normalization. The reference optionally pre-escapes
+    # non-ASCII at build time so query-time work is cheaper
+    # (app/process/encoding.go:10-32); our analog is casefold+NFKC at
+    # build time, with the SAME normalization applied to queries
+    # (config.yml:34-39 warns they must match).
+    casefold: bool = True
+    unicode_nfkc: bool = True
+
+    # Tokenizer: ASCII alnum words. Kept simple and shared verbatim with
+    # the DuckDB oracle (regexp_extract_all(lower(text),'[a-z0-9]+')).
+    token_pattern: str = r"[a-z0-9]+"
+
+    # Posting-block geometry: docs per compressed block; each block
+    # carries max_score metadata for block-max WAND pruning.
+    block_size: int = 128
+
+    # Salting for hot-term skew: terms whose doc frequency exceeds
+    # hot_df_threshold are split into `salt_buckets` sub-streams during
+    # the shuffle and re-merged at block-build time.
+    hot_df_threshold: int = 50_000
+    salt_buckets: int = 16
+
+    # Query-side projection cap — mirrors the reference's hard
+    # rows=600 file-list cap (app/process/solr.go:69).
+    fetch_limit: int = 600
+
+    # Default top-k.
+    top_k: int = 10
+
+    # Number of turn words per synthetic turn when deriving transcripts
+    # from the `documents` test table (test/bench plumbing only).
+    turn_words: int = 12
+
+    shuffle_partitions: int = 32
+
+    extra: dict = field(default_factory=dict)
+
+
+DEFAULT = IndexConfig()

@@ -1,0 +1,122 @@
+"""Vectorized tokenizer with character-offset capture.
+
+The analog of the reference's word-coordinate capture: when converting
+ALTO/hOCR to MiniOCR it keeps, for every word, its content plus an
+``x="HPOS VPOS WIDTH HEIGHT"`` payload (app/process/alto.go:275-385,
+app/process/hocr.go:47-183). Our payload per token is
+(token_pos, char_start, char_end) in doc-text coordinates, which later
+maps onto turns via the turn char ranges (highlight offsets, Q10).
+
+Normalization lesson from the reference: whatever transform happens at
+build time must be applied identically to queries
+(app/assets/build/config.yml:34-39; escape-at-build
+app/process/encoding.go:10-32). ``normalize``/``tokenize_batch`` are
+the single shared implementation used by build, query parsing, AND the
+in-repo oracle scorer.
+
+All batch paths are pandas/numpy vectorized (mapInPandas over Arrow
+batches) — no row-at-a-time Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..config import DEFAULT, IndexConfig
+
+TOKEN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("token_pos", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("char_start", T.LongType(), False),
+        T.StructField("char_end", T.LongType(), False),
+    ]
+)
+
+
+def normalize(text: str, cfg: IndexConfig = DEFAULT) -> str:
+    """Index-time == query-time normalization (casefold + NFKC).
+
+    NOTE offsets: the tokenizer records offsets in the NORMALIZED
+    string. casefold/NFKC can change lengths for exotic codepoints;
+    for highlight fidelity we normalize per-turn at materialization too
+    so coordinates always refer to the same normalized space.
+    """
+    if cfg.unicode_nfkc:
+        text = unicodedata.normalize("NFKC", text)
+    if cfg.casefold:
+        text = text.casefold()
+    return text
+
+
+def tokenize_text(text: str, cfg: IndexConfig = DEFAULT) -> list[tuple[int, str, int, int]]:
+    """(token_pos, term, char_start, char_end) for one string.
+    Driver-side helper for query parsing and the oracle scorer."""
+    pat = re.compile(cfg.token_pattern)
+    out = []
+    norm = normalize(text, cfg)
+    for i, m in enumerate(pat.finditer(norm)):
+        out.append((i, m.group(0), m.start(), m.end()))
+    return out
+
+
+def query_terms(query: str, cfg: IndexConfig = DEFAULT) -> list[str]:
+    """Distinct query terms in first-occurrence order."""
+    seen: dict[str, None] = {}
+    for _, term, _, _ in tokenize_text(query, cfg):
+        seen.setdefault(term)
+    return list(seen)
+
+
+def tokenize_docs(docs: DataFrame, cfg: IndexConfig = DEFAULT) -> DataFrame:
+    """doc-level tokenization: (doc_id, doc_text) -> token rows.
+
+    mapInPandas: each Arrow batch of docs explodes to token rows with
+    positions + offsets computed by a compiled regex over the
+    normalized doc text. Vectorized at the batch level; the regex scan
+    per doc is C-speed (re module), no Python per-token loop beyond
+    list building.
+    """
+    pat_src = cfg.token_pattern
+    do_nfkc, do_fold = cfg.unicode_nfkc, cfg.casefold
+
+    def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pat = re.compile(pat_src)
+        for pdf in batches:
+            doc_ids: list[int] = []
+            poss: list[int] = []
+            terms: list[str] = []
+            starts: list[int] = []
+            ends: list[int] = []
+            for did, text in zip(pdf["doc_id"].values, pdf["doc_text"].values):
+                if text is None:
+                    continue
+                s = text
+                if do_nfkc:
+                    s = unicodedata.normalize("NFKC", s)
+                if do_fold:
+                    s = s.casefold()
+                for i, m in enumerate(pat.finditer(s)):
+                    doc_ids.append(did)
+                    poss.append(i)
+                    terms.append(m.group(0))
+                    starts.append(m.start())
+                    ends.append(m.end())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "token_pos": pd.Series(poss, dtype="int32"),
+                    "term": pd.Series(terms, dtype="object"),
+                    "char_start": pd.Series(starts, dtype="int64"),
+                    "char_end": pd.Series(ends, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", "doc_text").mapInPandas(_tok, TOKEN_SCHEMA)

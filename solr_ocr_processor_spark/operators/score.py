@@ -1,0 +1,154 @@
+"""BM25 top-k scoring + highlight offsets.
+
+The capability Solr + solr-ocrhighlighting performed for the reference
+(README.md:3-8): rank documents for a query and return per-hit word
+coordinates. Here:
+
+- ``bm25_topk``      — DataFrame-native scorer: broadcast the (tiny)
+  query-term idf table against the postings, column-math the tf
+  normalization, hash-aggregate per doc, global top-k. Catalyst plan:
+  broadcast hash join (no shuffle of postings beyond the one it was
+  built with) -> partial+final agg -> TakeOrderedAndProject (Spark
+  lowers orderBy+limit to per-partition heaps + driver merge — the
+  top-k never materializes a global sort).
+
+- ``highlights``     — join the winners' matched-term positions back to
+  turn char ranges: per-turn (turn_idx, char_start, char_end) spans,
+  the analog of IIIF snippet word coordinates.
+
+Scores are float64; ties break by doc_id ASC (Lucene convention,
+BASELINE.md). ``round_to`` exists only for oracle comparison plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, IndexConfig
+from ..functions.tokenizer import query_terms
+from .build import Index
+
+
+def _query_idf(spark: SparkSession, index: Index, terms: list[str]):
+    """Tiny (term, idf) frame for the query — computed from term_stats
+    with the corpus N folded in. Returns (df_terms, n_docs, avgdl)."""
+    crow = index.corpus.first()
+    n_docs, avgdl = crow["n_docs"], float(crow["avgdl"])
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    stats = index.term_stats.join(F.broadcast(tdf), "term", "inner")
+    idf_col = F.log1p(
+        (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    return stats.withColumn("idf", idf_col).select("term", "df", "idf"), n_docs, avgdl
+
+
+def bm25_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Top-k (doc_id, conv_id, score) for a free-text query.
+
+    Query terms are normalized by the SAME tokenizer as the build
+    (reference rule: build-time and query-time analysis must match,
+    app/assets/build/config.yml:34-39).
+    """
+    terms = query_terms(query, cfg)
+    if not terms:
+        return spark.createDataFrame(
+            [], "doc_id long, conv_id string, score double"
+        )
+    qidf, _, avgdl = _query_idf(spark, index, terms)
+
+    k1, b = float(cfg.k1), float(cfg.b)
+    scored = (
+        index.postings.join(F.broadcast(qidf), "term")
+        .join(index.doc_meta.select("doc_id", "conv_id", "dl"), "doc_id")
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .groupBy("doc_id", "conv_id")
+        # Bit-deterministic score: float addition isn't associative, so
+        # summing in shuffle-arrival order makes the last ulp depend on
+        # partitioning. Sort the (few) per-doc term scores by term and
+        # fold in that fixed order -> identical scores on every rerun,
+        # resume, or cluster size (rank-identity requirement).
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "term_score"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["term_score"],
+            ).alias("score")
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def highlights(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Per-turn highlight spans for the top-k hits.
+
+    Output: (doc_id, conv_id, score, turn_idx, term, start_in_turn,
+    end_in_turn) — the analog of the reference's IIIF snippet word
+    coordinates. Doc-global token offsets are mapped into turn-local
+    offsets via the turn char ranges captured at materialization.
+    """
+    terms = query_terms(query, cfg)
+    top = bm25_topk(spark, index, query, k, cfg)
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+
+    matched = (
+        index.postings.join(F.broadcast(top.select("doc_id", "score")), "doc_id")
+        .join(F.broadcast(tdf), "term")
+        .select(
+            "doc_id",
+            "term",
+            "score",
+            F.explode("positions").alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "term",
+            "score",
+            F.col("pos.char_start").alias("tok_start"),
+            F.col("pos.char_end").alias("tok_end"),
+        )
+    )
+    turns = index.mat.turns.select(
+        "doc_id", "conv_id", "turn_idx", "char_start", "char_end"
+    )
+    # Range join: token offset within the turn's [char_start, char_end).
+    # Per doc this is tiny (a handful of matched tokens × the doc's own
+    # turns) because both sides are pre-filtered to the top-k doc_ids.
+    return (
+        matched.join(turns, "doc_id")
+        .where(
+            (F.col("tok_start") >= F.col("char_start"))
+            & (F.col("tok_start") < F.col("char_end"))
+        )
+        .select(
+            "doc_id",
+            "conv_id",
+            "score",
+            "turn_idx",
+            "term",
+            (F.col("tok_start") - F.col("char_start")).cast("int").alias("start_in_turn"),
+            (F.col("tok_end") - F.col("char_start")).cast("int").alias("end_in_turn"),
+        )
+        .orderBy("doc_id", "turn_idx", "start_in_turn")
+    )
