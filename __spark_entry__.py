@@ -39,7 +39,14 @@ def _index(spark: SparkSession, sf_dir: str) -> Index:
     key = (id(spark), sf_dir)
     if key not in _index_cache:
         t = derive_transcripts(spark, sf_dir, TW)
-        _index_cache[key] = build_postings(t)
+        idx = build_postings(t)
+        # Persist the built index: queries read a *stored* index, they
+        # don't re-run the build DAG (on a cluster this is the Iceberg
+        # postings table; locally it's MEMORY_AND_DISK).
+        for df in (idx.postings, idx.doc_meta, idx.term_stats, idx.mat.turns):
+            df.persist()
+        idx.postings.count()
+        _index_cache[key] = idx
     return _index_cache[key]
 
 
