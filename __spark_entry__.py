@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solr_ocr_processor_spark.config import DEFAULT
+from solr_ocr_processor_spark.operators.blocks import BlockIndex, build_block_index
 from solr_ocr_processor_spark.operators.build import Index, build_postings
+from solr_ocr_processor_spark.operators.wand import wand_topk
 from solr_ocr_processor_spark.operators.score import bm25_topk, highlights
 from solr_ocr_processor_spark.plans.materialize import materialize_docs, ordered_turns
 from solr_ocr_processor_spark.sources.transcripts import (
@@ -48,6 +50,18 @@ def _index(spark: SparkSession, sf_dir: str) -> Index:
         idx.postings.count()
         _index_cache[key] = idx
     return _index_cache[key]
+
+
+_bidx_cache: dict[tuple[int, str], BlockIndex] = {}
+
+
+def _block_index(spark: SparkSession, sf_dir: str) -> BlockIndex:
+    key = (id(spark), sf_dir)
+    if key not in _bidx_cache:
+        bidx = build_block_index(_index(spark, sf_dir))
+        bidx.blocks.persist().count()
+        _bidx_cache[key] = bidx
+    return _bidx_cache[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -86,6 +100,15 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY Q8: BM25 top-k (k1=1.2 b=0.75, Lucene idf, ties doc_id asc)."""
     idx = _index(spark, sf_dir)
     top = bm25_topk(spark, idx, FLAGSHIP_QUERY, k=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q8/Q9: BM25 top-k via the compressed block index with
+    two-phase block-max (WAND-style) pruning — rank-identical to the
+    exhaustive scorer, checked against the same SQL oracle."""
+    bidx = _block_index(spark, sf_dir)
+    top = wand_topk(spark, bidx, FLAGSHIP_QUERY, k=10)
     return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
@@ -140,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_ordinals": _q_turn_ordinals,
         "term_stats": _q_term_stats,
         "bm25_topk": _q_bm25_topk,
+        "bm25_wand_topk": _q_bm25_wand_topk,
         "membership_check": _q_membership_check,
         "projection_limit": _q_projection_limit,
         "delete_by_query": _q_delete_by_query,
@@ -249,6 +273,7 @@ FROM tfs GROUP BY term
 ORDER BY df DESC, term ASC LIMIT 50
 """,
         "bm25_topk": _BM25,
+        "bm25_wand_topk": _BM25,
         "membership_check": f"""
 WITH {_CTE},
 present AS (

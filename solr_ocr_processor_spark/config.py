@@ -38,6 +38,13 @@ class IndexConfig:
     # carries max_score metadata for block-max WAND pruning.
     block_size: int = 128
 
+    # Doc-id range width for block alignment: blocks never cross a
+    # range boundary, so every (term, range) group the block builder
+    # shuffles is bounded by range_size postings — hot-term (stopword)
+    # skew is structurally impossible, no salting pre-pass needed.
+    # Query-side, ranges are the block-max pruning granularity.
+    range_size: int = 4096
+
     # Salting for hot-term skew: terms whose doc frequency exceeds
     # hot_df_threshold are split into `salt_buckets` sub-streams during
     # the shuffle and re-merged at block-build time.

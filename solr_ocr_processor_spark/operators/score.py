@@ -68,13 +68,18 @@ def bm25_topk(
         index.postings.join(F.broadcast(qidf), "term")
         .join(index.doc_meta.select("doc_id", "conv_id", "dl"), "doc_id")
         .withColumn(
+            # Associativity matters for bit-identity with the numpy
+            # paths (functions/bm25.tf_norm): idf * (num / denom),
+            # never (idf * num) / denom.
             "term_score",
             F.col("idf")
-            * (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            * (
+                (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                )
             ),
         )
         .groupBy("doc_id", "conv_id")

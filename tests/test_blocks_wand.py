@@ -1,0 +1,142 @@
+"""M2/M3: codec roundtrip, block index integrity, WAND rank identity.
+
+Rank identity is the BASELINE.json gate: the pruned block scorer must
+return bit-identical (doc_id, score) lists to both the exhaustive
+DataFrame scorer and the pure-pandas oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from solr_ocr_processor_spark.config import IndexConfig
+from solr_ocr_processor_spark.functions.codec import (
+    decode_positions,
+    delta_decode,
+    delta_encode,
+    encode_positions,
+    varint_decode,
+    varint_encode,
+)
+from solr_ocr_processor_spark.operators.blocks import build_block_index
+from solr_ocr_processor_spark.operators.build import build_postings
+from solr_ocr_processor_spark.operators.score import bm25_topk
+from solr_ocr_processor_spark.operators.wand import wand_topk
+from solr_ocr_processor_spark.oracle import oracle_bm25_topk, oracle_materialize
+from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+# Small geometry so even the synth corpus spans many ranges/blocks.
+CFG = IndexConfig(block_size=4, range_size=8)
+
+QUERIES = [
+    "spark window merge",
+    "the",                      # stopword: hits nearly every doc
+    "café naïve",               # unicode -> NFKC/casefold path
+    "nonexistentterm",          # absent term
+    "spark nonexistentterm",    # mixed present/absent
+]
+
+
+def test_varint_roundtrip():
+    rng = np.random.default_rng(1)
+    for _ in range(100):
+        n = int(rng.integers(0, 200))
+        v = rng.integers(0, 2 ** int(rng.integers(1, 63)), size=n, dtype=np.uint64)
+        assert np.array_equal(varint_decode(varint_encode(v)), v)
+        s = np.sort(v)
+        assert np.array_equal(delta_decode(delta_encode(s)), s)
+
+
+def test_positions_roundtrip():
+    rng = np.random.default_rng(2)
+    for _ in range(100):
+        ndocs = int(rng.integers(1, 15))
+        tfs = rng.integers(1, 9, size=ndocs)
+        flat = np.concatenate(
+            [np.sort(rng.choice(500, size=t, replace=False)) for t in tfs]
+        )
+        assert np.array_equal(
+            decode_positions(tfs, encode_positions(tfs, flat)), flat
+        )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    t = synth_transcripts(spark, n_convs=40, max_turns=10, seed=11)
+    idx = build_postings(t, CFG)
+    for df in (idx.postings, idx.doc_meta, idx.term_stats):
+        df.persist()
+    bidx = build_block_index(idx, CFG)
+    bidx.blocks.persist().count()
+    docs_pd = oracle_materialize(t.toPandas())
+    return idx, bidx, docs_pd
+
+
+def test_block_integrity(corpus):
+    """Decoding every block reconstructs the exact M1 postings."""
+    idx, bidx, _ = corpus
+    blocks = bidx.blocks.toPandas()
+    rebuilt = []
+    for row in blocks.itertuples():
+        docs = delta_decode(row.doc_ids).astype(np.int64)
+        tfs = varint_decode(row.tfs).astype(np.int64)
+        assert row.n_docs == len(docs)
+        assert row.first_doc == docs[0] and row.last_doc == docs[-1]
+        assert len(docs) <= CFG.block_size
+        # block never crosses its range
+        assert docs[0] // CFG.range_size == row.range_id
+        assert docs[-1] // CFG.range_size == row.range_id
+        for d, tf in zip(docs, tfs):
+            rebuilt.append((row.term, int(d), int(tf)))
+    expect = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in idx.postings.select("term", "doc_id", "tf").collect()
+    }
+    assert set(rebuilt) == expect and len(rebuilt) == len(expect)
+
+
+def test_block_positions_match_postings(corpus):
+    idx, bidx, _ = corpus
+    sample = bidx.blocks.where("term = 'spark'").toPandas()
+    want = {
+        (r["doc_id"]): [p["token_pos"] for p in r["positions"]]
+        for r in idx.postings.where("term = 'spark'").collect()
+    }
+    got: dict[int, list[int]] = {}
+    for row in sample.itertuples():
+        docs = delta_decode(row.doc_ids).astype(np.int64)
+        tfs = varint_decode(row.tfs).astype(np.int64)
+        flat = decode_positions(tfs, row.positions)
+        off = 0
+        for d, tf in zip(docs, tfs):
+            got[int(d)] = list(flat[off : off + tf])
+            off += tf
+    assert got == {k: sorted(v) for k, v in want.items()} == want
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_rank_identity(spark, corpus, query):
+    idx, bidx, docs_pd = corpus
+    k = 10
+    wand = wand_topk(spark, bidx, query, k=k, cfg=CFG).collect()
+    exhaustive = bm25_topk(spark, idx, query, k=k, cfg=CFG).collect()
+    oracle = oracle_bm25_topk(docs_pd, query, k=k, cfg=CFG)
+
+    w = [(r["doc_id"], r["score"]) for r in wand]
+    e = [(r["doc_id"], r["score"]) for r in exhaustive]
+    o = list(zip(oracle["doc_id"], oracle["score"]))
+
+    assert [x[0] for x in w] == [x[0] for x in e] == [x[0] for x in o]
+    # engine paths are bit-identical; oracle within float tolerance
+    assert all(abs(a[1] - b[1]) == 0.0 for a, b in zip(w, e))
+    assert all(abs(a[1] - b[1]) < 1e-9 for a, b in zip(w, o))
+
+
+def test_wand_stopword_covers_all_docs(spark, corpus):
+    """'the' appears in most docs — pruning must still return the exact
+    global top-k, not just the seed ranges' docs."""
+    idx, bidx, docs_pd = corpus
+    oracle = oracle_bm25_topk(docs_pd, "the", k=25, cfg=CFG)
+    wand = wand_topk(spark, bidx, "the", k=25, cfg=CFG).collect()
+    assert [r["doc_id"] for r in wand] == list(oracle["doc_id"])
