@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 from solr_ocr_processor_spark.config import DEFAULT
 from solr_ocr_processor_spark.operators.blocks import BlockIndex, build_block_index
 from solr_ocr_processor_spark.operators.build import Index, build_postings
+from solr_ocr_processor_spark.operators.query import (
+    conjunctive_topk,
+    phrase_match,
+    phrase_topk,
+)
 from solr_ocr_processor_spark.operators.wand import wand_topk
 from solr_ocr_processor_spark.operators.score import bm25_topk, highlights
 from solr_ocr_processor_spark.plans.materialize import materialize_docs, ordered_turns
@@ -112,6 +117,30 @@ def _q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
+PHRASE = "table value"
+
+
+def _q_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q4: AND-of-terms — every query term required, BM25 rank."""
+    idx = _index(spark, sf_dir)
+    top = conjunctive_topk(spark, idx, FLAGSHIP_QUERY, k=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q4: positional phrase match via the positions payload."""
+    idx = _index(spark, sf_dir)
+    return phrase_match(spark, idx, PHRASE)
+
+
+def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q4/Q8: phrase query ranked Lucene-style
+    (sum-idf * tfnorm(phrase_tf))."""
+    idx = _index(spark, sf_dir)
+    top = phrase_topk(spark, idx, PHRASE, k=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
 def _q_membership_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY Q1/A7: GET membership check — EXISTS semantics via
     left-semi-style lookup on the doc-meta table."""
@@ -164,6 +193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": _q_term_stats,
         "bm25_topk": _q_bm25_topk,
         "bm25_wand_topk": _q_bm25_wand_topk,
+        "conjunctive_topk": _q_conjunctive_topk,
+        "phrase_match": _q_phrase_match,
+        "phrase_topk": _q_phrase_topk,
         "membership_check": _q_membership_check,
         "projection_limit": _q_projection_limit,
         "delete_by_query": _q_delete_by_query,
@@ -239,6 +271,86 @@ LIMIT 10
 """
 
 
+# Conjunctive: same BM25 pipeline, gated on all terms present.
+_CONJ = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw,
+         count(*) AS n_matched
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored WHERE n_matched = {len(FLAGSHIP_TERMS)}
+ORDER BY raw DESC, doc_id ASC
+LIMIT 10
+"""
+
+_PHRASE_T = ("table", "value")
+
+_PHRASE_ANCHORS = f"""
+tokp AS (
+  SELECT doc_id, conv_id, dl, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM ids
+),
+a0 AS (SELECT doc_id, pos AS anchor FROM tokp WHERE term = '{_PHRASE_T[0]}'),
+a1 AS (SELECT doc_id, pos - 1 AS anchor FROM tokp WHERE term = '{_PHRASE_T[1]}'),
+ph AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
+  FROM a0 JOIN a1 USING (doc_id, anchor) GROUP BY doc_id
+)
+"""
+
+_PHRASE_MATCH = f"""
+WITH {_DOCS},
+{_PHRASE_ANCHORS}
+SELECT ids.doc_id, ids.conv_id, ph.phrase_tf
+FROM ph JOIN ids USING (doc_id)
+ORDER BY ph.phrase_tf DESC, ids.doc_id ASC
+"""
+
+_PHRASE_TOPK = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+{_PHRASE_ANCHORS},
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokp
+  WHERE term IN {_PHRASE_T!r} GROUP BY term
+),
+sidf AS (
+  SELECT sum(ln(1 + (s.n_docs - df + 0.5) / (df + 0.5))) AS sum_idf
+  FROM dfs CROSS JOIN stats s
+)
+SELECT ids.doc_id, ids.conv_id,
+       round(
+         si.sum_idf
+         * (ph.phrase_tf * 2.2)
+         / (ph.phrase_tf + 1.2 * (0.25 + 0.75 * ids.dl / s.avgdl)),
+         6
+       ) AS score
+FROM ph
+JOIN ids USING (doc_id)
+CROSS JOIN stats s CROSS JOIN sidf si
+ORDER BY si.sum_idf * (ph.phrase_tf * 2.2)
+         / (ph.phrase_tf + 1.2 * (0.25 + 0.75 * ids.dl / s.avgdl)) DESC,
+         ids.doc_id ASC
+LIMIT 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_materialize": f"""
@@ -274,6 +386,9 @@ ORDER BY df DESC, term ASC LIMIT 50
 """,
         "bm25_topk": _BM25,
         "bm25_wand_topk": _BM25,
+        "conjunctive_topk": _CONJ,
+        "phrase_match": _PHRASE_MATCH,
+        "phrase_topk": _PHRASE_TOPK,
         "membership_check": f"""
 WITH {_CTE},
 present AS (

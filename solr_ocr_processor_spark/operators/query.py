@@ -1,0 +1,170 @@
+"""Query language beyond bag-of-words BM25 (SURVEY Q4).
+
+The reference issues Lucene-syntax queries (field:"phrase") and
+delegates parsing/execution to Solr (app/process/solr.go:48-49,69-70,
+102-103). Our minimal AST covers the shapes the reference exercises:
+
+- **term / OR-of-terms**  -> ``bm25_topk`` / ``wand_topk`` (elsewhere)
+- **AND-of-terms**        -> :func:`conjunctive_topk` — document must
+  contain every term; BM25-scored over the matching set.
+- **phrase**              -> :func:`phrase_match` / :func:`phrase_topk`
+  — consecutive-position match using the positions payload (the very
+  payload the reference preserves word coordinates for).
+
+Phrase matching is the classic positional-intersection: a phrase
+[t0..tn-1] occurs at anchor position p iff term ti has a posting at
+p+i for every i. We normalize each term's positions to anchors
+(pos - i) and inner-join on (doc_id, anchor) — n-1 sparse joins over
+per-term pre-filtered postings, each input already pruned to one
+term's posting list (dictionary lookup), so the join inputs are tiny
+relative to the corpus even for 10^12 turns.
+
+Scoring (phrase_topk) follows Lucene's PhraseQuery shape:
+``score = (Σ_t idf(t)) * tfnorm(phrase_tf, dl)`` — expressible in
+ANSI SQL, so the DuckDB oracle checks it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, IndexConfig
+from ..functions.tokenizer import query_terms, tokenize_text
+from .build import Index
+from .score import bm25_scores
+
+
+def conjunctive_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """AND semantics: only documents containing EVERY query term,
+    ranked by the same BM25 sum as the OR scorer.
+
+    Plan: reuse bm25_topk's scored set but gate on distinct-term
+    count == |query| first (computed in the same aggregation — no
+    extra shuffle), then top-k.
+    """
+    terms = query_terms(query, cfg)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, conv_id string, score double")
+    n_terms = len(terms)
+    scored = bm25_scores(spark, index, query, cfg=cfg)
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    matched_counts = (
+        index.postings.join(F.broadcast(tdf), "term")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_matched"))
+        .where(F.col("n_matched") == n_terms)
+        .select("doc_id")
+    )
+    return (
+        scored.join(matched_counts, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _phrase_anchors(index: Index, phrase_terms: list[str]) -> DataFrame:
+    """(doc_id, anchor) pairs where the full phrase starts at token
+    position ``anchor``."""
+    anchors: DataFrame | None = None
+    for i, t in enumerate(phrase_terms):
+        pos_i = (
+            index.postings.where(F.col("term") == t)
+            .select(
+                "doc_id",
+                F.explode(F.transform("positions", lambda p: p["token_pos"])).alias(
+                    "pos"
+                ),
+            )
+            .select("doc_id", (F.col("pos") - F.lit(i)).alias("anchor"))
+        )
+        anchors = pos_i if anchors is None else anchors.join(
+            pos_i, ["doc_id", "anchor"], "inner"
+        )
+    return anchors.where(F.col("anchor") >= 0)
+
+
+def phrase_match(
+    spark: SparkSession,
+    index: Index,
+    phrase: str,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Documents containing the exact phrase, with occurrence count.
+
+    Returns (doc_id, conv_id, phrase_tf) ordered by (phrase_tf desc,
+    doc_id asc).
+    """
+    terms = [t for _, t, _, _ in tokenize_text(phrase, cfg)]
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, conv_id string, phrase_tf long")
+    counts = (
+        _phrase_anchors(index, terms)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("phrase_tf"))
+    )
+    return (
+        counts.join(index.doc_meta.select("doc_id", "conv_id"), "doc_id")
+        .select("doc_id", "conv_id", "phrase_tf")
+        .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+    )
+
+
+def phrase_topk(
+    spark: SparkSession,
+    index: Index,
+    phrase: str,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Phrase query ranked Lucene-style:
+    ``(Σ_t idf(t)) * tfnorm(phrase_tf, dl, avgdl)``, ties doc_id asc."""
+    terms = [t for _, t, _, _ in tokenize_text(phrase, cfg)]
+    empty = spark.createDataFrame([], "doc_id long, conv_id string, score double")
+    if not terms:
+        return empty
+    crow = index.corpus.first()
+    n_docs, avgdl = int(crow["n_docs"]), float(crow["avgdl"])
+    # Σ idf over the phrase's terms (duplicated terms count twice, as in
+    # Lucene) — tiny driver-side scalar from the dictionary.
+    dfs = {
+        r["term"]: r["df"]
+        for r in index.term_stats.where(F.col("term").isin(list(set(terms)))).collect()
+    }
+    if any(t not in dfs for t in terms):
+        return empty  # a phrase containing an unseen term matches nothing
+    import math
+
+    sum_idf = sum(
+        math.log1p((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in terms
+    )
+    k1, b = float(cfg.k1), float(cfg.b)
+    counts = (
+        _phrase_anchors(index, terms)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("phrase_tf"))
+    )
+    return (
+        counts.join(index.doc_meta.select("doc_id", "conv_id", "dl"), "doc_id")
+        .withColumn(
+            "score",
+            F.lit(sum_idf)
+            * (
+                (F.col("phrase_tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("phrase_tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                )
+            ),
+        )
+        .select("doc_id", "conv_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

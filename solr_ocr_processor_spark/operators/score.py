@@ -43,14 +43,16 @@ def _query_idf(spark: SparkSession, index: Index, terms: list[str]):
     return stats.withColumn("idf", idf_col).select("term", "df", "idf"), n_docs, avgdl
 
 
-def bm25_topk(
+def bm25_scores(
     spark: SparkSession,
     index: Index,
     query: str,
-    k: int = 10,
     cfg: IndexConfig = DEFAULT,
 ) -> DataFrame:
-    """Top-k (doc_id, conv_id, score) for a free-text query.
+    """Exhaustive BM25 scores for every matching doc — no sort, no
+    limit. (doc_id, conv_id, score). Building block for top-k and for
+    conjunctive gating (operators/query.py), where limiting before the
+    gate would be wrong and a giant limit would force a global sort.
 
     Query terms are normalized by the SAME tokenizer as the build
     (reference rule: build-time and query-time analysis must match,
@@ -96,7 +98,24 @@ def bm25_topk(
             ).alias("score")
         )
     )
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return scored
+
+
+def bm25_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Top-k (doc_id, conv_id, score). Spark lowers orderBy+limit to
+    TakeOrderedAndProject: per-partition heaps + driver merge — the
+    global sort never materializes."""
+    return (
+        bm25_scores(spark, index, query, cfg)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 def highlights(

@@ -1,0 +1,71 @@
+"""Q4 query language: conjunctive AND + positional phrase semantics."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from solr_ocr_processor_spark.operators.build import build_postings
+from solr_ocr_processor_spark.operators.query import (
+    conjunctive_topk,
+    phrase_match,
+    phrase_topk,
+)
+from solr_ocr_processor_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+TS = datetime.datetime(2026, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        # phrase "big data" twice in c0 (once spanning turns), once in c1,
+        # reversed in c2, absent in c3
+        ("c0", 0, "user", "big data is big", None, TS),
+        ("c0", 1, "assistant", "data big data pipelines", None, TS),
+        ("c1", 0, "user", "we love big data here", None, TS),
+        ("c2", 0, "user", "data big only reversed", None, TS),
+        ("c3", 0, "user", "nothing relevant at all", None, TS),
+    ]
+    t = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    idx = build_postings(t)
+    idx.postings.persist().count()
+    return idx
+
+
+def test_phrase_match_counts(spark, tiny):
+    got = {
+        r["conv_id"]: r["phrase_tf"]
+        for r in phrase_match(spark, tiny, "big data").collect()
+    }
+    # c0 doc_text = "big data is big data big data pipelines":
+    # anchors at 0, 4("big data" after is->...), check: tokens
+    # [big,data,is,big,data,big,data,pipelines] -> anchors 0,3,5
+    assert got == {"c0": 3, "c1": 1}
+
+
+def test_phrase_cross_turn_match(spark, tiny):
+    """Turns join with ' ' so a phrase can span a turn boundary —
+    c0 turn0 ends 'big' and turn1 starts 'data' => anchor at pos 3."""
+    got = phrase_match(spark, tiny, "big data").where("conv_id='c0'").collect()
+    assert got[0]["phrase_tf"] == 3
+
+
+def test_phrase_absent(spark, tiny):
+    assert phrase_match(spark, tiny, "data nothing").count() == 0
+    assert phrase_topk(spark, tiny, "zzz unseen").count() == 0
+
+
+def test_conjunctive_requires_all_terms(spark, tiny):
+    got = {r["conv_id"] for r in conjunctive_topk(spark, tiny, "big data pipelines").collect()}
+    assert got == {"c0"}
+    got2 = {r["conv_id"] for r in conjunctive_topk(spark, tiny, "big data").collect()}
+    assert got2 == {"c0", "c1", "c2"}
+
+
+def test_phrase_topk_ranks_by_tfnorm(spark, tiny):
+    top = phrase_topk(spark, tiny, "big data", k=5).collect()
+    assert [r["conv_id"] for r in top][0] == "c0"  # 3 occurrences wins
+    assert len(top) == 2
+    assert top[0]["score"] > top[1]["score"] > 0
