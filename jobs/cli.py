@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""spark-submit entry point — the reference's HTTP surface as CLI verbs.
+
+Route/method dispatch (app/main.go:94-116,163-171) maps to subcommands:
+
+    POST /item/{uuid}   -> build     (full resumable index build)
+    GET  /item/{uuid}   -> check     (membership; exit 0 found / 4 not)
+    DELETE /item/{uuid} -> delete    (tombstone)  + compact (physical)
+    /status             -> status    (manifest / lineage metrics)
+    (Solr query side)   -> query     (BM25 WAND top-k over the store)
+
+Run on a cluster:
+
+    spark-submit --py-files dist/solr_ocr_processor_spark.zip \
+        jobs/cli.py build --input <iceberg-table-or-parquet> --store /idx
+
+Locally the session factory falls back to local[*] (session.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from solr_ocr_processor_spark.config import DEFAULT
+from solr_ocr_processor_spark.operators import lifecycle
+from solr_ocr_processor_spark.operators.wand import wand_topk
+from solr_ocr_processor_spark.session import get_spark
+from solr_ocr_processor_spark.sources.transcripts import read_transcripts
+
+NOT_FOUND_EXIT = 4  # the 404 analog (app/main.go:132-133)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="solr_ocr_processor_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build or resume the index")
+    b.add_argument("--input", required=True, help="iceberg table name or parquet path")
+    b.add_argument("--store", required=True)
+    b.add_argument("--shards", type=int, default=16)
+
+    q = sub.add_parser("query", help="BM25 top-k")
+    q.add_argument("--store", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--k", type=int, default=10)
+
+    c = sub.add_parser("check", help="membership check")
+    c.add_argument("--store", required=True)
+    c.add_argument("--conv-id", required=True)
+
+    d = sub.add_parser("delete", help="tombstone a conversation")
+    d.add_argument("--store", required=True)
+    d.add_argument("--conv-id", required=True)
+
+    sub.add_parser("compact", help="physically drop tombstoned docs").add_argument(
+        "--store", required=True
+    )
+    sub.add_parser("status", help="build lineage/metrics").add_argument(
+        "--store", required=True
+    )
+
+    args = p.parse_args(argv)
+    spark = get_spark(app_name=f"socr-{args.cmd}")
+    store = lifecycle.IndexStore(args.store, DEFAULT)
+
+    if args.cmd == "build":
+        t = read_transcripts(spark, args.input)
+        lifecycle.build_store(spark, t, args.store, DEFAULT, n_shards=args.shards)
+        print(json.dumps({"built": args.store}))
+        return 0
+    if args.cmd == "query":
+        bidx = lifecycle.load_block_index(spark, store)
+        dead = lifecycle.tombstoned_doc_ids(spark, store)
+        for r in wand_topk(spark, bidx, args.q, k=args.k, exclude_doc_ids=dead).collect():
+            print(json.dumps({"doc_id": r["doc_id"], "conv_id": r["conv_id"], "score": r["score"]}))
+        return 0
+    if args.cmd == "check":
+        found = lifecycle.check(spark, store, args.conv_id)
+        print(json.dumps({"conv_id": args.conv_id, "found": found}))
+        return 0 if found else NOT_FOUND_EXIT
+    if args.cmd == "delete":
+        lifecycle.delete_conv(spark, store, args.conv_id)
+        print(json.dumps({"deleted": args.conv_id}))
+        return 0
+    if args.cmd == "compact":
+        lifecycle.compact(spark, store)
+        print(json.dumps({"compacted": args.store}))
+        return 0
+    if args.cmd == "status":
+        for r in lifecycle.build_metrics(spark, store).collect():
+            print(json.dumps(r.asDict()))
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -43,9 +43,11 @@ class Index:
 
 
 def build_postings(
-    transcripts: DataFrame, cfg: IndexConfig = DEFAULT
+    transcripts: DataFrame,
+    cfg: IndexConfig = DEFAULT,
+    doc_map: DataFrame | None = None,
 ) -> Index:
-    mat = materialize_docs(transcripts)
+    mat = materialize_docs(transcripts, doc_map)
     tokens = tokenize_docs(mat.docs, cfg)
 
     # (term, doc_id) aggregation: Spark hash-agg gives partial (map-side)

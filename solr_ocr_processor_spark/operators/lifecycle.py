@@ -1,0 +1,291 @@
+"""Index lifecycle: persisted store, resumable build, delete, check (M4).
+
+The reference's HTTP lifecycle (app/main.go:94-116) mapped to jobs:
+
+- POST /item  -> :func:`build_store` — the index build, shard-by-shard
+  with per-shard checkpoint manifests so a killed job resumes without
+  redoing finished shards (the GET-before-POST idempotency analog,
+  app/handler/indexer.go:27-41).
+- GET /item   -> :func:`check` — membership lookup (numFound>0,
+  app/process/solr.go:100-124).
+- DELETE /item -> :func:`delete_conv` — delete-by-query. The reference
+  deletes Solr docs then unlinks lazy files (app/process/solr.go:21-97,
+  reading the file list BEFORE deleting index entries). Our analog:
+  append the conv to a tombstone table consulted at query time (cheap,
+  immediate) and physically drop rows at :func:`compact` time (the
+  Iceberg row-level-delete / segment-merge analog).
+
+Store layout (parquet locally; Iceberg tables on a cluster — same
+relational shape, swap the writer):
+
+    {root}/doc_map/                 doc_id <-> conv_id (checkpointed sort)
+    {root}/postings/shard=K/        M1 postings rows for doc-id shard K
+    {root}/blocks/shard=K/          compressed posting blocks
+    {root}/doc_meta/shard=K/
+    {root}/term_stats/              global dictionary (finalize step)
+    {root}/corpus/                  n_docs / avgdl / total_tokens
+    {root}/manifest/                per-shard build lineage + metrics
+    {root}/tombstones/              deleted conv_ids (append-only)
+
+Sharding is by doc-id range (``shard = doc_id // shard_width``), which
+keeps shards aligned with the block index's range structure and makes
+the doc-id assignment the ONLY global step. That assignment is
+computed once from the sorted distinct conv_id set and *checkpointed*
+to ``doc_map`` before any shard builds — reruns and resumes read the
+checkpoint instead of recomputing, so doc ids are stable across
+failures (SURVEY §4.2-5; monotonically_increasing_id is banned).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, IndexConfig
+from ..plans.materialize import materialize_docs
+from .blocks import BlockIndex, build_block_index
+from .build import Index, build_postings
+
+
+@dataclass
+class IndexStore:
+    root: str
+    cfg: IndexConfig
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+
+MANIFEST_SCHEMA = (
+    "build_id string, shard int, status string, n_convs long, n_turns long, "
+    "n_postings long, n_blocks long, wall_sec double, finished_at double"
+)
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).limit(1).collect()
+        return True
+    except Exception:  # noqa: BLE001 - missing path
+        return False
+
+
+def _manifest_done_shards(spark: SparkSession, store: IndexStore) -> set[int]:
+    p = store.path("manifest")
+    if not _exists(spark, p):
+        return set()
+    return {
+        r["shard"]
+        for r in spark.read.parquet(p).where("status = 'done'").select("shard").collect()
+    }
+
+
+def build_store(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    root: str,
+    cfg: IndexConfig = DEFAULT,
+    n_shards: int = 4,
+    fail_after_shard: int | None = None,
+) -> IndexStore:
+    """Build (or resume) a persisted index at ``root``.
+
+    Steps:
+      0. doc_map checkpoint (skipped when present).
+      1. per doc-id shard: materialize + tokenize + postings + blocks,
+         written under ``shard=K``; a manifest row records lineage and
+         throughput metrics. Shards listed 'done' in the manifest are
+         skipped on resume.
+      2. finalize: global term_stats + corpus from all shards.
+
+    ``fail_after_shard`` injects a crash after N shards (tests only).
+    """
+    store = IndexStore(root=root, cfg=cfg)
+    build_id = uuid.uuid4().hex[:12]
+
+    # --- step 0: checkpointed doc-id assignment -------------------------
+    doc_map_path = store.path("doc_map")
+    if not _exists(spark, doc_map_path):
+        from ..plans.materialize import assign_doc_ids, ordered_turns
+
+        turns = ordered_turns(transcripts)
+        assign_doc_ids(turns).write.mode("overwrite").parquet(doc_map_path)
+    doc_map = spark.read.parquet(doc_map_path)
+    n_docs_total = doc_map.count()
+    shard_width = max(1, -(-n_docs_total // n_shards))
+
+    done = _manifest_done_shards(spark, store)
+    built = 0
+    for shard in range(n_shards):
+        if shard in done:
+            continue
+        t0 = time.perf_counter()
+        lo, hi = shard * shard_width, (shard + 1) * shard_width
+        convs = doc_map.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        shard_t = transcripts.join(
+            F.broadcast(convs.select("conv_id")), "conv_id", "inner"
+        )
+        # build_postings assigns doc ids by local row_number; override
+        # with the checkpointed global map to keep ids stable.
+        idx = build_postings(shard_t, cfg, doc_map=convs)
+        bidx = build_block_index(idx, cfg)
+
+        idx.postings.write.mode("overwrite").parquet(
+            store.path(f"postings/shard={shard}")
+        )
+        bidx.blocks.write.mode("overwrite").parquet(store.path(f"blocks/shard={shard}"))
+        idx.doc_meta.write.mode("overwrite").parquet(
+            store.path(f"doc_meta/shard={shard}")
+        )
+        n_convs = idx.doc_meta.count()
+        n_turns = idx.mat.turns.count()
+        n_postings = idx.postings.count()
+        n_blocks = bidx.blocks.count()
+        wall = time.perf_counter() - t0
+        row = [
+            (build_id, shard, "done", n_convs, n_turns, n_postings, n_blocks,
+             wall, time.time())
+        ]
+        spark.createDataFrame(row, MANIFEST_SCHEMA).write.mode("append").parquet(
+            store.path("manifest")
+        )
+        built += 1
+        if fail_after_shard is not None and built >= fail_after_shard:
+            raise RuntimeError(f"injected failure after shard {shard}")
+
+    # --- step 2: finalize global stats ---------------------------------
+    postings = spark.read.parquet(store.path("postings"))
+    doc_meta = spark.read.parquet(store.path("doc_meta"))
+    term_stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    term_stats.write.mode("overwrite").parquet(store.path("term_stats"))
+    corpus = doc_meta.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    corpus.write.mode("overwrite").parquet(store.path("corpus"))
+    return store
+
+
+def load_block_index(spark: SparkSession, store: IndexStore) -> BlockIndex:
+    """Open the persisted store for querying (blocks + dictionary)."""
+    crow = spark.read.parquet(store.path("corpus")).first()
+    return BlockIndex(
+        blocks=spark.read.parquet(store.path("blocks")),
+        term_stats=spark.read.parquet(store.path("term_stats")),
+        doc_meta=spark.read.parquet(store.path("doc_meta")),
+        n_docs=int(crow["n_docs"]),
+        avgdl=float(crow["avgdl"]),
+        cfg=store.cfg,
+    )
+
+
+# --- lifecycle verbs -------------------------------------------------------
+
+
+def check(spark: SparkSession, store: IndexStore, conv_id: str) -> bool:
+    """GET membership: indexed and not tombstoned (numFound>0 analog)."""
+    if tombstoned_convs(spark, store).where(F.col("conv_id") == conv_id).limit(1).count():
+        return False
+    dm = spark.read.parquet(store.path("doc_map"))
+    return bool(dm.where(F.col("conv_id") == conv_id).limit(1).count())
+
+
+def delete_conv(spark: SparkSession, store: IndexStore, conv_id: str) -> None:
+    """DELETE: record a tombstone. Like the reference we capture the
+    doc ids BEFORE logically removing them (app/process/solr.go:25-34 —
+    the index is the only place they're recorded)."""
+    dm = spark.read.parquet(store.path("doc_map"))
+    victims = dm.where(F.col("conv_id") == conv_id).withColumn(
+        "deleted_at", F.lit(time.time())
+    )
+    victims.write.mode("append").parquet(store.path("tombstones"))
+
+
+def tombstoned_convs(spark: SparkSession, store: IndexStore) -> DataFrame:
+    p = store.path("tombstones")
+    if not _exists(spark, p):
+        return spark.createDataFrame([], "doc_id long, conv_id string, deleted_at double")
+    return spark.read.parquet(p)
+
+
+def tombstoned_doc_ids(spark: SparkSession, store: IndexStore) -> list[int]:
+    return [r["doc_id"] for r in tombstoned_convs(spark, store).select("doc_id").collect()]
+
+
+def compact(spark: SparkSession, store: IndexStore) -> None:
+    """Physically drop tombstoned docs (segment-merge analog).
+
+    Rewrites postings/blocks/doc_meta without the tombstoned doc ids,
+    clears tombstones, and refreshes global stats. On Iceberg this is
+    a row-level DELETE + expire_snapshots; on parquet we rewrite the
+    anti-joined tables. Note df/avgdl change on compaction — scores
+    after compact equal a fresh build without the deleted convs
+    (verified in tests).
+    """
+    dead = tombstoned_convs(spark, store).select("doc_id").distinct()
+    if not dead.count():
+        return
+    import numpy as np  # noqa: F401
+
+    for name in ("postings", "doc_meta"):
+        df = spark.read.parquet(store.path(name)).join(dead, "doc_id", "left_anti")
+        tmp = store.path(f"_{name}_compact")
+        df.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(store.path(name))
+    # blocks must be re-encoded (a dead doc may sit mid-block): rebuild
+    # from the compacted postings via the same block builder.
+    postings = spark.read.parquet(store.path("postings"))
+    doc_meta = spark.read.parquet(store.path("doc_meta"))
+    term_stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    corpus = doc_meta.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    corpus.write.mode("overwrite").parquet(store.path("corpus"))
+    term_stats.write.mode("overwrite").parquet(store.path("term_stats"))
+
+    from ..plans.materialize import Materialized
+
+    pseudo = Index(
+        postings=postings,
+        doc_meta=doc_meta,
+        term_stats=term_stats,
+        corpus=corpus,
+        mat=Materialized(turns=None, docs=None),
+    )
+    blocks = build_block_index(pseudo, store.cfg).blocks
+    tmpb = store.path("_blocks_compact")
+    blocks.write.mode("overwrite").parquet(tmpb)
+    spark.read.parquet(tmpb).write.mode("overwrite").parquet(store.path("blocks"))
+
+    # tombstones served their purpose
+    import shutil
+
+    shutil.rmtree(store.path("tombstones"), ignore_errors=True)
+    for t in ("_postings_compact", "_doc_meta_compact", "_blocks_compact"):
+        shutil.rmtree(store.path(t), ignore_errors=True)
+
+
+def build_metrics(spark: SparkSession, store: IndexStore) -> DataFrame:
+    """Lineage/metrics table: one row per built shard (build_id, counts,
+    wall_sec, turns/sec) — the reference's log-sink analog (S11) as a
+    queryable table."""
+    m = spark.read.parquet(store.path("manifest"))
+    return m.withColumn(
+        "turns_per_sec",
+        F.when(F.col("wall_sec") > 0, F.col("n_turns") / F.col("wall_sec")),
+    )

@@ -51,8 +51,20 @@ from .blocks import BlockIndex
 _TOPK_SCHEMA = "range_id long, doc_id long, score double"
 
 
-def _make_range_scorer(range_size: int, k: int, k1: float, b: float, avgdl: float):
-    """applyInPandas scorer for one doc-id range's query blocks."""
+def _make_range_scorer(
+    range_size: int,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    exclude: frozenset[int] = frozenset(),
+):
+    """applyInPandas scorer for one doc-id range's query blocks.
+
+    ``exclude`` carries tombstoned doc ids (lifecycle deletes) — their
+    scores are zeroed before top-k selection so deleted docs can never
+    surface, without rewriting the index (query-time tombstones,
+    SURVEY A9)."""
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         range_id = int(pdf["range_id"].iat[0])
@@ -65,6 +77,13 @@ def _make_range_scorer(range_size: int, k: int, k1: float, b: float, avgdl: floa
             dls = varint_decode(row.dls).astype(np.int64)
             contrib = row.idf * tf_norm(tfs, dls, avgdl, k1, b)
             np.add.at(dense, docs - base, contrib)
+        if exclude:
+            dead = np.array(
+                [d - base for d in exclude if base <= d < base + range_size],
+                dtype=np.int64,
+            )
+            if dead.size:
+                dense[dead] = 0.0
         hit = np.flatnonzero(dense)
         if hit.size == 0:
             return pd.DataFrame({"range_id": [], "doc_id": [], "score": []}).astype(
@@ -93,10 +112,14 @@ def wand_topk(
     query: str,
     k: int = 10,
     cfg: IndexConfig | None = None,
+    exclude_doc_ids: list[int] | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k via two-phase block-max pruning.
 
     Returns (doc_id, conv_id, score) ordered by (score desc, doc_id).
+    ``exclude_doc_ids``: tombstoned docs to suppress (exact — zeroed
+    inside the scorer, not post-filtered, so the result always has k
+    live docs when k exist).
     """
     cfg = cfg or bidx.cfg
     terms = query_terms(query, cfg)
@@ -139,7 +162,10 @@ def wand_topk(
             return empty
         ranges = sorted(bounds, key=lambda r: (-r["ub"], r["range_id"]))
 
-        scorer = _make_range_scorer(cfg.range_size, k, cfg.k1, cfg.b, bidx.avgdl)
+        scorer = _make_range_scorer(
+            cfg.range_size, k, cfg.k1, cfg.b, bidx.avgdl,
+            frozenset(exclude_doc_ids or ()),
+        )
 
         # --- phase 2a: seed — score highest-ub ranges covering >= ~4k docs ---
         seed, docs_cov = [], 0

@@ -73,14 +73,23 @@ def assign_doc_ids(turns: DataFrame) -> DataFrame:
     )
 
 
-def materialize_docs(transcripts: DataFrame) -> Materialized:
+def materialize_docs(
+    transcripts: DataFrame, doc_map: DataFrame | None = None
+) -> Materialized:
     """Full materialization: ordered turns + per-conversation doc text.
 
     doc_text is rebuilt order-safely via array_sort over (ordinal, text)
     structs — no reliance on collect_list shuffle order.
+
+    ``doc_map`` (doc_id, conv_id), when given, overrides the local
+    doc-id assignment with a checkpointed global one — how resumable
+    shard builds keep ids stable across runs (SURVEY §4.2-5).
     """
     turns = ordered_turns(transcripts)
-    doc_ids = assign_doc_ids(turns)
+    doc_ids = (
+        doc_map.select("doc_id", "conv_id") if doc_map is not None
+        else assign_doc_ids(turns)
+    )
     docs = (
         turns.groupBy("conv_id")
         .agg(
