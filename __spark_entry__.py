@@ -20,7 +20,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solr_ocr_processor_spark.config import DEFAULT
+from solr_ocr_processor_spark.functions.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from solr_ocr_processor_spark.operators.ann import (
+    cosine_topk,
+    ivf_centroids,
+    ivf_topk,
+    lsh_topk,
+)
 from solr_ocr_processor_spark.operators.blocks import BlockIndex, build_block_index
+from solr_ocr_processor_spark.operators.dedup import (
+    embedding_near_dup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+from solr_ocr_processor_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    synth_media,
+)
 from solr_ocr_processor_spark.operators.build import Index, build_postings
 from solr_ocr_processor_spark.operators.query import (
     conjunctive_topk,
@@ -186,6 +211,108 @@ def _q_highlight_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / ANN / text stats / multimodal)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _qvec(spark: SparkSession, sf_dir: str) -> list:
+    return list(_embs(spark, sf_dir).where("vec_id = 0").first()["embedding"])
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 hash-groupBy groups, canonical = min doc_id."""
+    return exact_dup_groups(_docs(spark, sf_dir)).select(
+        "doc_id", "group_size", F.col("is_canonical").cast("int").alias("is_canonical")
+    )
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram-shingle Jaccard near-dup pairs >= 0.3."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, tau=0.3)
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + LSH(32x4) near-dup pairs, exact-verified — output
+    matches the exact join above (recall ~1 above jaccard 0.75)."""
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, tau=0.3)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints (md5 term hashes, tf-weighted)."""
+    return simhash64(_docs(spark, sf_dir))
+
+
+def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming<=3 SimHash pairs via 15-bit-band LSH (4 bands > radius
+    3 => candidate recall is exact by pigeonhole), popcount-verified."""
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs >= 0.45 (exact all-pairs)."""
+    return embedding_near_dup(_embs(spark, sf_dir), tau=0.45)
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the vec_id=0 query vector."""
+    return cosine_topk(_embs(spark, sf_dir), _qvec(spark, sf_dir), k=10)
+
+
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (16 deterministic centroids, nprobe=4).
+    No SQL oracle (approximate); exactness-of-rerank + recall covered
+    in pytest."""
+    embs = _embs(spark, sf_dir)
+    C = ivf_centroids(embs, n_centroids=16)
+    return ivf_topk(embs, C, _qvec(spark, sf_dir), k=10, nprobe=4)
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-10. No SQL oracle (approximate)."""
+    return lsh_topk(_embs(spark, sf_dir), _qvec(spark, sf_dir), k=10)
+
+
+def _q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(_docs(spark, sf_dir))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction (decode stubbed; Arrow-batched
+    mapInPandas plumbing real). Checksum excluded from the oracle
+    columns (DuckDB lacks md5-over-blob); covered in pytest."""
+    m = synth_media(_docs(spark, sf_dir))
+    return extract_features(m).select(
+        "media_id", "n_bytes", "header_byte", "kind_sniffed"
+    )
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: stride-64 offsets."""
+    m = synth_media(_docs(spark, sf_dir))
+    return frame_sample(m, every_n_bytes=64).select("media_id", "frame_idx", "offset")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -200,6 +327,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_limit": _q_projection_limit,
         "delete_by_query": _q_delete_by_query,
         "highlight_offsets": _q_highlight_offsets,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "simhash_near_pairs": _q_simhash_near_pairs,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "text_token_count": _q_text_token_count,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "text_fingerprint": _q_text_fingerprint,
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_frames": _q_multimodal_frames,
     }
 
 
@@ -351,6 +493,159 @@ LIMIT 10
 """
 
 
+# --- pipeline-operator oracles --------------------------------------------
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+_JACCARD_PAIRS = f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS p, toks FROM docs),
+sh AS (SELECT DISTINCT doc_id, toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2] AS shingle
+       FROM pos WHERE p + 2 <= len(toks)),
+card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+j AS (SELECT doc1, doc2, i::DOUBLE / (c1.c + c2.c - i) AS jac
+      FROM inter
+      JOIN card c1 ON doc1 = c1.doc_id
+      JOIN card c2 ON doc2 = c2.doc_id)
+SELECT doc1, doc2, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.3
+"""
+
+_SIMHASH_CTE = f"""
+sdocs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+stok AS (SELECT doc_id, unnest(toks) AS term FROM sdocs),
+stf AS (SELECT doc_id, term, count(*) AS tf FROM stok GROUP BY 1, 2),
+sht AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS th FROM stf),
+sbits AS (SELECT doc_id, tf, th, unnest(range(60)) AS bit FROM sht),
+svotes AS (SELECT doc_id, bit,
+                  sum(CASE WHEN (th >> bit) & 1 = 1 THEN tf ELSE -tf END) AS v
+           FROM sbits GROUP BY 1, 2),
+simhashes AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM svotes GROUP BY doc_id)
+"""
+
+_COS_D = (
+    "list_cosine_similarity(list_transform(a.embedding, x -> x::DOUBLE), "
+    "list_transform(b.embedding, x -> x::DOUBLE))"
+)
+
+_MEDIA_NB = (
+    "strlen(text) + CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 3 "
+    "WHEN 2 THEN 4 ELSE 3 END"
+)
+
+_PIPELINE_ORACLES = {
+    "dedup_exact": """
+WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+g AS (SELECT text_hash, CAST(count(*) AS BIGINT) AS group_size,
+             min(doc_id) AS canonical
+      FROM h GROUP BY 1)
+SELECT doc_id, group_size,
+       CASE WHEN doc_id = canonical THEN 1 ELSE 0 END AS is_canonical
+FROM h JOIN g USING (text_hash)
+""",
+    "dedup_ngram_jaccard": _JACCARD_PAIRS,
+    # LSH output is exact-verified and misses 0.9-jaccard pairs with
+    # p~7e-17, so the exact join IS its oracle.
+    "dedup_minhash_lsh": _JACCARD_PAIRS,
+    "dedup_simhash": f"""
+WITH {_SIMHASH_CTE}
+SELECT doc_id, simhash FROM simhashes
+""",
+    "simhash_near_pairs": f"""
+WITH {_SIMHASH_CTE}
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    "dedup_embedding_cosine": f"""
+SELECT a.vec_id AS id1, b.vec_id AS id2, round({_COS_D}, 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS_D} >= 0.45
+""",
+    "ann_cosine_topk": """
+WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+           FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id AS id,
+             list_cosine_similarity(list_transform(embedding, x -> x::DOUBLE), q.qv)
+               AS c
+      FROM embeddings CROSS JOIN q)
+SELECT id, round(c, 6) AS cos FROM s ORDER BY c DESC, id ASC LIMIT 10
+""",
+    "text_token_count": f"""
+SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+    "text_quality": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id,
+             round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+                   / greatest(length(text), 1), 6) AS alpha_ratio,
+             round(len(list_filter(toks, x -> x IN
+                   ('the','a','and','of','to','in','is','it')))::DOUBLE
+                   / greatest(len(toks), 1), 6) AS stop_ratio,
+             round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+                   / greatest(len(toks), 1), 6) AS mean_tok_len
+      FROM t)
+SELECT doc_id, alpha_ratio, stop_ratio, mean_tok_len,
+       round(0.4 * alpha_ratio + 0.3 * least(stop_ratio * 4, 1.0)
+             + 0.3 * least(mean_tok_len / 8, 1.0), 6) AS quality
+FROM m
+""",
+    "text_lang_id": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+v AS (SELECT doc_id,
+  len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS v_en,
+  len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS v_fr,
+  len(list_filter(toks, x -> x IN ('el','los','y','que','una'))) AS v_es,
+  len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS v_de
+ FROM t)
+SELECT doc_id,
+  CASE WHEN greatest(v_en, v_fr, v_es, v_de) = 0 THEN 'und'
+       WHEN v_de = greatest(v_en, v_fr, v_es, v_de) THEN 'de'
+       WHEN v_en = greatest(v_en, v_fr, v_es, v_de) THEN 'en'
+       WHEN v_es = greatest(v_en, v_fr, v_es, v_de) THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  CAST(greatest(v_en, v_fr, v_es, v_de) AS BIGINT) AS lang_votes
+FROM v
+""",
+    "text_fingerprint": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) - 1 AS pos
+      FROM t)
+SELECT doc_id,
+       CAST(sum(('0x' || substr(md5(term || ':' || pos), 1, 10))::BIGINT)
+            AS BIGINT) AS fp
+FROM p GROUP BY doc_id
+""",
+    "multimodal_features": f"""
+SELECT doc_id AS media_id,
+       CAST({_MEDIA_NB} AS BIGINT) AS n_bytes,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 137 WHEN 1 THEN 255
+                            WHEN 2 THEN 82 ELSE 73 END AS INT) AS header_byte,
+       CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                       WHEN 2 THEN 'audio/wav' ELSE 'audio/mp3' END AS kind_sniffed
+FROM documents
+""",
+    "multimodal_frames": f"""
+WITH m AS (SELECT doc_id, {_MEDIA_NB} AS nb FROM documents)
+SELECT doc_id AS media_id,
+       CAST(unnest(range(CAST(ceil(nb / 64.0) AS BIGINT))) AS INT) AS frame_idx,
+       CAST(unnest(range(CAST(ceil(nb / 64.0) AS BIGINT))) * 64 AS BIGINT)
+         AS "offset"
+FROM m
+""",
+}
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_materialize": f"""
@@ -479,4 +774,5 @@ FROM turnmap tm
 JOIN turn_starts ts USING (conv_id, turn_idx)
 WHERE tm.word IN {FLAGSHIP_TERMS!r}
 """,
+        **_PIPELINE_ORACLES,
     }

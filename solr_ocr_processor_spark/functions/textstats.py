@@ -1,0 +1,119 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+Every operator here is pure column expressions (whole-stage codegen,
+zero UDFs) with an exact ANSI-SQL twin the DuckDB oracle runs — the
+definitions are deliberately engine-neutral:
+
+- token_count:  |regexp_extract_all(lower(text), '[a-z0-9]+')|
+- quality:      length/alpha-ratio/stopword-ratio/mean-token-length
+  combined into one bounded score (formula below, same in SQL).
+- lang_id:      marker-stopword voting — per language, count tokens in
+  its marker set; argmax with fixed tie order. (A real pipeline swaps
+  in fastText et al; the *operator shape* — vote, argmax, confidence —
+  is what scales.)
+- fingerprint:  order-independent 40-bit-term-hash sum — md5-derived
+  so Spark and DuckDB agree bit-for-bit; pair-collision-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+# marker sets: small, disjoint, ASCII — the voting shape matters, not
+# the linguistics (corpus text is synthetic; see oracle parity tests)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "y", "que", "una"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def _toks(text_col: str):
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_chars): whitespace/alnum token count."""
+    return docs.select(
+        "doc_id",
+        F.size(_toks(text_col)).cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, alpha_ratio, stop_ratio, mean_tok_len, quality).
+
+    quality = 0.4·alpha_ratio + 0.3·min(stop_ratio·4, 1)
+            + 0.3·min(mean_tok_len/8, 1)
+    — rewards alphabetic text, natural stopword density, and healthy
+    word lengths; bounded to [0,1]. (The reference's analog is its
+    empty/garbage-page skipping, app/handler/indexer.go:102,123.)
+    """
+    toks = _toks(text_col)
+    n_tok = F.size(toks)
+    alpha = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""))
+    stops = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    d = docs.select(
+        "doc_id",
+        F.round(alpha / F.greatest(F.length(text_col), F.lit(1)), 6).alias(
+            "alpha_ratio"
+        ),
+        F.round(stops / F.greatest(n_tok, F.lit(1)), 6).alias("stop_ratio"),
+        F.round(tok_chars / F.greatest(n_tok, F.lit(1)), 6).alias("mean_tok_len"),
+    )
+    return d.withColumn(
+        "quality",
+        F.round(
+            F.lit(0.4) * F.col("alpha_ratio")
+            + F.lit(0.3) * F.least(F.col("stop_ratio") * 4, F.lit(1.0))
+            + F.lit(0.3) * F.least(F.col("mean_tok_len") / 8, F.lit(1.0)),
+            6,
+        ),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, lang_votes): marker-stopword argmax with
+    deterministic tie order (vote desc, then language code asc;
+    'und' = no votes)."""
+    toks = _toks(text_col)
+    d = docs.select("doc_id", toks.alias("toks"))
+    for lang, markers in LANG_MARKERS.items():
+        d = d.withColumn(
+            f"v_{lang}", F.size(F.filter("toks", lambda t: t.isin(*markers)))
+        )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"v_{lg}") for lg in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lg in langs:  # asc code order -> deterministic ties
+        pred = pred.when(F.col(f"v_{lg}") == best, F.lit(lg))
+    return d.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        best.cast("long").alias("lang_votes"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp): order-independent content fingerprint — sum over
+    token occurrences of the 40-bit md5 prefix of ``term:position``.
+    Collision-resistant enough to detect content drift; bit-equal
+    across engines (md5 discipline)."""
+    toks = _toks(text_col)
+    d = docs.select("doc_id", F.posexplode(toks).alias("pos", "term"))
+    th = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "term", "pos").cast("binary")), 1, 10),
+        16,
+        10,
+    ).cast("long")
+    return d.groupBy("doc_id").agg(F.sum(th).cast("long").alias("fp"))

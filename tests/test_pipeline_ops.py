@@ -1,0 +1,153 @@
+"""Training-data pipeline ops: properties the SQL oracles can't cover
+— ANN re-rank exactness + recall, LSH/exact dedup parity, multimodal
+checksum + batch plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from solr_ocr_processor_spark.operators.ann import (
+    cosine_topk,
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk,
+    lsh_assign,
+    lsh_topk,
+)
+from solr_ocr_processor_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from solr_ocr_processor_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    frame_sample,
+    synth_media,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df.persist().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    df.persist().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def qvec(embs):
+    return list(embs.where("vec_id = 0").first()["embedding"])
+
+
+def test_lsh_dedup_equals_exact(spark, docs):
+    exact = {tuple(r) for r in ngram_jaccard_pairs(docs, 3, 0.3).collect()}
+    lsh = {tuple(r) for r in minhash_lsh_pairs(docs, 3, 0.3).collect()}
+    assert lsh == exact and exact  # non-empty: planted near-dups found
+
+
+def test_simhash_band_recall_exact_at_radius(spark, docs):
+    """4-band LSH candidates are provably complete for Hamming<=3:
+    verify against brute-force popcount over collected fingerprints."""
+    from solr_ocr_processor_spark.operators.dedup import simhash64
+
+    fps = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    ids = sorted(fps)
+    brute = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {tuple(r) for r in simhash_near_pairs(docs, 3).collect()}
+    assert got == brute
+
+
+def test_ann_self_match_first(spark, embs, qvec):
+    top = cosine_topk(embs, qvec, 5).collect()
+    assert top[0]["id"] == 0 and abs(top[0]["cos"] - 1.0) < 1e-6
+    # descending, ties by id
+    cs = [r["cos"] for r in top]
+    assert cs == sorted(cs, reverse=True)
+
+
+def test_lsh_topk_is_exact_on_candidates(spark, embs, qvec):
+    """LSH result == brute-force top-k restricted to its candidate set
+    (re-rank introduces no error beyond candidate selection)."""
+    got = lsh_topk(embs, qvec, k=10).collect()
+    assign = lsh_assign(embs, len(qvec))
+    # recompute the query buckets exactly as lsh_topk does
+    from solr_ocr_processor_spark.operators.ann import _planes
+
+    P = _planes(len(qvec), 8, 8, 13)
+    q = np.asarray(qvec, dtype=np.float64)
+    S = ((P @ q) > 0).reshape(8, 8)
+    pw = (1 << np.arange(8)).astype(np.int64)
+    qb = {(bd, int((S[bd] * pw).sum())) for bd in range(8)}
+    cand_ids = {
+        r["id"]
+        for r in assign.collect()
+        if (r["band"], r["bucket"]) in qb
+    }
+    assert {r["id"] for r in got} <= cand_ids
+    sub = embs.where(embs["vec_id"].isin(list(cand_ids)))
+    brute = cosine_topk(sub, qvec, k=10).collect()
+    assert [(r["id"], r["cos"]) for r in got] == [(r["id"], r["cos"]) for r in brute]
+
+
+def test_ivf_full_probe_equals_brute(spark, embs, qvec):
+    """nprobe == n_centroids -> IVF degenerates to exact search."""
+    C = ivf_centroids(embs, n_centroids=8)
+    full = ivf_topk(embs, C, qvec, k=10, nprobe=8).collect()
+    brute = cosine_topk(embs, qvec, k=10).collect()
+    assert [(r["id"], r["cos"]) for r in full] == [(r["id"], r["cos"]) for r in brute]
+
+
+def test_ivf_assign_partitions_all(spark, embs):
+    C = ivf_centroids(embs, n_centroids=8)
+    a = ivf_assign(embs, C)
+    assert a.count() == embs.count()
+    assert a.select("list_id").distinct().count() <= 8
+
+
+def test_multimodal_checksum_and_partition_stability(spark, docs):
+    """Checksum (not oracle-checkable in SQL) verified against local
+    md5; results identical under different partitionings (mapInPandas
+    batch boundaries must not leak into values)."""
+    m = synth_media(docs)
+    f1 = {r["media_id"]: r["checksum"] for r in extract_features(m).collect()}
+    f2 = {
+        r["media_id"]: r["checksum"]
+        for r in extract_features(m.repartition(7)).collect()
+    }
+    assert f1 == f2
+    row = docs.where("doc_id = 0").first()
+    want = hashlib.md5(b"\x89PNG" + row["text"].encode()).hexdigest()
+    assert f1[0] == want
+
+
+def test_multimodal_frames_cover_payload(spark, docs):
+    m = synth_media(docs.where("doc_id < 8"))
+    fr = frame_sample(m, every_n_bytes=64)
+    feats = {r["media_id"]: r["n_bytes"] for r in extract_features(m).collect()}
+    per = {}
+    for r in fr.collect():
+        per.setdefault(r["media_id"], []).append(r["offset"])
+    for mid, offs in per.items():
+        assert sorted(offs) == list(range(0, feats[mid], 64))
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG....")
