@@ -37,6 +37,7 @@ TOKEN_SCHEMA = T.StructType(
         T.StructField("term", T.StringType(), False),
         T.StructField("char_start", T.LongType(), False),
         T.StructField("char_end", T.LongType(), False),
+        T.StructField("dl", T.LongType(), False),
     ]
 )
 
@@ -95,6 +96,7 @@ def tokenize_docs(docs: DataFrame, cfg: IndexConfig = DEFAULT) -> DataFrame:
             terms: list[str] = []
             starts: list[int] = []
             ends: list[int] = []
+            dls: list[int] = []
             for did, text in zip(pdf["doc_id"].values, pdf["doc_text"].values):
                 if text is None:
                     continue
@@ -103,12 +105,17 @@ def tokenize_docs(docs: DataFrame, cfg: IndexConfig = DEFAULT) -> DataFrame:
                     s = unicodedata.normalize("NFKC", s)
                 if do_fold:
                     s = s.casefold()
+                first = len(poss)
                 for i, m in enumerate(pat.finditer(s)):
                     doc_ids.append(did)
                     poss.append(i)
                     terms.append(m.group(0))
                     starts.append(m.start())
                     ends.append(m.end())
+                # dl (doc token count) denormalized onto every token row
+                # — BM25's length norm without ever joining doc_meta in
+                # the hot path (1 varint in blocks; constant col here).
+                dls.extend([len(poss) - first] * (len(poss) - first))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(doc_ids, dtype="int64"),
@@ -116,6 +123,7 @@ def tokenize_docs(docs: DataFrame, cfg: IndexConfig = DEFAULT) -> DataFrame:
                     "term": pd.Series(terms, dtype="object"),
                     "char_start": pd.Series(starts, dtype="int64"),
                     "char_end": pd.Series(ends, dtype="int64"),
+                    "dl": pd.Series(dls, dtype="int64"),
                 }
             )
 

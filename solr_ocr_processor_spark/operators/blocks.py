@@ -83,23 +83,29 @@ class BlockIndex:
 
 
 def _make_block_builder(block_size: int, avgdl: float, k1: float, b: float):
+    """Grouped-map encoder: one (term, range_id) group of FLAT token
+    rows (doc_id, token_pos, dl) in, block rows out. Per-doc grouping
+    happens here, vectorized (lexsort + run boundaries) — never as a
+    JVM collect_list (list columns cost ~10x in Arrow<->JVM)."""
+
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iat[0]
         range_id = int(pdf["range_id"].iat[0])
-        order = np.argsort(pdf["doc_id"].values, kind="stable")
-        doc_ids = pdf["doc_id"].values[order].astype(np.int64)
-        tfs = pdf["tf"].values[order].astype(np.int64)
-        dls = pdf["dl"].values[order].astype(np.int64)
-        pos_lists = pdf["pos"].values[order]
+        dids = pdf["doc_id"].values.astype(np.int64)
+        toks = pdf["token_pos"].values.astype(np.int64)
+        dl_all = pdf["dl"].values.astype(np.int64)
+        order = np.lexsort((toks, dids))
+        dids, toks, dl_all = dids[order], toks[order], dl_all[order]
+        # run boundaries -> per-doc postings
+        bound = np.flatnonzero(np.concatenate(([True], dids[1:] != dids[:-1])))
+        doc_ids = dids[bound]
+        dls = dl_all[bound]
+        tfs = np.diff(np.concatenate((bound, [dids.size])))
         rows = []
         for bi, lo in enumerate(range(0, len(doc_ids), block_size)):
             hi = min(lo + block_size, len(doc_ids))
             d, t, l = doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi]
-            flat_pos = (
-                np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists[lo:hi]])
-                if hi > lo
-                else np.empty(0, dtype=np.int64)
-            )
+            flat_pos = toks[bound[lo] : bound[hi] if hi < len(doc_ids) else dids.size]
             rows.append(
                 {
                     "term": term,
@@ -133,16 +139,11 @@ def build_block_index(index: Index, cfg: IndexConfig = DEFAULT) -> BlockIndex:
     crow = index.corpus.first()
     n_docs, avgdl = int(crow["n_docs"]), float(crow["avgdl"])
 
-    postings = (
-        index.postings.join(index.doc_meta.select("doc_id", "dl"), "doc_id")
-        .withColumn("range_id", (F.col("doc_id") / F.lit(cfg.range_size)).cast("long"))
-        .withColumn(
-            "pos", F.transform(F.col("positions"), lambda p: p["token_pos"])
-        )
-        .select("term", "range_id", "doc_id", "tf", "dl", "pos")
-    )
+    flat = index.tokens.withColumn(
+        "range_id", (F.col("doc_id") / F.lit(cfg.range_size)).cast("long")
+    ).select("term", "range_id", "doc_id", "token_pos", "dl")
     builder = _make_block_builder(cfg.block_size, avgdl, cfg.k1, cfg.b)
-    blocks = postings.groupBy("term", "range_id").applyInPandas(builder, BLOCK_SCHEMA)
+    blocks = flat.groupBy("term", "range_id").applyInPandas(builder, BLOCK_SCHEMA)
 
     return BlockIndex(
         blocks=blocks,

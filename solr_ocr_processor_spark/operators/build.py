@@ -2,28 +2,31 @@
 
 The capability Solr performed for the reference (Lucene segment build,
 delegated at app/process/solr.go:171-202 where pages are POSTed per
-document): tokenize -> posting lists with positions -> compressed
-blocks with max-score metadata.
+document): tokenize -> positional postings -> compressed blocks with
+max-score metadata.
 
 Two layers:
 
-- ``build_postings`` (M1): plain DataFrame postings
-  (term, doc_id, tf, positions[]) + corpus stats. 100% Catalyst:
-  one shuffle on (term, doc_id) with map-side partial aggregation.
-  This layer is the correctness spine — the oracle-checked queries
-  run on it.
+- ``build_postings`` (M1): the **flat positional token table**
+  ``tokens(doc_id, token_pos, term, char_start, char_end, dl)`` plus
+  corpus stats. This IS the positional index in columnar form — one
+  row per token occurrence, doc length denormalized on. There is
+  deliberately NO collect_list / array column anywhere: list columns
+  cost ~10x in Arrow->JVM conversion and grouping into per-doc arrays
+  is work the block encoder does vectorized in numpy anyway. Query
+  operators filter by term FIRST (dictionary pre-filter), so the flat
+  layout never forces a full-width scan at query time; at rest the
+  table is written term-bucketed so term filters prune files.
 
-- ``build_index`` (M2): SPIMI-style compressed posting BLOCKS —
-  delta+varint doc-id gaps, per-block max_score for block-max WAND,
-  hot-term salting — written as a parquet/Iceberg table. This is the
-  scale path: postings for one term are split into blocks of
-  ``cfg.block_size`` docs, so no single task ever holds a stopword's
-  full posting list.
+- ``build_block_index`` (operators/blocks.py, M2): compressed posting
+  BLOCKS — delta+varint doc-id gaps, tf/dl/position streams, per-block
+  max_score for block-max WAND — built straight from the flat table
+  with one groupBy(term, range_id) shuffle.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,11 +38,21 @@ from ..plans.materialize import Materialized, materialize_docs
 
 @dataclass
 class Index:
-    postings: DataFrame   # term, doc_id, tf, positions array<struct<token_pos,char_start,char_end>>
+    tokens: DataFrame     # doc_id, token_pos, term, char_start, char_end, dl
     doc_meta: DataFrame   # doc_id, conv_id, dl, n_turns, n_chars [, doc_text if full]
     term_stats: DataFrame # term, df, cf
     corpus: DataFrame     # single row: n_docs, avgdl, total_tokens
     mat: Materialized
+
+    @property
+    def postings(self) -> DataFrame:
+        """(term, doc_id, tf, dl) — classic posting rows, derived on
+        demand. Callers that can pre-filter by term should filter
+        ``tokens`` first instead (see bm25_scores)."""
+        return self.tokens.groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.first("dl").alias("dl"),
+        )
 
 
 def build_postings(
@@ -48,20 +61,13 @@ def build_postings(
     doc_map: DataFrame | None = None,
 ) -> Index:
     mat = materialize_docs(transcripts, doc_map)
-    tokens = tokenize_docs(mat.docs, cfg)
+    # docs feeds the tokenizer AND doc_meta; tokens feed postings, dl,
+    # and stats. Persist both hubs so each subtree runs once.
+    mat.docs.persist()
+    tokens = tokenize_docs(mat.docs, cfg).persist()
 
-    # (term, doc_id) aggregation: Spark hash-agg gives partial (map-side)
-    # combine before the shuffle — the classic SPIMI "local dictionaries"
-    # effect without custom code. Positions kept sorted by token_pos.
-    postings = tokens.groupBy("term", "doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("tf"),
-        F.array_sort(
-            F.collect_list(F.struct("token_pos", "char_start", "char_end"))
-        ).alias("positions"),
-    )
-
-    # Doc lengths in tokens (dl) — BM25 length normalization input.
-    doc_len = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    # Doc lengths in tokens — dl is constant per doc on token rows.
+    doc_len = tokens.groupBy("doc_id").agg(F.max("dl").alias("dl"))
     doc_cols = ["doc_id", "conv_id", "n_turns", "n_chars"]
     if cfg.index_type == "full":
         doc_cols.append("doc_text")  # inline text (reference "full" indexing)
@@ -69,7 +75,12 @@ def build_postings(
         {"dl": 0}
     )
 
-    term_stats = postings.groupBy("term").agg(
+    # df/cf per term: two-level aggregation, both with map-side partial
+    # combine; only (term, doc_id) pairs shuffle, never positions.
+    per_doc = tokens.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    term_stats = per_doc.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
     )
@@ -81,7 +92,7 @@ def build_postings(
     )
 
     return Index(
-        postings=postings,
+        tokens=tokens,
         doc_meta=doc_meta,
         term_stats=term_stats,
         corpus=corpus,

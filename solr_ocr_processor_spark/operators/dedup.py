@@ -334,36 +334,55 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
 def embedding_near_dup(
     embs: DataFrame, tau: float = 0.45, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """(id1, id2, cos) pairs with cosine >= tau. All-pairs join with
-    the dot product as a zip_with/aggregate column expression (stays in
-    codegen — no UDF). Quadratic: correct baseline + oracle target;
-    use operators/ann.py buckets to scale."""
-    n = embs.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.sqrt(
-            F.aggregate(
-                F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    """(id1, id2, cos) pairs with cosine >= tau — blocked matrix
+    multiply, exact.
+
+    Each Arrow batch of rows is GEMMed (numpy, BLAS) against a
+    broadcast of the full normalized matrix, keeping only pairs with
+    id1 < id2 and cos >= tau. One scan + one tiny broadcast — no
+    quadratic row join materializes; the 25M-candidate space for 5k
+    vectors lives only inside the n×m GEMM tile.
+
+    Scale path: at 10^9+ vectors broadcast stops fitting — replace the
+    broadcast side with a block-id cross join (block_i <= block_j) over
+    pre-normalized, pre-blocked row groups and run the identical tile
+    kernel per block pair (classic blocked all-pairs), or prune tiles
+    first with operators/ann.py LSH buckets. The kernel here is that
+    tile kernel.
+    """
+    sc = embs.sparkSession.sparkContext
+    rows = embs.select(id_col, vec_col).collect()
+    ids = np.fromiter((r[id_col] for r in rows), dtype=np.int64, count=len(rows))
+    M = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    order = np.argsort(ids, kind="stable")
+    ids, M = ids[order], M[order]
+    b_ids, b_M = sc.broadcast(ids), sc.broadcast(M)
+
+    schema = T.StructType(
+        [
+            T.StructField("id1", T.LongType(), False),
+            T.StructField("id2", T.LongType(), False),
+            T.StructField("cos", T.DoubleType(), False),
+        ]
+    )
+
+    def gen(batches):
+        all_ids, allM = b_ids.value, b_M.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].values).astype(np.float64)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            my = pdf[id_col].values.astype(np.int64)
+            S = V @ allM.T  # (batch, n) cosine tile
+            ri, ci = np.nonzero((S >= tau) & (my[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id1": my[ri],
+                    "id2": all_ids[ci],
+                    "cos": np.round(S[ri, ci], 6),
+                }
             )
-        ).alias("norm"),
-    )
-    a, b = n.alias("a"), n.alias("b")
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn("cos", dot / (F.col("a.norm") * F.col("b.norm")))
-        .where(F.col("cos") >= tau)
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.round("cos", 6).alias("cos"),
-        )
-    )
+
+    return embs.select(id_col, vec_col).mapInPandas(gen, schema)

@@ -19,7 +19,7 @@ Store layout (parquet locally; Iceberg tables on a cluster — same
 relational shape, swap the writer):
 
     {root}/doc_map/                 doc_id <-> conv_id (checkpointed sort)
-    {root}/postings/shard=K/        M1 postings rows for doc-id shard K
+    {root}/tokens/shard=K/          flat positional token table, shard K
     {root}/blocks/shard=K/          compressed posting blocks
     {root}/doc_meta/shard=K/
     {root}/term_stats/              global dictionary (finalize step)
@@ -136,8 +136,8 @@ def build_store(
         idx = build_postings(shard_t, cfg, doc_map=convs)
         bidx = build_block_index(idx, cfg)
 
-        idx.postings.write.mode("overwrite").parquet(
-            store.path(f"postings/shard={shard}")
+        idx.tokens.write.mode("overwrite").parquet(
+            store.path(f"tokens/shard={shard}")
         )
         bidx.blocks.write.mode("overwrite").parquet(store.path(f"blocks/shard={shard}"))
         idx.doc_meta.write.mode("overwrite").parquet(
@@ -145,7 +145,7 @@ def build_store(
         )
         n_convs = idx.doc_meta.count()
         n_turns = idx.mat.turns.count()
-        n_postings = idx.postings.count()
+        n_postings = idx.tokens.select("term", "doc_id").distinct().count()
         n_blocks = bidx.blocks.count()
         wall = time.perf_counter() - t0
         row = [
@@ -160,11 +160,16 @@ def build_store(
             raise RuntimeError(f"injected failure after shard {shard}")
 
     # --- step 2: finalize global stats ---------------------------------
-    postings = spark.read.parquet(store.path("postings"))
+    tokens = spark.read.parquet(store.path("tokens"))
     doc_meta = spark.read.parquet(store.path("doc_meta"))
-    term_stats = postings.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df"),
-        F.sum("tf").cast("long").alias("cf"),
+    term_stats = (
+        tokens.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
     )
     term_stats.write.mode("overwrite").parquet(store.path("term_stats"))
     corpus = doc_meta.agg(
@@ -237,18 +242,23 @@ def compact(spark: SparkSession, store: IndexStore) -> None:
         return
     import numpy as np  # noqa: F401
 
-    for name in ("postings", "doc_meta"):
+    for name in ("tokens", "doc_meta"):
         df = spark.read.parquet(store.path(name)).join(dead, "doc_id", "left_anti")
         tmp = store.path(f"_{name}_compact")
         df.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite").parquet(store.path(name))
     # blocks must be re-encoded (a dead doc may sit mid-block): rebuild
-    # from the compacted postings via the same block builder.
-    postings = spark.read.parquet(store.path("postings"))
+    # from the compacted token table via the same block builder.
+    tokens = spark.read.parquet(store.path("tokens"))
     doc_meta = spark.read.parquet(store.path("doc_meta"))
-    term_stats = postings.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df"),
-        F.sum("tf").cast("long").alias("cf"),
+    term_stats = (
+        tokens.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
     )
     corpus = doc_meta.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -261,7 +271,7 @@ def compact(spark: SparkSession, store: IndexStore) -> None:
     from ..plans.materialize import Materialized
 
     pseudo = Index(
-        postings=postings,
+        tokens=tokens,
         doc_meta=doc_meta,
         term_stats=term_stats,
         corpus=corpus,
@@ -276,7 +286,7 @@ def compact(spark: SparkSession, store: IndexStore) -> None:
     import shutil
 
     shutil.rmtree(store.path("tombstones"), ignore_errors=True)
-    for t in ("_postings_compact", "_doc_meta_compact", "_blocks_compact"):
+    for t in ("_tokens_compact", "_doc_meta_compact", "_blocks_compact"):
         shutil.rmtree(store.path(t), ignore_errors=True)
 
 

@@ -56,7 +56,7 @@ def conjunctive_topk(
     scored = bm25_scores(spark, index, query, cfg=cfg)
     tdf = spark.createDataFrame([(t,) for t in terms], "term string")
     matched_counts = (
-        index.postings.join(F.broadcast(tdf), "term")
+        index.tokens.join(F.broadcast(tdf), "term")
         .groupBy("doc_id")
         .agg(F.countDistinct("term").alias("n_matched"))
         .where(F.col("n_matched") == n_terms)
@@ -74,15 +74,10 @@ def _phrase_anchors(index: Index, phrase_terms: list[str]) -> DataFrame:
     position ``anchor``."""
     anchors: DataFrame | None = None
     for i, t in enumerate(phrase_terms):
-        pos_i = (
-            index.postings.where(F.col("term") == t)
-            .select(
-                "doc_id",
-                F.explode(F.transform("positions", lambda p: p["token_pos"])).alias(
-                    "pos"
-                ),
-            )
-            .select("doc_id", (F.col("pos") - F.lit(i)).alias("anchor"))
+        # Flat positional table: no explode needed — token rows ARE
+        # (doc_id, position) pairs after the dictionary filter.
+        pos_i = index.tokens.where(F.col("term") == t).select(
+            "doc_id", (F.col("token_pos") - F.lit(i)).alias("anchor")
         )
         anchors = pos_i if anchors is None else anchors.join(
             pos_i, ["doc_id", "anchor"], "inner"

@@ -66,9 +66,21 @@ def bm25_scores(
     qidf, _, avgdl = _query_idf(spark, index, terms)
 
     k1, b = float(cfg.k1), float(cfg.b)
+    # Broadcast-join the tiny query-term table against the FLAT token
+    # table first (dictionary pre-filter: only matching term rows
+    # survive the scan), then aggregate tf — so the (term, doc_id)
+    # grouping only ever sees query-term rows, never the whole corpus.
+    per_term = (
+        index.tokens.join(F.broadcast(qidf), "term")
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.first("dl").alias("dl"),
+            F.first("idf").alias("idf"),
+        )
+    )
     scored = (
-        index.postings.join(F.broadcast(qidf), "term")
-        .join(index.doc_meta.select("doc_id", "conv_id", "dl"), "doc_id")
+        per_term.join(index.doc_meta.select("doc_id", "conv_id"), "doc_id")
         .withColumn(
             # Associativity matters for bit-identity with the numpy
             # paths (functions/bm25.tf_norm): idf * (num / denom),
@@ -137,20 +149,14 @@ def highlights(
     tdf = spark.createDataFrame([(t,) for t in terms], "term string")
 
     matched = (
-        index.postings.join(F.broadcast(top.select("doc_id", "score")), "doc_id")
+        index.tokens.join(F.broadcast(top.select("doc_id", "score")), "doc_id")
         .join(F.broadcast(tdf), "term")
         .select(
             "doc_id",
             "term",
             "score",
-            F.explode("positions").alias("pos"),
-        )
-        .select(
-            "doc_id",
-            "term",
-            "score",
-            F.col("pos.char_start").alias("tok_start"),
-            F.col("pos.char_end").alias("tok_end"),
+            F.col("char_start").alias("tok_start"),
+            F.col("char_end").alias("tok_end"),
         )
     )
     turns = index.mat.turns.select(

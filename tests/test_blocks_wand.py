@@ -65,7 +65,7 @@ def test_positions_roundtrip():
 def corpus(spark):
     t = synth_transcripts(spark, n_convs=40, max_turns=10, seed=11)
     idx = build_postings(t, CFG)
-    for df in (idx.postings, idx.doc_meta, idx.term_stats):
+    for df in (idx.tokens, idx.doc_meta, idx.term_stats):
         df.persist()
     bidx = build_block_index(idx, CFG)
     bidx.blocks.persist().count()
@@ -99,10 +99,14 @@ def test_block_integrity(corpus):
 def test_block_positions_match_postings(corpus):
     idx, bidx, _ = corpus
     sample = bidx.blocks.where("term = 'spark'").toPandas()
-    want = {
-        (r["doc_id"]): [p["token_pos"] for p in r["positions"]]
-        for r in idx.postings.where("term = 'spark'").collect()
-    }
+    want: dict[int, list[int]] = {}
+    for r in (
+        idx.tokens.where("term = 'spark'")
+        .select("doc_id", "token_pos")
+        .collect()
+    ):
+        want.setdefault(r["doc_id"], []).append(r["token_pos"])
+    want = {k: sorted(v) for k, v in want.items()}
     got: dict[int, list[int]] = {}
     for row in sample.itertuples():
         docs = delta_decode(row.doc_ids).astype(np.int64)
@@ -112,7 +116,7 @@ def test_block_positions_match_postings(corpus):
         for d, tf in zip(docs, tfs):
             got[int(d)] = list(flat[off : off + tf])
             off += tf
-    assert got == {k: sorted(v) for k, v in want.items()} == want
+    assert got == want
 
 
 @pytest.mark.parametrize("query", QUERIES)

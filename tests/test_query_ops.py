@@ -30,7 +30,7 @@ def tiny(spark):
     ]
     t = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
     idx = build_postings(t)
-    idx.postings.persist().count()
+    idx.tokens.persist().count()
     return idx
 
 
