@@ -20,7 +20,10 @@ class IndexConfig:
     # "full" stores doc text inline in doc_meta; "lazy" stores only a
     # pointer back to the source table (reference full-vs-lazy indexing,
     # app/process/solr.go:127-202, rationale app/assets/build/config.yml:27-33).
-    index_type: str = "full"
+    # Lazy is the scale default: assembling inline doc_text was the
+    # worst-scaling build stage, and snippets resolve from the turns
+    # table post-ranking anyway (the Q11 late-materialization path).
+    index_type: str = "lazy"
 
     # Index-time text normalization. The reference optionally pre-escapes
     # non-ASCII at build time so query-time work is cheaper

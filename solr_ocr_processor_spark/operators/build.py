@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, IndexConfig
-from ..functions.tokenizer import tokenize_docs
+from ..functions.tokenizer import tokenize_turns
 from ..plans.materialize import Materialized, materialize_docs
 
 
@@ -60,11 +60,13 @@ def build_postings(
     cfg: IndexConfig = DEFAULT,
     doc_map: DataFrame | None = None,
 ) -> Index:
-    mat = materialize_docs(transcripts, doc_map)
-    # docs feeds the tokenizer AND doc_meta; tokens feed postings, dl,
-    # and stats. Persist both hubs so each subtree runs once.
+    mat = materialize_docs(
+        transcripts, doc_map, with_text=(cfg.index_type == "full")
+    )
+    # docs feeds doc_meta; tokens feed blocks, dl, and stats. Persist
+    # both hubs so each subtree runs once.
     mat.docs.persist()
-    tokens = tokenize_docs(mat.docs, cfg).persist()
+    tokens = tokenize_turns(mat.turns, cfg).persist()
 
     # Doc lengths in tokens — dl is constant per doc on token rows.
     doc_len = tokens.groupBy("doc_id").agg(F.max("dl").alias("dl"))

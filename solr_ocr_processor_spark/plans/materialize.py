@@ -100,19 +100,26 @@ def assign_doc_ids(turns: DataFrame, num_partitions: int | None = None) -> DataF
 
 
 def materialize_docs(
-    transcripts: DataFrame, doc_map: DataFrame | None = None
+    transcripts: DataFrame,
+    doc_map: DataFrame | None = None,
+    with_text: bool = False,
 ) -> Materialized:
-    """Full materialization: ordered turns + per-conversation doc text.
+    """Full materialization: ordered turns + per-conversation metadata.
 
-    doc_text is rebuilt order-safely via array_sort over (ordinal, text)
-    structs — no reliance on collect_list shuffle order.
+    By default ``doc_text`` is NOT materialized: every doc-level fact
+    the engine needs (n_turns, n_chars, dl) is a plain aggregation, and
+    tokenization streams the turns directly (tokenize_turns). Building
+    doc_text via groupBy+collect_list+array_sort was the worst-scaling
+    stage of the whole build (JVM string/array churn — minutes at 12M
+    turns); pass ``with_text=True`` only when the inline text is the
+    point (reference "full" indexing mode, tests).
 
     ``doc_map`` (doc_id, conv_id), when given, overrides the local
     doc-id assignment with a checkpointed global one — how resumable
     shard builds keep ids stable across runs (SURVEY §4.2-5).
     """
-    # turns feeds three consumers (doc-id assignment, the doc-text agg,
-    # and the output turns frame). Persist it or Spark recomputes the
+    # turns feeds three consumers (doc-id assignment, the doc agg, and
+    # the output turns frame). Persist it or Spark recomputes the
     # scan+window chain once per consumer — measured 3-4x wall on the
     # build and the recompute compounds at high parallelism.
     turns = ordered_turns(transcripts).persist()
@@ -120,9 +127,19 @@ def materialize_docs(
         doc_map.select("doc_id", "conv_id") if doc_map is not None
         else assign_doc_ids(turns)
     )
-    docs = (
-        turns.groupBy("conv_id")
-        .agg(
+    aggs = [
+        F.count(F.lit(1)).alias("n_turns"),
+        # n_chars of the joined doc text, without joining it:
+        # sum(len) + (n_turns - 1) joiner chars
+        (
+            F.sum(F.length("text"))
+            + F.count(F.lit(1))
+            - F.lit(1)
+        ).cast("long").alias("n_chars"),
+    ]
+    if with_text:
+        aggs.insert(
+            0,
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("ordinal", "text"))),
@@ -130,12 +147,11 @@ def materialize_docs(
                 ),
                 JOINER,
             ).alias("doc_text"),
-            F.count(F.lit(1)).alias("n_turns"),
         )
-        .join(doc_ids, "conv_id")
-        .withColumn("n_chars", F.length("doc_text").cast("long"))
-        .select("doc_id", "conv_id", "doc_text", "n_turns", "n_chars")
+    cols = ["doc_id", "conv_id", "n_turns", "n_chars"] + (
+        ["doc_text"] if with_text else []
     )
+    docs = turns.groupBy("conv_id").agg(*aggs).join(doc_ids, "conv_id").select(*cols)
     turns = turns.join(doc_ids, "conv_id").select(
         "doc_id",
         "conv_id",

@@ -34,7 +34,7 @@ def test_dense_ordinal_skips_empty_turns(spark):
 
 def test_char_offsets_match_joined_doc(spark):
     t = synth_transcripts(spark, n_convs=6, seed=11)
-    mat = materialize_docs(t)
+    mat = materialize_docs(t, with_text=True)
     docs = {r.conv_id: r.doc_text for r in mat.docs.collect()}
     for r in mat.turns.collect():
         assert docs[r.conv_id][r.char_start : r.char_end] == r.text
@@ -60,7 +60,7 @@ def test_roundtrip_per_turn_text_equality(spark, sf_dir):
     """Derived transcripts rejoined == original document text
     (per-row invariant vs the reference extractor)."""
     t = derive_transcripts(spark, sf_dir)
-    mat = materialize_docs(t)
+    mat = materialize_docs(t, with_text=True)
     orig = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.concat(F.lit("c"), F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias(
             "conv_id"
