@@ -117,7 +117,10 @@ def tokenize_turns(
         .sortWithinPartitions("conv_id", "ordinal")
     )
 
-    FLUSH_ROWS = 200_000
+    # Yield in moderate chunks: one huge burst can fill the worker's
+    # output socket faster than the JVM drains it under concurrent
+    # stages (observed as a tcp send-buffer stall at 12M turns).
+    FLUSH_ROWS = 50_000
 
     def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pat = re.compile(pat_src)
@@ -179,6 +182,8 @@ def tokenize_turns(
                 for m in pat.finditer(s):
                     buf.append((cur_n, m.group(0), base + m.start(), base + m.end()))
                     cur_n += 1
+            if len(out["doc_id"]) >= FLUSH_ROWS:  # closed convs only
+                yield emit()
         close_conv()
         if out["doc_id"]:
             yield emit()

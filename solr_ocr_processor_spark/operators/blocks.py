@@ -17,13 +17,17 @@ Every posting block covers ONE term within ONE doc-id range
            dls BINARY,       -- varint (doc lengths, scoring-local)
            positions BINARY) -- per-doc delta + varint token positions
 
-Why range alignment instead of salting: the dataflow is one shuffle,
-``groupBy(term, range_id)``, and a (term, range) group can never hold
-more than ``range_size`` postings — a stopword appearing in every doc
-is split into ``n_docs / range_size`` independent groups. That removes
-hot-term skew *structurally* (SURVEY §4.2-1 proposed salting + merge;
-range alignment achieves the same bound with no second pass, and the
-ranges double as the WAND pruning/skip unit at query time).
+Why range alignment instead of salting: the dataflow is ONE shuffle —
+``repartition(term, range_id)`` + in-partition sort + a streaming
+mapInPandas encoder — and a (term, range) group can never hold more
+than ``range_size`` documents' postings: a stopword appearing in every
+doc splits into ``n_docs / range_size`` independent groups. That
+removes hot-term skew *structurally* (SURVEY §4.2-1 proposed salting +
+merge; range alignment achieves the same bound with no second pass,
+and the ranges double as the WAND pruning/skip unit at query time).
+The encoder is mapInPandas rather than grouped-map applyInPandas
+because at ~10^5-10^6 groups per build the one-pandas-DataFrame-per-
+group overhead of grouped-map dominates the actual encoding.
 
 Carrying ``dls`` inside the block denormalizes doc length into the
 index (≈1 varint byte per posting) so the scorer never joins doc_meta
@@ -82,49 +86,131 @@ class BlockIndex:
     cfg: IndexConfig
 
 
-def _make_block_builder(block_size: int, avgdl: float, k1: float, b: float):
-    """Grouped-map encoder: one (term, range_id) group of FLAT token
-    rows (doc_id, token_pos, dl) in, block rows out. Per-doc grouping
-    happens here, vectorized (lexsort + run boundaries) — never as a
-    JVM collect_list (list columns cost ~10x in Arrow<->JVM)."""
+def _encode_group(
+    out: dict,
+    term: str,
+    range_id: int,
+    dids: np.ndarray,
+    toks: np.ndarray,
+    dl_all: np.ndarray,
+    block_size: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> None:
+    """Encode ONE (term, range) group's sorted flat rows into blocks,
+    appending to the column buffers. Per-doc grouping is numpy run
+    boundaries — rows arrive sorted by (doc_id, token_pos)."""
+    bound = np.flatnonzero(np.concatenate(([True], dids[1:] != dids[:-1])))
+    doc_ids = dids[bound]
+    dls = dl_all[bound]
+    tfs = np.diff(np.concatenate((bound, [dids.size])))
+    for bi, lo in enumerate(range(0, len(doc_ids), block_size)):
+        hi = min(lo + block_size, len(doc_ids))
+        d, t, l = doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi]
+        flat_pos = toks[bound[lo] : bound[hi] if hi < len(doc_ids) else dids.size]
+        out["term"].append(term)
+        out["range_id"].append(range_id)
+        out["block_id"].append(bi)
+        out["first_doc"].append(int(d[0]))
+        out["last_doc"].append(int(d[-1]))
+        out["n_docs"].append(int(hi - lo))
+        out["sum_tf"].append(int(t.sum()))
+        out["max_tfnorm"].append(float(np.max(tf_norm(t, l, avgdl, k1, b))))
+        out["doc_ids"].append(delta_encode(d.astype(np.uint64)))
+        out["tfs"].append(varint_encode(t.astype(np.uint64)))
+        out["dls"].append(varint_encode(l.astype(np.uint64)))
+        out["positions"].append(encode_positions(t, flat_pos))
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iat[0]
-        range_id = int(pdf["range_id"].iat[0])
-        dids = pdf["doc_id"].values.astype(np.int64)
-        toks = pdf["token_pos"].values.astype(np.int64)
-        dl_all = pdf["dl"].values.astype(np.int64)
-        order = np.lexsort((toks, dids))
-        dids, toks, dl_all = dids[order], toks[order], dl_all[order]
-        # run boundaries -> per-doc postings
-        bound = np.flatnonzero(np.concatenate(([True], dids[1:] != dids[:-1])))
-        doc_ids = dids[bound]
-        dls = dl_all[bound]
-        tfs = np.diff(np.concatenate((bound, [dids.size])))
-        rows = []
-        for bi, lo in enumerate(range(0, len(doc_ids), block_size)):
-            hi = min(lo + block_size, len(doc_ids))
-            d, t, l = doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi]
-            flat_pos = toks[bound[lo] : bound[hi] if hi < len(doc_ids) else dids.size]
-            rows.append(
+
+def _make_block_builder(block_size: int, avgdl: float, k1: float, b: float):
+    """Partition-streaming encoder: consumes FLAT token rows sorted by
+    (term, range_id, doc_id, token_pos) within a hash-partitioned
+    stream and emits block rows for every complete group.
+
+    This is mapInPandas, NOT groupBy().applyInPandas: Spark's
+    grouped-map materializes one pandas DataFrame per group, and at
+    ~half a million (term, range) groups the per-group overhead
+    dominates the encode (measured). Here group boundaries are found
+    vectorized inside each Arrow batch and only the open group at a
+    batch edge is buffered across batches."""
+
+    def gen(batches):
+        cols = ("term", "range_id", "doc_id", "token_pos", "dl")
+        out: dict[str, list] = {
+            k: []
+            for k in (
+                "term", "range_id", "block_id", "first_doc", "last_doc",
+                "n_docs", "sum_tf", "max_tfnorm", "doc_ids", "tfs", "dls",
+                "positions",
+            )
+        }
+        # open-group carry across Arrow batches
+        carry: list[tuple[np.ndarray, ...]] = []
+        cur_key: tuple | None = None
+
+        def emit() -> pd.DataFrame:
+            pdf = pd.DataFrame(
                 {
-                    "term": term,
-                    "range_id": range_id,
-                    "block_id": bi,
-                    "first_doc": int(d[0]),
-                    "last_doc": int(d[-1]),
-                    "n_docs": int(hi - lo),
-                    "sum_tf": int(t.sum()),
-                    "max_tfnorm": float(np.max(tf_norm(t, l, avgdl, k1, b))),
-                    "doc_ids": delta_encode(d.astype(np.uint64)),
-                    "tfs": varint_encode(t.astype(np.uint64)),
-                    "dls": varint_encode(l.astype(np.uint64)),
-                    "positions": encode_positions(t, flat_pos),
+                    "term": pd.Series(out["term"], dtype="object"),
+                    "range_id": pd.Series(out["range_id"], dtype="int64"),
+                    "block_id": pd.Series(out["block_id"], dtype="int32"),
+                    "first_doc": pd.Series(out["first_doc"], dtype="int64"),
+                    "last_doc": pd.Series(out["last_doc"], dtype="int64"),
+                    "n_docs": pd.Series(out["n_docs"], dtype="int32"),
+                    "sum_tf": pd.Series(out["sum_tf"], dtype="int64"),
+                    "max_tfnorm": pd.Series(out["max_tfnorm"], dtype="float64"),
+                    "doc_ids": pd.Series(out["doc_ids"], dtype="object"),
+                    "tfs": pd.Series(out["tfs"], dtype="object"),
+                    "dls": pd.Series(out["dls"], dtype="object"),
+                    "positions": pd.Series(out["positions"], dtype="object"),
                 }
             )
-        return pd.DataFrame(rows)
+            for k in out:
+                out[k] = []
+            return pdf
 
-    return build
+        def close_group():
+            nonlocal carry
+            if cur_key is None or not carry:
+                return
+            dids = np.concatenate([c[0] for c in carry])
+            toks = np.concatenate([c[1] for c in carry])
+            dls = np.concatenate([c[2] for c in carry])
+            _encode_group(
+                out, cur_key[0], int(cur_key[1]), dids, toks, dls,
+                block_size, avgdl, k1, b,
+            )
+            carry = []
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            terms = pdf["term"].values
+            ranges = pdf["range_id"].values.astype(np.int64)
+            dids = pdf["doc_id"].values.astype(np.int64)
+            toks = pdf["token_pos"].values.astype(np.int64)
+            dls = pdf["dl"].values.astype(np.int64)
+            # group boundary where term or range changes
+            chg = np.flatnonzero(
+                np.concatenate(
+                    ([True], (terms[1:] != terms[:-1]) | (ranges[1:] != ranges[:-1]))
+                )
+            )
+            ends = np.concatenate((chg[1:], [len(pdf)]))
+            for lo, hi in zip(chg, ends):
+                key = (terms[lo], ranges[lo])
+                if key != cur_key:
+                    close_group()
+                    cur_key = key
+                carry.append((dids[lo:hi], toks[lo:hi], dls[lo:hi]))
+            if len(out["term"]) >= 20_000:
+                yield emit()
+        close_group()
+        if out["term"]:
+            yield emit()
+
+    return gen
 
 
 def build_block_index(index: Index, cfg: IndexConfig = DEFAULT) -> BlockIndex:
@@ -139,11 +225,20 @@ def build_block_index(index: Index, cfg: IndexConfig = DEFAULT) -> BlockIndex:
     crow = index.corpus.first()
     n_docs, avgdl = int(crow["n_docs"]), float(crow["avgdl"])
 
-    flat = index.tokens.withColumn(
-        "range_id", (F.col("doc_id") / F.lit(cfg.range_size)).cast("long")
-    ).select("term", "range_id", "doc_id", "token_pos", "dl")
+    num_partitions = int(
+        index.tokens.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    flat = (
+        index.tokens.withColumn(
+            "range_id", (F.col("doc_id") / F.lit(cfg.range_size)).cast("long")
+        )
+        .select("term", "range_id", "doc_id", "token_pos", "dl")
+        # hash-cluster groups, order rows: the one shuffle of the build
+        .repartition(num_partitions, "term", "range_id")
+        .sortWithinPartitions("term", "range_id", "doc_id", "token_pos")
+    )
     builder = _make_block_builder(cfg.block_size, avgdl, cfg.k1, cfg.b)
-    blocks = flat.groupBy("term", "range_id").applyInPandas(builder, BLOCK_SCHEMA)
+    blocks = flat.mapInPandas(builder, BLOCK_SCHEMA)
 
     return BlockIndex(
         blocks=blocks,

@@ -139,7 +139,15 @@ def build_store(
         idx.tokens.write.mode("overwrite").parquet(
             store.path(f"tokens/shard={shard}")
         )
-        bidx.blocks.write.mode("overwrite").parquet(store.path(f"blocks/shard={shard}"))
+        # Cluster + sort by term so query-time `term IN (...)` filters
+        # prune parquet row groups via min/max stats (the file-level
+        # analog of Iceberg bucket(term) partitioning).
+        (
+            bidx.blocks.repartition(F.col("term"))
+            .sortWithinPartitions("term", "range_id", "block_id")
+            .write.mode("overwrite")
+            .parquet(store.path(f"blocks/shard={shard}"))
+        )
         idx.doc_meta.write.mode("overwrite").parquet(
             store.path(f"doc_meta/shard={shard}")
         )
@@ -279,7 +287,12 @@ def compact(spark: SparkSession, store: IndexStore) -> None:
     )
     blocks = build_block_index(pseudo, store.cfg).blocks
     tmpb = store.path("_blocks_compact")
-    blocks.write.mode("overwrite").parquet(tmpb)
+    (
+        blocks.repartition(F.col("term"))
+        .sortWithinPartitions("term", "range_id", "block_id")
+        .write.mode("overwrite")
+        .parquet(tmpb)
+    )
     spark.read.parquet(tmpb).write.mode("overwrite").parquet(store.path("blocks"))
 
     # tombstones served their purpose

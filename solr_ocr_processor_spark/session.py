@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill to tmpfs when available: the sandbox's /tmp is
+    # disk-backed and a 170M-row shuffle pays 3x there (measured).
+    # Real clusters override via SPARK_LOCAL_DIRS / NVMe local dirs.
+    if os.path.isdir("/dev/shm") and not os.environ.get("SPARK_LOCAL_DIRS"):
+        b = b.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -1,0 +1,75 @@
+"""End-to-end launch-mode test (north rule): package the engine as a
+zip, run build + query + check through ``spark-submit --py-files`` as
+a real subprocess, assert the results."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _make_zip(tmp: str) -> str:
+    zpath = os.path.join(tmp, "solr_ocr_processor_spark.zip")
+    pkg = os.path.join(REPO, "solr_ocr_processor_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+@pytest.mark.skipif(
+    shutil.which("spark-submit") is None, reason="spark-submit not on PATH"
+)
+def test_spark_submit_build_query_check(spark, tmp_path):
+    # stage a tiny transcripts input from the session fixture
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "input")
+    store = str(tmp_path / "store")
+    synth_transcripts(spark, n_convs=8, max_turns=5, seed=9).write.parquet(src)
+
+    zpath = _make_zip(str(tmp_path))
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_MASTER="local[4]")
+
+    def submit(*args: str) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            [
+                "spark-submit",
+                "--master", "local[4]",
+                "--py-files", zpath,
+                os.path.join(REPO, "jobs", "cli.py"),
+                *args,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=420,
+            env=env,
+        )
+
+    r = submit("build", "--input", src, "--store", store, "--shards", "2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1]) == {"built": store}
+
+    r = submit("query", "--store", store, "--q", "spark merge", "--k", "3")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(l) for l in r.stdout.strip().splitlines() if l.startswith("{")]
+    assert 0 < len(rows) <= 3
+    assert all({"doc_id", "conv_id", "score"} <= set(x) for x in rows)
+    scores = [x["score"] for x in rows]
+    assert scores == sorted(scores, reverse=True)
+
+    r = submit("check", "--store", store, "--conv-id", "s000001")
+    assert r.returncode == 0
+    r = submit("check", "--store", store, "--conv-id", "missing")
+    assert r.returncode == 4  # the 404 analog
