@@ -41,6 +41,12 @@ from solr_ocr_processor_spark.operators.dedup import (
     simhash64,
     simhash_near_pairs,
 )
+from solr_ocr_processor_spark.functions.ocr_compat import (
+    inch1200_to_px,
+    mm10_to_px,
+    sniff_format,
+    xml_codepoint_escape,
+)
 from solr_ocr_processor_spark.operators.multimodal import (
     extract_features,
     frame_sample,
@@ -313,6 +319,39 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(m, every_n_bytes=64).select("media_id", "frame_idx", "offset")
 
 
+def _q_ocr_sniff_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY B9: 1,200-char prefix format sniff with the reference's
+    matcher tables and ALTO>hOCR>MiniOCR priority — over synthetic
+    payloads with format headers planted by doc_id % 4."""
+    d = _docs(spark, sf_dir)
+    payload = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("<alto xmlns> "), "text"))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit('<div class="ocr_page"> '), "text"))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("<ocr> "), "text"))
+        .otherwise(F.col("text"))
+    )
+    return d.select("doc_id", sniff_format(payload).alias("fmt"))
+
+
+def _q_ocr_unit_px(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY T2/T3: inch1200 and mm10 unit conversions with the
+    reference's exact integer-truncation semantics, as column math."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        inch1200_to_px(F.col("n_chars"), 300).alias("inch_px"),
+        mm10_to_px(F.col("n_chars")).alias("mm_px"),
+    )
+
+
+def _q_ocr_xml_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY T8: non-ASCII -> &#N; decimal XML references (escape at
+    build time so query-time matches, config.yml:34-39 lesson)."""
+    d = _docs(spark, sf_dir)
+    s = F.concat(F.substring("text", 1, 20), F.lit(" é中ß"))
+    return d.select("doc_id", xml_codepoint_escape(s).alias("escaped"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -342,6 +381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
+        "ocr_sniff_format": _q_ocr_sniff_format,
+        "ocr_unit_px": _q_ocr_unit_px,
+        "ocr_xml_escape": _q_ocr_xml_escape,
     }
 
 
@@ -539,7 +581,59 @@ _MEDIA_NB = (
     "WHEN 2 THEN 4 ELSE 3 END"
 )
 
+_ALTO_M = ("<alto", ":alto", "<Description>", "<Layout>", "<Page")
+_HOCR_M = (
+    "ocr_document", "ocr_page", "ocr_carea", "ocrx_block", "ocr_chapter",
+    "ocr_section", "ocr_subsection", "ocr_par", "ocr_line", "ocrx_line",
+    "ocrx_word",
+)
+
+
+def _any_contains(col: str, needles: tuple) -> str:
+    return "(" + " OR ".join(f"contains({col}, '{n}')" for n in needles) + ")"
+
+
 _PIPELINE_ORACLES = {
+    "ocr_sniff_format": f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN '<alto xmlns> ' || text
+           WHEN 1 THEN '<div class="ocr_page"> ' || text
+           WHEN 2 THEN '<ocr> ' || text
+           ELSE text END AS payload
+  FROM documents
+),
+c AS (SELECT doc_id, substr(payload, 1, 1200) AS chunk FROM p)
+SELECT doc_id,
+       CASE WHEN {_any_contains('chunk', _ALTO_M)} THEN 'alto'
+            WHEN {_any_contains('chunk', _HOCR_M)} THEN 'hocr'
+            WHEN contains(chunk, '<ocr>') THEN 'minocr'
+            ELSE 'unknown' END AS fmt
+FROM c
+""",
+    "ocr_unit_px": """
+SELECT doc_id,
+       CAST((n_chars * 300) // 1200 AS BIGINT) AS inch_px,
+       CAST(floor(n_chars * 3.7795275591) AS BIGINT) AS mm_px
+FROM documents
+""",
+    "ocr_xml_escape": """
+WITH s AS (
+  SELECT doc_id, substr(text, 1, 20) || ' é中ß' AS t FROM documents
+),
+ch AS (
+  SELECT doc_id, unnest(string_split(t, '')) AS c,
+         generate_subscripts(string_split(t, ''), 1) AS i
+  FROM s
+)
+SELECT doc_id,
+       string_agg(
+         CASE WHEN unicode(c) > 127 THEN '&#' || unicode(c) || ';' ELSE c END,
+         '' ORDER BY i
+       ) AS escaped
+FROM ch GROUP BY doc_id
+""",
     "dedup_exact": """
 WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
 g AS (SELECT text_hash, CAST(count(*) AS BIGINT) AS group_size,
