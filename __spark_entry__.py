@@ -50,10 +50,12 @@ from solr_ocr_processor_spark.functions.ocr_compat import (
 from solr_ocr_processor_spark.operators.multimodal import (
     extract_features,
     frame_sample,
+    resize_stub,
     synth_media,
 )
 from solr_ocr_processor_spark.operators.build import Index, build_postings
 from solr_ocr_processor_spark.operators.query import (
+    boolean_not_topk,
     conjunctive_topk,
     phrase_match,
     phrase_topk,
@@ -169,6 +171,14 @@ def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum-idf * tfnorm(phrase_tf))."""
     idx = _index(spark, sf_dir)
     top = phrase_topk(spark, idx, PHRASE, k=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _q_boolean_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q4/A9: positive AND NOT negative — BM25 over positives,
+    anti-joined against docs containing the negative term."""
+    idx = _index(spark, sf_dir)
+    top = boolean_not_topk(spark, idx, "spark window", "merge", k=10)
     return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
@@ -313,6 +323,13 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-stage plumbing: byte-stride downsample, size accounting
+    oracle-checked (payload bytes themselves verified in pytest)."""
+    m = synth_media(_docs(spark, sf_dir))
+    return resize_stub(m, factor=4).select("media_id", "in_bytes", "out_bytes")
+
+
 def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads: stride-64 offsets."""
     m = synth_media(_docs(spark, sf_dir))
@@ -362,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conjunctive_topk": _q_conjunctive_topk,
         "phrase_match": _q_phrase_match,
         "phrase_topk": _q_phrase_topk,
+        "boolean_not_topk": _q_boolean_not_topk,
         "membership_check": _q_membership_check,
         "projection_limit": _q_projection_limit,
         "delete_by_query": _q_delete_by_query,
@@ -381,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
+        "multimodal_resize": _q_multimodal_resize,
         "ocr_sniff_format": _q_ocr_sniff_format,
         "ocr_unit_px": _q_ocr_unit_px,
         "ocr_xml_escape": _q_ocr_xml_escape,
@@ -593,7 +612,42 @@ def _any_contains(col: str, needles: tuple) -> str:
     return "(" + " OR ".join(f"contains({col}, '{n}')" for n in needles) + ")"
 
 
+_NOT_POS = ("spark", "window")
+_NOT_NEG = "merge"
+
+_BOOL_NOT = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {_NOT_POS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{_NOT_NEG}'),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  WHERE tf.doc_id NOT IN (SELECT doc_id FROM neg)
+  GROUP BY tf.doc_id, tf.conv_id
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
+"""
+
 _PIPELINE_ORACLES = {
+    "boolean_not_topk": _BOOL_NOT,
+    "multimodal_resize": f"""
+SELECT doc_id AS media_id,
+       CAST({_MEDIA_NB} AS BIGINT) AS in_bytes,
+       CAST(ceil(({_MEDIA_NB}) / 4.0) AS BIGINT) AS out_bytes
+FROM documents
+""",
     "ocr_sniff_format": f"""
 WITH p AS (
   SELECT doc_id,

@@ -134,6 +134,37 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(gen, FEATURE_SCHEMA)
 
 
+def resize_stub(media: DataFrame, factor: int = 4) -> DataFrame:
+    """'Resize' plumbing: emit a payload downsampled by keeping every
+    ``factor``-th byte — the plan shape of an image-resize stage
+    (binary in, smaller binary + new dims out) with a deterministic
+    byte-stride fake where a real resampler would run. Schema,
+    batching, and size accounting are real and oracle-checkable
+    (out_bytes = ceil(n_bytes / factor))."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload_small", T.BinaryType(), False),
+            T.StructField("in_bytes", T.LongType(), False),
+            T.StructField("out_bytes", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "payload_small": [], "in_bytes": [], "out_bytes": []}
+            for mid, payload in zip(pdf["media_id"].values, pdf["payload"].values):
+                p = bytes(payload) if payload is not None else b""
+                small = p[::factor]
+                rows["media_id"].append(mid)
+                rows["payload_small"].append(small)
+                rows["in_bytes"].append(len(p))
+                rows["out_bytes"].append(len(small))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(gen, schema)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' over the opaque payload: one row per sampled
     offset with a per-frame checksum — the video-frame-extraction plan

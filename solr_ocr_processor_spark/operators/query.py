@@ -69,6 +69,33 @@ def conjunctive_topk(
     )
 
 
+def boolean_not_topk(
+    spark: SparkSession,
+    index: Index,
+    positive: str,
+    negative: str,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """``positive AND NOT negative``: BM25 over the positive terms,
+    excluding any document containing any negative term — the
+    anti-join flavor of the reference's delete-by-query predicate
+    applied at query time.
+
+    Plan: score positives exhaustively (term-pruned scan), anti-join
+    the (small, term-pruned) negative doc set, then top-k.
+    """
+    scored = bm25_scores(spark, index, positive, cfg=cfg)
+    neg_terms = query_terms(negative, cfg)
+    if neg_terms:
+        ntdf = spark.createDataFrame([(t,) for t in neg_terms], "term string")
+        neg_docs = (
+            index.tokens.join(F.broadcast(ntdf), "term").select("doc_id").distinct()
+        )
+        scored = scored.join(neg_docs, "doc_id", "left_anti")
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def _phrase_anchors(index: Index, phrase_terms: list[str]) -> DataFrame:
     """(doc_id, anchor) pairs where the full phrase starts at token
     position ``anchor``."""
