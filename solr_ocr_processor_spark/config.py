@@ -48,11 +48,10 @@ class IndexConfig:
     # Query-side, ranges are the block-max pruning granularity.
     range_size: int = 4096
 
-    # Salting for hot-term skew: terms whose doc frequency exceeds
-    # hot_df_threshold are split into `salt_buckets` sub-streams during
-    # the shuffle and re-merged at block-build time.
-    hot_df_threshold: int = 50_000
-    salt_buckets: int = 16
+    # (No salting knobs: hot-term skew is handled structurally by
+    # range_size — a (term, range) shuffle group can never exceed
+    # range_size postings, so no term needs salting. See
+    # operators/blocks.py module docstring.)
 
     # Query-side projection cap — mirrors the reference's hard
     # rows=600 file-list cap (app/process/solr.go:69).

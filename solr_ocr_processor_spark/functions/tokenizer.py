@@ -191,6 +191,47 @@ def tokenize_turns(
     return part.mapInPandas(_tok, TOKEN_SCHEMA)
 
 
+def count_turn_tokens(turns: DataFrame, cfg: IndexConfig = DEFAULT) -> DataFrame:
+    """(conv_id, n_toks) per turn — the token COUNT under exactly the
+    build tokenizer's normalization (NFKC + casefold + pattern), with
+    none of the per-token rows. One narrow mapInPandas scan, no
+    shuffle: feeds the global corpus-stats prepass that sharded builds
+    need BEFORE any shard index exists (lifecycle.build_store step 0),
+    so block-max bounds are computed against the global avgdl."""
+    pat_src = cfg.token_pattern
+    do_nfkc, do_fold = cfg.unicode_nfkc, cfg.casefold
+
+    out_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("n_toks", T.LongType(), False),
+        ]
+    )
+
+    def _count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pat = re.compile(pat_src)
+        for pdf in batches:
+            counts = []
+            for text in pdf["text"].values:
+                if text is None:
+                    counts.append(0)
+                    continue
+                s = text
+                if do_nfkc:
+                    s = unicodedata.normalize("NFKC", s)
+                if do_fold:
+                    s = s.casefold()
+                counts.append(sum(1 for _ in pat.finditer(s)))
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].astype("object"),
+                    "n_toks": pd.Series(counts, dtype="int64"),
+                }
+            )
+
+    return turns.select("conv_id", "text").mapInPandas(_count, out_schema)
+
+
 def tokenize_docs(docs: DataFrame, cfg: IndexConfig = DEFAULT) -> DataFrame:
     """doc-level tokenization: (doc_id, doc_text) -> token rows.
 

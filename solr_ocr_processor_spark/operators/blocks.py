@@ -38,6 +38,16 @@ table on doc_id every query.
 block-max WAND bound (SURVEY Q9); it upper-bounds any document's
 contribution from this term within the block.
 
+Each block also records ``avgdl`` — the corpus avgdl the bound was
+computed against. tfnorm is increasing in avgdl and the ratio
+tfnorm(dl, a2)/tfnorm(dl, a1) is bounded by a2/a1 for a2 > a1 (the
+k1·b·dl/avgdl term shrinks by exactly that factor and the other
+denominator terms only pull the ratio toward 1), so the query-time
+bound ``idf · max_tfnorm · max(1, avgdl_now/avgdl_built)`` stays a
+true upper bound even when shards were built against a stale or
+shard-local avgdl — pruning remains exact under appends/compaction
+drift without re-encoding every block.
+
 At cluster scale the blocks table is written to Iceberg partitioned by
 ``bucket(term)`` and sorted by (term, range_id) — query-side term
 lookups prune to a handful of files. Locally it stays a DataFrame.
@@ -68,6 +78,7 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("n_docs", T.IntegerType(), False),
         T.StructField("sum_tf", T.LongType(), False),
         T.StructField("max_tfnorm", T.DoubleType(), False),
+        T.StructField("avgdl", T.DoubleType(), False),
         T.StructField("doc_ids", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("dls", T.BinaryType(), False),
@@ -117,6 +128,7 @@ def _encode_group(
         out["n_docs"].append(int(hi - lo))
         out["sum_tf"].append(int(t.sum()))
         out["max_tfnorm"].append(float(np.max(tf_norm(t, l, avgdl, k1, b))))
+        out["avgdl"].append(avgdl)
         out["doc_ids"].append(delta_encode(d.astype(np.uint64)))
         out["tfs"].append(varint_encode(t.astype(np.uint64)))
         out["dls"].append(varint_encode(l.astype(np.uint64)))
@@ -141,8 +153,8 @@ def _make_block_builder(block_size: int, avgdl: float, k1: float, b: float):
             k: []
             for k in (
                 "term", "range_id", "block_id", "first_doc", "last_doc",
-                "n_docs", "sum_tf", "max_tfnorm", "doc_ids", "tfs", "dls",
-                "positions",
+                "n_docs", "sum_tf", "max_tfnorm", "avgdl", "doc_ids", "tfs",
+                "dls", "positions",
             )
         }
         # open-group carry across Arrow batches
@@ -160,6 +172,7 @@ def _make_block_builder(block_size: int, avgdl: float, k1: float, b: float):
                     "n_docs": pd.Series(out["n_docs"], dtype="int32"),
                     "sum_tf": pd.Series(out["sum_tf"], dtype="int64"),
                     "max_tfnorm": pd.Series(out["max_tfnorm"], dtype="float64"),
+                    "avgdl": pd.Series(out["avgdl"], dtype="float64"),
                     "doc_ids": pd.Series(out["doc_ids"], dtype="object"),
                     "tfs": pd.Series(out["tfs"], dtype="object"),
                     "dls": pd.Series(out["dls"], dtype="object"),
@@ -213,7 +226,11 @@ def _make_block_builder(block_size: int, avgdl: float, k1: float, b: float):
     return gen
 
 
-def build_block_index(index: Index, cfg: IndexConfig = DEFAULT) -> BlockIndex:
+def build_block_index(
+    index: Index,
+    cfg: IndexConfig = DEFAULT,
+    corpus_stats: tuple[int, float] | None = None,
+) -> BlockIndex:
     """Compress an M1 postings index into posting blocks.
 
     One shuffle: groupBy(term, range_id) — every group is bounded by
@@ -221,9 +238,18 @@ def build_block_index(index: Index, cfg: IndexConfig = DEFAULT) -> BlockIndex:
     docstring), then applyInPandas encodes the blocks with the numpy
     codec. No collect, no driver-side state beyond the 3 corpus
     scalars.
+
+    ``corpus_stats`` = (n_docs, avgdl) overrides the stats read from
+    ``index.corpus`` — sharded builds (lifecycle.build_store) pass the
+    GLOBAL stats here so per-shard block bounds are computed against
+    the avgdl the query side will score with, not the shard-local one
+    (which silently under-bounds and breaks WAND pruning exactness).
     """
-    crow = index.corpus.first()
-    n_docs, avgdl = int(crow["n_docs"]), float(crow["avgdl"])
+    if corpus_stats is not None:
+        n_docs, avgdl = int(corpus_stats[0]), float(corpus_stats[1])
+    else:
+        crow = index.corpus.first()
+        n_docs, avgdl = int(crow["n_docs"]), float(crow["avgdl"])
 
     num_partitions = int(
         index.tokens.sparkSession.conf.get("spark.sql.shuffle.partitions")

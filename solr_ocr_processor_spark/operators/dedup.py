@@ -80,13 +80,17 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
             "toks"
         ),
     )
+    # Docs with fewer than n tokens have no n-grams: guard with an
+    # empty array — sequence(0, -1) yields [0, -1] and slice(toks, 0, n)
+    # then throws INVALID_PARAMETER_VALUE.START, aborting the whole job
+    # on the first short/empty document.
+    idx_seq = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
+    ).otherwise(F.array().cast("array<int>"))
     grams = toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(-1))),
-                lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
-            )
+            F.transform(idx_seq, lambda i: F.array_join(F.slice("toks", i + 1, n), " "))
         ).alias("shingle"),
     )
     return grams.where(F.col("shingle") != "").distinct()
@@ -291,17 +295,25 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Pairs with Hamming(simhash) <= max_hamming, via 4-band LSH on
-    15-bit chunks (a pair within Hamming r of a b-band split collides
-    on >=1 band whenever r < b): candidates -> exact popcount verify."""
+    """Pairs with Hamming(simhash) <= max_hamming via banded LSH:
+    candidates -> exact popcount verify.
+
+    The band count is DERIVED from the radius (bands = max_hamming + 1)
+    so the pigeonhole recall guarantee always holds: a pair differing
+    in at most max_hamming bits cannot differ in every one of
+    max_hamming + 1 bands, hence collides on >= 1 band. A fixed band
+    count with a larger radius would silently miss pairs whose diffs
+    spread across all bands."""
     s = simhash64(docs)
+    num_bands = max_hamming + 1
+    width = -(-SIMHASH_BITS // num_bands)  # ceil; last band may be narrower
     chunks = s.select(
         "doc_id",
         "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band"),
     ).withColumn(
         "chunk",
-        F.expr(f"shiftright(simhash, band * 15) & {(1 << 15) - 1}"),
+        F.expr(f"shiftright(simhash, band * {width}) & {(1 << width) - 1}"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (

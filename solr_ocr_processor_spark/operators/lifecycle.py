@@ -109,8 +109,14 @@ def build_store(
     store = IndexStore(root=root, cfg=cfg)
     build_id = uuid.uuid4().hex[:12]
 
-    # --- step 0: checkpointed doc-id assignment -------------------------
+    # --- step 0: checkpointed doc-id assignment + GLOBAL corpus stats ---
+    # Global avgdl must exist BEFORE any shard builds: block-max bounds
+    # encoded against a shard-local avgdl under-bound whenever that
+    # shard's avgdl is below the global one, and WAND would then prune
+    # ranges holding true top-k docs (silent wrong results). One cheap
+    # token-count scan (no token rows materialized) fixes the stats.
     doc_map_path = store.path("doc_map")
+    corpus_prior_path = store.path("corpus_prior")
     if not _exists(spark, doc_map_path):
         from ..plans.materialize import assign_doc_ids, ordered_turns
 
@@ -118,6 +124,23 @@ def build_store(
         assign_doc_ids(turns).write.mode("overwrite").parquet(doc_map_path)
     doc_map = spark.read.parquet(doc_map_path)
     n_docs_total = doc_map.count()
+    if not _exists(spark, corpus_prior_path):
+        from ..functions.tokenizer import count_turn_tokens
+
+        nonempty = transcripts.where(F.length(F.trim(F.col("text"))) > 0)
+        (
+            count_turn_tokens(nonempty, cfg)
+            .agg(F.sum("n_toks").cast("long").alias("total_tokens"))
+            .select(
+                F.lit(n_docs_total).cast("long").alias("n_docs"),
+                "total_tokens",
+                (F.col("total_tokens") / F.lit(n_docs_total)).alias("avgdl"),
+            )
+            .write.mode("overwrite")
+            .parquet(corpus_prior_path)
+        )
+    prior = spark.read.parquet(corpus_prior_path).first()
+    global_stats = (int(prior["n_docs"]), float(prior["avgdl"]))
     shard_width = max(1, -(-n_docs_total // n_shards))
 
     done = _manifest_done_shards(spark, store)
@@ -132,9 +155,10 @@ def build_store(
             F.broadcast(convs.select("conv_id")), "conv_id", "inner"
         )
         # build_postings assigns doc ids by local row_number; override
-        # with the checkpointed global map to keep ids stable.
+        # with the checkpointed global map to keep ids stable. Blocks
+        # encode bounds against the GLOBAL stats from step 0.
         idx = build_postings(shard_t, cfg, doc_map=convs)
-        bidx = build_block_index(idx, cfg)
+        bidx = build_block_index(idx, cfg, corpus_stats=global_stats)
 
         idx.tokens.write.mode("overwrite").parquet(
             store.path(f"tokens/shard={shard}")
@@ -151,10 +175,32 @@ def build_store(
         idx.doc_meta.write.mode("overwrite").parquet(
             store.path(f"doc_meta/shard={shard}")
         )
-        n_convs = idx.doc_meta.count()
-        n_turns = idx.mat.turns.count()
-        n_postings = idx.tokens.select("term", "doc_id").distinct().count()
-        n_blocks = bidx.blocks.count()
+        # Manifest stats come from the tables just WRITTEN (two tiny
+        # aggregations over parquet), not from re-running the build DAG:
+        # the old distinct().count() / blocks.count() calls re-executed
+        # the tokenize+encode pipeline twice more per shard — pure
+        # serial-fraction waste at scale.
+        meta_row = (
+            spark.read.parquet(store.path(f"doc_meta/shard={shard}"))
+            .agg(
+                F.count(F.lit(1)).alias("n_convs"),
+                F.sum("n_turns").alias("n_turns"),
+            )
+            .first()
+        )
+        blk_row = (
+            spark.read.parquet(store.path(f"blocks/shard={shard}"))
+            .agg(
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum("n_docs").alias("n_postings"),
+            )
+            .first()
+        )
+        n_convs, n_turns = int(meta_row["n_convs"]), int(meta_row["n_turns"] or 0)
+        n_blocks = int(blk_row["n_blocks"])
+        n_postings = int(blk_row["n_postings"] or 0)
+        idx.tokens.unpersist()
+        idx.mat.docs.unpersist()
         wall = time.perf_counter() - t0
         row = [
             (build_id, shard, "done", n_convs, n_turns, n_postings, n_blocks,
@@ -274,6 +320,11 @@ def compact(spark: SparkSession, store: IndexStore) -> None:
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
     corpus.write.mode("overwrite").parquet(store.path("corpus"))
+    # keep the sharded-build prior in sync so later appends encode
+    # bounds against the post-compaction avgdl
+    spark.read.parquet(store.path("corpus")).write.mode("overwrite").parquet(
+        store.path("corpus_prior")
+    )
     term_stats.write.mode("overwrite").parquet(store.path("term_stats"))
 
     from ..plans.materialize import Materialized

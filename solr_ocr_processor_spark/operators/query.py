@@ -45,25 +45,18 @@ def conjunctive_topk(
     """AND semantics: only documents containing EVERY query term,
     ranked by the same BM25 sum as the OR scorer.
 
-    Plan: reuse bm25_topk's scored set but gate on distinct-term
-    count == |query| first (computed in the same aggregation — no
-    extra shuffle), then top-k.
+    Plan: the per-doc scoring aggregation already sees one row per
+    (doc, matched term), so the matched-term count comes out of that
+    SAME aggregation (bm25_scores with_match_count) — the gate costs
+    one filter, no second scan of the token table.
     """
     terms = query_terms(query, cfg)
     if not terms:
         return spark.createDataFrame([], "doc_id long, conv_id string, score double")
-    n_terms = len(terms)
-    scored = bm25_scores(spark, index, query, cfg=cfg)
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    matched_counts = (
-        index.tokens.join(F.broadcast(tdf), "term")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("term").alias("n_matched"))
-        .where(F.col("n_matched") == n_terms)
-        .select("doc_id")
-    )
+    scored = bm25_scores(spark, index, query, cfg=cfg, with_match_count=True)
     return (
-        scored.join(matched_counts, "doc_id")
+        scored.where(F.col("n_matched") == len(terms))
+        .select("doc_id", "conv_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

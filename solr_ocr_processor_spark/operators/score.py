@@ -48,11 +48,17 @@ def bm25_scores(
     index: Index,
     query: str,
     cfg: IndexConfig = DEFAULT,
+    with_match_count: bool = False,
 ) -> DataFrame:
     """Exhaustive BM25 scores for every matching doc — no sort, no
     limit. (doc_id, conv_id, score). Building block for top-k and for
     conjunctive gating (operators/query.py), where limiting before the
     gate would be wrong and a giant limit would force a global sort.
+
+    ``with_match_count`` adds ``n_matched`` (count of distinct query
+    terms present in the doc) to the SAME final aggregation — the rows
+    entering it are one per (doc, matched term), so a plain count gives
+    the AND gate for free, with no second scan of the token table.
 
     Query terms are normalized by the SAME tokenizer as the build
     (reference rule: build-time and query-time analysis must match,
@@ -107,9 +113,12 @@ def bm25_scores(
                 F.array_sort(F.collect_list(F.struct("term", "term_score"))),
                 F.lit(0.0),
                 lambda acc, s: acc + s["term_score"],
-            ).alias("score")
+            ).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_matched"),
         )
     )
+    if not with_match_count:
+        scored = scored.drop("n_matched")
     return scored
 
 

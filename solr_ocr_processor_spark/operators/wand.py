@@ -90,11 +90,12 @@ def _make_range_scorer(
                 {"range_id": "int64", "doc_id": "int64", "score": "float64"}
             )
         scores = dense[hit]
-        if hit.size > k:
-            part = np.argpartition(-scores, k - 1)[:k]
-            hit, scores = hit[part], scores[part]
+        # Full (score desc, doc_id asc) sort, THEN truncate: argpartition
+        # would pick arbitrarily among docs tied at the k-th score, which
+        # can disagree with the exhaustive scorer's doc_id-asc tie-break.
+        # Ranges hold <= range_size docs, so the full lexsort is cheap.
         order = np.lexsort((hit, -scores))
-        hit, scores = hit[order], scores[order]
+        hit, scores = hit[order][:k], scores[order][:k]
         return pd.DataFrame(
             {
                 "range_id": np.full(hit.size, range_id, dtype=np.int64),
@@ -140,9 +141,19 @@ def wand_topk(
     qidf = spark.createDataFrame(
         [(t, i) for t, i in idf_map.items()], "term string, idf double"
     )
+    # Bound validity under avgdl drift: each block carries the avgdl its
+    # max_tfnorm was computed against; tfnorm grows with avgdl by at most
+    # avgdl_now/avgdl_built (blocks.py module docstring), so scaling the
+    # stored bound by max(1, ratio) keeps pruning exact even for shards
+    # built against a stale or shard-local avgdl.
     qb = (
         bidx.blocks.join(F.broadcast(qidf), "term")
-        .withColumn("max_score", F.col("idf") * F.col("max_tfnorm"))
+        .withColumn(
+            "max_score",
+            F.col("idf")
+            * F.col("max_tfnorm")
+            * F.greatest(F.lit(1.0), F.lit(float(bidx.avgdl)) / F.col("avgdl")),
+        )
         .select(
             "term", "range_id", "block_id", "idf", "max_score", "n_docs",
             "doc_ids", "tfs", "dls",

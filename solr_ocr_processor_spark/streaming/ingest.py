@@ -70,16 +70,19 @@ def append_to_index(
 ):
     """Resumable micro-batch append of streaming tokens into the store.
 
-    Returns the StreamingQuery. Each micro-batch is an atomic parquet
-    append; the checkpoint gives exactly-once per input file, so a
-    killed stream resumes without duplicating postings — the streaming
-    analog of lifecycle.build_store's shard manifest.
+    Returns the StreamingQuery. foreachBatch alone is only
+    at-least-once (a crash between the write and the checkpoint commit
+    replays the batch), so the write is made IDEMPOTENT: each batch
+    overwrites its own ``batch_id=N`` subdirectory — a replay rewrites
+    the same rows instead of appending duplicates, which would
+    silently inflate tf/df once the stream folds into the index. The
+    checkpoint + idempotent write together give exactly-once, the
+    streaming analog of lifecycle.build_store's shard manifest.
     """
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(f"{store_root}/stream_tokens")
+            batch_df.write.mode("overwrite")
+            .parquet(f"{store_root}/stream_tokens/batch_id={batch_id}")
         )
 
     return (

@@ -57,6 +57,44 @@ def test_resume_after_injected_failure(spark, corpus, tmp_path_factory):
     assert all(abs(r["score"] - s) < 1e-9 for r, s in zip(got, want["score"]))
 
 
+def test_sharded_wand_bounds_survive_skewed_shard_avgdl(spark, tmp_path_factory):
+    """Regression: shard-local avgdl must not poison block-max bounds.
+
+    Shard 0 holds 1-token docs (shard avgdl 1, global ~20): bounds
+    encoded against the shard's own avgdl would under-estimate those
+    docs' true scores, and theta from the long-doc shard would prune
+    shard 0's ranges even though its docs are the true top-k. The fix
+    (global-stats prepass + stored per-block avgdl with ratio-scaled
+    bounds) must make the 2-shard store rank-identical to the oracle.
+    """
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    filler = " ".join(["pad"] * 35)
+    for i in range(300):
+        rows.append((f"a{i:04d}", 0, "user", "zebra", None, base))
+        rows.append(
+            (f"b{i:04d}", 0, "user", f"{'zebra ' * 5}{filler}", None, base)
+        )
+    corpus = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    root = str(tmp_path_factory.mktemp("store_skew"))
+    store = build_store(spark, corpus, root, CFG, n_shards=2)
+    bidx = load_block_index(spark, store)
+    got = wand_topk(spark, bidx, "zebra", k=10, cfg=CFG).collect()
+    want = oracle_bm25_topk(
+        oracle_materialize(corpus.toPandas()), "zebra", k=10, cfg=CFG
+    )
+    assert [r["doc_id"] for r in got] == list(want["doc_id"])
+    assert all(abs(r["score"] - s) < 1e-9 for r, s in zip(got, want["score"]))
+    # sanity: the winners are the short docs (high tfnorm), which live
+    # entirely in the under-avgdl shard the old bounds pruned
+    assert all(r["conv_id"].startswith("a") for r in got)
+
+
 @pytest.fixture(scope="module")
 def store(spark, corpus, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("store_main"))

@@ -74,6 +74,39 @@ def test_simhash_band_recall_exact_at_radius(spark, docs):
     assert got == brute
 
 
+def test_shingles_short_doc_guard(spark):
+    """Docs with fewer than n tokens must yield zero shingles, not an
+    INVALID_PARAMETER_VALUE.START crash from slice(toks, 0, n)."""
+    from solr_ocr_processor_spark.operators.dedup import shingles
+
+    d = spark.createDataFrame(
+        [(0, "only two"), (1, ""), (2, "   "), (3, "one two three four")],
+        "doc_id long, text string",
+    )
+    got = shingles(d, n=3).collect()
+    assert {r["doc_id"] for r in got} == {3}
+    assert {r["shingle"] for r in got} == {"one two three", "two three four"}
+    # the pair job over the same corpus must also survive short docs
+    assert ngram_jaccard_pairs(d, 3, 0.1).collect() == []
+
+
+def test_simhash_band_recall_derived_bands_radius8(spark, docs):
+    """max_hamming=8 derives 9 bands, keeping the pigeonhole recall
+    guarantee that a fixed 4-band split loses above radius 3."""
+    from solr_ocr_processor_spark.operators.dedup import simhash64
+
+    fps = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    ids = sorted(fps)
+    brute = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 8
+    }
+    got = {tuple(r) for r in simhash_near_pairs(docs, 8).collect()}
+    assert got == brute
+
+
 def test_ann_self_match_first(spark, embs, qvec):
     top = cosine_topk(embs, qvec, 5).collect()
     assert top[0]["id"] == 0 and abs(top[0]["cos"] - 1.0) < 1e-6
