@@ -284,16 +284,17 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 (16 deterministic centroids, nprobe=4).
-    No SQL oracle (approximate); exactness-of-rerank + recall covered
-    in pytest."""
+    """IVF approximate top-10 (16 md5-rank centroids, nprobe=4).
+    Fully deterministic: the DuckDB oracle replays centroid selection,
+    list assignment, probe choice, and the exact re-rank."""
     embs = _embs(spark, sf_dir)
     C = ivf_centroids(embs, n_centroids=16)
     return ivf_topk(embs, C, _qvec(spark, sf_dir), k=10, nprobe=4)
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-10. No SQL oracle (approximate)."""
+    """Hyperplane-LSH approximate top-10 with md5-derived planes —
+    bucketing + re-rank replayed exactly by the DuckDB oracle."""
     return lsh_topk(_embs(spark, sf_dir), _qvec(spark, sf_dir), k=10)
 
 
@@ -716,6 +717,77 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 SELECT a.vec_id AS id1, b.vec_id AS id2, round({_COS_D}, 6) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_COS_D} >= 0.45
+""",
+    # LSH: md5-derived planes (operators/ann._planes) replayed in SQL;
+    # candidate set = vectors sharing >=1 (band, bucket) with vec_id 0,
+    # then the exact cosine re-rank — identical to the Spark operator.
+    "ann_lsh_topk": """
+WITH planes AS (
+  SELECT pp.p, dd.d,
+         (('0x' || substr(md5('13:' || pp.p || ':' || dd.d), 1, 15))::BIGINT)::DOUBLE
+           / 576460752303423488.0 - 1.0 AS v
+  FROM (SELECT unnest(range(64)) AS p) pp, (SELECT unnest(range(64)) AS d) dd
+),
+vecs AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+dots AS (
+  SELECT v.vec_id, pl.p, sum(v.x * pl.v) AS dot
+  FROM vecs v JOIN planes pl ON v.d = pl.d
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id, CAST(p // 8 AS INT) AS band,
+         CAST(sum(CASE WHEN dot > 0 THEN 1 << (p % 8) ELSE 0 END) AS INT) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+qb AS (SELECT band, bucket FROM buckets WHERE vec_id = 0),
+cand AS (SELECT DISTINCT b.vec_id AS id FROM buckets b JOIN qb USING (band, bucket)),
+q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT c.id,
+         list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE), q.qv) AS cs
+  FROM cand c JOIN embeddings e ON e.vec_id = c.id CROSS JOIN q
+)
+SELECT id, round(cs, 6) AS cos FROM s ORDER BY cs DESC, id ASC LIMIT 10
+""",
+    # IVF: centroids = 16 smallest md5('17:'||vec_id) ranks; assignment
+    # and probing by cosine with (cs DESC, list_id ASC) tie-break —
+    # the same contract as numpy argmax / stable argsort in the operator.
+    "ann_ivf_topk": """
+WITH cent AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cvec,
+         CAST(row_number() OVER (ORDER BY md5('17:' || vec_id)) - 1 AS INT) AS list_id
+  FROM embeddings
+  ORDER BY md5('17:' || vec_id) LIMIT 16
+),
+ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+scored AS (
+  SELECT ev.vec_id, c.list_id, list_cosine_similarity(ev.v, c.cvec) AS cs
+  FROM ev CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, list_id ASC) AS rn
+    FROM scored) t WHERE rn = 1
+),
+q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT c.list_id FROM cent c CROSS JOIN q
+  ORDER BY list_cosine_similarity(c.cvec, q.qv) DESC, c.list_id ASC LIMIT 4
+),
+cand AS (SELECT vec_id FROM assign WHERE list_id IN (SELECT list_id FROM probe)),
+s AS (
+  SELECT e.vec_id AS id,
+         list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE), q.qv) AS cs
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+)
+SELECT id, round(cs, 6) AS cos FROM s ORDER BY cs DESC, id ASC LIMIT 10
 """,
     "ann_cosine_topk": """
 WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv

@@ -8,18 +8,19 @@ Three tiers:
   TakeOrderedAndProject. The correctness baseline + DuckDB-oracle
   target; also the right tool when the query set is small and the
   corpus scan is unavoidable anyway.
-- :func:`lsh_assign` / :func:`lsh_topk` — random-hyperplane LSH: a
-  seeded deterministic plane matrix (driver numpy, broadcast via the
-  plan as literals per hyperplane bit through a pandas UDF), sign
-  pattern per band = bucket; search probes only matching buckets then
-  exact-re-ranks. Sub-linear candidates at 100 TB; recall measured in
-  tests, not 1.0 by construction (no SQL oracle — rows-only check).
-- :func:`ivf_assign` / :func:`ivf_topk` — IVF: coarse centroids
-  sampled deterministically from the data (seeded), vectors assigned
-  to nearest centroid (one narrow pandas-UDF pass), search probes the
-  ``nprobe`` nearest centroid lists. The classic billion-vector
-  layout: centroid assignment is the partition key, so a probe reads
-  only its lists (partition pruning on the parquet/Iceberg side).
+- :func:`lsh_assign` / :func:`lsh_topk` — random-hyperplane LSH with
+  md5-DERIVED planes (uniform [-1,1) from md5(seed:plane:dim) — the
+  dedup.py hash discipline), sign pattern per band = bucket; search
+  probes only matching buckets then exact-re-ranks. Sub-linear
+  candidates at 100 TB, and the bucketing is reproducible in ANSI SQL,
+  so the DuckDB oracle replays candidates + re-rank exactly.
+- :func:`ivf_assign` / :func:`ivf_topk` — IVF: coarse centroids =
+  the n_centroids vectors of smallest md5(seed:id) rank (TakeOrdered
+  in Spark, ORDER BY md5 LIMIT n in SQL — no corpus collect), vectors
+  assigned to nearest centroid (one narrow pandas-UDF pass), search
+  probes the ``nprobe`` nearest centroid lists. The classic
+  billion-vector layout: centroid assignment is the partition key, so
+  a probe reads only its lists (partition pruning on parquet/Iceberg).
 """
 
 from __future__ import annotations
@@ -80,8 +81,22 @@ def cosine_topk(
 
 
 def _planes(dim: int, num_bands: int, bits_per_band: int, seed: int) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((num_bands * bits_per_band, dim))
+    """md5-derived hyperplanes (the dedup.py hash discipline): entry
+    (p, d) = first 15 hex chars of md5(f"{seed}:{p}:{d}") mapped to
+    uniform [-1, 1). Any engine with md5 — the DuckDB oracle included —
+    reproduces the matrix bit-for-bit, so LSH bucketing is fully
+    oracle-replayable (uniform sign-planes are a standard substitute
+    for gaussian ones: bucketing only uses the dot-product sign)."""
+    import hashlib
+
+    k = num_bands * bits_per_band
+    u = np.empty((k, dim), dtype=np.float64)
+    for p in range(k):
+        for d in range(dim):
+            u[p, d] = int(
+                hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:15], 16
+            )
+    return u / float(1 << 59) - 1.0
 
 
 def lsh_assign(
@@ -170,19 +185,29 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Deterministic coarse centroids: the vectors whose ids are the
-    n smallest under md5-of-id ordering (a seedless uniform sample that
-    any engine can reproduce), L2-normalized. At 100 TB you'd k-means
-    these; sampled centroids keep the operator deterministic here."""
-    import hashlib
+    """Deterministic coarse centroids: the vectors whose md5(seed:id)
+    rank is smallest (a seedless uniform sample any engine reproduces —
+    Spark F.md5 == DuckDB md5 == hashlib on the same bytes),
+    L2-normalized, ordered by that rank (list_id = rank).
 
-    rows = embs.select(id_col, vec_col).collect() if embs.count() <= 100_000 else None
-    if rows is None:  # pragma: no cover - scale path
-        rows = embs.sample(0.001, seed=seed).select(id_col, vec_col).collect()
-    keyed = sorted(
-        rows, key=lambda r: hashlib.md5(f"{seed}:{r[id_col]}".encode()).hexdigest()
-    )[:n_centroids]
-    C = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in keyed])
+    The rank-and-take runs IN Spark (orderBy + limit lowers to
+    TakeOrderedAndProject: per-partition heaps of n rows); only the
+    n_centroids winning rows ever reach the driver — no corpus-sized
+    collect. At 100 TB you'd k-means from this same sample; md5-rank
+    sampling keeps the operator deterministic and oracle-checkable."""
+    rows = (
+        embs.select(
+            id_col,
+            vec_col,
+            F.md5(
+                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+            ).alias("rk"),
+        )
+        .orderBy("rk")
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
@@ -228,7 +253,9 @@ def ivf_topk(
     """Probe the nprobe nearest centroid lists, exact re-rank."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / np.linalg.norm(q)
-    probe_lists = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+    # stable sort: centroid-similarity ties break by list_id asc, the
+    # same contract the SQL oracle's ORDER BY cs DESC, list_id ASC uses
+    probe_lists = np.argsort(-(centroids @ qn), kind="stable")[:nprobe].tolist()
     assign = ivf_assign(embs, centroids, id_col, vec_col)
     cand_ids = assign.where(F.col("list_id").isin(probe_lists)).select("id")
     cand = embs.join(cand_ids, embs[id_col] == cand_ids["id"], "left_semi")
