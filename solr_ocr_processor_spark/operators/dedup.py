@@ -11,10 +11,12 @@ Five family members over the ``documents(doc_id, text, ...)`` table:
   bucketing; candidates exact-verified. The 100 TB path: cost is
   O(docs × k) + bucket-join instead of all-pairs.
 - :func:`simhash64`          — 60-bit SimHash fingerprints (md5 term
-  hashes, tf-weighted bit votes); near-dup = small Hamming distance.
+  hashes, tf-weighted bit votes), one shuffle-free mapInPandas pass;
+  near-dup = small Hamming distance.
 - :func:`embedding_near_dup` — cosine ≥ τ pairs over an embedding
-  column (brute all-pairs here; the LSH/IVF machinery in
-  operators/ann.py is the scale path).
+  column: exact blocked all-pairs (block-pair join + per-pair GEMM
+  tile, no driver collect); prune block pairs with operators/ann.py
+  LSH buckets when even O(n²/B) tiles is too much.
 
 Hash discipline: every hash bottoms out in md5 (Spark ``F.md5`` ==
 DuckDB ``md5`` on the same bytes), so the DuckDB oracle can recompute
@@ -248,50 +250,66 @@ SIMHASH_BITS = 60  # fits a signed 64-bit int on both engines
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): 60-bit SimHash — per distinct term, hash =
     first 15 md5 hex chars; each bit votes +tf / -tf; fingerprint bit
-    = 1 iff the vote is positive. Deterministic and reproducible in
-    ANSI SQL (the DuckDB oracle recomputes it exactly).
+    = 1 iff the vote is positive. Docs with zero tokens emit no row
+    (they have no fingerprint), matching the SQL definition.
 
-    Pure built-ins: tokenize -> explode -> tf agg -> per-bit vote agg.
-    Two shuffles ((doc,term) then doc), both map-side combinable.
+    One mapInPandas scan, ZERO shuffles: the fingerprint is computed
+    per document with numpy bit-unpacking inside the batch. The
+    previous SQL formulation exploded 60 (doc, term, bit) rows per
+    (doc, term) pair through two shuffles — a 60x amplification of the
+    tf table that the per-doc kernel makes structurally unnecessary.
+    The SQL twin survives as the DuckDB oracle (driver query
+    ``dedup_simhash``), which recomputes the identical fingerprints:
+    the semantics are still ANSI-SQL-expressible, only the execution
+    isn't shaped like SQL.
     """
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                r"regexp_extract_all(lower(" + text_col + r"), '[a-z0-9]+', 0)"
+    import hashlib
+    import re
+    from collections import Counter
+
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches):
+        pat = re.compile(r"[a-z0-9]+")
+        for pdf in batches:
+            ids, fps = [], []
+            for did, text in zip(pdf["doc_id"].values, pdf[text_col].values):
+                if text is None:
+                    continue
+                counts = Counter(pat.findall(text.lower()))
+                if not counts:
+                    continue
+                terms = list(counts)
+                ths = np.fromiter(
+                    (
+                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                        for t in terms
+                    ),
+                    dtype=np.int64,
+                    count=len(terms),
+                )
+                tfs = np.fromiter(
+                    (counts[t] for t in terms), dtype=np.int64, count=len(terms)
+                )
+                bits = (ths[:, None] >> bit_idx[None, :]) & 1  # (nterms, 60)
+                votes = ((2 * bits - 1) * tfs[:, None]).sum(axis=0)
+                fp = int(((votes > 0).astype(np.int64) << bit_idx).sum())
+                ids.append(did)
+                fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "simhash": pd.Series(fps, dtype="int64"),
+                }
             )
-        ).alias("term"),
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    h = tf.withColumn(
-        "th",
-        F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 15), 16, 10).cast(
-            "long"
-        ),
-    )
-    bits = h.select(
-        "doc_id",
-        "tf",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-        "th",
-    ).withColumn(
-        "vote",
-        F.when(
-            F.expr("shiftright(th, bit) & 1") == 1,
-            F.col("tf"),
-        ).otherwise(-F.col("tf")),
-    )
-    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    return (
-        votes.withColumn(
-            "contrib",
-            F.when(
-                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-            ).otherwise(F.lit(0).cast("long")),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("contrib").cast("long").alias("simhash"))
-    )
+
+    return docs.select("doc_id", text_col).mapInPandas(gen, schema)
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
@@ -344,32 +362,46 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
 
 
 def embedding_near_dup(
-    embs: DataFrame, tau: float = 0.45, id_col: str = "vec_id", vec_col: str = "embedding"
+    embs: DataFrame,
+    tau: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 2048,
 ) -> DataFrame:
-    """(id1, id2, cos) pairs with cosine >= tau — blocked matrix
-    multiply, exact.
+    """(id1, id2, cos) pairs with cosine >= tau — blocked all-pairs
+    matrix multiply, exact and fully distributed.
 
-    Each Arrow batch of rows is GEMMed (numpy, BLAS) against a
-    broadcast of the full normalized matrix, keeping only pairs with
-    id1 < id2 and cos >= tau. One scan + one tiny broadcast — no
-    quadratic row join materializes; the 25M-candidate space for 5k
-    vectors lives only inside the n×m GEMM tile.
+    Classic block decomposition: rows are assigned to ``nb`` blocks
+    (``id % nb`` — any balanced deterministic rule works; membership
+    never affects results), every unordered block pair (bi <= bj)
+    becomes one applyInPandas group, and the group's kernel GEMMs the
+    two blocks' normalized matrices (numpy/BLAS tile), keeping pairs
+    with id1 < id2 and cos >= tau. The quadratic candidate space lives
+    only inside the per-pair tile, never as rows.
 
-    Scale path: at 10^9+ vectors broadcast stops fitting — replace the
-    broadcast side with a block-id cross join (block_i <= block_j) over
-    pre-normalized, pre-blocked row groups and run the identical tile
-    kernel per block pair (classic blocked all-pairs), or prune tiles
-    first with operators/ann.py LSH buckets. The kernel here is that
-    tile kernel.
+    No driver collect and no full-matrix broadcast anywhere: each row
+    is replicated to its nb block pairs through one shuffle, so data
+    moved is O(n·nb) = O(n²/block_rows) rows — the provable minimum
+    for exact all-pairs without pruning. At extreme scale, prune block
+    pairs first with operators/ann.py LSH buckets (only pairs sharing
+    a bucket) and run this same kernel on the survivors.
     """
-    sc = embs.sparkSession.sparkContext
-    rows = embs.select(id_col, vec_col).collect()
-    ids = np.fromiter((r[id_col] for r in rows), dtype=np.int64, count=len(rows))
-    M = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    order = np.argsort(ids, kind="stable")
-    ids, M = ids[order], M[order]
-    b_ids, b_M = sc.broadcast(ids), sc.broadcast(M)
+    spark = embs.sparkSession
+    n = embs.count()  # metadata-scale job; no rows collected
+    nb = max(1, -(-n // block_rows))
+    e = embs.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("blk", (F.col("id") % nb).cast("int"))
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(nb) for j in range(i, nb)], "bi int, bj int"
+    )
+    side_a = e.join(F.broadcast(pairs), e["blk"] == pairs["bi"]).select(
+        "bi", "bj", "id", "vec", F.lit(0).alias("side")
+    )
+    side_b = e.join(F.broadcast(pairs), e["blk"] == pairs["bj"]).select(
+        "bi", "bj", "id", "vec", F.lit(1).alias("side")
+    )
+    both = side_a.unionByName(side_b)
 
     schema = T.StructType(
         [
@@ -379,22 +411,27 @@ def embedding_near_dup(
         ]
     )
 
-    def gen(batches):
-        all_ids, allM = b_ids.value, b_M.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.vstack(pdf[vec_col].values).astype(np.float64)
-            V /= np.linalg.norm(V, axis=1, keepdims=True)
-            my = pdf[id_col].values.astype(np.int64)
-            S = V @ allM.T  # (batch, n) cosine tile
-            ri, ci = np.nonzero((S >= tau) & (my[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id1": my[ri],
-                    "id2": all_ids[ci],
-                    "cos": np.round(S[ri, ci], 6),
-                }
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"].values == 0]
+        b = pdf[pdf["side"].values == 1]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"id1": [], "id2": [], "cos": []}).astype(
+                {"id1": "int64", "id2": "int64", "cos": "float64"}
             )
+        ida = a["id"].values.astype(np.int64)
+        idb = b["id"].values.astype(np.int64)
+        Ma = np.vstack(a["vec"].values).astype(np.float64)
+        Mb = np.vstack(b["vec"].values).astype(np.float64)
+        Ma /= np.linalg.norm(Ma, axis=1, keepdims=True)
+        Mb /= np.linalg.norm(Mb, axis=1, keepdims=True)
+        S = Ma @ Mb.T  # (|a|, |b|) cosine tile
+        ri, ci = np.nonzero((S >= tau) & (ida[:, None] < idb[None, :]))
+        return pd.DataFrame(
+            {
+                "id1": ida[ri],
+                "id2": idb[ci],
+                "cos": np.round(S[ri, ci], 6),
+            }
+        )
 
-    return embs.select(id_col, vec_col).mapInPandas(gen, schema)
+    return both.groupBy("bi", "bj").applyInPandas(kernel, schema)

@@ -10,16 +10,22 @@ Distributed shape — two-phase block-max pruning:
 1. **Bound pass (metadata only).** For every doc-id range touched by
    the query terms, compute ``ub(range) = Σ_t max(block max_score)``.
    Any document in the range scores ≤ ub(range). This is a tiny
-   aggregation over block *metadata* (no posting bytes decoded) —
-   ~n_docs/range_size rows, collected to the driver.
+   aggregation over block *metadata* (no posting bytes decoded), and
+   it STAYS distributed: the driver only collects a fixed-size head of
+   the bound order to pick seed ranges (~64 rows), never the full
+   ~n_docs/range_size bound table.
 2. **Seed + prune.** Exactly score the highest-ub ranges first (one
    Spark job), establishing the running top-k threshold θ = kth best
-   score. Every unscored range with ub < θ is provably outside the
-   top-k and is skipped; the survivors are scored in a second job.
+   score — collected as k rows via a distributed top-k. Every unscored
+   range with ub < θ is provably outside the top-k and is pruned by a
+   Spark-side filter on the bound table; the survivors are scored in a
+   second job and merged with the seed scores by orderBy().limit(k)
+   (TakeOrderedAndProject: per-partition heaps, k-row driver merge).
    θ-pruning is *exact* (ranges are pruned only when no document in
    them can reach the heap), so results are rank-identical to
    exhaustive scoring — verified in tests against both the DataFrame
-   scorer and the pandas oracle.
+   scorer and the pandas oracle. Total driver traffic per query:
+   64 bound rows + 2·k score rows, independent of corpus size.
 
 Inside a range, scoring is a dense numpy accumulation: decode each
 block's (doc_ids, tfs, dls), score ``idf·tfnorm`` vectorized, and
@@ -160,55 +166,68 @@ def wand_topk(
         )
     )
     qb.persist()
+    bounds_df = (
+        qb.groupBy("range_id", "term")
+        .agg(F.max("max_score").alias("tmax"), F.sum("n_docs").alias("nd"))
+        .groupBy("range_id")
+        .agg(F.sum("tmax").alias("ub"), F.sum("nd").alias("npost"))
+    ).persist()
+    seed_scored = None
     try:
-        # --- phase 1: per-range upper bounds, metadata only ---
-        bounds = (
-            qb.groupBy("range_id", "term")
-            .agg(F.max("max_score").alias("tmax"), F.sum("n_docs").alias("nd"))
-            .groupBy("range_id")
-            .agg(F.sum("tmax").alias("ub"), F.sum("nd").alias("npost"))
-            .collect()
+        # --- phase 1: seed selection from the TOP of the bound order ---
+        # Only a fixed-size head of the per-range bound table reaches
+        # the driver (TakeOrderedAndProject) — at 10^9 docs / range 4096
+        # the full bound table is ~250k rows per query; the driver never
+        # sees it. Ranges beyond the head simply stay in the survivor
+        # pool, so exactness is unaffected by the head size.
+        head = (
+            bounds_df.orderBy(F.desc("ub"), F.asc("range_id")).limit(64).collect()
         )
-        if not bounds:
+        if not head:
             return empty
-        ranges = sorted(bounds, key=lambda r: (-r["ub"], r["range_id"]))
+        seed, docs_cov = [], 0
+        for r in head:
+            seed.append(int(r["range_id"]))
+            docs_cov += r["npost"]
+            if docs_cov >= max(4 * k, 256) and len(seed) >= 2:
+                break
 
         scorer = _make_range_scorer(
             cfg.range_size, k, cfg.k1, cfg.b, bidx.avgdl,
             frozenset(exclude_doc_ids or ()),
         )
 
-        # --- phase 2a: seed — score highest-ub ranges covering >= ~4k docs ---
-        seed, docs_cov = [], 0
-        for r in ranges:
-            seed.append(r["range_id"])
-            docs_cov += r["npost"]
-            if docs_cov >= max(4 * k, 256) and len(seed) >= 2:
-                break
-        seed_set = set(seed)
+        # --- phase 2a: score seed ranges; theta = k-th best (k rows
+        # collected — the only score rows the driver ever holds) ---
+        seed_scored = (
+            qb.where(F.col("range_id").isin(seed))
+            .groupBy("range_id")
+            .applyInPandas(scorer, _TOPK_SCHEMA)
+            .persist()
+        )
+        top_seed = (
+            seed_scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        )
+        theta = top_seed[k - 1]["score"] if len(top_seed) >= k else float("-inf")
 
-        def _score(range_ids: list[int]) -> list:
-            sub = qb.where(F.col("range_id").isin([int(x) for x in range_ids]))
-            return (
-                sub.groupBy("range_id")
-                .applyInPandas(scorer, _TOPK_SCHEMA)
-                .collect()
-            )
-
-        results = _score(seed)
-        results.sort(key=lambda r: (-r["score"], r["doc_id"]))
-        theta = results[k - 1]["score"] if len(results) >= k else float("-inf")
-
-        # --- phase 2b: prune ub < theta, score survivors ---
-        survivors = [
-            r["range_id"]
-            for r in ranges
-            if r["range_id"] not in seed_set and r["ub"] >= theta
-        ]
-        if survivors:
-            results.extend(_score(survivors))
-            results.sort(key=lambda r: (-r["score"], r["doc_id"]))
-        top = results[:k]
+        # --- phase 2b: prune ub < theta IN SPARK, score survivors, and
+        # merge via a distributed top-k (per-partition heaps + k-row
+        # driver merge) instead of a driver-side Python sort ---
+        surv_ranges = bounds_df.where(
+            (F.col("ub") >= theta) & (~F.col("range_id").isin(seed))
+        ).select("range_id")
+        survivor_scored = (
+            qb.join(F.broadcast(surv_ranges), "range_id")
+            .groupBy("range_id")
+            .applyInPandas(scorer, _TOPK_SCHEMA)
+        )
+        top = (
+            seed_scored.select("doc_id", "score")
+            .unionByName(survivor_scored.select("doc_id", "score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
         if not top:
             return empty
         out = spark.createDataFrame(
@@ -221,3 +240,6 @@ def wand_topk(
         )
     finally:
         qb.unpersist()
+        bounds_df.unpersist()
+        if seed_scored is not None:
+            seed_scored.unpersist()
