@@ -42,6 +42,9 @@ from solr_ocr_processor_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from solr_ocr_processor_spark.functions.ocr_compat import (
+    extract_dpi,
+    fix_response,
+    hocr_bbox_to_pos,
     inch1200_to_px,
     mm10_to_px,
     sniff_format,
@@ -362,6 +365,70 @@ def _q_ocr_unit_px(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ocr_dpi_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY T1: per-row dpi from xdpi:(\\d+) in processingStepSettings
+    content with the 300 config fallback (alto.go:56,93-100), feeding
+    the inch1200 unit conversion with a COLUMN dpi."""
+    d = _docs(spark, sf_dir)
+    settings = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("step xdpi:"),
+                (F.lit(120) + F.col("doc_id") % 480).cast("string"),
+                F.lit(" ydpi:999"),
+            ),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit("no resolution recorded"))
+        .otherwise(F.concat(F.lit("raw: "), F.substring("text", 1, 40)))
+    )
+    dpi = extract_dpi(settings)
+    return d.select(
+        "doc_id",
+        dpi.alias("dpi"),
+        inch1200_to_px(F.col("n_chars"), dpi).alias("px"),
+    )
+
+
+def _q_ocr_hocr_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY T6: hOCR word-bbox corners -> (hpos, vpos, width, height)
+    extents (hocr.go:16-17,148-168) over synthesized title strings;
+    every third doc carries no bbox (null struct branch)."""
+    d = _docs(spark, sf_dir)
+    title = F.when(
+        F.col("doc_id") % 3 != 2,
+        F.concat(
+            F.lit("bbox "),
+            (F.col("doc_id") % 500).cast("string"),
+            F.lit(" "),
+            (F.col("doc_id") % 300).cast("string"),
+            F.lit(" "),
+            (F.col("doc_id") % 500 + F.col("n_chars") % 200 + 1).cast("string"),
+            F.lit(" "),
+            (F.col("doc_id") % 300 + F.col("n_chars") % 100 + 1).cast("string"),
+            F.lit("; x_wconf 93"),
+        ),
+    ).otherwise(F.lit("x_wconf 12"))
+    b = hocr_bbox_to_pos(title)
+    return d.select(
+        "doc_id",
+        b["hpos"].alias("hpos"),
+        b["vpos"].alias("vpos"),
+        b["width"].alias("width"),
+        b["height"].alias("height"),
+    )
+
+
+def _q_ocr_response_fixup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY T11: full-index response fixup — strip newlines, double
+    quotes -> single quotes (utils.go:32-39, alto.go:376-379)."""
+    d = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.substring("text", 1, 30), F.lit('\nline two "quoted"\nend')
+    )
+    return d.select("doc_id", fix_response(raw).alias("fixed"))
+
+
 def _q_ocr_xml_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY T8: non-ASCII -> &#N; decimal XML references (escape at
     build time so query-time matches, config.yml:34-39 lesson)."""
@@ -403,6 +470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "ocr_sniff_format": _q_ocr_sniff_format,
         "ocr_unit_px": _q_ocr_unit_px,
+        "ocr_dpi_extract": _q_ocr_dpi_extract,
+        "ocr_hocr_bbox": _q_ocr_hocr_bbox,
+        "ocr_response_fixup": _q_ocr_response_fixup,
         "ocr_xml_escape": _q_ocr_xml_escape,
     }
 
@@ -671,6 +741,56 @@ FROM c
 SELECT doc_id,
        CAST((n_chars * 300) // 1200 AS BIGINT) AS inch_px,
        CAST(floor(n_chars * 3.7795275591) AS BIGINT) AS mm_px
+FROM documents
+""",
+    "ocr_dpi_extract": """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CASE
+           WHEN doc_id % 3 = 0 THEN 'step xdpi:' || (120 + doc_id % 480) || ' ydpi:999'
+           WHEN doc_id % 3 = 1 THEN 'no resolution recorded'
+           ELSE 'raw: ' || substr(text, 1, 40)
+         END AS settings
+  FROM documents
+),
+d AS (
+  SELECT doc_id, n_chars,
+         CAST(coalesce(nullif(regexp_extract(settings, 'xdpi:(\\d+)', 1), ''),
+                       '300') AS INT) AS dpi
+  FROM s
+)
+SELECT doc_id, dpi, CAST((n_chars * dpi) // 1200 AS BIGINT) AS px FROM d
+""",
+    "ocr_hocr_bbox": """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 <> 2 THEN
+           'bbox ' || (doc_id % 500) || ' ' || (doc_id % 300) || ' '
+            || (doc_id % 500 + n_chars % 200 + 1) || ' '
+            || (doc_id % 300 + n_chars % 100 + 1) || '; x_wconf 93'
+         ELSE 'x_wconf 12' END AS title
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         regexp_extract(title, 'bbox (\\d+) (\\d+) (\\d+) (\\d+)', 1) AS x0,
+         regexp_extract(title, 'bbox (\\d+) (\\d+) (\\d+) (\\d+)', 2) AS y0,
+         regexp_extract(title, 'bbox (\\d+) (\\d+) (\\d+) (\\d+)', 3) AS x1,
+         regexp_extract(title, 'bbox (\\d+) (\\d+) (\\d+) (\\d+)', 4) AS y1
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN x0 <> '' THEN CAST(x0 AS BIGINT) END AS hpos,
+       CASE WHEN x0 <> '' THEN CAST(y0 AS BIGINT) END AS vpos,
+       CASE WHEN x0 <> '' THEN CAST(x1 AS BIGINT) - CAST(x0 AS BIGINT) END AS width,
+       CASE WHEN x0 <> '' THEN CAST(y1 AS BIGINT) - CAST(y0 AS BIGINT) END AS height
+FROM p
+""",
+    "ocr_response_fixup": """
+SELECT doc_id,
+       replace(replace(substr(text, 1, 30) || chr(10) || 'line two "quoted"'
+                       || chr(10) || 'end', chr(10), ''),
+               '"', '''') AS fixed
 FROM documents
 """,
     "ocr_xml_escape": """

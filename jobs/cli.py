@@ -32,7 +32,17 @@ from solr_ocr_processor_spark.operators.wand import wand_topk
 from solr_ocr_processor_spark.session import get_spark
 from solr_ocr_processor_spark.sources.transcripts import read_transcripts
 
-NOT_FOUND_EXIT = 4  # the 404 analog (app/main.go:132-133)
+# Exit-code analog of the reference's typed error taxonomy
+# (app/err/errors.go:5-36, mapped to HTTP codes app/main.go:123-137):
+#   BadRequest (400) / MethodNotAllowed (405) -> exit 2 — argparse
+#     rejects malformed args and unknown verbs with code 2, the CLI
+#     equivalent of a bad route or method.
+#   UnProcessableEntity (422) -> exit 3 — input exists but holds
+#     nothing indexable (the reference's empty-OCR-content case).
+#   NotFound (404) -> exit 4 — membership check miss.
+BAD_REQUEST_EXIT = 2
+UNPROCESSABLE_EXIT = 3
+NOT_FOUND_EXIT = 4
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -69,7 +79,19 @@ def main(argv: list[str] | None = None) -> int:
     store = lifecycle.IndexStore(args.store, DEFAULT)
 
     if args.cmd == "build":
-        t = read_transcripts(spark, args.input)
+        try:
+            t = read_transcripts(spark, args.input)
+        except Exception as e:  # unreadable/absent input = bad request
+            print(json.dumps({"error": "bad_request", "detail": str(e)[:200]}))
+            return BAD_REQUEST_EXIT
+        # UnProcessableEntity analog: the reference 422s when an item
+        # has no processable OCR content (err/errors.go:13-15); for us,
+        # an input with zero non-empty turns builds nothing.
+        from pyspark.sql import functions as F
+
+        if t.where(F.length(F.trim(F.col("text"))) > 0).limit(1).count() == 0:
+            print(json.dumps({"error": "unprocessable", "detail": "no non-empty turns"}))
+            return UNPROCESSABLE_EXIT
         lifecycle.build_store(spark, t, args.store, DEFAULT, n_shards=args.shards)
         print(json.dumps({"built": args.store}))
         return 0

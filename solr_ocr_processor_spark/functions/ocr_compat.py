@@ -17,6 +17,18 @@ reference applies to every OCR page, re-expressed over columns so a
   character references (app/process/encoding.go:10-32). The
   reference drops invalid runes; over typed string columns invalid
   sequences can't occur, so that branch has no analog.
+- :func:`extract_dpi`        — per-row dpi from ``xdpi:(\\d+)`` inside
+  processingStepSettings content, falling back to the configured
+  input_image_resolution (app/process/alto.go:56,93-100; default 300,
+  app/assets/build/config.yml:44-51). Feeds :func:`inch1200_to_px`.
+- :func:`hocr_bbox_to_pos`   — the hOCR word-bbox transform: parse
+  ``bbox x0 y0 x1 y1`` from the title attribute and emit
+  (hpos=x0, vpos=y0, width=x1-x0, height=y1-y0)
+  (app/process/hocr.go:16-17,148-168).
+- :func:`fix_response`       — full-index response fixup: strip
+  newlines and swap double quotes for single quotes
+  (app/process/utils.go:32-39; the ALTO converter applies the same
+  quote swap at app/process/alto.go:376-379).
 """
 
 from __future__ import annotations
@@ -80,6 +92,54 @@ def mm10_to_px(value: Column) -> Column:
     return (
         F.when(prod >= 0, F.floor(prod)).otherwise(-F.floor(-prod)).cast("long")
     )
+
+
+DEFAULT_DPI = 300  # input_image_resolution, app/assets/build/config.yml:44-51
+
+
+def extract_dpi(settings: Column, fallback: int = DEFAULT_DPI) -> Column:
+    """dpi per row: first ``xdpi:(\\d+)`` match in the settings text,
+    else ``fallback`` — the reference reads this from the ALTO
+    processingStepSettings element and keeps a config default
+    (app/process/alto.go:56,93-100)."""
+    return (
+        F.coalesce(
+            F.nullif(F.regexp_extract(settings, r"xdpi:(\d+)", 1), F.lit("")),
+            F.lit(str(fallback)),
+        )
+        .cast("int")
+    )
+
+
+HOCR_WORD_BBOX = r"bbox (\d+) (\d+) (\d+) (\d+)"  # app/process/hocr.go:17
+
+
+def hocr_bbox_to_pos(title: Column) -> Column:
+    """struct(hpos, vpos, width, height) from an hOCR title attribute.
+
+    The reference regexes ``bbox x0 y0 x1 y1`` out of every ocrx_word
+    title and rewrites corners to extents: hpos=x0, vpos=y0,
+    width=x1-x0, height=y1-y0 (app/process/hocr.go:148-168). Rows
+    without a bbox yield a null struct (the reference emits empty
+    strings into its dims payload; a typed column makes that null)."""
+    x0 = F.regexp_extract(title, HOCR_WORD_BBOX, 1)
+    y0 = F.regexp_extract(title, HOCR_WORD_BBOX, 2)
+    x1 = F.regexp_extract(title, HOCR_WORD_BBOX, 3)
+    y1 = F.regexp_extract(title, HOCR_WORD_BBOX, 4)
+    parsed = F.struct(
+        x0.cast("long").alias("hpos"),
+        y0.cast("long").alias("vpos"),
+        (x1.cast("long") - x0.cast("long")).alias("width"),
+        (y1.cast("long") - y0.cast("long")).alias("height"),
+    )
+    return F.when(x0 != "", parsed)
+
+
+def fix_response(text: Column) -> Column:
+    """Full-index response fixup: drop every newline, then swap double
+    quotes for single quotes (single-quoted XML posts cleanly to the
+    downstream store — app/process/utils.go:32-39)."""
+    return F.regexp_replace(F.regexp_replace(text, "\n", ""), '"', "'")
 
 
 def xml_codepoint_escape(text: Column) -> Column:

@@ -214,6 +214,15 @@ def build_store(
             raise RuntimeError(f"injected failure after shard {shard}")
 
     # --- step 2: finalize global stats ---------------------------------
+    finalize_store(spark, store)
+    return store
+
+
+def finalize_store(spark: SparkSession, store: IndexStore) -> None:
+    """Recompute the global dictionary (term_stats) and corpus stats
+    from every shard's persisted tables. Shared by the initial sharded
+    build and by streaming fold-in (merge_stream), which appends a new
+    shard and must refresh the globals the query side scores with."""
     tokens = spark.read.parquet(store.path("tokens"))
     doc_meta = spark.read.parquet(store.path("doc_meta"))
     term_stats = (
@@ -232,7 +241,6 @@ def build_store(
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
     corpus.write.mode("overwrite").parquet(store.path("corpus"))
-    return store
 
 
 def load_block_index(spark: SparkSession, store: IndexStore) -> BlockIndex:

@@ -15,10 +15,21 @@ lacks:
   regex, turn-local positions).
 - :func:`append_to_index`       — foreachBatch appender: each
   micro-batch's token rows land in the store's ``stream_tokens``
-  table; the streaming checkpoint makes the append resumable
-  (exactly-once file sink), the streaming analog of the per-shard
-  build manifest. A periodic compaction folds ``stream_tokens`` into
-  the main index (same code path as lifecycle.compact).
+  table (idempotent per-batch partitions + checkpoint = exactly-once),
+  the streaming analog of the per-shard build manifest. These rows
+  power streaming monitoring/aggregation; the INDEX fold-in runs off
+  the raw turn staging below (tokens alone can't re-derive doc-global
+  ordinals/offsets, the reference's ordering lesson).
+- :func:`append_turns`          — same exactly-once discipline for the
+  RAW turn rows, staged under ``stream_turns``.
+- :func:`merge_stream`          — fold staged turns into the queryable
+  store as a NEW shard: assign fresh doc ids after the existing max,
+  run the normal build path (materialize -> tokenize -> blocks with
+  the refreshed global avgdl), refresh term_stats/corpus, clear the
+  staging table. After the merge, queries see streamed conversations
+  with scores identical to a batch build of the union (per-block
+  stored avgdl + query-time bound scaling keeps older shards' WAND
+  pruning exact under the avgdl drift the merge causes).
 - :func:`turns_per_window`      — event-time windowed counts per role
   with a watermark: the standard late-data-tolerant monitoring agg
   over the ingest stream (build-metrics analog of S11).
@@ -91,6 +102,140 @@ def append_to_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def append_turns(stream: DataFrame, store_root: str, checkpoint_dir: str):
+    """Exactly-once staging of raw transcript turns under
+    ``{store_root}/stream_turns`` (idempotent per-batch partition
+    overwrite, same discipline as append_to_index). These rows are the
+    input :func:`merge_stream` folds into the index."""
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .parquet(f"{store_root}/stream_turns/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merge_stream(spark: SparkSession, store) -> int:
+    """Fold staged stream_turns into the persisted index store.
+
+    Returns the number of conversations merged (0 = nothing staged).
+
+    The fold is an APPEND-ONLY shard build, not a full rebuild:
+
+    1. staged convs already present in doc_map are dropped (re-POST
+       idempotency, the reference's GET-before-POST analog);
+    2. new convs get doc ids AFTER the existing max (checkpointed ids
+       never move — resume/rank identity, SURVEY §4.2-5);
+    3. the new shard's tokens/blocks/doc_meta are built by the SAME
+       code path as the batch build, with blocks encoded against the
+       post-merge global avgdl;
+    4. term_stats/corpus are re-finalized over all shards, and
+       corpus_prior is refreshed so later appends see current stats.
+       Older shards' blocks keep their stored build avgdl — the WAND
+       bound scales by max(1, avgdl_now/avgdl_built) at query time, so
+       pruning stays exact without re-encoding them;
+    5. the staging table is cleared (consumed).
+
+    After the merge, a query over the store is rank- and
+    score-identical to a batch build over the union of the original
+    and streamed transcripts (asserted in tests), because BM25 depends
+    only on the global stats and per-doc tf/dl — all refreshed.
+    """
+    import shutil
+
+    from ..operators.blocks import build_block_index
+    from ..operators.build import build_postings
+    from ..operators.lifecycle import IndexStore, _exists, finalize_store
+    from ..plans.materialize import assign_doc_ids, ordered_turns
+
+    staged_path = store.path("stream_turns")
+    if not _exists(spark, staged_path):
+        return 0
+    staged = spark.read.parquet(staged_path).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    doc_map = spark.read.parquet(store.path("doc_map"))
+    fresh = staged.join(doc_map.select("conv_id"), "conv_id", "left_anti")
+    turns = ordered_turns(fresh)
+    n_new = turns.select("conv_id").distinct().count()
+    if n_new == 0:
+        shutil.rmtree(staged_path, ignore_errors=True)
+        return 0
+
+    base = doc_map.agg(F.max("doc_id").alias("m")).first()["m"] + 1
+    new_map = assign_doc_ids(turns).withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(int(base))).cast("long")
+    )
+    new_map.persist()
+
+    idx = build_postings(fresh, store.cfg, doc_map=new_map)
+    shard = 1 + max(
+        (r["shard"] for r in spark.read.parquet(store.path("manifest"))
+         .select("shard").collect()),
+        default=-1,
+    )
+    idx.tokens.write.mode("overwrite").parquet(store.path(f"tokens/shard={shard}"))
+    idx.doc_meta.write.mode("overwrite").parquet(
+        store.path(f"doc_meta/shard={shard}")
+    )
+    # post-merge global stats: existing corpus + the new shard's counts
+    old = spark.read.parquet(store.path("corpus")).first()
+    add = (
+        spark.read.parquet(store.path(f"doc_meta/shard={shard}"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("toks"))
+        .first()
+    )
+    n_docs = int(old["n_docs"]) + int(add["n"])
+    avgdl = (int(old["total_tokens"]) + int(add["toks"] or 0)) / n_docs
+    bidx = build_block_index(idx, store.cfg, corpus_stats=(n_docs, avgdl))
+    (
+        bidx.blocks.repartition(F.col("term"))
+        .sortWithinPartitions("term", "range_id", "block_id")
+        .write.mode("overwrite")
+        .parquet(store.path(f"blocks/shard={shard}"))
+    )
+    new_map.select("doc_id", "conv_id").write.mode("append").parquet(
+        store.path("doc_map")
+    )
+    finalize_store(spark, store)
+    spark.read.parquet(store.path("corpus")).write.mode("overwrite").parquet(
+        store.path("corpus_prior")
+    )
+    import time as _time
+
+    # lineage stats from the WRITTEN tables (cheap parquet aggs, no
+    # re-run of the tokenize/encode DAG — same rule as build_store)
+    meta_row = (
+        spark.read.parquet(store.path(f"doc_meta/shard={shard}"))
+        .agg(F.sum("n_turns").alias("nt"))
+        .first()
+    )
+    blk_row = (
+        spark.read.parquet(store.path(f"blocks/shard={shard}"))
+        .agg(F.count(F.lit(1)).alias("nb"), F.sum("n_docs").alias("np"))
+        .first()
+    )
+    row = [("stream-merge", shard, "done", n_new, int(meta_row["nt"] or 0),
+            int(blk_row["np"] or 0), int(blk_row["nb"]), 0.0, _time.time())]
+    from ..operators.lifecycle import MANIFEST_SCHEMA
+
+    spark.createDataFrame(row, MANIFEST_SCHEMA).write.mode("append").parquet(
+        store.path("manifest")
+    )
+    new_map.unpersist()
+    idx.tokens.unpersist()
+    idx.mat.docs.unpersist()
+    shutil.rmtree(staged_path, ignore_errors=True)
+    return n_new
 
 
 def turns_per_window(

@@ -73,3 +73,43 @@ def test_spark_submit_build_query_check(spark, tmp_path):
     assert r.returncode == 0
     r = submit("check", "--store", store, "--conv-id", "missing")
     assert r.returncode == 4  # the 404 analog
+
+
+def _cli():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "socr_cli", os.path.join(REPO, "jobs", "cli.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_cli_error_taxonomy(spark, tmp_path):
+    """A5: the reference's typed errors (err/errors.go:5-36) map to
+    distinct exit codes — BadRequest/MethodNotAllowed=2,
+    UnProcessableEntity=3, NotFound=4 (the 404 analog is covered e2e
+    in the spark-submit test above)."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    # UnProcessableEntity: input exists but holds nothing indexable
+    src = str(tmp_path / "empty_src")
+    spark.createDataFrame(
+        [("c1", 0, "user", "   ", None, None), ("c2", 0, "user", "", None, None)],
+        TRANSCRIPT_SCHEMA,
+    ).write.parquet(src)
+    rc = cli.main(["build", "--input", src, "--store", str(tmp_path / "s1")])
+    assert rc == cli.UNPROCESSABLE_EXIT == 3
+
+    # BadRequest: unreadable input location
+    rc = cli.main(
+        ["build", "--input", str(tmp_path / "no_such_dir"), "--store", str(tmp_path / "s2")]
+    )
+    assert rc == cli.BAD_REQUEST_EXIT == 2
+
+    # bad route / method: argparse rejects unknown verbs with code 2
+    with pytest.raises(SystemExit) as e:
+        cli.main(["frobnicate"])
+    assert e.value.code == 2

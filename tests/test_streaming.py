@@ -81,3 +81,54 @@ def test_windowed_counts(spark, staged):
         "SELECT window_start, sum(n_turns) AS n FROM winagg GROUP BY 1 ORDER BY 1"
     ).collect()
     assert len(per) >= 2 and all(r["n"] > 0 for r in per)
+
+
+def test_merge_stream_fold_in(spark, tmp_path_factory):
+    """Streamed conversations become queryable after merge_stream, and
+    the merged store ranks/scores EXACTLY like a batch build over the
+    union of batch + streamed transcripts."""
+    from solr_ocr_processor_spark.config import IndexConfig
+    from solr_ocr_processor_spark.operators.lifecycle import (
+        IndexStore,
+        build_store,
+        check,
+        load_block_index,
+    )
+    from solr_ocr_processor_spark.operators.wand import wand_topk
+    from solr_ocr_processor_spark.streaming.ingest import (
+        append_turns,
+        merge_stream,
+        stream_transcripts,
+    )
+
+    cfg = IndexConfig(block_size=4, range_size=8)
+    root = tmp_path_factory.mktemp("fold")
+    t = synth_transcripts(spark, n_convs=20, max_turns=8, seed=31)
+    batch = t.where("conv_id < 's000014'")
+    streamed = t.where("conv_id >= 's000014'")
+
+    store = build_store(spark, batch, str(root / "store"), cfg, n_shards=2)
+
+    src = str(root / "src")
+    streamed.write.mode("overwrite").parquet(src)
+    q = append_turns(stream_transcripts(spark, src), store.root, str(root / "ckpt"))
+    q.awaitTermination(120)
+
+    assert check(spark, store, "s000015") is False  # staged, not merged yet
+    n = merge_stream(spark, store)
+    assert n == streamed.select("conv_id").distinct().count()
+    assert check(spark, store, "s000015") is True
+
+    # re-merge is a no-op (staging consumed, idempotent)
+    assert merge_stream(spark, store) == 0
+
+    # rank identity vs a from-scratch batch build of the union:
+    # streamed conv_ids sort after batch ones, so doc ids align too
+    ref_store = build_store(spark, t, str(root / "ref_store"), cfg, n_shards=2)
+    for query in ("spark window merge", "the", "query plan index"):
+        got = wand_topk(spark, load_block_index(spark, store), query, k=10, cfg=cfg).collect()
+        want = wand_topk(spark, load_block_index(spark, ref_store), query, k=10, cfg=cfg).collect()
+        assert [(r["doc_id"], r["conv_id"]) for r in got] == [
+            (r["doc_id"], r["conv_id"]) for r in want
+        ]
+        assert all(abs(a["score"] - b["score"]) < 1e-9 for a, b in zip(got, want))
