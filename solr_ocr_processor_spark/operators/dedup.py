@@ -366,7 +366,7 @@ def embedding_near_dup(
     tau: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_rows: int = 2048,
+    block_rows: int = 4096,
 ) -> DataFrame:
     """(id1, id2, cos) pairs with cosine >= tau — blocked all-pairs
     matrix multiply, exact and fully distributed.

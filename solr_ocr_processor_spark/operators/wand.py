@@ -180,22 +180,50 @@ def wand_topk(
         # the full bound table is ~250k rows per query; the driver never
         # sees it. Ranges beyond the head simply stay in the survivor
         # pool, so exactness is unaffected by the head size.
+        HEAD = 64
         head = (
-            bounds_df.orderBy(F.desc("ub"), F.asc("range_id")).limit(64).collect()
+            bounds_df.orderBy(F.desc("ub"), F.asc("range_id")).limit(HEAD).collect()
         )
         if not head:
             return empty
+
+        scorer = _make_range_scorer(
+            cfg.range_size, k, cfg.k1, cfg.b, bidx.avgdl,
+            frozenset(exclude_doc_ids or ()),
+        )
+
+        # --- adaptive cutover: when the head holds EVERY touched range
+        # (small corpus or rare terms), theta-pruning cannot skip enough
+        # work to pay for its extra jobs — score all ranges in ONE job
+        # and take the distributed top-k directly (trivially exact).
+        # The two-phase path below is for range counts ≫ HEAD, where
+        # pruning skips the long tail.
+        if len(head) < HEAD:
+            top = (
+                qb.groupBy("range_id")
+                .applyInPandas(scorer, _TOPK_SCHEMA)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .collect()
+            )
+            if not top:
+                return empty
+            out = spark.createDataFrame(
+                [(r["doc_id"], r["score"]) for r in top],
+                "doc_id long, score double",
+            )
+            return (
+                out.join(bidx.doc_meta.select("doc_id", "conv_id"), "doc_id")
+                .select("doc_id", "conv_id", "score")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+            )
+
         seed, docs_cov = [], 0
         for r in head:
             seed.append(int(r["range_id"]))
             docs_cov += r["npost"]
             if docs_cov >= max(4 * k, 256) and len(seed) >= 2:
                 break
-
-        scorer = _make_range_scorer(
-            cfg.range_size, k, cfg.k1, cfg.b, bidx.avgdl,
-            frozenset(exclude_doc_ids or ()),
-        )
 
         # --- phase 2a: score seed ranges; theta = k-th best (k rows
         # collected — the only score rows the driver ever holds) ---
