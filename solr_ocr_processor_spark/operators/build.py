@@ -87,10 +87,20 @@ def build_postings(
         F.sum("tf").cast("long").alias("cf"),
     )
 
-    corpus = doc_meta.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_tokens"),
-        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    # Corpus stats WITHOUT the doc_len shuffle: sum(dl over docs) ==
+    # count(token rows) and n_docs comes from the (much smaller) docs
+    # frame, so avgdl needs only two counts — same longs, same double
+    # division, bit-identical value. This keeps the per-doc-id shuffle
+    # (doc_len above) off the block builder's critical path: its DAG
+    # pulls corpus for the 3 scalars but only scorers pull doc_meta.
+    corpus = (
+        mat.docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(tokens.agg(F.count(F.lit(1)).cast("long").alias("total_tokens")))
+        .select(
+            "n_docs",
+            "total_tokens",
+            (F.col("total_tokens") / F.col("n_docs")).alias("avgdl"),
+        )
     )
 
     return Index(

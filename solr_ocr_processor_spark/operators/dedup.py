@@ -19,10 +19,11 @@ Five family members over the ``documents(doc_id, text, ...)`` table:
   LSH buckets when even O(n²/B) tiles is too much.
 
 Hash discipline: every hash bottoms out in md5 (Spark ``F.md5`` ==
-DuckDB ``md5`` on the same bytes), so the DuckDB oracle can recompute
-fingerprints bit-for-bit. MinHash derives its k functions from one md5
-per shingle via Kirsch-Mitzenmacher (h1 + i*h2 mod p) — one hash
-invocation, k permutations, numpy-vectorized.
+DuckDB ``md5`` == hashlib on the same bytes), so the DuckDB oracle can
+recompute fingerprints bit-for-bit. MinHash derives its k functions
+from ONE md5 per shingle — computed JVM-side in whole-stage codegen —
+via Kirsch-Mitzenmacher (h1 + i*h2 mod p): one hash invocation, k
+permutations, numpy-vectorized over fixed-width digest bytes.
 
 Scale notes: exact pair-join explodes on common shingles (a shingle in
 m docs yields m² candidate rows); it exists as the oracle-checkable
@@ -139,50 +140,82 @@ _SIG_SCHEMA = T.StructType(
 
 
 def _minhash_bands(num_bands: int, rows_per_band: int):
-    """mapInPandas: (doc_id, shingles array) -> (doc_id, band, bucket).
+    """Streaming mapInPandas: (doc_id, hb=md5-digest-bytes) rows sorted
+    by doc_id within each partition -> (doc_id, band, bucket).
 
-    One md5 per shingle, split into two 60-bit halves (h1, h2); the
-    k = bands*rows permutations are h1 + i*h2 mod 2^61-1
-    (Kirsch-Mitzenmacher). Band bucket = tuple-hash of that band's row
-    minima. All numpy; no per-shingle Python beyond the md5 calls.
-    """
+    Shingle hashing happens JVM-SIDE (F.md5 in whole-stage codegen, see
+    minhash_lsh_pairs) — Python only reinterprets the 16 digest bytes:
+    one vectorized np.frombuffer per Arrow batch, split into two 64-bit
+    halves (h1, h2); the k = bands*rows permutations are h1 + i*h2 mod
+    2^61-1 (Kirsch-Mitzenmacher). Band bucket = md5 of that band's row
+    minima. No per-shingle Python hashing, no per-doc array column —
+    an open doc's digests carry across batch edges exactly like the
+    posting-block encoder (operators/blocks.py)."""
     import hashlib
 
     k = num_bands * rows_per_band
     iota = np.arange(1, k + 1, dtype=np.uint64)
 
     def gen(batches):
-        for pdf in batches:
-            out_doc, out_band, out_bucket = [], [], []
-            for did, sh_list in zip(pdf["doc_id"].values, pdf["shingles"].values):
-                if sh_list is None or len(sh_list) == 0:
-                    continue
-                digs = np.frombuffer(
-                    b"".join(hashlib.md5(s.encode()).digest() for s in sh_list),
-                    dtype=np.uint64,
-                ).reshape(-1, 2)
-                h1 = digs[:, 0] % np.uint64(_MERSENNE61)
-                h2 = digs[:, 1] % np.uint64(_MERSENNE61)
-                # (n_shingles, k) permutation matrix -> column minima
-                perm = (h1[:, None] + iota[None, :] * h2[:, None]) % np.uint64(
-                    _MERSENNE61
+        out_doc: list[int] = []
+        out_band: list[int] = []
+        out_bucket: list[int] = []
+        carry: list[np.ndarray] = []
+        cur_doc: int | None = None
+
+        def close_doc():
+            if cur_doc is None or not carry:
+                return
+            digs = np.concatenate(carry)
+            h1 = digs[:, 0] % np.uint64(_MERSENNE61)
+            h2 = digs[:, 1] % np.uint64(_MERSENNE61)
+            perm = (h1[:, None] + iota[None, :] * h2[:, None]) % np.uint64(
+                _MERSENNE61
+            )
+            sig = perm.min(axis=0).reshape(num_bands, rows_per_band)
+            for bi in range(num_bands):
+                bh = hashlib.md5(sig[bi].tobytes()).digest()[:8]
+                out_doc.append(cur_doc)
+                out_band.append(bi)
+                out_bucket.append(
+                    int(np.frombuffer(bh, dtype=np.uint64)[0] >> np.uint64(1))
                 )
-                sig = perm.min(axis=0).reshape(num_bands, rows_per_band)
-                # bucket id per band: md5 of the band's row minima bytes
-                for bi in range(num_bands):
-                    bh = hashlib.md5(sig[bi].tobytes()).digest()[:8]
-                    out_doc.append(did)
-                    out_band.append(bi)
-                    out_bucket.append(
-                        int(np.frombuffer(bh, dtype=np.uint64)[0] >> np.uint64(1))
-                    )
-            yield pd.DataFrame(
+            carry.clear()
+
+        def emit() -> pd.DataFrame:
+            pdf = pd.DataFrame(
                 {
                     "doc_id": pd.Series(out_doc, dtype="int64"),
                     "band": pd.Series(out_band, dtype="int32"),
                     "bucket": pd.Series(out_bucket, dtype="int64"),
                 }
             )
+            out_doc.clear()
+            out_band.clear()
+            out_bucket.clear()
+            return pdf
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dids = pdf["doc_id"].values.astype(np.int64)
+            digs = np.frombuffer(
+                b"".join(pdf["hb"].values), dtype=np.uint64
+            ).reshape(-1, 2)
+            chg = np.flatnonzero(
+                np.concatenate(([True], dids[1:] != dids[:-1]))
+            )
+            ends = np.concatenate((chg[1:], [len(pdf)]))
+            for lo, hi in zip(chg, ends):
+                if int(dids[lo]) != cur_doc:
+                    close_doc()
+                    cur_doc = int(dids[lo])
+                carry.append(digs[lo:hi])
+            if len(out_doc) >= 50_000:
+                yield emit()
+        close_doc()
+        if out_doc:
+            yield emit()
 
     return gen
 
@@ -204,10 +237,21 @@ def minhash_lsh_pairs(
     restricted to the candidate set, so no false positives survive.
     """
     sh = shingles(docs, n, text_col)
-    sh_arr = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
-    sig = sh_arr.mapInPandas(
-        _minhash_bands(num_bands, rows_per_band), _SIG_SCHEMA
+    # Shingle -> 16 md5 digest bytes in the JVM (codegen), then ONE
+    # doc_id-clustered shuffle of (doc_id, 16B) rows into the streaming
+    # signature builder. No collect_list array column (Arrow list
+    # transfer ~10x a flat column) and no shingle STRINGS ever cross
+    # into Python — only fixed-width digests.
+    num_partitions = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    hashed = sh.select(
+        "doc_id", F.unhex(F.md5(F.col("shingle").cast("binary"))).alias("hb")
+    )
+    stream = hashed.repartition(num_partitions, "doc_id").sortWithinPartitions(
+        "doc_id"
+    )
+    sig = stream.mapInPandas(_minhash_bands(num_bands, rows_per_band), _SIG_SCHEMA)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
