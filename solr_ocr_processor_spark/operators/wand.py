@@ -152,8 +152,13 @@ def wand_topk(
     # avgdl_now/avgdl_built (blocks.py module docstring), so scaling the
     # stored bound by max(1, ratio) keeps pruning exact even for shards
     # built against a stale or shard-local avgdl.
+    # The isin filter (redundant with the join semantically) is what
+    # reaches the parquet/Iceberg scan as a PushedFilter: the store
+    # writes blocks term-sorted so min/max row-group stats prune to a
+    # handful of pages per query term. A join alone pushes nothing.
     qb = (
-        bidx.blocks.join(F.broadcast(qidf), "term")
+        bidx.blocks.where(F.col("term").isin(terms))
+        .join(F.broadcast(qidf), "term")
         .withColumn(
             "max_score",
             F.col("idf")
