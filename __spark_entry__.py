@@ -86,9 +86,9 @@ def _index(spark: SparkSession, sf_dir: str) -> Index:
         # Persist the built index: queries read a *stored* index, they
         # don't re-run the build DAG (on a cluster this is the Iceberg
         # postings table; locally it's MEMORY_AND_DISK).
-        for df in (idx.tokens, idx.doc_meta, idx.term_stats, idx.mat.turns):
+        for df in (idx.postings, idx.doc_meta, idx.term_stats, idx.mat.turns):
             df.persist()
-        idx.tokens.count()
+        idx.postings.count()
         _index_cache[key] = idx
     return _index_cache[key]
 

@@ -19,12 +19,13 @@ import numpy as np
 _U64 = np.uint64
 
 
-def varint_encode(vals: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array -> bytes."""
+def _varint_encode_with_lengths(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array; also return per-value byte counts
+    (lets callers slice the stream at value-group boundaries)."""
     vals = np.ascontiguousarray(vals, dtype=_U64)
     n = vals.size
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # number of 7-bit groups per value (>=1)
     nbytes = np.ones(n, dtype=np.int64)
     v = vals >> _U64(7)
@@ -41,7 +42,34 @@ def varint_encode(vals: np.ndarray) -> bytes:
         byte = (vals[mask] >> _U64(7 * j)) & _U64(0x7F)
         cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
         out[idx] = byte.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(vals: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array -> bytes."""
+    return _varint_encode_with_lengths(vals)[0]
+
+
+def varint_slices(vals: np.ndarray, group_sizes: np.ndarray) -> list[bytes]:
+    """Varint-encode ``vals`` ONCE (vectorized), then slice the stream
+    into one bytes object per group of ``group_sizes`` values. This is
+    how the tokenizer emits per-posting byte payloads without paying a
+    numpy-call overhead per posting: one encode per document, cheap
+    slices per posting."""
+    group_sizes = np.ascontiguousarray(group_sizes, dtype=np.int64)
+    buf, nbytes = _varint_encode_with_lengths(vals)
+    if group_sizes.size == 0:
+        return []
+    starts = np.zeros(group_sizes.size, dtype=np.int64)
+    np.cumsum(group_sizes[:-1], out=starts[1:])
+    if nbytes.size:
+        glen = np.add.reduceat(nbytes, starts)
+        glen[group_sizes == 0] = 0
+    else:
+        glen = np.zeros(group_sizes.size, dtype=np.int64)
+    offs = np.zeros(group_sizes.size + 1, dtype=np.int64)
+    np.cumsum(glen, out=offs[1:])
+    return [buf[offs[i]: offs[i + 1]] for i in range(group_sizes.size)]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
@@ -99,21 +127,56 @@ def encode_positions(tfs: np.ndarray, flat_positions: np.ndarray) -> bytes:
     return varint_encode(gaps.astype(_U64))
 
 
-def decode_positions(tfs: np.ndarray, buf: bytes) -> np.ndarray:
-    """Inverse of :func:`encode_positions` -> flat int64 positions."""
-    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
-    gaps = varint_decode(buf).astype(np.int64)
+def _segmented_cumsum(gaps: np.ndarray, group_sizes: np.ndarray) -> np.ndarray:
+    """Cumulative sum that restarts at each group boundary (the first
+    value of every group is absolute, the rest are deltas)."""
     if gaps.size == 0:
         return gaps
-    # segmented cumsum: subtract each segment-start's running offset
     out = np.cumsum(gaps)
-    starts = np.zeros(tfs.size, dtype=np.int64)
-    np.cumsum(tfs[:-1], out=starts[1:])
-    seg_base = np.zeros(gaps.size, dtype=np.int64)
-    # carry = cumulative sum just before each segment start
+    starts = np.zeros(group_sizes.size, dtype=np.int64)
+    np.cumsum(group_sizes[:-1], out=starts[1:])
     carry = out[starts] - gaps[starts]
     gid = np.zeros(gaps.size, dtype=np.int64)
     gid[starts[1:]] = 1
     gid = np.cumsum(gid)
-    seg_base = carry[gid]
-    return out - seg_base
+    return out - carry[gid]
+
+
+def decode_positions(tfs: np.ndarray, buf: bytes) -> np.ndarray:
+    """Inverse of :func:`encode_positions` -> flat int64 positions."""
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    gaps = varint_decode(buf).astype(np.int64)
+    return _segmented_cumsum(gaps, tfs)
+
+
+def gap_reset(vals: np.ndarray, group_sizes: np.ndarray) -> np.ndarray:
+    """Delta-encode with a reset at every group boundary: first value
+    of each group absolute, the rest gaps. Inverse of
+    :func:`_segmented_cumsum`."""
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    if v.size == 0:
+        return v
+    gaps = np.empty_like(v)
+    gaps[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=gaps[1:])
+    starts = np.zeros(group_sizes.size, dtype=np.int64)
+    np.cumsum(np.ascontiguousarray(group_sizes, dtype=np.int64)[:-1], out=starts[1:])
+    gaps[starts] = v[starts]
+    return gaps
+
+
+def decode_locs(tfs: np.ndarray, buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a per-posting location stream -> (char_starts, char_ends).
+
+    The stream interleaves, per occurrence, (start gap, length) as
+    varints; start gaps reset at each posting boundary (tfs gives the
+    occurrence count per posting). Built by the tokenizer via
+    :func:`varint_slices`."""
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    vals = varint_decode(buf).astype(np.int64)
+    if vals.size == 0:
+        return vals, vals
+    pairs = vals.reshape(-1, 2)
+    starts = _segmented_cumsum(np.ascontiguousarray(pairs[:, 0]), tfs)
+    ends = starts + pairs[:, 1]
+    return starts, ends

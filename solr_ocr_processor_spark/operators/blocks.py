@@ -58,14 +58,13 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import DEFAULT, IndexConfig
 from ..functions.bm25 import tf_norm
-from ..functions.codec import delta_encode, encode_positions, varint_encode
+from ..functions.codec import delta_encode, varint_encode
 from .build import Index
 
 BLOCK_SCHEMA = T.StructType(
@@ -101,25 +100,23 @@ def _encode_group(
     out: dict,
     term: str,
     range_id: int,
-    dids: np.ndarray,
-    toks: np.ndarray,
-    dl_all: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    pos_payloads: list[bytes],
     block_size: int,
     avgdl: float,
     k1: float,
     b: float,
 ) -> None:
-    """Encode ONE (term, range) group's sorted flat rows into blocks,
-    appending to the column buffers. Per-doc grouping is numpy run
-    boundaries — rows arrive sorted by (doc_id, token_pos)."""
-    bound = np.flatnonzero(np.concatenate(([True], dids[1:] != dids[:-1])))
-    doc_ids = dids[bound]
-    dls = dl_all[bound]
-    tfs = np.diff(np.concatenate((bound, [dids.size])))
+    """Encode ONE (term, range) group's posting rows (sorted by doc_id)
+    into blocks, appending to the column buffers. Positions are already
+    delta+varint per posting (tokenizer payload); a block's position
+    stream is the byte CONCATENATION of its postings' payloads — the
+    codec resets deltas at posting boundaries, so no re-encode."""
     for bi, lo in enumerate(range(0, len(doc_ids), block_size)):
         hi = min(lo + block_size, len(doc_ids))
         d, t, l = doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi]
-        flat_pos = toks[bound[lo] : bound[hi] if hi < len(doc_ids) else dids.size]
         out["term"].append(term)
         out["range_id"].append(range_id)
         out["block_id"].append(bi)
@@ -132,91 +129,110 @@ def _encode_group(
         out["doc_ids"].append(delta_encode(d.astype(np.uint64)))
         out["tfs"].append(varint_encode(t.astype(np.uint64)))
         out["dls"].append(varint_encode(l.astype(np.uint64)))
-        out["positions"].append(encode_positions(t, flat_pos))
+        out["positions"].append(b"".join(pos_payloads[lo:hi]))
 
 
-def _make_block_builder(block_size: int, avgdl: float, k1: float, b: float):
-    """Partition-streaming encoder: consumes FLAT token rows sorted by
-    (term, range_id, doc_id, token_pos) within a hash-partitioned
-    stream and emits block rows for every complete group.
+def _make_block_builder(
+    block_size: int, range_size: int, avgdl: float, k1: float, b: float
+):
+    """Partition-streaming encoder: consumes POSTING rows sorted by
+    (term, range_id, doc_id) within a hash-partitioned stream and
+    emits block rows for every complete group.
 
-    This is mapInPandas, NOT groupBy().applyInPandas: Spark's
-    grouped-map materializes one pandas DataFrame per group, and at
-    ~half a million (term, range) groups the per-group overhead
-    dominates the encode (measured). Here group boundaries are found
-    vectorized inside each Arrow batch and only the open group at a
-    batch edge is buffered across batches."""
+    This is mapInARROW, not mapInPandas and not groupBy().applyInPandas:
+
+    - grouped-map materializes one pandas DataFrame per group, and at
+      ~half a million (term, range) groups the per-group overhead
+      dominates the encode (measured round 1);
+    - mapInPandas converts the term column to per-row Python str
+      objects. Arrow batches keep terms as a string array;
+      ``dictionary_encode`` turns them into int32 codes, group
+      boundaries come from vectorized code/range comparisons, and
+      exactly ONE Python string materializes per (term, range) group —
+      the one written to the block row. Position payloads arrive
+      pre-encoded per posting and are concatenated, never re-encoded.
+    """
+    import pyarrow as pa
+
+    out_fields = [
+        ("term", pa.string()),
+        ("range_id", pa.int64()),
+        ("block_id", pa.int32()),
+        ("first_doc", pa.int64()),
+        ("last_doc", pa.int64()),
+        ("n_docs", pa.int32()),
+        ("sum_tf", pa.int64()),
+        ("max_tfnorm", pa.float64()),
+        ("avgdl", pa.float64()),
+        ("doc_ids", pa.binary()),
+        ("tfs", pa.binary()),
+        ("dls", pa.binary()),
+        ("positions", pa.binary()),
+    ]
+    arrow_schema = pa.schema(out_fields)
 
     def gen(batches):
-        cols = ("term", "range_id", "doc_id", "token_pos", "dl")
-        out: dict[str, list] = {
-            k: []
-            for k in (
-                "term", "range_id", "block_id", "first_doc", "last_doc",
-                "n_docs", "sum_tf", "max_tfnorm", "avgdl", "doc_ids", "tfs",
-                "dls", "positions",
-            )
-        }
+        import pyarrow.compute as pc
+
+        out: dict[str, list] = {name: [] for name, _ in out_fields}
         # open-group carry across Arrow batches
         carry: list[tuple[np.ndarray, ...]] = []
         cur_key: tuple | None = None
 
-        def emit() -> pd.DataFrame:
-            pdf = pd.DataFrame(
-                {
-                    "term": pd.Series(out["term"], dtype="object"),
-                    "range_id": pd.Series(out["range_id"], dtype="int64"),
-                    "block_id": pd.Series(out["block_id"], dtype="int32"),
-                    "first_doc": pd.Series(out["first_doc"], dtype="int64"),
-                    "last_doc": pd.Series(out["last_doc"], dtype="int64"),
-                    "n_docs": pd.Series(out["n_docs"], dtype="int32"),
-                    "sum_tf": pd.Series(out["sum_tf"], dtype="int64"),
-                    "max_tfnorm": pd.Series(out["max_tfnorm"], dtype="float64"),
-                    "avgdl": pd.Series(out["avgdl"], dtype="float64"),
-                    "doc_ids": pd.Series(out["doc_ids"], dtype="object"),
-                    "tfs": pd.Series(out["tfs"], dtype="object"),
-                    "dls": pd.Series(out["dls"], dtype="object"),
-                    "positions": pd.Series(out["positions"], dtype="object"),
-                }
+        def emit() -> "pa.RecordBatch":
+            rb = pa.RecordBatch.from_arrays(
+                [pa.array(out[name], type=typ) for name, typ in out_fields],
+                schema=arrow_schema,
             )
             for k in out:
                 out[k] = []
-            return pdf
+            return rb
 
         def close_group():
             nonlocal carry
             if cur_key is None or not carry:
                 return
             dids = np.concatenate([c[0] for c in carry])
-            toks = np.concatenate([c[1] for c in carry])
+            tfs = np.concatenate([c[1] for c in carry])
             dls = np.concatenate([c[2] for c in carry])
+            payloads: list[bytes] = []
+            for c in carry:
+                payloads.extend(c[3])
             _encode_group(
-                out, cur_key[0], int(cur_key[1]), dids, toks, dls,
+                out, cur_key[0], int(cur_key[1]), dids, tfs, dls, payloads,
                 block_size, avgdl, k1, b,
             )
             carry = []
 
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            terms = pdf["term"].values
-            ranges = pdf["range_id"].values.astype(np.int64)
-            dids = pdf["doc_id"].values.astype(np.int64)
-            toks = pdf["token_pos"].values.astype(np.int64)
-            dls = pdf["dl"].values.astype(np.int64)
-            # group boundary where term or range changes
+            gi = rb.schema.get_field_index
+            tdict = pc.dictionary_encode(rb.column(gi("term")))
+            codes = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = tdict.dictionary
+            dids = rb.column(gi("doc_id")).to_numpy().astype(np.int64)
+            tfs = rb.column(gi("tf")).to_numpy().astype(np.int64)
+            dls = rb.column(gi("dl")).to_numpy().astype(np.int64)
+            payloads = rb.column(gi("pos_bytes")).to_pylist()
+            # range_id derived, not transferred: one fewer value per row
+            # through the expensive JVM->Python direction
+            ranges = dids // np.int64(range_size)
+            # group boundary where term code or range changes
             chg = np.flatnonzero(
                 np.concatenate(
-                    ([True], (terms[1:] != terms[:-1]) | (ranges[1:] != ranges[:-1]))
+                    ([True], (codes[1:] != codes[:-1]) | (ranges[1:] != ranges[:-1]))
                 )
             )
-            ends = np.concatenate((chg[1:], [len(pdf)]))
+            ends = np.concatenate((chg[1:], [rb.num_rows]))
             for lo, hi in zip(chg, ends):
-                key = (terms[lo], ranges[lo])
+                key = (vocab[codes[lo]].as_py(), int(ranges[lo]))
                 if key != cur_key:
                     close_group()
                     cur_key = key
-                carry.append((dids[lo:hi], toks[lo:hi], dls[lo:hi]))
+                carry.append(
+                    (dids[lo:hi], tfs[lo:hi], dls[lo:hi], payloads[lo:hi])
+                )
             if len(out["term"]) >= 20_000:
                 yield emit()
         close_group()
@@ -252,19 +268,23 @@ def build_block_index(
         n_docs, avgdl = int(crow["n_docs"]), float(crow["avgdl"])
 
     num_partitions = int(
-        index.tokens.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        index.postings.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     flat = (
-        index.tokens.withColumn(
+        index.postings.withColumn(
             "range_id", (F.col("doc_id") / F.lit(cfg.range_size)).cast("long")
         )
-        .select("term", "range_id", "doc_id", "token_pos", "dl")
-        # hash-cluster groups, order rows: the one shuffle of the build
+        # hash-cluster groups, order rows: the one shuffle of the build.
+        # range_id exists only as the partition/sort key — it is NOT
+        # selected into the Python transfer (derived from doc_id there).
         .repartition(num_partitions, "term", "range_id")
-        .sortWithinPartitions("term", "range_id", "doc_id", "token_pos")
+        .sortWithinPartitions("term", "range_id", "doc_id")
+        .select("term", "doc_id", "tf", "dl", "pos_bytes")
     )
-    builder = _make_block_builder(cfg.block_size, avgdl, cfg.k1, cfg.b)
-    blocks = flat.mapInPandas(builder, BLOCK_SCHEMA)
+    builder = _make_block_builder(
+        cfg.block_size, cfg.range_size, avgdl, cfg.k1, cfg.b
+    )
+    blocks = flat.mapInArrow(builder, BLOCK_SCHEMA)
 
     return BlockIndex(
         blocks=blocks,

@@ -7,21 +7,25 @@ max-score metadata.
 
 Two layers:
 
-- ``build_postings`` (M1): the **flat positional token table**
-  ``tokens(doc_id, token_pos, term, char_start, char_end, dl)`` plus
-  corpus stats. This IS the positional index in columnar form — one
-  row per token occurrence, doc length denormalized on. There is
-  deliberately NO collect_list / array column anywhere: list columns
-  cost ~10x in Arrow->JVM conversion and grouping into per-doc arrays
-  is work the block encoder does vectorized in numpy anyway. Query
-  operators filter by term FIRST (dictionary pre-filter), so the flat
-  layout never forces a full-width scan at query time; at rest the
-  table is written term-bucketed so term filters prune files.
+- ``build_postings`` (M1): the **posting table**
+  ``postings(doc_id, term, tf, dl, pos_bytes, loc_bytes)`` plus corpus
+  stats — one row per (doc, term), with that posting's token positions
+  and highlight char spans pre-packed as delta+varint byte payloads by
+  the tokenizer (functions/tokenizer.py::tokenize_postings). This is
+  the classic IR posting as a Spark row. Positions travel as ONE
+  binary value per row because Spark's JVM->Python Arrow writer costs
+  ~1 µs per value regardless of type (measured) — a row per token made
+  the block shuffle transfer-bound. Query operators filter by term
+  FIRST (dictionary pre-filter) and only then decode payloads; at rest
+  the table is written term-bucketed so term filters prune files. The
+  flat one-row-per-token view still exists (``Index.tokens``) as a
+  vectorized decode for tests and post-filter query steps.
 
 - ``build_block_index`` (operators/blocks.py, M2): compressed posting
-  BLOCKS — delta+varint doc-id gaps, tf/dl/position streams, per-block
-  max_score for block-max WAND — built straight from the flat table
-  with one groupBy(term, range_id) shuffle.
+  BLOCKS — delta+varint doc-id gaps, tf/dl streams, concatenated
+  position payloads, per-block max_score for block-max WAND — built
+  straight from the posting table with one groupBy(term, range_id)
+  shuffle.
 """
 
 from __future__ import annotations
@@ -32,27 +36,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, IndexConfig
-from ..functions.tokenizer import tokenize_turns
+from ..functions.tokenizer import flat_tokens, tokenize_postings
 from ..plans.materialize import Materialized, materialize_docs
 
 
 @dataclass
 class Index:
-    tokens: DataFrame     # doc_id, token_pos, term, char_start, char_end, dl
+    postings: DataFrame   # doc_id, term, tf, dl, pos_bytes, loc_bytes
     doc_meta: DataFrame   # doc_id, conv_id, dl, n_turns, n_chars [, doc_text if full]
     term_stats: DataFrame # term, df, cf
     corpus: DataFrame     # single row: n_docs, avgdl, total_tokens
     mat: Materialized
 
     @property
-    def postings(self) -> DataFrame:
-        """(term, doc_id, tf, dl) — classic posting rows, derived on
-        demand. Callers that can pre-filter by term should filter
-        ``tokens`` first instead (see bm25_scores)."""
-        return self.tokens.groupBy("term", "doc_id").agg(
-            F.count(F.lit(1)).cast("int").alias("tf"),
-            F.first("dl").alias("dl"),
-        )
+    def tokens(self) -> DataFrame:
+        """Flat positional token view (doc_id, token_pos, term,
+        char_start, char_end, dl) — a vectorized DECODE of the posting
+        table, for tests and for query steps that already filtered by
+        term. Not a stored table."""
+        return flat_tokens(self.postings)
 
 
 def build_postings(
@@ -63,13 +65,13 @@ def build_postings(
     mat = materialize_docs(
         transcripts, doc_map, with_text=(cfg.index_type == "full")
     )
-    # docs feeds doc_meta; tokens feed blocks, dl, and stats. Persist
+    # docs feeds doc_meta; postings feed blocks, dl, and stats. Persist
     # both hubs so each subtree runs once.
     mat.docs.persist()
-    tokens = tokenize_turns(mat.turns, cfg).persist()
+    postings = tokenize_postings(mat.turns, cfg).persist()
 
-    # Doc lengths in tokens — dl is constant per doc on token rows.
-    doc_len = tokens.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    # Doc lengths — dl is constant per doc on posting rows.
+    doc_len = postings.groupBy("doc_id").agg(F.max("dl").alias("dl"))
     doc_cols = ["doc_id", "conv_id", "n_turns", "n_chars"]
     if cfg.index_type == "full":
         doc_cols.append("doc_text")  # inline text (reference "full" indexing)
@@ -77,25 +79,26 @@ def build_postings(
         {"dl": 0}
     )
 
-    # df/cf per term: two-level aggregation, both with map-side partial
-    # combine; only (term, doc_id) pairs shuffle, never positions.
-    per_doc = tokens.groupBy("term", "doc_id").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    term_stats = per_doc.groupBy("term").agg(
+    # df/cf per term: ONE aggregation with map-side partial combine —
+    # posting rows already carry tf, so no (term, doc) pre-agg exists.
+    term_stats = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
     )
 
     # Corpus stats WITHOUT the doc_len shuffle: sum(dl over docs) ==
-    # count(token rows) and n_docs comes from the (much smaller) docs
-    # frame, so avgdl needs only two counts — same longs, same double
-    # division, bit-identical value. This keeps the per-doc-id shuffle
-    # (doc_len above) off the block builder's critical path: its DAG
-    # pulls corpus for the 3 scalars but only scorers pull doc_meta.
+    # sum(tf over postings) and n_docs comes from the (much smaller)
+    # docs frame, so avgdl needs two tiny aggs — same longs, same
+    # double division, bit-identical value. This keeps the per-doc-id
+    # shuffle (doc_len above) off the block builder's critical path:
+    # its DAG pulls corpus for the 3 scalars, only scorers pull doc_meta.
     corpus = (
         mat.docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .crossJoin(tokens.agg(F.count(F.lit(1)).cast("long").alias("total_tokens")))
+        .crossJoin(
+            postings.agg(
+                F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("total_tokens")
+            )
+        )
         .select(
             "n_docs",
             "total_tokens",
@@ -104,7 +107,7 @@ def build_postings(
     )
 
     return Index(
-        tokens=tokens,
+        postings=postings,
         doc_meta=doc_meta,
         term_stats=term_stats,
         corpus=corpus,

@@ -19,7 +19,7 @@ Store layout (parquet locally; Iceberg tables on a cluster — same
 relational shape, swap the writer):
 
     {root}/doc_map/                 doc_id <-> conv_id (checkpointed sort)
-    {root}/tokens/shard=K/          flat positional token table, shard K
+    {root}/postings/shard=K/        posting rows (tf/dl + packed payloads)
     {root}/blocks/shard=K/          compressed posting blocks
     {root}/doc_meta/shard=K/
     {root}/term_stats/              global dictionary (finalize step)
@@ -160,8 +160,8 @@ def build_store(
         idx = build_postings(shard_t, cfg, doc_map=convs)
         bidx = build_block_index(idx, cfg, corpus_stats=global_stats)
 
-        idx.tokens.write.mode("overwrite").parquet(
-            store.path(f"tokens/shard={shard}")
+        idx.postings.write.mode("overwrite").parquet(
+            store.path(f"postings/shard={shard}")
         )
         # Cluster + sort by term so query-time `term IN (...)` filters
         # prune parquet row groups via min/max stats (the file-level
@@ -199,7 +199,7 @@ def build_store(
         n_convs, n_turns = int(meta_row["n_convs"]), int(meta_row["n_turns"] or 0)
         n_blocks = int(blk_row["n_blocks"])
         n_postings = int(blk_row["n_postings"] or 0)
-        idx.tokens.unpersist()
+        idx.postings.unpersist()
         idx.mat.docs.unpersist()
         wall = time.perf_counter() - t0
         row = [
@@ -223,16 +223,11 @@ def finalize_store(spark: SparkSession, store: IndexStore) -> None:
     from every shard's persisted tables. Shared by the initial sharded
     build and by streaming fold-in (merge_stream), which appends a new
     shard and must refresh the globals the query side scores with."""
-    tokens = spark.read.parquet(store.path("tokens"))
+    postings = spark.read.parquet(store.path("postings"))
     doc_meta = spark.read.parquet(store.path("doc_meta"))
-    term_stats = (
-        tokens.groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .groupBy("term")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("df"),
-            F.sum("tf").cast("long").alias("cf"),
-        )
+    term_stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
     )
     term_stats.write.mode("overwrite").parquet(store.path("term_stats"))
     corpus = doc_meta.agg(
@@ -304,23 +299,18 @@ def compact(spark: SparkSession, store: IndexStore) -> None:
         return
     import numpy as np  # noqa: F401
 
-    for name in ("tokens", "doc_meta"):
+    for name in ("postings", "doc_meta"):
         df = spark.read.parquet(store.path(name)).join(dead, "doc_id", "left_anti")
         tmp = store.path(f"_{name}_compact")
         df.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite").parquet(store.path(name))
     # blocks must be re-encoded (a dead doc may sit mid-block): rebuild
-    # from the compacted token table via the same block builder.
-    tokens = spark.read.parquet(store.path("tokens"))
+    # from the compacted posting table via the same block builder.
+    postings = spark.read.parquet(store.path("postings"))
     doc_meta = spark.read.parquet(store.path("doc_meta"))
-    term_stats = (
-        tokens.groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .groupBy("term")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("df"),
-            F.sum("tf").cast("long").alias("cf"),
-        )
+    term_stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
     )
     corpus = doc_meta.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -338,7 +328,7 @@ def compact(spark: SparkSession, store: IndexStore) -> None:
     from ..plans.materialize import Materialized
 
     pseudo = Index(
-        tokens=tokens,
+        postings=postings,
         doc_meta=doc_meta,
         term_stats=term_stats,
         corpus=corpus,
@@ -358,7 +348,7 @@ def compact(spark: SparkSession, store: IndexStore) -> None:
     import shutil
 
     shutil.rmtree(store.path("tombstones"), ignore_errors=True)
-    for t in ("_tokens_compact", "_doc_meta_compact", "_blocks_compact"):
+    for t in ("_postings_compact", "_doc_meta_compact", "_blocks_compact"):
         shutil.rmtree(store.path(t), ignore_errors=True)
 
 

@@ -81,12 +81,46 @@ def boolean_not_topk(
     scored = bm25_scores(spark, index, positive, cfg=cfg)
     neg_terms = query_terms(negative, cfg)
     if neg_terms:
-        ntdf = spark.createDataFrame([(t,) for t in neg_terms], "term string")
+        # posting rows are already one per (term, doc): the negative
+        # doc set needs no distinct beyond the multi-term union
         neg_docs = (
-            index.tokens.join(F.broadcast(ntdf), "term").select("doc_id").distinct()
+            index.postings.where(F.col("term").isin(neg_terms))
+            .select("doc_id")
+            .distinct()
         )
         scored = scored.join(neg_docs, "doc_id", "left_anti")
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _term_positions(index: Index, term: str) -> DataFrame:
+    """(doc_id, token_pos) occurrences of ONE term — dictionary filter
+    on the posting table (parquet-prunable), then a vectorized decode
+    of the filtered rows' position payloads. The decode only ever sees
+    one term's postings, never the corpus."""
+    import pandas as pd
+
+    sub = index.postings.where(F.col("term") == term).select(
+        "doc_id", "tf", "pos_bytes"
+    )
+
+    def _decode(batches):
+        import numpy as np
+
+        from ..functions.codec import decode_positions
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tfs = pdf["tf"].values.astype(np.int64)
+            pos = decode_positions(tfs, b"".join(pdf["pos_bytes"].values))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].values.astype(np.int64), tfs),
+                    "token_pos": pos,
+                }
+            )
+
+    return sub.mapInPandas(_decode, "doc_id long, token_pos long")
 
 
 def _phrase_anchors(index: Index, phrase_terms: list[str]) -> DataFrame:
@@ -94,9 +128,7 @@ def _phrase_anchors(index: Index, phrase_terms: list[str]) -> DataFrame:
     position ``anchor``."""
     anchors: DataFrame | None = None
     for i, t in enumerate(phrase_terms):
-        # Flat positional table: no explode needed — token rows ARE
-        # (doc_id, position) pairs after the dictionary filter.
-        pos_i = index.tokens.where(F.col("term") == t).select(
+        pos_i = _term_positions(index, t).select(
             "doc_id", (F.col("token_pos") - F.lit(i)).alias("anchor")
         )
         anchors = pos_i if anchors is None else anchors.join(

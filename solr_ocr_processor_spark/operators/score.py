@@ -72,18 +72,15 @@ def bm25_scores(
     qidf, _, avgdl = _query_idf(spark, index, terms)
 
     k1, b = float(cfg.k1), float(cfg.b)
-    # Broadcast-join the tiny query-term table against the FLAT token
-    # table first (dictionary pre-filter: only matching term rows
-    # survive the scan), then aggregate tf — so the (term, doc_id)
-    # grouping only ever sees query-term rows, never the whole corpus.
+    # Broadcast-join the tiny query-term table against the POSTING
+    # table (dictionary pre-filter: only matching term rows survive
+    # the scan — with an isin filter so parquet row groups prune too).
+    # Posting rows already carry tf and dl, so there is NO per-(term,
+    # doc) aggregation at query time at all.
     per_term = (
-        index.tokens.join(F.broadcast(qidf), "term")
-        .groupBy("term", "doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("tf"),
-            F.first("dl").alias("dl"),
-            F.first("idf").alias("idf"),
-        )
+        index.postings.where(F.col("term").isin(terms))
+        .join(F.broadcast(qidf), "term")
+        .select("term", "doc_id", "tf", "dl", "idf")
     )
     scored = (
         per_term.join(index.doc_meta.select("doc_id", "conv_id"), "doc_id")
@@ -155,18 +152,41 @@ def highlights(
     """
     terms = query_terms(query, cfg)
     top = bm25_topk(spark, index, query, k, cfg)
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
 
-    matched = (
-        index.tokens.join(F.broadcast(top.select("doc_id", "score")), "doc_id")
-        .join(F.broadcast(tdf), "term")
-        .select(
-            "doc_id",
-            "term",
-            "score",
-            F.col("char_start").alias("tok_start"),
-            F.col("char_end").alias("tok_end"),
-        )
+    # Matched postings for the winners only (term pre-filter + top-k
+    # doc join), THEN decode their loc payloads — the late-
+    # materialization analog of resolving lazy content post-ranking.
+    matched_postings = (
+        index.postings.where(F.col("term").isin(terms))
+        .join(F.broadcast(top.select("doc_id", "score")), "doc_id")
+        .select("doc_id", "term", "tf", "score", "loc_bytes")
+    )
+
+    import pandas as pd
+
+    def _decode(batches):
+        import numpy as np
+
+        from ..functions.codec import decode_locs
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tfs = pdf["tf"].values.astype(np.int64)
+            starts, ends = decode_locs(tfs, b"".join(pdf["loc_bytes"].values))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].values.astype(np.int64), tfs),
+                    "term": np.repeat(pdf["term"].values, tfs),
+                    "score": np.repeat(pdf["score"].values, tfs),
+                    "tok_start": starts,
+                    "tok_end": ends,
+                }
+            )
+
+    matched = matched_postings.mapInPandas(
+        _decode,
+        "doc_id long, term string, score double, tok_start long, tok_end long",
     )
     turns = index.mat.turns.select(
         "doc_id", "conv_id", "turn_idx", "char_start", "char_end"

@@ -183,7 +183,9 @@ def merge_stream(spark: SparkSession, store) -> int:
          .select("shard").collect()),
         default=-1,
     )
-    idx.tokens.write.mode("overwrite").parquet(store.path(f"tokens/shard={shard}"))
+    idx.postings.write.mode("overwrite").parquet(
+        store.path(f"postings/shard={shard}")
+    )
     idx.doc_meta.write.mode("overwrite").parquet(
         store.path(f"doc_meta/shard={shard}")
     )
@@ -232,7 +234,7 @@ def merge_stream(spark: SparkSession, store) -> int:
         store.path("manifest")
     )
     new_map.unpersist()
-    idx.tokens.unpersist()
+    idx.postings.unpersist()
     idx.mat.docs.unpersist()
     shutil.rmtree(staged_path, ignore_errors=True)
     return n_new
