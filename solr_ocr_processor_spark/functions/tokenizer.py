@@ -76,121 +76,6 @@ def query_terms(query: str, cfg: IndexConfig = DEFAULT) -> list[str]:
     return list(seen)
 
 
-def tokenize_turns(
-    turns: DataFrame,
-    cfg: IndexConfig = DEFAULT,
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Tokenize documents WITHOUT ever materializing doc_text.
-
-    Input: the materialized turns frame (doc_id, conv_id, ordinal,
-    text, char_start). The pass repartitions by conv_id, sorts turns
-    within partitions, and streams them through one stateful
-    mapInPandas: per conversation it keeps a running token counter and
-    emits token rows with doc-global token_pos and char offsets
-    (turn.char_start + match offset). Because the token pattern cannot
-    match across the single-space joiner, per-turn tokenization is
-    EXACTLY doc-level tokenization of the joined text — verified
-    against the pandas oracle (which does join) in rank-identity tests.
-
-    Why: assembling doc_text via groupBy+collect_list+array_sort was
-    the single most expensive and worst-scaling stage of the build
-    (JVM string/array garbage, measured >2 min at 12M turns on 32
-    cores). This pass shuffles only turn rows, assembles nothing, and
-    its Python cost is the regex scan itself.
-
-    State discipline: a conversation's turns can span Arrow batch
-    boundaries within a partition (batches arrive in partition sort
-    order), so the generator buffers the open conversation and flushes
-    completed ones; dl backfills when a conversation closes.
-    """
-    pat_src = cfg.token_pattern
-    do_nfkc, do_fold = cfg.unicode_nfkc, cfg.casefold
-    if num_partitions is None:
-        num_partitions = int(
-            turns.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-
-    part = (
-        turns.select("doc_id", "conv_id", "ordinal", "text", "char_start")
-        .repartition(num_partitions, "conv_id")
-        .sortWithinPartitions("conv_id", "ordinal")
-    )
-
-    # Yield in moderate chunks: one huge burst can fill the worker's
-    # output socket faster than the JVM drains it under concurrent
-    # stages (observed as a tcp send-buffer stall at 12M turns).
-    FLUSH_ROWS = 50_000
-
-    def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pat = re.compile(pat_src)
-        out = {k: [] for k in ("doc_id", "token_pos", "term", "char_start", "char_end", "dl")}
-        # open-conversation buffer: rows already tokenized but dl unknown
-        cur_conv = None
-        cur_doc = -1
-        cur_n = 0  # running token count of the open conv
-        buf: list[tuple[int, str, int, int]] = []  # (pos, term, start, end)
-
-        def close_conv():
-            nonlocal buf, cur_n
-            if cur_conv is not None and buf:
-                out["doc_id"].extend([cur_doc] * len(buf))
-                out["dl"].extend([cur_n] * len(buf))
-                for p, term, s, e in buf:
-                    out["token_pos"].append(p)
-                    out["term"].append(term)
-                    out["char_start"].append(s)
-                    out["char_end"].append(e)
-            buf = []
-            cur_n = 0
-
-        def emit() -> pd.DataFrame:
-            pdf = pd.DataFrame(
-                {
-                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-                    "token_pos": pd.Series(out["token_pos"], dtype="int32"),
-                    "term": pd.Series(out["term"], dtype="object"),
-                    "char_start": pd.Series(out["char_start"], dtype="int64"),
-                    "char_end": pd.Series(out["char_end"], dtype="int64"),
-                    "dl": pd.Series(out["dl"], dtype="int64"),
-                }
-            )
-            for k in out:
-                out[k] = []
-            return pdf
-
-        for pdf_in in batches:
-            for did, conv, text, cstart in zip(
-                pdf_in["doc_id"].values,
-                pdf_in["conv_id"].values,
-                pdf_in["text"].values,
-                pdf_in["char_start"].values,
-            ):
-                if conv != cur_conv:
-                    close_conv()
-                    cur_conv, cur_doc = conv, did
-                    if len(out["doc_id"]) >= FLUSH_ROWS:
-                        yield emit()
-                if text is None:
-                    continue
-                s = text
-                if do_nfkc:
-                    s = unicodedata.normalize("NFKC", s)
-                if do_fold:
-                    s = s.casefold()
-                base = int(cstart)
-                for m in pat.finditer(s):
-                    buf.append((cur_n, m.group(0), base + m.start(), base + m.end()))
-                    cur_n += 1
-            if len(out["doc_id"]) >= FLUSH_ROWS:  # closed convs only
-                yield emit()
-        close_conv()
-        if out["doc_id"]:
-            yield emit()
-
-    return part.mapInPandas(_tok, TOKEN_SCHEMA)
-
-
 POSTING_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -430,57 +315,3 @@ def count_turn_tokens(turns: DataFrame, cfg: IndexConfig = DEFAULT) -> DataFrame
             )
 
     return turns.select("conv_id", "text").mapInPandas(_count, out_schema)
-
-
-def tokenize_docs(docs: DataFrame, cfg: IndexConfig = DEFAULT) -> DataFrame:
-    """doc-level tokenization: (doc_id, doc_text) -> token rows.
-
-    mapInPandas: each Arrow batch of docs explodes to token rows with
-    positions + offsets computed by a compiled regex over the
-    normalized doc text. Vectorized at the batch level; the regex scan
-    per doc is C-speed (re module), no Python per-token loop beyond
-    list building.
-    """
-    pat_src = cfg.token_pattern
-    do_nfkc, do_fold = cfg.unicode_nfkc, cfg.casefold
-
-    def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pat = re.compile(pat_src)
-        for pdf in batches:
-            doc_ids: list[int] = []
-            poss: list[int] = []
-            terms: list[str] = []
-            starts: list[int] = []
-            ends: list[int] = []
-            dls: list[int] = []
-            for did, text in zip(pdf["doc_id"].values, pdf["doc_text"].values):
-                if text is None:
-                    continue
-                s = text
-                if do_nfkc:
-                    s = unicodedata.normalize("NFKC", s)
-                if do_fold:
-                    s = s.casefold()
-                first = len(poss)
-                for i, m in enumerate(pat.finditer(s)):
-                    doc_ids.append(did)
-                    poss.append(i)
-                    terms.append(m.group(0))
-                    starts.append(m.start())
-                    ends.append(m.end())
-                # dl (doc token count) denormalized onto every token row
-                # — BM25's length norm without ever joining doc_meta in
-                # the hot path (1 varint in blocks; constant col here).
-                dls.extend([len(poss) - first] * (len(poss) - first))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(doc_ids, dtype="int64"),
-                    "token_pos": pd.Series(poss, dtype="int32"),
-                    "term": pd.Series(terms, dtype="object"),
-                    "char_start": pd.Series(starts, dtype="int64"),
-                    "char_end": pd.Series(ends, dtype="int64"),
-                    "dl": pd.Series(dls, dtype="int64"),
-                }
-            )
-
-    return docs.select("doc_id", "doc_text").mapInPandas(_tok, TOKEN_SCHEMA)
