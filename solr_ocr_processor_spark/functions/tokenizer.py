@@ -130,7 +130,12 @@ def tokenize_postings(
         .sortWithinPartitions("conv_id", "ordinal")
     )
 
-    FLUSH_ROWS = 50_000
+    # Flush granularity: the numpy encode (lexsort + delta + varint)
+    # runs once per ~this many buffered tokens, amortizing numpy call
+    # overhead across hundreds of conversations — a per-conversation
+    # encode measured ~150 µs of fixed numpy overhead per conv, which
+    # at 500k convs dominated the tokenizer.
+    FLUSH_TOKENS = 200_000
 
     def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -138,63 +143,64 @@ def tokenize_postings(
         from .codec import gap_reset, varint_slices
 
         pat = re.compile(pat_src)
-        out = {k: [] for k in ("doc_id", "term", "tf", "dl", "pos_bytes", "loc_bytes")}
         cur_conv = None
-        cur_doc = -1
-        # open-conversation accumulators
-        tid_of: dict[str, int] = {}
-        terms_seen: list[str] = []
+        # flush-buffer state: token-level parallel lists spanning many
+        # docs; per-doc term dictionaries for string lookup at encode
+        doc_terms: list[list[str]] = []   # per buffered doc: tid -> term
+        doc_ids_of: list[int] = []        # per buffered doc: doc_id
+        tid_of: dict[str, int] = {}       # open doc's term -> tid
+        docix: list[int] = []
         tids: list[int] = []
         poss: list[int] = []
         stts: list[int] = []
         lens: list[int] = []
+        npos = 0  # open doc's running token counter
 
-        def close_conv():
-            nonlocal tid_of, terms_seen, tids, poss, stts, lens
+        def flush() -> pd.DataFrame | None:
+            """Encode every buffered (complete) doc's postings in ONE
+            vectorized pass: stable lexsort by (doc, term), boundary
+            detection, grouped delta+varint with per-posting slices."""
             n = len(tids)
-            if cur_conv is not None and n:
-                tid_a = np.asarray(tids, dtype=np.int64)
-                pos_a = np.asarray(poss, dtype=np.int64)
-                stt_a = np.asarray(stts, dtype=np.int64)
-                len_a = np.asarray(lens, dtype=np.int64)
-                order = np.argsort(tid_a, kind="stable")
-                tid_a, pos_a, stt_a, len_a = (
-                    tid_a[order], pos_a[order], stt_a[order], len_a[order]
-                )
-                bnd = np.flatnonzero(
-                    np.concatenate(([True], tid_a[1:] != tid_a[:-1]))
-                )
-                tfs = np.diff(np.concatenate((bnd, [n])))
-                pos_slices = varint_slices(
-                    gap_reset(pos_a, tfs).astype(np.uint64), tfs
-                )
-                locv = np.empty(2 * n, dtype=np.int64)
-                locv[0::2] = gap_reset(stt_a, tfs)
-                locv[1::2] = len_a
-                loc_slices = varint_slices(locv.astype(np.uint64), tfs * 2)
-                out["doc_id"].extend([cur_doc] * bnd.size)
-                out["dl"].extend([n] * bnd.size)
-                out["term"].extend(terms_seen[t] for t in tid_a[bnd])
-                out["tf"].extend(tfs.tolist())
-                out["pos_bytes"].extend(pos_slices)
-                out["loc_bytes"].extend(loc_slices)
-            tid_of = {}
-            terms_seen = []
-            tids, poss, stts, lens = [], [], [], []
-
-        def emit() -> pd.DataFrame:
+            if not n:
+                return None
+            dx = np.asarray(docix, dtype=np.int64)
+            td = np.asarray(tids, dtype=np.int64)
+            ps = np.asarray(poss, dtype=np.int64)
+            st = np.asarray(stts, dtype=np.int64)
+            ln = np.asarray(lens, dtype=np.int64)
+            order = np.lexsort((td, dx))  # stable: position order kept
+            dx, td, ps, st, ln = dx[order], td[order], ps[order], st[order], ln[order]
+            bnd = np.flatnonzero(
+                np.concatenate(([True], (dx[1:] != dx[:-1]) | (td[1:] != td[:-1])))
+            )
+            tfs = np.diff(np.concatenate((bnd, [n])))
+            dls = np.bincount(dx, minlength=len(doc_terms))
+            gdx = dx[bnd]
+            did_arr = np.asarray(doc_ids_of, dtype=np.int64)
+            pos_slices = varint_slices(gap_reset(ps, tfs).astype(np.uint64), tfs)
+            locv = np.empty(2 * n, dtype=np.int64)
+            locv[0::2] = gap_reset(st, tfs)
+            locv[1::2] = ln
+            loc_slices = varint_slices(locv.astype(np.uint64), tfs * 2)
+            gtid = td[bnd]
+            terms = [doc_terms[i][t] for i, t in zip(gdx, gtid)]
             pdf = pd.DataFrame(
                 {
-                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-                    "term": pd.Series(out["term"], dtype="object"),
-                    "tf": pd.Series(out["tf"], dtype="int32"),
-                    "dl": pd.Series(out["dl"], dtype="int64"),
-                    "pos_bytes": pd.Series(out["pos_bytes"], dtype="object"),
-                    "loc_bytes": pd.Series(out["loc_bytes"], dtype="object"),
+                    "doc_id": did_arr[gdx],
+                    "term": pd.Series(terms, dtype="object"),
+                    "tf": tfs.astype(np.int32),
+                    "dl": dls[gdx],
+                    "pos_bytes": pd.Series(pos_slices, dtype="object"),
+                    "loc_bytes": pd.Series(loc_slices, dtype="object"),
                 }
             )
-            for k in out:
-                out[k] = []
+            doc_terms.clear()
+            doc_ids_of.clear()
+            docix.clear()
+            tids.clear()
+            poss.clear()
+            stts.clear()
+            lens.clear()
             return pdf
 
         for pdf_in in batches:
@@ -205,10 +211,16 @@ def tokenize_postings(
                 pdf_in["char_start"].values,
             ):
                 if conv != cur_conv:
-                    close_conv()
-                    cur_conv, cur_doc = conv, did
-                    if len(out["doc_id"]) >= FLUSH_ROWS:
-                        yield emit()
+                    # only flush at conv boundaries: groups never split
+                    if len(tids) >= FLUSH_TOKENS:
+                        pdf_out = flush()
+                        if pdf_out is not None:
+                            yield pdf_out
+                    cur_conv = conv
+                    tid_of = {}
+                    npos = 0
+                    doc_terms.append([])
+                    doc_ids_of.append(int(did))
                 if text is None:
                     continue
                 s = text
@@ -217,7 +229,8 @@ def tokenize_postings(
                 if do_fold:
                     s = s.casefold()
                 base = int(cstart)
-                npos = len(tids)
+                dxi = len(doc_terms) - 1
+                terms_seen = doc_terms[-1]
                 for m in pat.finditer(s):
                     t = m.group(0)
                     tid = tid_of.get(t)
@@ -225,16 +238,15 @@ def tokenize_postings(
                         tid = len(terms_seen)
                         tid_of[t] = tid
                         terms_seen.append(t)
+                    docix.append(dxi)
                     tids.append(tid)
                     poss.append(npos)
                     npos += 1
                     stts.append(base + m.start())
                     lens.append(m.end() - m.start())
-            if len(out["doc_id"]) >= FLUSH_ROWS:
-                yield emit()
-        close_conv()
-        if out["doc_id"]:
-            yield emit()
+        pdf_out = flush()
+        if pdf_out is not None:
+            yield pdf_out
 
     return part.mapInPandas(_tok, POSTING_SCHEMA)
 

@@ -13,11 +13,13 @@ delegates parsing/execution to Solr (app/process/solr.go:48-49,69-70,
 
 Phrase matching is the classic positional-intersection: a phrase
 [t0..tn-1] occurs at anchor position p iff term ti has a posting at
-p+i for every i. We normalize each term's positions to anchors
-(pos - i) and inner-join on (doc_id, anchor) — n-1 sparse joins over
-per-term pre-filtered postings, each input already pruned to one
-term's posting list (dictionary lookup), so the join inputs are tiny
-relative to the corpus even for 10^12 turns.
+p+i for every i. The intersection runs as ONE vectorized stage
+(:func:`_phrase_counts`): dictionary-filter the posting table to the
+phrase terms, colocate per doc with one small shuffle, decode the
+position payloads in a single numpy pass, and intersect packed
+(doc, anchor) keys with a sort+count — the data touched is exactly
+the phrase terms' posting lists, tiny relative to the corpus even at
+10^12 turns.
 
 Scoring (phrase_topk) follows Lucene's PhraseQuery shape:
 ``score = (Σ_t idf(t)) * tfnorm(phrase_tf, dl)`` — expressible in
@@ -92,49 +94,83 @@ def boolean_not_topk(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
-def _term_positions(index: Index, term: str) -> DataFrame:
-    """(doc_id, token_pos) occurrences of ONE term — dictionary filter
-    on the posting table (parquet-prunable), then a vectorized decode
-    of the filtered rows' position payloads. The decode only ever sees
-    one term's postings, never the corpus."""
+_ANCHOR_SHIFT = 30  # doc-local positions < 2^30 (a 1B-token doc)
+
+
+def _phrase_counts(index: Index, phrase_terms: list[str]) -> DataFrame:
+    """(doc_id, phrase_tf): occurrence count of the exact phrase per
+    document, as ONE vectorized positional-intersection stage.
+
+    Classic anchor intersection — the phrase [t0..tk-1] starts at p
+    iff term ti has a posting at p+i for every i — but computed inside
+    a single mapInPandas pass instead of k-1 joins:
+
+    1. dictionary filter: only the phrase terms' postings survive the
+       scan (parquet row-group pruning via isin);
+    2. one small shuffle colocates each doc's surviving postings;
+    3. per partition, every term's positions decode in one numpy pass;
+       anchor keys pack (doc_id << 30 | pos - i) and the k-way
+       intersection is a sort+count (np.unique, count == k).
+
+    Python only ever sees the QUERY TERMS' postings — at 10^12 turns
+    the decoded set is the phrase terms' posting lists, the same data
+    a posting-list-intersection engine reads.
+    """
     import pandas as pd
 
-    sub = index.postings.where(F.col("term") == term).select(
-        "doc_id", "tf", "pos_bytes"
+    terms = list(dict.fromkeys(phrase_terms))
+    k = len(phrase_terms)
+    num_partitions = int(
+        index.postings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    sub = (
+        index.postings.where(F.col("term").isin(terms))
+        .select("term", "doc_id", "tf", "pos_bytes")
+        .repartition(num_partitions, "doc_id")
     )
 
-    def _decode(batches):
+    def _anchors(batches):
         import numpy as np
 
         from ..functions.codec import decode_positions
 
+        # buffer the partition's (term-filtered) postings, decoded
+        docs_by_term: dict[str, list[np.ndarray]] = {t: [] for t in terms}
+        pos_by_term: dict[str, list[np.ndarray]] = {t: [] for t in terms}
         for pdf in batches:
             if not len(pdf):
                 continue
-            tfs = pdf["tf"].values.astype(np.int64)
-            pos = decode_positions(tfs, b"".join(pdf["pos_bytes"].values))
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.repeat(pdf["doc_id"].values.astype(np.int64), tfs),
-                    "token_pos": pos,
-                }
-            )
-
-    return sub.mapInPandas(_decode, "doc_id long, token_pos long")
-
-
-def _phrase_anchors(index: Index, phrase_terms: list[str]) -> DataFrame:
-    """(doc_id, anchor) pairs where the full phrase starts at token
-    position ``anchor``."""
-    anchors: DataFrame | None = None
-    for i, t in enumerate(phrase_terms):
-        pos_i = _term_positions(index, t).select(
-            "doc_id", (F.col("token_pos") - F.lit(i)).alias("anchor")
+            tfs_all = pdf["tf"].values.astype(np.int64)
+            pos_all = decode_positions(tfs_all, b"".join(pdf["pos_bytes"].values))
+            doc_rep = np.repeat(pdf["doc_id"].values.astype(np.int64), tfs_all)
+            term_rep = np.repeat(pdf["term"].values, tfs_all)
+            for t in terms:
+                m = term_rep == t
+                docs_by_term[t].append(doc_rep[m])
+                pos_by_term[t].append(pos_all[m])
+        keys = []
+        for i, t in enumerate(phrase_terms):
+            if not docs_by_term[t]:
+                return  # a term absent in this partition: no anchors here
+            d = np.concatenate(docs_by_term[t])
+            p = np.concatenate(pos_by_term[t]) - i
+            ok = p >= 0
+            keys.append((d[ok] << np.int64(_ANCHOR_SHIFT)) | p[ok])
+        allk = np.concatenate(keys)
+        uniq, counts = np.unique(allk, return_counts=True)
+        hit = uniq[counts == k]
+        if not hit.size:
+            return
+        docs = hit >> np.int64(_ANCHOR_SHIFT)
+        udoc, utf = np.unique(docs, return_counts=True)
+        yield pd.DataFrame(
+            {
+                "doc_id": udoc,
+                "phrase_tf": utf.astype(np.int64),
+            }
         )
-        anchors = pos_i if anchors is None else anchors.join(
-            pos_i, ["doc_id", "anchor"], "inner"
-        )
-    return anchors.where(F.col("anchor") >= 0)
+
+    return sub.mapInPandas(_anchors, "doc_id long, phrase_tf long")
 
 
 def phrase_match(
@@ -151,11 +187,7 @@ def phrase_match(
     terms = [t for _, t, _, _ in tokenize_text(phrase, cfg)]
     if not terms:
         return spark.createDataFrame([], "doc_id long, conv_id string, phrase_tf long")
-    counts = (
-        _phrase_anchors(index, terms)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("phrase_tf"))
-    )
+    counts = _phrase_counts(index, terms)
     return (
         counts.join(index.doc_meta.select("doc_id", "conv_id"), "doc_id")
         .select("doc_id", "conv_id", "phrase_tf")
@@ -192,11 +224,7 @@ def phrase_topk(
         math.log1p((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in terms
     )
     k1, b = float(cfg.k1), float(cfg.b)
-    counts = (
-        _phrase_anchors(index, terms)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("phrase_tf"))
-    )
+    counts = _phrase_counts(index, terms)
     return (
         counts.join(index.doc_meta.select("doc_id", "conv_id", "dl"), "doc_id")
         .withColumn(
