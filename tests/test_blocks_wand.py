@@ -144,3 +144,50 @@ def test_wand_stopword_covers_all_docs(spark, corpus):
     oracle = oracle_bm25_topk(docs_pd, "the", k=25, cfg=CFG)
     wand = wand_topk(spark, bidx, "the", k=25, cfg=CFG).collect()
     assert [r["doc_id"] for r in wand] == list(oracle["doc_id"])
+
+
+def test_varint_slices_and_locs_roundtrip():
+    """Per-posting payload primitives: varint_slices must slice the
+    stream exactly at group boundaries, and gap_reset/decode_locs must
+    invert each other — including concatenation across postings (the
+    property the block encoder relies on)."""
+    from solr_ocr_processor_spark.functions.codec import (
+        decode_locs,
+        decode_positions,
+        gap_reset,
+        varint_slices,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        n_groups = int(rng.integers(1, 20))
+        tfs = rng.integers(1, 12, size=n_groups)
+        total = int(tfs.sum())
+        # per-group sorted positions (doc-global style)
+        flat = np.concatenate(
+            [np.sort(rng.choice(10_000, size=t, replace=False)) for t in tfs]
+        ).astype(np.int64)
+        gaps = gap_reset(flat, tfs).astype(np.uint64)
+        slices = varint_slices(gaps, tfs)
+        assert len(slices) == n_groups
+        # concatenated slices decode to the original flat positions
+        assert np.array_equal(decode_positions(tfs, b"".join(slices)), flat)
+        # any sub-range of postings decodes standalone (block property)
+        lo = int(rng.integers(0, n_groups))
+        hi = int(rng.integers(lo + 1, n_groups + 1))
+        sub = b"".join(slices[lo:hi])
+        assert np.array_equal(
+            decode_positions(tfs[lo:hi], sub),
+            np.concatenate(
+                [flat[int(tfs[:i].sum()):int(tfs[:i + 1].sum())] for i in range(lo, hi)]
+            ),
+        )
+        # loc stream: interleaved (start gap, length) pairs
+        starts = flat
+        lens = rng.integers(1, 15, size=total).astype(np.int64)
+        locv = np.empty(2 * total, dtype=np.int64)
+        locv[0::2] = gap_reset(starts, tfs)
+        locv[1::2] = lens
+        loc_slices = varint_slices(locv.astype(np.uint64), tfs * 2)
+        ds, de = decode_locs(tfs, b"".join(loc_slices))
+        assert np.array_equal(ds, starts) and np.array_equal(de, starts + lens)
