@@ -86,9 +86,11 @@ def _index(spark: SparkSession, sf_dir: str) -> Index:
         # Persist the built index: queries read a *stored* index, they
         # don't re-run the build DAG (on a cluster this is the Iceberg
         # postings table; locally it's MEMORY_AND_DISK).
-        for df in (idx.postings, idx.doc_meta, idx.term_stats, idx.mat.turns):
+        for df in (idx.postings, idx.doc_meta, idx.term_stats, idx.corpus,
+                   idx.mat.turns):
             df.persist()
         idx.postings.count()
+        idx.corpus.count()  # scoring calls corpus.first() per query
         _index_cache[key] = idx
     return _index_cache[key]
 

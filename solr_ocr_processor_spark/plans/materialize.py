@@ -74,7 +74,10 @@ def assign_doc_ids(turns: DataFrame, num_partitions: int | None = None) -> DataF
     boundaries fall — so determinism (SURVEY §4.2-5) is preserved
     while both passes stay fully parallel.
     """
-    convs = turns.select("conv_id").distinct()
+    # Persisted: repartitionByRange submits an internal SAMPLING job
+    # over its child to pick range boundaries — without the cache the
+    # distinct (a full scan + shuffle of the turn table) runs twice.
+    convs = turns.select("conv_id").distinct().persist()
     spark = convs.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
