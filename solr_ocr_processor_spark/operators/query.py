@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT, IndexConfig
 from ..functions.tokenizer import query_terms, tokenize_text
 from .build import Index
-from .score import bm25_scores
+from .score import bm25_scores, resolve_conv_ids
 
 
 def conjunctive_topk(
@@ -56,12 +56,13 @@ def conjunctive_topk(
     if not terms:
         return spark.createDataFrame([], "doc_id long, conv_id string, score double")
     scored = bm25_scores(spark, index, query, cfg=cfg, with_match_count=True)
-    return (
+    top = (
         scored.where(F.col("n_matched") == len(terms))
-        .select("doc_id", "conv_id", "score")
+        .select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+    return resolve_conv_ids(index, top)
 
 
 def boolean_not_topk(
@@ -91,15 +92,18 @@ def boolean_not_topk(
             .distinct()
         )
         scored = scored.join(neg_docs, "doc_id", "left_anti")
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return resolve_conv_ids(index, top)
 
 
 _ANCHOR_SHIFT = 30  # doc-local positions < 2^30 (a 1B-token doc)
 
 
 def _phrase_counts(index: Index, phrase_terms: list[str]) -> DataFrame:
-    """(doc_id, phrase_tf): occurrence count of the exact phrase per
-    document, as ONE vectorized positional-intersection stage.
+    """(doc_id, phrase_tf, dl): occurrence count of the exact phrase
+    per document, as ONE vectorized positional-intersection stage.
+    dl rides along from the posting rows so phrase SCORING never joins
+    doc_meta before the top-k (conv_id resolves on k rows after).
 
     Classic anchor intersection — the phrase [t0..tk-1] starts at p
     iff term ti has a posting at p+i for every i — but computed inside
@@ -125,7 +129,7 @@ def _phrase_counts(index: Index, phrase_terms: list[str]) -> DataFrame:
     )
     sub = (
         index.postings.where(F.col("term").isin(terms))
-        .select("term", "doc_id", "tf", "pos_bytes")
+        .select("term", "doc_id", "tf", "dl", "pos_bytes")
         .repartition(num_partitions, "doc_id")
     )
 
@@ -137,6 +141,8 @@ def _phrase_counts(index: Index, phrase_terms: list[str]) -> DataFrame:
         # buffer the partition's (term-filtered) postings, decoded
         docs_by_term: dict[str, list[np.ndarray]] = {t: [] for t in terms}
         pos_by_term: dict[str, list[np.ndarray]] = {t: [] for t in terms}
+        row_docs: list[np.ndarray] = []
+        row_dls: list[np.ndarray] = []
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -144,6 +150,8 @@ def _phrase_counts(index: Index, phrase_terms: list[str]) -> DataFrame:
             pos_all = decode_positions(tfs_all, b"".join(pdf["pos_bytes"].values))
             doc_rep = np.repeat(pdf["doc_id"].values.astype(np.int64), tfs_all)
             term_rep = np.repeat(pdf["term"].values, tfs_all)
+            row_docs.append(pdf["doc_id"].values.astype(np.int64))
+            row_dls.append(pdf["dl"].values.astype(np.int64))
             for t in terms:
                 m = term_rep == t
                 docs_by_term[t].append(doc_rep[m])
@@ -163,14 +171,23 @@ def _phrase_counts(index: Index, phrase_terms: list[str]) -> DataFrame:
             return
         docs = hit >> np.int64(_ANCHOR_SHIFT)
         udoc, utf = np.unique(docs, return_counts=True)
+        # dl lookup: dedupe the partition's (doc, dl) rows, align to udoc
+        rd = np.concatenate(row_docs)
+        rl = np.concatenate(row_dls)
+        order = np.argsort(rd, kind="stable")
+        rd, rl = rd[order], rl[order]
+        first = np.concatenate(([True], rd[1:] != rd[:-1]))
+        rd, rl = rd[first], rl[first]
+        dl_of = rl[np.searchsorted(rd, udoc)]
         yield pd.DataFrame(
             {
                 "doc_id": udoc,
                 "phrase_tf": utf.astype(np.int64),
+                "dl": dl_of,
             }
         )
 
-    return sub.mapInPandas(_anchors, "doc_id long, phrase_tf long")
+    return sub.mapInPandas(_anchors, "doc_id long, phrase_tf long, dl long")
 
 
 def phrase_match(
@@ -224,10 +241,9 @@ def phrase_topk(
         math.log1p((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in terms
     )
     k1, b = float(cfg.k1), float(cfg.b)
-    counts = _phrase_counts(index, terms)
-    return (
-        counts.join(index.doc_meta.select("doc_id", "conv_id", "dl"), "doc_id")
-        .withColumn(
+    counts = _phrase_counts(index, terms)  # carries dl — no doc_meta join
+    top = (
+        counts.withColumn(
             "score",
             F.lit(sum_idf)
             * (
@@ -239,7 +255,8 @@ def phrase_topk(
                 )
             ),
         )
-        .select("doc_id", "conv_id", "score")
+        .select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+    return resolve_conv_ids(index, top)

@@ -51,9 +51,15 @@ def bm25_scores(
     with_match_count: bool = False,
 ) -> DataFrame:
     """Exhaustive BM25 scores for every matching doc — no sort, no
-    limit. (doc_id, conv_id, score). Building block for top-k and for
+    limit. (doc_id, score). Building block for top-k and for
     conjunctive gating (operators/query.py), where limiting before the
     gate would be wrong and a giant limit would force a global sort.
+
+    Deliberately does NOT carry conv_id: that would join the full
+    doc_meta table (10^12 rows at target scale) into every query.
+    Callers resolve conv_id AFTER their top-k/limit, when only k rows
+    remain (late materialization — the same discipline as lazy
+    content resolution, Q11).
 
     ``with_match_count`` adds ``n_matched`` (count of distinct query
     terms present in the doc) to the SAME final aggregation — the rows
@@ -83,7 +89,7 @@ def bm25_scores(
         .select("term", "doc_id", "tf", "dl", "idf")
     )
     scored = (
-        per_term.join(index.doc_meta.select("doc_id", "conv_id"), "doc_id")
+        per_term
         .withColumn(
             # Associativity matters for bit-identity with the numpy
             # paths (functions/bm25.tf_norm): idf * (num / denom),
@@ -99,7 +105,7 @@ def bm25_scores(
                 )
             ),
         )
-        .groupBy("doc_id", "conv_id")
+        .groupBy("doc_id")
         # Bit-deterministic score: float addition isn't associative, so
         # summing in shuffle-arrival order makes the last ulp depend on
         # partitioning. Sort the (few) per-doc term scores by term and
@@ -119,6 +125,17 @@ def bm25_scores(
     return scored
 
 
+def resolve_conv_ids(index: Index, topk: DataFrame) -> DataFrame:
+    """Join conv_id onto a K-ROW result — the small side broadcasts,
+    doc_meta is probed, nothing corpus-sized shuffles. Re-applies the
+    (score desc, doc_id asc) contract after the join."""
+    return (
+        topk.join(index.doc_meta.select("doc_id", "conv_id"), "doc_id")
+        .select("doc_id", "conv_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def bm25_topk(
     spark: SparkSession,
     index: Index,
@@ -128,12 +145,14 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k (doc_id, conv_id, score). Spark lowers orderBy+limit to
     TakeOrderedAndProject: per-partition heaps + driver merge — the
-    global sort never materializes."""
-    return (
+    global sort never materializes. conv_id resolves AFTER the top-k
+    (k-row broadcast join, never a corpus-wide doc_meta shuffle)."""
+    top = (
         bm25_scores(spark, index, query, cfg)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+    return resolve_conv_ids(index, top)
 
 
 def highlights(
