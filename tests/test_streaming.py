@@ -132,3 +132,62 @@ def test_merge_stream_fold_in(spark, tmp_path_factory):
             (r["doc_id"], r["conv_id"]) for r in want
         ]
         assert all(abs(a["score"] - b["score"]) < 1e-9 for a, b in zip(got, want))
+
+
+def test_merge_then_delete_then_compact(spark, tmp_path_factory):
+    """Full lifecycle across a streaming merge: fold in streamed convs,
+    tombstone one of them, compact — the store must then rank exactly
+    like a fresh batch build over (batch + streamed - victim), i.e.
+    global stats (df/avgdl/n_docs) fully refresh through the chain."""
+    from solr_ocr_processor_spark.config import IndexConfig
+    from solr_ocr_processor_spark.operators.lifecycle import (
+        build_store,
+        check,
+        compact,
+        delete_conv,
+        load_block_index,
+        tombstoned_doc_ids,
+    )
+    from solr_ocr_processor_spark.operators.wand import wand_topk
+    from solr_ocr_processor_spark.streaming.ingest import (
+        append_turns,
+        merge_stream,
+        stream_transcripts,
+    )
+
+    cfg = IndexConfig(block_size=4, range_size=8)
+    root = tmp_path_factory.mktemp("mdc")
+    t = synth_transcripts(spark, n_convs=16, max_turns=7, seed=41)
+    batch = t.where("conv_id < 's000011'")
+    streamed = t.where("conv_id >= 's000011'")
+
+    store = build_store(spark, batch, str(root / "store"), cfg, n_shards=2)
+    src = str(root / "src")
+    streamed.write.mode("overwrite").parquet(src)
+    append_turns(
+        stream_transcripts(spark, src), store.root, str(root / "ckpt")
+    ).awaitTermination(120)
+    assert merge_stream(spark, store) > 0
+
+    victim = "s000012"  # a STREAMED conv — delete crosses the merge shard
+    assert check(spark, store, victim) is True
+    delete_conv(spark, store, victim)
+    assert check(spark, store, victim) is False
+    compact(spark, store)
+
+    ref = build_store(
+        spark,
+        t.where(f"conv_id <> '{victim}'"),
+        str(root / "ref"),
+        cfg,
+        n_shards=2,
+    )
+    for query in ("spark window merge", "the"):
+        got = wand_topk(spark, load_block_index(spark, store), query, k=8, cfg=cfg).collect()
+        want = wand_topk(spark, load_block_index(spark, ref), query, k=8, cfg=cfg).collect()
+        # doc ids differ across stores (victim's id is a hole in one,
+        # absent in the other) — compare by conv_id + score
+        assert [(r["conv_id"], round(r["score"], 9)) for r in got] == [
+            (r["conv_id"], round(r["score"], 9)) for r in want
+        ]
+        assert victim not in {r["conv_id"] for r in got}
