@@ -30,6 +30,7 @@ from solr_ocr_processor_spark.operators.ann import (
     cosine_topk,
     ivf_centroids,
     ivf_topk,
+    lsh_near_dup,
     lsh_topk,
 )
 from solr_ocr_processor_spark.operators.blocks import BlockIndex, build_block_index
@@ -303,6 +304,13 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(_embs(spark, sf_dir), _qvec(spark, sf_dir), k=10)
 
 
+def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned embedding near-dup (the sub-quadratic scale path for
+    dedup_embedding_cosine): bucket-join candidates, codegen cosine
+    verify — bucketing + verification oracle-replayed exactly."""
+    return lsh_near_dup(_embs(spark, sf_dir), dim=64, tau=0.45)
+
+
 def _q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(_docs(spark, sf_dir))
 
@@ -463,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
@@ -688,6 +697,33 @@ def _any_contains(col: str, needles: tuple) -> str:
 _NOT_POS = ("spark", "window")
 _NOT_NEG = "merge"
 
+# Shared LSH bucket CTE builder (md5-derived sign planes; 64 planes
+# split into bands of `bits` planes). ann_lsh_topk uses 8x8 banding,
+# dedup_embedding_lsh 16x4 (recall tuned to its similarity regime).
+def _lsh_buckets_cte(bits: int) -> str:
+    return f"""
+WITH planes AS (
+  SELECT pp.p, dd.d,
+         (('0x' || substr(md5('13:' || pp.p || ':' || dd.d), 1, 15))::BIGINT)::DOUBLE
+           / 576460752303423488.0 - 1.0 AS v
+  FROM (SELECT unnest(range(64)) AS p) pp, (SELECT unnest(range(64)) AS d) dd
+),
+vecs AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+dots AS (
+  SELECT v.vec_id, pl.p, sum(v.x * pl.v) AS dot
+  FROM vecs v JOIN planes pl ON v.d = pl.d
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id, CAST(p // {bits} AS INT) AS band,
+         CAST(sum(CASE WHEN dot > 0 THEN 1 << (p % {bits}) ELSE 0 END) AS INT) AS bucket
+  FROM dots GROUP BY 1, 2
+)"""
+
 _BOOL_NOT = f"""
 WITH {_DOCS},
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
@@ -843,28 +879,7 @@ WHERE {_COS_D} >= 0.45
     # LSH: md5-derived planes (operators/ann._planes) replayed in SQL;
     # candidate set = vectors sharing >=1 (band, bucket) with vec_id 0,
     # then the exact cosine re-rank — identical to the Spark operator.
-    "ann_lsh_topk": """
-WITH planes AS (
-  SELECT pp.p, dd.d,
-         (('0x' || substr(md5('13:' || pp.p || ':' || dd.d), 1, 15))::BIGINT)::DOUBLE
-           / 576460752303423488.0 - 1.0 AS v
-  FROM (SELECT unnest(range(64)) AS p) pp, (SELECT unnest(range(64)) AS d) dd
-),
-vecs AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-         unnest(embedding)::DOUBLE AS x
-  FROM embeddings
-),
-dots AS (
-  SELECT v.vec_id, pl.p, sum(v.x * pl.v) AS dot
-  FROM vecs v JOIN planes pl ON v.d = pl.d
-  GROUP BY 1, 2
-),
-buckets AS (
-  SELECT vec_id, CAST(p // 8 AS INT) AS band,
-         CAST(sum(CASE WHEN dot > 0 THEN 1 << (p % 8) ELSE 0 END) AS INT) AS bucket
-  FROM dots GROUP BY 1, 2
-),
+    "ann_lsh_topk": _lsh_buckets_cte(8) + """,
 qb AS (SELECT band, bucket FROM buckets WHERE vec_id = 0),
 cand AS (SELECT DISTINCT b.vec_id AS id FROM buckets b JOIN qb USING (band, bucket)),
 q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
@@ -875,6 +890,27 @@ s AS (
   FROM cand c JOIN embeddings e ON e.vec_id = c.id CROSS JOIN q
 )
 SELECT id, round(cs, 6) AS cos FROM s ORDER BY cs DESC, id ASC LIMIT 10
+""",
+    # LSH-pruned near-dup: candidates share >= 1 (band, bucket); each
+    # candidate exact-verified by cosine, rounded THEN thresholded —
+    # identical to the Spark operator's contract.
+    "dedup_embedding_lsh": _lsh_buckets_cte(4) + """,
+cand AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT c.id1, c.id2,
+         round(list_cosine_similarity(list_transform(e1.embedding, x -> x::DOUBLE),
+                                      list_transform(e2.embedding, x -> x::DOUBLE)),
+               6) AS cos
+  FROM cand c
+  JOIN embeddings e1 ON e1.vec_id = c.id1
+  JOIN embeddings e2 ON e2.vec_id = c.id2
+)
+SELECT id1, id2, cos FROM s WHERE cos >= 0.45
 """,
     # IVF: centroids = 16 smallest md5('17:'||vec_id) ranks; assignment
     # and probing by cosine with (cs DESC, list_id ASC) tie-break —

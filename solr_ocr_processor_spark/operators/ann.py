@@ -211,6 +211,84 @@ def ivf_centroids(
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
+def lsh_near_dup(
+    embs: DataFrame,
+    dim: int,
+    tau: float = 0.45,
+    num_bands: int = 16,
+    bits_per_band: int = 4,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id1, id2, cos) near-duplicate pairs via LSH candidate pruning —
+    the sub-quadratic scale path for dedup.embedding_near_dup's exact
+    blocked all-pairs.
+
+    Candidates = pairs sharing >= 1 (band, bucket) under the md5-derived
+    sign-plane LSH (:func:`lsh_assign`); each candidate is then
+    EXACT-verified with a whole-stage-codegen cosine (zip_with fold —
+    no UDF), keeping only cos >= tau. Cost: O(n·bands) bucket rows and
+    a bucket-equijoin whose blowup is bounded by bucket occupancy (AQE
+    skew-join splits hot buckets) — never an all-pairs candidate space.
+
+    Pair recall is 1-(1-p^r)^b with p = 1 - arccos(cos)/π — TUNE the
+    banding to the target similarity: the 16x4 default recalls ~96% at
+    cos 0.48 (needed for this corpus's weakly-similar planted pairs)
+    at 2^4 buckets/band; for genuine near-duplicates (cos >= 0.9) use
+    8x8 (recall ~0.94) whose 2^8 buckets/band prune far harder — the
+    right setting at billion-vector scale, where low-tau similarity
+    search belongs to IVF (:func:`ivf_topk`) rather than sign-LSH.
+    The deterministic planes make the whole pipeline — bucketing,
+    candidates, verification — replayable in ANSI SQL, so the driver
+    oracle checks it exactly.
+    """
+    assign = lsh_assign(embs, dim, num_bands, bits_per_band, seed, id_col, vec_col)
+    a, b = assign.alias("a"), assign.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    e1 = embs.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
+    )
+    e2 = embs.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+    )
+    dot = F.aggregate(
+        F.zip_with("v1", "v2", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(
+        F.aggregate(
+            F.transform("v1", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    n2 = F.sqrt(
+        F.aggregate(
+            F.transform("v2", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        cand.join(e1, "id1")
+        .join(e2, "id2")
+        .withColumn("cos", F.round(dot / (n1 * n2), 6))
+        .where(F.col("cos") >= tau)
+        .select("id1", "id2", "cos")
+    )
+
+
 def ivf_assign(
     embs: DataFrame,
     centroids: np.ndarray,

@@ -184,3 +184,18 @@ def test_multimodal_frames_cover_payload(spark, docs):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG....")
+
+
+def test_lsh_near_dup_subset_of_exact(spark, embs):
+    """LSH-pruned near-dup pairs are exact-verified, so the output is a
+    SUBSET of the exact blocked all-pairs result with identical cosine
+    values; the 16x4 banding (recall ~0.96 per pair at cos ~0.48 by
+    1-(1-p^r)^b) recalls the planted pairs on this corpus."""
+    from solr_ocr_processor_spark.operators.ann import lsh_near_dup
+    from solr_ocr_processor_spark.operators.dedup import embedding_near_dup
+
+    exact = {(r["id1"], r["id2"]): r["cos"] for r in embedding_near_dup(embs, 0.45).collect()}
+    lsh = {(r["id1"], r["id2"]): r["cos"] for r in lsh_near_dup(embs, dim=64, tau=0.45).collect()}
+    assert set(lsh) <= set(exact)
+    assert all(abs(lsh[k] - exact[k]) < 1e-6 for k in lsh)
+    assert len(lsh) >= 0.9 * len(exact) and exact  # planted dups recalled
