@@ -54,10 +54,19 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--store", required=True)
     b.add_argument("--shards", type=int, default=16)
 
-    q = sub.add_parser("query", help="BM25 top-k")
+    q = sub.add_parser("query", help="top-k search over the store")
     q.add_argument("--store", required=True)
     q.add_argument("--q", required=True)
     q.add_argument("--k", type=int, default=10)
+    q.add_argument(
+        "--mode",
+        choices=("wand", "and", "phrase", "not"),
+        default="wand",
+        help="wand: BM25 OR-of-terms via the pruned block index; "
+        "and: every term required; phrase: exact positional phrase; "
+        "not: positives AND NOT --neg terms",
+    )
+    q.add_argument("--neg", default="", help="negative terms for --mode not")
 
     c = sub.add_parser("check", help="membership check")
     c.add_argument("--store", required=True)
@@ -96,9 +105,33 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"built": args.store}))
         return 0
     if args.cmd == "query":
-        bidx = lifecycle.load_block_index(spark, store)
         dead = lifecycle.tombstoned_doc_ids(spark, store)
-        for r in wand_topk(spark, bidx, args.q, k=args.k, exclude_doc_ids=dead).collect():
+        if args.mode == "wand":
+            bidx = lifecycle.load_block_index(spark, store)
+            rows = wand_topk(
+                spark, bidx, args.q, k=args.k, exclude_doc_ids=dead
+            ).collect()
+        else:
+            from solr_ocr_processor_spark.operators.query import (
+                boolean_not_topk,
+                conjunctive_topk,
+                phrase_topk,
+            )
+
+            idx = lifecycle.load_index(spark, store)
+            if args.mode == "and":
+                out = conjunctive_topk(spark, idx, args.q, k=args.k + len(dead))
+            elif args.mode == "phrase":
+                out = phrase_topk(spark, idx, args.q, k=args.k + len(dead))
+            else:
+                out = boolean_not_topk(
+                    spark, idx, args.q, args.neg, k=args.k + len(dead)
+                )
+            # tombstone suppression: over-fetch by |dead|, drop, cut to k
+            rows = [r for r in out.collect() if r["doc_id"] not in set(dead)][
+                : args.k
+            ]
+        for r in rows:
             print(json.dumps({"doc_id": r["doc_id"], "conv_id": r["conv_id"], "score": r["score"]}))
         return 0
     if args.cmd == "check":

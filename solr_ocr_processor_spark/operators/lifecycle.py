@@ -238,6 +238,22 @@ def finalize_store(spark: SparkSession, store: IndexStore) -> None:
     corpus.write.mode("overwrite").parquet(store.path("corpus"))
 
 
+def load_index(spark: SparkSession, store: IndexStore) -> Index:
+    """Open the persisted store as a postings-level Index — the surface
+    the AND / phrase / NOT query operators run against (the block index
+    serves bag-of-words WAND; positional and boolean operators read the
+    posting table, term-pruned at the parquet scan)."""
+    from ..plans.materialize import Materialized
+
+    return Index(
+        postings=spark.read.parquet(store.path("postings")),
+        doc_meta=spark.read.parquet(store.path("doc_meta")),
+        term_stats=spark.read.parquet(store.path("term_stats")),
+        corpus=spark.read.parquet(store.path("corpus")),
+        mat=Materialized(turns=None, docs=None),
+    )
+
+
 def load_block_index(spark: SparkSession, store: IndexStore) -> BlockIndex:
     """Open the persisted store for querying (blocks + dictionary)."""
     crow = spark.read.parquet(store.path("corpus")).first()

@@ -113,3 +113,42 @@ def test_cli_error_taxonomy(spark, tmp_path):
     with pytest.raises(SystemExit) as e:
         cli.main(["frobnicate"])
     assert e.value.code == 2
+
+
+def test_cli_query_modes(spark, tmp_path, capsys):
+    """The query verb covers the reference's full query surface from
+    the store: OR (wand), AND, phrase, NOT — all against the persisted
+    index, no rebuild."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=12, max_turns=6, seed=5).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store, "--shards", "2"]) == 0
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main(["query", "--store", store, *args])
+        out = capsys.readouterr().out
+        rows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+        return rc, rows
+
+    rc, wand = run("--q", "spark merge", "--k", "5")
+    assert rc == 0 and wand and all({"doc_id", "conv_id", "score"} <= set(r) for r in wand)
+
+    rc, conj = run("--q", "spark merge", "--k", "5", "--mode", "and")
+    assert rc == 0
+    # AND results are a subset of the OR result universe with both terms
+    assert {r["conv_id"] for r in conj} <= {
+        r["conv_id"] for r in run("--q", "spark merge", "--k", "100")[1]
+    }
+
+    rc, ph = run("--q", "spark merge", "--k", "5", "--mode", "phrase")
+    assert rc == 0  # may be empty (exact adjacency), but must not error
+
+    rc, neg = run("--q", "spark", "--k", "5", "--mode", "not", "--neg", "merge")
+    assert rc == 0
+    # no NOT result may contain the negative term: check via conjunctive
+    both = {r["conv_id"] for r in run("--q", "spark merge", "--k", "100", "--mode", "and")[1]}
+    assert not ({r["conv_id"] for r in neg} & both)
