@@ -289,6 +289,56 @@ def lsh_near_dup(
     )
 
 
+def ivf_centroids_kmeans(
+    embs: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd-refined coarse centroids: md5-rank seeds, then ``iters``
+    distributed k-means steps — assignment is the narrow pandas-UDF
+    pass (:func:`ivf_assign`), the centroid update is a per-(list, dim)
+    SUM/COUNT aggregation (map-side combinable; n_centroids x dim rows
+    collect per iteration — 1,024 values at 16x64, never the vectors).
+    Empty clusters keep their previous centroid. This is the quantizer
+    you train at 10^9+ vectors; the md5-rank sample
+    (:func:`ivf_centroids`) remains the deterministic, oracle-checkable
+    default for the driver queries (float-sum order makes k-means
+    centroids reproducible only within a run config)."""
+    C = ivf_centroids(embs, n_centroids, seed, id_col, vec_col)
+    dim = C.shape[1]
+    for _ in range(iters):
+        assign = ivf_assign(embs, C, id_col, vec_col)
+        joined = embs.join(
+            assign, embs[id_col] == assign["id"], "inner"
+        ).select("list_id", vec_col)
+        sums = (
+            joined.select(
+                "list_id", F.posexplode(F.col(vec_col)).alias("d", "x")
+            )
+            .groupBy("list_id", "d")
+            .agg(
+                F.sum(F.col("x").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .collect()
+        )
+        C_new = C.copy()
+        acc = np.zeros((n_centroids, dim))
+        cnt = np.zeros(n_centroids)
+        for r in sums:
+            acc[r["list_id"], r["d"]] = r["s"]
+            cnt[r["list_id"]] = r["c"]
+        nonempty = cnt > 0
+        C_new[nonempty] = acc[nonempty] / cnt[nonempty, None]
+        norms = np.linalg.norm(C_new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        C = C_new / norms
+    return C
+
+
 def ivf_assign(
     embs: DataFrame,
     centroids: np.ndarray,

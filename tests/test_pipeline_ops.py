@@ -199,3 +199,27 @@ def test_lsh_near_dup_subset_of_exact(spark, embs):
     assert set(lsh) <= set(exact)
     assert all(abs(lsh[k] - exact[k]) < 1e-6 for k in lsh)
     assert len(lsh) >= 0.9 * len(exact) and exact  # planted dups recalled
+
+
+def test_ivf_kmeans_improves_quantization(spark, embs):
+    """Lloyd refinement must not worsen quantization: the mean cosine
+    of each vector to its nearest centroid improves (or holds) vs the
+    md5-rank sampled seeds, and full-probe search stays exact."""
+    from solr_ocr_processor_spark.operators.ann import ivf_centroids_kmeans
+
+    def mean_best_cos(C):
+        rows = embs.collect()
+        import numpy as _np
+
+        M = _np.vstack([_np.asarray(r["embedding"], dtype=_np.float64) for r in rows])
+        M /= _np.linalg.norm(M, axis=1, keepdims=True)
+        return float((M @ C.T).max(axis=1).mean())
+
+    C0 = ivf_centroids(embs, n_centroids=8)
+    C3 = ivf_centroids_kmeans(embs, n_centroids=8, iters=3)
+    assert mean_best_cos(C3) >= mean_best_cos(C0) - 1e-9
+    # rerank exactness is centroid-independent: nprobe == k_centroids
+    q = list(embs.where("vec_id = 1").first()["embedding"])
+    full = ivf_topk(embs, C3, q, k=5, nprobe=8).collect()
+    brute = cosine_topk(embs, q, k=5).collect()
+    assert [(r["id"], r["cos"]) for r in full] == [(r["id"], r["cos"]) for r in brute]
