@@ -306,8 +306,11 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-pruned embedding near-dup (the sub-quadratic scale path for
-    dedup_embedding_cosine): bucket-join candidates, codegen cosine
-    verify — bucketing + verification oracle-replayed exactly."""
+    dedup_embedding_cosine, 8x8 banding = ~3% random-pair candidates):
+    bucket-join candidates, codegen cosine verify — bucketing,
+    candidates, AND the partial recall at this weak threshold are all
+    replayed exactly by the oracle (see lsh_near_dup docstring for the
+    regime analysis)."""
     return lsh_near_dup(_embs(spark, sf_dir), dim=64, tau=0.45)
 
 
@@ -698,8 +701,7 @@ _NOT_POS = ("spark", "window")
 _NOT_NEG = "merge"
 
 # Shared LSH bucket CTE builder (md5-derived sign planes; 64 planes
-# split into bands of `bits` planes). ann_lsh_topk uses 8x8 banding,
-# dedup_embedding_lsh 16x4 (recall tuned to its similarity regime).
+# split into bands of `bits` planes). Both ANN oracles use 8x8.
 def _lsh_buckets_cte(bits: int) -> str:
     return f"""
 WITH planes AS (
@@ -894,7 +896,7 @@ SELECT id, round(cs, 6) AS cos FROM s ORDER BY cs DESC, id ASC LIMIT 10
     # LSH-pruned near-dup: candidates share >= 1 (band, bucket); each
     # candidate exact-verified by cosine, rounded THEN thresholded —
     # identical to the Spark operator's contract.
-    "dedup_embedding_lsh": _lsh_buckets_cte(4) + """,
+    "dedup_embedding_lsh": _lsh_buckets_cte(8) + """,
 cand AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2
   FROM buckets a

@@ -215,33 +215,34 @@ def lsh_near_dup(
     embs: DataFrame,
     dim: int,
     tau: float = 0.45,
-    num_bands: int = 16,
-    bits_per_band: int = 4,
+    num_bands: int = 8,
+    bits_per_band: int = 8,
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id1, id2, cos) near-duplicate pairs via LSH candidate pruning —
     the sub-quadratic scale path for dedup.embedding_near_dup's exact
-    blocked all-pairs.
+    blocked all-pairs, in its high-similarity regime.
 
     Candidates = pairs sharing >= 1 (band, bucket) under the md5-derived
     sign-plane LSH (:func:`lsh_assign`); each candidate is then
     EXACT-verified with a whole-stage-codegen cosine (zip_with fold —
-    no UDF), keeping only cos >= tau. Cost: O(n·bands) bucket rows and
-    a bucket-equijoin whose blowup is bounded by bucket occupancy (AQE
-    skew-join splits hot buckets) — never an all-pairs candidate space.
+    no UDF), keeping only cos >= tau. At 8x8 banding a RANDOM pair
+    collides with p = 1-(1-2^-8)^8 ≈ 3% — a ~32x candidate reduction
+    that grows with more selective banding — while a cos 0.9 pair is
+    recalled with ~0.94 and cos 0.95 with ~0.999 (recall = 1-(1-p^r)^b,
+    p = 1 - arccos(cos)/π).
 
-    Pair recall is 1-(1-p^r)^b with p = 1 - arccos(cos)/π — TUNE the
-    banding to the target similarity: the 16x4 default recalls ~96% at
-    cos 0.48 (needed for this corpus's weakly-similar planted pairs)
-    at 2^4 buckets/band; for genuine near-duplicates (cos >= 0.9) use
-    8x8 (recall ~0.94) whose 2^8 buckets/band prune far harder — the
-    right setting at billion-vector scale, where low-tau similarity
-    search belongs to IVF (:func:`ivf_topk`) rather than sign-LSH.
-    The deterministic planes make the whole pipeline — bucketing,
-    candidates, verification — replayable in ANSI SQL, so the driver
-    oracle checks it exactly.
+    Honest regime boundary: at weakly-similar thresholds (cos ~0.5,
+    p ≈ 0.65) NO sign-LSH banding is simultaneously selective and
+    high-recall — e.g. 16x4 recalls 96% but admits 64% of ALL random
+    pairs (quadratic with extra steps). Below cos ~0.8 use the exact
+    blocked all-pairs (dedup.embedding_near_dup) or IVF-bucketed
+    search; this operator is for true near-duplicates. The
+    deterministic planes make bucketing, candidates, and verification
+    replayable in ANSI SQL, so the driver oracle checks the pipeline
+    exactly (including its sub-full recall at the demo threshold).
     """
     assign = lsh_assign(embs, dim, num_bands, bits_per_band, seed, id_col, vec_col)
     a, b = assign.alias("a"), assign.alias("b")
