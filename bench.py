@@ -57,12 +57,17 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         n_turns = t.count()  # warm the scan; excluded from build timing
 
         entry._index_cache.clear()
+        entry._bidx_cache.clear()
         t0 = time.perf_counter()
         idx = entry._index(spark, sf_dir)
-        # Force the whole build: postings + stats fully materialized.
+        # Force the whole build: postings + stats fully materialized,
+        # AND the compressed block index — it is part of the index
+        # build, not of the first WAND query that would otherwise
+        # trigger it lazily.
         idx.postings.count()
         idx.doc_meta.count()
         idx.corpus.count()
+        entry._block_index(spark, sf_dir)
         build_sec = time.perf_counter() - t0
 
         timings: dict[str, float] = {}
