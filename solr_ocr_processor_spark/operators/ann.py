@@ -267,20 +267,7 @@ def lsh_near_dup(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    n1 = F.sqrt(
-        F.aggregate(
-            F.transform("v1", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    n2 = F.sqrt(
-        F.aggregate(
-            F.transform("v2", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    n1, n2 = _norm_expr("v1"), _norm_expr("v2")
     return (
         cand.join(e1, "id1")
         .join(e2, "id2")
@@ -309,6 +296,8 @@ def ivf_centroids_kmeans(
     default for the driver queries (float-sum order makes k-means
     centroids reproducible only within a run config)."""
     C = ivf_centroids(embs, n_centroids, seed, id_col, vec_col)
+    # fewer vectors than requested centroids: degrade, don't crash
+    n_centroids = C.shape[0]
     dim = C.shape[1]
     for _ in range(iters):
         assign = ivf_assign(embs, C, id_col, vec_col)

@@ -462,6 +462,7 @@ def embedding_near_dup(
             return pd.DataFrame({"id1": [], "id2": [], "cos": []}).astype(
                 {"id1": "int64", "id2": "int64", "cos": "float64"}
             )
+        diagonal = int(pdf["bi"].iat[0]) == int(pdf["bj"].iat[0])
         ida = a["id"].values.astype(np.int64)
         idb = b["id"].values.astype(np.int64)
         Ma = np.vstack(a["vec"].values).astype(np.float64)
@@ -469,11 +470,24 @@ def embedding_near_dup(
         Ma /= np.linalg.norm(Ma, axis=1, keepdims=True)
         Mb /= np.linalg.norm(Mb, axis=1, keepdims=True)
         S = Ma @ Mb.T  # (|a|, |b|) cosine tile
-        ri, ci = np.nonzero((S >= tau) & (ida[:, None] < idb[None, :]))
+        if diagonal:
+            # same rows on both sides: each unordered pair appears in
+            # both orientations — keep the (id1 < id2) one
+            mask = (S >= tau) & (ida[:, None] < idb[None, :])
+        else:
+            # distinct blocks: each unordered pair appears exactly ONCE
+            # in this tile, in whichever orientation block membership
+            # gave it — an id1 < id2 filter here silently drops every
+            # pair whose smaller id landed in the higher block. Keep
+            # all and normalize the orientation instead.
+            mask = S >= tau
+        ri, ci = np.nonzero(mask)
+        lo = np.minimum(ida[ri], idb[ci])
+        hi = np.maximum(ida[ri], idb[ci])
         return pd.DataFrame(
             {
-                "id1": ida[ri],
-                "id2": idb[ci],
+                "id1": lo,
+                "id2": hi,
                 "cos": np.round(S[ri, ci], 6),
             }
         )

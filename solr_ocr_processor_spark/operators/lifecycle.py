@@ -121,7 +121,9 @@ def build_store(
         from ..plans.materialize import assign_doc_ids, ordered_turns
 
         turns = ordered_turns(transcripts)
-        assign_doc_ids(turns).write.mode("overwrite").parquet(doc_map_path)
+        ids_df = assign_doc_ids(turns)
+        ids_df.write.mode("overwrite").parquet(doc_map_path)
+        ids_df.unpersist()
     doc_map = spark.read.parquet(doc_map_path)
     n_docs_total = doc_map.count()
     if not _exists(spark, corpus_prior_path):
@@ -313,13 +315,30 @@ def compact(spark: SparkSession, store: IndexStore) -> None:
     dead = tombstoned_convs(spark, store).select("doc_id").distinct()
     if not dead.count():
         return
-    import numpy as np  # noqa: F401
+    import shutil
 
+    # Rewrites keep the shard=K partition layout (everything folds into
+    # shard=0): writing FLAT files under the root would leave any LATER
+    # merge_stream shard=N directory in a mixed flat+partitioned layout
+    # that Spark's partition discovery rejects.
     for name in ("postings", "doc_meta"):
         df = spark.read.parquet(store.path(name)).join(dead, "doc_id", "left_anti")
         tmp = store.path(f"_{name}_compact")
-        df.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(store.path(name))
+        df.drop("shard").write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(store.path(name), ignore_errors=True)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(
+            store.path(f"{name}/shard=0")
+        )
+    # doc_map must drop the victims too: membership (check) and the
+    # merge re-POST filter read it, and a conv whose postings were
+    # physically removed must read as NOT indexed (re-streaming it
+    # later re-indexes under a fresh doc id).
+    dm = spark.read.parquet(store.path("doc_map")).join(dead, "doc_id", "left_anti")
+    tmp_dm = store.path("_doc_map_compact")
+    dm.write.mode("overwrite").parquet(tmp_dm)
+    spark.read.parquet(tmp_dm).write.mode("overwrite").parquet(
+        store.path("doc_map")
+    )
     # blocks must be re-encoded (a dead doc may sit mid-block): rebuild
     # from the compacted posting table via the same block builder.
     postings = spark.read.parquet(store.path("postings"))
@@ -358,13 +377,17 @@ def compact(spark: SparkSession, store: IndexStore) -> None:
         .write.mode("overwrite")
         .parquet(tmpb)
     )
-    spark.read.parquet(tmpb).write.mode("overwrite").parquet(store.path("blocks"))
+    shutil.rmtree(store.path("blocks"), ignore_errors=True)
+    spark.read.parquet(tmpb).write.mode("overwrite").parquet(
+        store.path("blocks/shard=0")
+    )
 
     # tombstones served their purpose
-    import shutil
-
     shutil.rmtree(store.path("tombstones"), ignore_errors=True)
-    for t in ("_postings_compact", "_doc_meta_compact", "_blocks_compact"):
+    for t in (
+        "_postings_compact", "_doc_meta_compact", "_blocks_compact",
+        "_doc_map_compact",
+    ):
         shutil.rmtree(store.path(t), ignore_errors=True)
 
 

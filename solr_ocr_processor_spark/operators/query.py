@@ -96,7 +96,9 @@ def boolean_not_topk(
     return resolve_conv_ids(index, top)
 
 
-_ANCHOR_SHIFT = 30  # doc-local positions < 2^30 (a 1B-token doc)
+_ANCHOR_SHIFT = 30  # doc-local positions < 2^30 (a 1B-token doc);
+# the other 33 bits hold a PARTITION-LOCAL dense doc index, never a
+# global doc_id (which the 10^12-doc target would overflow)
 
 
 def _phrase_counts(index: Index, phrase_terms: list[str]) -> DataFrame:
@@ -113,8 +115,10 @@ def _phrase_counts(index: Index, phrase_terms: list[str]) -> DataFrame:
        scan (parquet row-group pruning via isin);
     2. one small shuffle colocates each doc's surviving postings;
     3. per partition, every term's positions decode in one numpy pass;
-       anchor keys pack (doc_id << 30 | pos - i) and the k-way
-       intersection is a sort+count (np.unique, count == k).
+       anchor keys pack (local_doc_index << 30 | pos - i) — the doc
+       index is partition-local and dense, so no global doc_id bound
+       is assumed — and the k-way intersection is a sort+count
+       (np.unique, count == k).
 
     Python only ever sees the QUERY TERMS' postings — at 10^12 turns
     the decoded set is the phrase terms' posting lists, the same data
@@ -156,20 +160,31 @@ def _phrase_counts(index: Index, phrase_terms: list[str]) -> DataFrame:
                 m = term_rep == t
                 docs_by_term[t].append(doc_rep[m])
                 pos_by_term[t].append(pos_all[m])
-        keys = []
-        for i, t in enumerate(phrase_terms):
+        for t in terms:
             if not docs_by_term[t]:
                 return  # a term absent in this partition: no anchors here
+        # Pack (doc, anchor) with a PARTITION-LOCAL dense doc index —
+        # a global doc_id << 30 would overflow int64 at doc_id >= 2^33,
+        # far below the 10^12-doc target. Local distinct docs per
+        # partition are bounded by memory, never by corpus size.
+        uniq_docs = np.unique(
+            np.concatenate(
+                [np.concatenate(docs_by_term[t]) for t in terms]
+            )
+        )
+        keys = []
+        for i, t in enumerate(phrase_terms):
             d = np.concatenate(docs_by_term[t])
             p = np.concatenate(pos_by_term[t]) - i
             ok = p >= 0
-            keys.append((d[ok] << np.int64(_ANCHOR_SHIFT)) | p[ok])
+            li = np.searchsorted(uniq_docs, d[ok])
+            keys.append((li << np.int64(_ANCHOR_SHIFT)) | p[ok])
         allk = np.concatenate(keys)
         uniq, counts = np.unique(allk, return_counts=True)
         hit = uniq[counts == k]
         if not hit.size:
             return
-        docs = hit >> np.int64(_ANCHOR_SHIFT)
+        docs = uniq_docs[hit >> np.int64(_ANCHOR_SHIFT)]
         udoc, utf = np.unique(docs, return_counts=True)
         # dl lookup: dedupe the partition's (doc, dl) rows, align to udoc
         rd = np.concatenate(row_docs)

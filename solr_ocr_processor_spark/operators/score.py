@@ -72,9 +72,10 @@ def bm25_scores(
     """
     terms = query_terms(query, cfg)
     if not terms:
-        return spark.createDataFrame(
-            [], "doc_id long, conv_id string, score double"
+        schema = "doc_id long, score double" + (
+            ", n_matched int" if with_match_count else ""
         )
+        return spark.createDataFrame([], schema)
     qidf, _, avgdl = _query_idf(spark, index, terms)
 
     k1, b = float(cfg.k1), float(cfg.b)

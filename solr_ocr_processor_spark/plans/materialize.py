@@ -99,6 +99,14 @@ def assign_doc_ids(turns: DataFrame, num_partitions: int | None = None) -> DataF
         .join(F.broadcast(off_df), "_pid")
         .select((F.col("_rn") + F.col("_off")).alias("doc_id"), "conv_id")
     )
+    # Materialize the (small) result, then drop the intermediate caches
+    # — without this, every build/merge leaks two cached DataFrames for
+    # the session lifetime (one distinct conv set + one range-
+    # partitioned copy per call).
+    out = out.persist()
+    out.count()
+    parts.unpersist()
+    convs.unpersist()
     return out
 
 

@@ -172,7 +172,8 @@ def merge_stream(spark: SparkSession, store) -> int:
         return 0
 
     base = doc_map.agg(F.max("doc_id").alias("m")).first()["m"] + 1
-    new_map = assign_doc_ids(turns).withColumn(
+    ids0 = assign_doc_ids(turns)
+    new_map = ids0.withColumn(
         "doc_id", (F.col("doc_id") + F.lit(int(base))).cast("long")
     )
     new_map.persist()
@@ -234,6 +235,7 @@ def merge_stream(spark: SparkSession, store) -> int:
         store.path("manifest")
     )
     new_map.unpersist()
+    ids0.unpersist()
     idx.postings.unpersist()
     idx.mat.docs.unpersist()
     shutil.rmtree(staged_path, ignore_errors=True)

@@ -257,3 +257,15 @@ def test_ivf_kmeans_improves_quantization(spark, embs):
     full = ivf_topk(embs, C3, q, k=5, nprobe=8).collect()
     brute = cosine_topk(embs, q, k=5).collect()
     assert [(r["id"], r["cos"]) for r in full] == [(r["id"], r["cos"]) for r in brute]
+
+
+def test_embedding_near_dup_multiblock_equals_single(spark, embs):
+    """Regression: with several blocks (block_rows < n) every
+    cross-block pair must survive — the orientation of a pair inside an
+    off-diagonal tile depends on block membership, not id order, so the
+    kernel must normalize rather than filter id1 < id2."""
+    from solr_ocr_processor_spark.operators.dedup import embedding_near_dup
+
+    single = {tuple(r) for r in embedding_near_dup(embs, 0.45, block_rows=10**9).collect()}
+    multi = {tuple(r) for r in embedding_near_dup(embs, 0.45, block_rows=64).collect()}
+    assert multi == single and single

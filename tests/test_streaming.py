@@ -191,3 +191,65 @@ def test_merge_then_delete_then_compact(spark, tmp_path_factory):
             (r["conv_id"], round(r["score"], 9)) for r in want
         ]
         assert victim not in {r["conv_id"] for r in got}
+
+
+def test_compact_then_merge_stream(spark, tmp_path_factory):
+    """Regression for two lifecycle-ordering bugs:
+    1. compact must keep the shard=K partition layout — flat rewrites
+       made a LATER merge_stream produce a mixed flat+partitioned dir
+       that Spark's partition discovery rejects;
+    2. compact must drop victims from doc_map — otherwise check() flips
+       back to True after the tombstones are cleared, and a re-streamed
+       deleted conv is silently skipped by the re-POST filter."""
+    from solr_ocr_processor_spark.config import IndexConfig
+    from solr_ocr_processor_spark.operators.lifecycle import (
+        build_store,
+        check,
+        compact,
+        delete_conv,
+        load_block_index,
+    )
+    from solr_ocr_processor_spark.operators.wand import wand_topk
+    from solr_ocr_processor_spark.streaming.ingest import (
+        append_turns,
+        merge_stream,
+        stream_transcripts,
+    )
+
+    cfg = IndexConfig(block_size=4, range_size=8)
+    root = tmp_path_factory.mktemp("ctm")
+    t = synth_transcripts(spark, n_convs=14, max_turns=6, seed=47)
+    batch = t.where("conv_id < 's000010'")
+    streamed = t.where("conv_id >= 's000010'")
+
+    store = build_store(spark, batch, str(root / "store"), cfg, n_shards=2)
+    victim = "s000003"
+    delete_conv(spark, store, victim)
+    compact(spark, store)
+    # membership stays deleted AFTER compact clears the tombstones
+    assert check(spark, store, victim) is False
+
+    src = str(root / "src")
+    streamed.write.mode("overwrite").parquet(src)
+    append_turns(
+        stream_transcripts(spark, src), store.root, str(root / "ckpt")
+    ).awaitTermination(120)
+    assert merge_stream(spark, store) > 0  # must not hit a mixed layout
+    assert check(spark, store, "s000012") is True
+
+    got = wand_topk(
+        spark, load_block_index(spark, store), "spark window merge", k=8, cfg=cfg
+    ).collect()
+    ref = build_store(
+        spark,
+        t.where(f"conv_id <> '{victim}'"),
+        str(root / "ref"),
+        cfg,
+        n_shards=2,
+    )
+    want = wand_topk(
+        spark, load_block_index(spark, ref), "spark window merge", k=8, cfg=cfg
+    ).collect()
+    assert [(r["conv_id"], round(r["score"], 9)) for r in got] == [
+        (r["conv_id"], round(r["score"], 9)) for r in want
+    ]
