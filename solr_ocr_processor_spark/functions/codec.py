@@ -63,7 +63,12 @@ def varint_slices(vals: np.ndarray, group_sizes: np.ndarray) -> list[bytes]:
     starts = np.zeros(group_sizes.size, dtype=np.int64)
     np.cumsum(group_sizes[:-1], out=starts[1:])
     if nbytes.size:
-        glen = np.add.reduceat(nbytes, starts)
+        # A zero-size group whose start falls at len(nbytes) (trailing
+        # empty groups) is out of range for reduceat — clip, then zero
+        # every empty group's length (the same fixup also corrects
+        # mid-stream empty groups, where reduceat yields a 1-element
+        # slice instead of an empty one).
+        glen = np.add.reduceat(nbytes, np.minimum(starts, nbytes.size - 1))
         glen[group_sizes == 0] = 0
     else:
         glen = np.zeros(group_sizes.size, dtype=np.int64)

@@ -96,6 +96,16 @@ def _planes(dim: int, num_bands: int, bits_per_band: int, seed: int) -> np.ndarr
             u[p, d] = int(
                 hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:15], 16
             )
+    # Tolerance assumption, stated: "bit-for-bit replay" of the BUCKETS
+    # additionally requires the sign of each plane dot to agree between
+    # numpy (BLAS GEMM order) and the oracle's SUM order. Float addition
+    # isn't associative, so a dot whose magnitude is at machine epsilon
+    # (|dot| ~ 1e-16 against typical |v|~1 coordinates) could flip sign
+    # between engines. With continuous-valued embeddings the event has
+    # probability ~0 (never observed across the test corpora); an
+    # exactly-zero dot would need adversarially constructed inputs. If
+    # that guarantee is ever needed, scale planes and vectors to
+    # integers and bucket on exact integer sums.
     return u / float(1 << 59) - 1.0
 
 

@@ -292,25 +292,25 @@ SIMHASH_BITS = 60  # fits a signed 64-bit int on both engines
 
 
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash): 60-bit SimHash — per distinct term, hash =
-    first 15 md5 hex chars; each bit votes +tf / -tf; fingerprint bit
-    = 1 iff the vote is positive. Docs with zero tokens emit no row
-    (they have no fingerprint), matching the SQL definition.
+    """(doc_id, simhash): 60-bit SimHash — per term occurrence, hash =
+    first 15 md5 hex chars; each bit votes +1 / -1; fingerprint bit
+    = 1 iff the vote is positive (per-occurrence ±1 votes sum to the
+    same tf-weighted votes the SQL oracle computes over distinct
+    terms). Docs with zero tokens emit no row (they have no
+    fingerprint), matching the SQL definition.
 
-    One mapInPandas scan, ZERO shuffles: the fingerprint is computed
-    per document with numpy bit-unpacking inside the batch. The
-    previous SQL formulation exploded 60 (doc, term, bit) rows per
-    (doc, term) pair through two shuffles — a 60x amplification of the
-    tf table that the per-doc kernel makes structurally unnecessary.
-    The SQL twin survives as the DuckDB oracle (driver query
-    ``dedup_simhash``), which recomputes the identical fingerprints:
-    the semantics are still ANSI-SQL-expressible, only the execution
-    isn't shaped like SQL.
+    ZERO shuffles and ZERO Python hashing: tokenize + lower + md5 run
+    JVM-side in whole-stage codegen (the same discipline as
+    minhash_lsh_pairs — Spark lower/md5 == DuckDB lower/md5 on the
+    same bytes, so the oracle replays fingerprints bit-for-bit without
+    a Python-str.lower() parity caveat), `conv(hex, 16, 10)` folds the
+    60-bit hash to an int64 still in the JVM, and explode keeps each
+    document's token rows CONSECUTIVE within its original partition —
+    so the Python side is one narrow mapInPandas whose kernel
+    segment-sums ±1 bit votes with np.add.reduceat, carrying the open
+    document's votes across Arrow batch edges (the posting-block
+    encoder's pattern, operators/blocks.py).
     """
-    import hashlib
-    import re
-    from collections import Counter
-
     bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
     schema = T.StructType(
         [
@@ -318,42 +318,68 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
             T.StructField("simhash", T.LongType(), False),
         ]
     )
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    )
+    hashed = docs.select(
+        "doc_id", F.explode(toks).alias("term")
+    ).select(
+        "doc_id",
+        # first 15 md5 hex chars == 60-bit int, folded JVM-side
+        F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("th"),
+    )
 
     def gen(batches):
-        pat = re.compile(r"[a-z0-9]+")
+        open_doc: int | None = None
+        open_votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
+
+        def fp_of(votes: np.ndarray) -> np.ndarray:
+            return ((votes > 0).astype(np.int64) << bit_idx).sum(axis=-1)
+
         for pdf in batches:
-            ids, fps = [], []
-            for did, text in zip(pdf["doc_id"].values, pdf[text_col].values):
-                if text is None:
-                    continue
-                counts = Counter(pat.findall(text.lower()))
-                if not counts:
-                    continue
-                terms = list(counts)
-                ths = np.fromiter(
-                    (
-                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-                        for t in terms
-                    ),
-                    dtype=np.int64,
-                    count=len(terms),
+            if not len(pdf):
+                continue
+            dids = pdf["doc_id"].values.astype(np.int64)
+            th = pdf["th"].values.astype(np.int64)
+            w = 2 * ((th[:, None] >> bit_idx[None, :]) & 1) - 1  # (n, 60) ±1
+            starts = np.flatnonzero(
+                np.concatenate(([True], dids[1:] != dids[:-1]))
+            )
+            sums = np.add.reduceat(w, starts, axis=0)  # (ngroups, 60)
+            gdocs = dids[starts]
+            if open_doc is not None:
+                if gdocs[0] == open_doc:
+                    sums[0] += open_votes
+                else:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.array([open_doc], dtype=np.int64),
+                            "simhash": np.array(
+                                [fp_of(open_votes)], dtype=np.int64
+                            ),
+                        }
+                    )
+            # the last group may continue in the next batch: hold it
+            open_doc = int(gdocs[-1])
+            open_votes = sums[-1].copy()
+            if len(gdocs) > 1:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": gdocs[:-1],
+                        "simhash": fp_of(sums[:-1]),
+                    }
                 )
-                tfs = np.fromiter(
-                    (counts[t] for t in terms), dtype=np.int64, count=len(terms)
-                )
-                bits = (ths[:, None] >> bit_idx[None, :]) & 1  # (nterms, 60)
-                votes = ((2 * bits - 1) * tfs[:, None]).sum(axis=0)
-                fp = int(((votes > 0).astype(np.int64) << bit_idx).sum())
-                ids.append(did)
-                fps.append(fp)
+        if open_doc is not None:
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "simhash": pd.Series(fps, dtype="int64"),
+                    "doc_id": np.array([open_doc], dtype=np.int64),
+                    "simhash": np.array([fp_of(open_votes)], dtype=np.int64),
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(gen, schema)
+    return hashed.mapInPandas(gen, schema)
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
@@ -415,30 +441,44 @@ def embedding_near_dup(
     """(id1, id2, cos) pairs with cosine >= tau — blocked all-pairs
     matrix multiply, exact and fully distributed.
 
-    Classic block decomposition: rows are assigned to ``nb`` blocks
-    (``id % nb`` — any balanced deterministic rule works; membership
-    never affects results), every unordered block pair (bi <= bj)
-    becomes one applyInPandas group, and the group's kernel GEMMs the
-    two blocks' normalized matrices (numpy/BLAS tile), keeping pairs
-    with id1 < id2 and cos >= tau. The quadratic candidate space lives
-    only inside the per-pair tile, never as rows.
+    Adaptive kernel, two regimes:
 
-    No driver collect and no full-matrix broadcast anywhere: each row
-    is replicated to its nb block pairs through one shuffle, so data
-    moved is O(n·nb) = O(n²/block_rows) rows — the provable minimum
-    for exact all-pairs without pruning. At extreme scale, prune block
-    pairs first with operators/ann.py LSH buckets (only pairs sharing
-    a bucket) and run this same kernel on the survivors.
+    - ``n <= block_rows`` (one block): the block-pair scaffolding is a
+      pure overhead — one shuffle feeding one single-threaded tile. The
+      fast path instead collects the (small, <= block_rows x dim ~ 2 MB)
+      normalized matrix once, broadcasts it, and lets every partition
+      GEMM its own rows against it in parallel with NO shuffle at all —
+      the same answer, measured ~3x faster at sf scale.
+    - ``nb > 1``: classic block decomposition. Rows are assigned to
+      ``nb`` blocks (``pmod(id, nb)`` — sign-safe for negative ids; any
+      balanced deterministic rule works, membership never affects
+      results), every unordered block pair (bi <= bj) becomes one
+      applyInPandas group, and the group's kernel GEMMs the two blocks'
+      normalized matrices (numpy/BLAS tile), keeping pairs with
+      id1 < id2 and cos >= tau. The quadratic candidate space lives
+      only inside the per-pair tile, never as rows.
+
+      No driver collect and no full-matrix broadcast: each row is
+      replicated to its nb block pairs through one shuffle, so data
+      moved is O(n·nb) = O(n²/block_rows) rows — the provable minimum
+      for exact all-pairs without pruning. The pair table itself is
+      generated distributed (spark.range crossJoin), never as a Python
+      list on the driver. At extreme scale, prune block pairs first
+      with operators/ann.py LSH buckets (only pairs sharing a bucket)
+      and run this same kernel on the survivors.
     """
     spark = embs.sparkSession
     n = embs.count()  # metadata-scale job; no rows collected
     nb = max(1, -(-n // block_rows))
+    if nb == 1:
+        return _near_dup_broadcast(embs, tau, id_col, vec_col)
     e = embs.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn("blk", (F.col("id") % nb).cast("int"))
-    pairs = spark.createDataFrame(
-        [(i, j) for i in range(nb) for j in range(i, nb)], "bi int, bj int"
-    )
+    ).withColumn("blk", F.pmod(F.col("id"), F.lit(nb)).cast("int"))
+    r = spark.range(nb).select(F.col("id").cast("int").alias("bi"))
+    pairs = r.crossJoin(
+        spark.range(nb).select(F.col("id").cast("int").alias("bj"))
+    ).where(F.col("bi") <= F.col("bj"))
     side_a = e.join(F.broadcast(pairs), e["blk"] == pairs["bi"]).select(
         "bi", "bj", "id", "vec", F.lit(0).alias("side")
     )
@@ -493,3 +533,48 @@ def embedding_near_dup(
         )
 
     return both.groupBy("bi", "bj").applyInPandas(kernel, schema)
+
+
+def _near_dup_broadcast(
+    embs: DataFrame, tau: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Single-tile fast path for :func:`embedding_near_dup`: the whole
+    (small) corpus broadcasts once; each partition GEMMs its own rows
+    against it — exact all-pairs with zero shuffles. Only called when
+    n <= block_rows, so the broadcast payload is bounded (~2 MB at
+    4096 x 64 float64)."""
+    rows = embs.select(id_col, vec_col).collect()
+    ids_all = np.array([r[id_col] for r in rows], dtype=np.int64)
+    M = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    bc = embs.sparkSession.sparkContext.broadcast((ids_all, M))
+
+    schema = T.StructType(
+        [
+            T.StructField("id1", T.LongType(), False),
+            T.StructField("id2", T.LongType(), False),
+            T.StructField("cos", T.DoubleType(), False),
+        ]
+    )
+
+    def gen(batches):
+        idb, Mb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ida = pdf[id_col].values.astype(np.int64)
+            Ma = np.vstack(pdf[vec_col].values).astype(np.float64)
+            Ma /= np.linalg.norm(Ma, axis=1, keepdims=True)
+            S = Ma @ Mb.T
+            # each unordered pair appears once per side: keep id1 < id2
+            mask = (S >= tau) & (ida[:, None] < idb[None, :])
+            ri, ci = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id1": ida[ri],
+                    "id2": idb[ci],
+                    "cos": np.round(S[ri, ci], 6),
+                }
+            )
+
+    return embs.select(id_col, vec_col).mapInPandas(gen, schema)

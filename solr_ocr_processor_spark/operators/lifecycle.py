@@ -202,7 +202,7 @@ def build_store(
         n_blocks = int(blk_row["n_blocks"])
         n_postings = int(blk_row["n_postings"] or 0)
         idx.postings.unpersist()
-        idx.mat.docs.unpersist()
+        idx.mat.unpersist()  # releases docs + the persisted turns base
         wall = time.perf_counter() - t0
         row = [
             (build_id, shard, "done", n_convs, n_turns, n_postings, n_blocks,

@@ -39,6 +39,19 @@ JOINER = " "  # single-space joiner between turn texts
 class Materialized:
     turns: DataFrame  # conv_id, turn_idx, ordinal, role, tool, ts, text, char_start, char_end
     docs: DataFrame   # doc_id, conv_id, doc_text, n_turns, n_chars
+    # The PERSISTED ordered_turns node `turns` was derived from. `turns`
+    # itself is a join on top of it, so unpersisting `turns` would not
+    # release (or even find) the cache entry — a leak that also poisons
+    # same-session retries after a crash: the next build's identical
+    # logical plan over the same paths matches the stale entry and
+    # silently serves rows whose backing files were replaced.
+    turns_base: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        """Release every cache entry this materialization created."""
+        for df in (self.docs, self.turns_base):
+            if df is not None:
+                df.unpersist()
 
 
 def ordered_turns(transcripts: DataFrame) -> DataFrame:
@@ -133,7 +146,8 @@ def materialize_docs(
     # the output turns frame). Persist it or Spark recomputes the
     # scan+window chain once per consumer — measured 3-4x wall on the
     # build and the recompute compounds at high parallelism.
-    turns = ordered_turns(transcripts).persist()
+    base = ordered_turns(transcripts).persist()
+    turns = base
     doc_ids = (
         doc_map.select("doc_id", "conv_id") if doc_map is not None
         else assign_doc_ids(turns)
@@ -175,4 +189,4 @@ def materialize_docs(
         "char_start",
         "char_end",
     )
-    return Materialized(turns=turns, docs=docs)
+    return Materialized(turns=turns, docs=docs, turns_base=base)

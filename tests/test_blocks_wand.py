@@ -191,3 +191,30 @@ def test_varint_slices_and_locs_roundtrip():
         loc_slices = varint_slices(locv.astype(np.uint64), tfs * 2)
         ds, de = decode_locs(tfs, b"".join(loc_slices))
         assert np.array_equal(ds, starts) and np.array_equal(de, starts + lens)
+
+
+def test_varint_slices_zero_size_groups():
+    """Regression (ADVICE r2): a zero-size TRAILING group put
+    starts[-1] == len(nbytes), out of range for np.add.reduceat.
+    Zero-size groups anywhere must yield empty byte slices and leave
+    the non-empty groups' payloads intact."""
+    from solr_ocr_processor_spark.functions.codec import (
+        varint_decode,
+        varint_encode,
+        varint_slices,
+    )
+
+    vals = np.array([5, 300, 7], dtype=np.uint64)
+    # trailing zero group
+    s = varint_slices(vals, np.array([2, 1, 0], dtype=np.int64))
+    assert len(s) == 3 and s[2] == b""
+    assert np.array_equal(varint_decode(b"".join(s)), vals)
+    # leading + mid zero groups
+    s = varint_slices(vals, np.array([0, 2, 0, 1], dtype=np.int64))
+    assert [len(x) > 0 for x in s] == [False, True, False, True]
+    assert np.array_equal(varint_decode(s[1]), vals[:2])
+    assert np.array_equal(varint_decode(s[3]), vals[2:])
+    # all-zero groups over an empty stream
+    s = varint_slices(np.empty(0, dtype=np.uint64), np.array([0, 0], dtype=np.int64))
+    assert s == [b"", b""]
+    assert varint_encode(np.empty(0, dtype=np.uint64)) == b""

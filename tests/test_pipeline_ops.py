@@ -269,3 +269,27 @@ def test_embedding_near_dup_multiblock_equals_single(spark, embs):
     single = {tuple(r) for r in embedding_near_dup(embs, 0.45, block_rows=10**9).collect()}
     multi = {tuple(r) for r in embedding_near_dup(embs, 0.45, block_rows=64).collect()}
     assert multi == single and single
+
+
+def test_embedding_near_dup_negative_ids(spark, embs):
+    """Regression (ADVICE r2): block assignment used Spark's
+    sign-preserving % — negative ids landed outside [0, nb) and
+    silently joined to NO block pair, dropping their rows. pmod keeps
+    every id in range, so shifting all ids negative must yield the
+    same pair set (shifted back)."""
+    from pyspark.sql import functions as F
+
+    from solr_ocr_processor_spark.operators.dedup import embedding_near_dup
+
+    shifted = embs.select(
+        (F.col("vec_id") - F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    base = {
+        (r["id1"], r["id2"], r["cos"])
+        for r in embedding_near_dup(embs, 0.45, block_rows=64).collect()
+    }
+    got = {
+        (r["id1"] + 1_000_000, r["id2"] + 1_000_000, r["cos"])
+        for r in embedding_near_dup(shifted, 0.45, block_rows=64).collect()
+    }
+    assert got == base and base

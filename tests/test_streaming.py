@@ -253,3 +253,137 @@ def test_compact_then_merge_stream(spark, tmp_path_factory):
     assert [(r["conv_id"], round(r["score"], 9)) for r in got] == [
         (r["conv_id"], round(r["score"], 9)) for r in want
     ]
+
+
+def test_merge_stream_crash_resume(spark, tmp_path_factory, monkeypatch):
+    """Regression (ADVICE r2, medium): a crash between the shard-table
+    commit and publication must NOT strand the merge. The commit
+    protocol: shard tables first, then the 'staged' manifest row
+    (commit point), then doc_map/globals/'done'. A crash right after
+    the commit point is healed by the next merge_stream call — convs
+    become queryable, doc_map gains no duplicates, and a LATER merge
+    takes a fresh shard number instead of overwriting."""
+    import pytest as _pytest
+
+    import solr_ocr_processor_spark.streaming.ingest as ingest
+    from solr_ocr_processor_spark.config import IndexConfig
+    from solr_ocr_processor_spark.operators.lifecycle import (
+        build_store,
+        check,
+        load_block_index,
+    )
+    from solr_ocr_processor_spark.operators.wand import wand_topk
+    from solr_ocr_processor_spark.streaming.ingest import (
+        append_turns,
+        merge_stream,
+        stream_transcripts,
+    )
+
+    cfg = IndexConfig(block_size=4, range_size=8)
+    root = tmp_path_factory.mktemp("crash")
+    t = synth_transcripts(spark, n_convs=18, max_turns=6, seed=53)
+    batch = t.where("conv_id < 's000010'")
+    s1 = t.where("conv_id >= 's000010' and conv_id < 's000014'")
+    s2 = t.where("conv_id >= 's000014'")
+
+    store = build_store(spark, batch, str(root / "store"), cfg, n_shards=2)
+    src1 = str(root / "src1")
+    s1.write.mode("overwrite").parquet(src1)
+    append_turns(
+        stream_transcripts(spark, src1), store.root, str(root / "ckpt1")
+    ).awaitTermination(120)
+
+    real_finalize = ingest._finalize_merge
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash after commit point")
+
+    monkeypatch.setattr(ingest, "_finalize_merge", boom)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        merge_stream(spark, store)
+    monkeypatch.setattr(ingest, "_finalize_merge", real_finalize)
+
+    # crashed state: shard committed ('staged' row), nothing published
+    assert check(spark, store, "s000011") is False
+    n1 = s1.select("conv_id").distinct().count()
+    assert merge_stream(spark, store) == n1  # heals + consumes staging
+    assert check(spark, store, "s000011") is True
+    dm = spark.read.parquet(store.path("doc_map"))
+    assert dm.count() == dm.select("doc_id").distinct().count()
+    assert dm.count() == dm.select("conv_id").distinct().count()
+
+    # a LATER merge of different convs must take a NEW shard number —
+    # the pre-fix failure overwrote the crashed shard, orphaning its
+    # doc_map entries (indexed-but-unqueryable)
+    src2 = str(root / "src2")
+    s2.write.mode("overwrite").parquet(src2)
+    append_turns(
+        stream_transcripts(spark, src2), store.root, str(root / "ckpt2")
+    ).awaitTermination(120)
+    assert merge_stream(spark, store) == s2.select("conv_id").distinct().count()
+    assert check(spark, store, "s000011") is True
+    assert check(spark, store, "s000016") is True
+
+    # full rank identity vs a batch build of the union
+    ref = build_store(spark, t, str(root / "ref"), cfg, n_shards=2)
+    got = wand_topk(spark, load_block_index(spark, store), "the", k=10, cfg=cfg).collect()
+    want = wand_topk(spark, load_block_index(spark, ref), "the", k=10, cfg=cfg).collect()
+    assert [(r["conv_id"], round(r["score"], 9)) for r in got] == [
+        (r["conv_id"], round(r["score"], 9)) for r in want
+    ]
+
+
+def test_merge_stream_crash_before_commit(spark, tmp_path_factory, monkeypatch):
+    """A crash BEFORE the commit point (shard tables written, no
+    manifest row) must rerun cleanly: the rerun recomputes the same
+    shard number and overwrites the same tables — no duplicates, no
+    orphans."""
+    import pytest as _pytest
+
+    import solr_ocr_processor_spark.streaming.ingest as ingest
+    from solr_ocr_processor_spark.config import IndexConfig
+    from solr_ocr_processor_spark.operators.lifecycle import (
+        build_store,
+        check,
+    )
+    from solr_ocr_processor_spark.streaming.ingest import (
+        append_turns,
+        merge_stream,
+        stream_transcripts,
+    )
+
+    cfg = IndexConfig(block_size=4, range_size=8)
+    root = tmp_path_factory.mktemp("crashpre")
+    t = synth_transcripts(spark, n_convs=14, max_turns=6, seed=59)
+    batch = t.where("conv_id < 's000009'")
+    s1 = t.where("conv_id >= 's000009'")
+
+    store = build_store(spark, batch, str(root / "store"), cfg, n_shards=2)
+    src = str(root / "src")
+    s1.write.mode("overwrite").parquet(src)
+    append_turns(
+        stream_transcripts(spark, src), store.root, str(root / "ckpt")
+    ).awaitTermination(120)
+
+    real_row = ingest._merge_manifest_row
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before commit point")
+
+    monkeypatch.setattr(ingest, "_merge_manifest_row", boom)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        merge_stream(spark, store)
+    monkeypatch.setattr(ingest, "_merge_manifest_row", real_row)
+
+    n1 = s1.select("conv_id").distinct().count()
+    assert merge_stream(spark, store) == n1
+    assert check(spark, store, "s000012") is True
+    dm = spark.read.parquet(store.path("doc_map"))
+    assert dm.count() == dm.select("doc_id").distinct().count()
+    # exactly one merge shard exists beyond the 2 build shards
+    import os as _os
+
+    shards = sorted(
+        d for d in _os.listdir(store.path("postings")) if d.startswith("shard=")
+    )
+    assert shards == ["shard=0", "shard=1", "shard=2"]
