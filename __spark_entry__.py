@@ -26,12 +26,12 @@ from solr_ocr_processor_spark.functions.textstats import (
     quality_score,
     token_count,
 )
-from solr_ocr_processor_spark.operators.ann import (
-    cosine_topk,
-    ivf_centroids,
-    ivf_topk,
-    lsh_near_dup,
-    lsh_topk,
+from solr_ocr_processor_spark.operators.ann import cosine_topk, lsh_near_dup
+from solr_ocr_processor_spark.operators.ann_store import (
+    AnnStore,
+    build_ann_store,
+    ivf_topk_stored,
+    lsh_topk_stored,
 )
 from solr_ocr_processor_spark.operators.blocks import BlockIndex, build_block_index
 from solr_ocr_processor_spark.operators.dedup import (
@@ -58,6 +58,7 @@ from solr_ocr_processor_spark.operators.multimodal import (
     synth_media,
 )
 from solr_ocr_processor_spark.operators.build import Index, build_postings
+from solr_ocr_processor_spark.operators.boolean import boolean_topk
 from solr_ocr_processor_spark.operators.query import (
     boolean_not_topk,
     conjunctive_topk,
@@ -188,6 +189,19 @@ def _q_boolean_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
+BOOL_QUERY = "spark AND (window OR table) NOT merge"
+
+
+def _q_boolean_nested_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q4 (full grammar): nested boolean composition
+    ``spark AND (window OR table) NOT merge`` — the Lucene-syntax
+    surface the reference delegates to Solr (solr.go:48-49), compiled
+    to ONE posting scan + per-doc presence flags + codegen predicate."""
+    idx = _index(spark, sf_dir)
+    top = boolean_topk(spark, idx, BOOL_QUERY, k=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
 def _q_membership_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY Q1/A7: GET membership check — EXISTS semantics via
     left-semi-style lookup on the doc-meta table."""
@@ -250,6 +264,26 @@ def _qvec(spark: SparkSession, sf_dir: str) -> list:
     return list(_embs(spark, sf_dir).where("vec_id = 0").first()["embedding"])
 
 
+_ann_cache: dict[tuple[int, str], AnnStore] = {}
+
+
+def _ann_store(spark: SparkSession, sf_dir: str) -> AnnStore:
+    """Persisted ANN index over the sf embeddings (built once per
+    session, like _index/_block_index): queries PROBE the stored
+    bucket/list partitions instead of re-running the full-corpus
+    assignment — the stored-Solr-core analog (solr.go:100-124)."""
+    key = (id(spark), sf_dir)
+    if key not in _ann_cache:
+        import re
+
+        tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.strip("/"))
+        root = f"/tmp/spark_graft_ann_{tag}"
+        _ann_cache[key] = build_ann_store(
+            spark, _embs(spark, sf_dir), root, dim=64
+        )
+    return _ann_cache[key]
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 hash-groupBy groups, canonical = min doc_id."""
     return exact_dup_groups(_docs(spark, sf_dir)).select(
@@ -290,18 +324,24 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 (16 md5-rank centroids, nprobe=4).
-    Fully deterministic: the DuckDB oracle replays centroid selection,
-    list assignment, probe choice, and the exact re-rank."""
-    embs = _embs(spark, sf_dir)
-    C = ivf_centroids(embs, n_centroids=16)
-    return ivf_topk(embs, C, _qvec(spark, sf_dir), k=10, nprobe=4)
+    """IVF approximate top-10 (16 md5-rank centroids, nprobe=4) over
+    the PERSISTED list table — the probe reads only the 4 probed
+    list_id partitions (partition pruning), never the corpus. Fully
+    deterministic: the DuckDB oracle replays centroid selection, list
+    assignment, probe choice, and the exact re-rank."""
+    return ivf_topk_stored(
+        spark, _ann_store(spark, sf_dir), _qvec(spark, sf_dir), k=10, nprobe=4
+    )
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-10 with md5-derived planes —
-    bucketing + re-rank replayed exactly by the DuckDB oracle."""
-    return lsh_topk(_embs(spark, sf_dir), _qvec(spark, sf_dir), k=10)
+    """Hyperplane-LSH approximate top-10 with md5-derived planes over
+    the PERSISTED bucket table — the probe reads only the query's 8
+    (band, bucket) partitions. Bucketing + re-rank replayed exactly by
+    the DuckDB oracle."""
+    return lsh_topk_stored(
+        spark, _ann_store(spark, sf_dir), _qvec(spark, sf_dir), k=10
+    )
 
 
 def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "phrase_topk": _q_phrase_topk,
         "boolean_not_topk": _q_boolean_not_topk,
+        "boolean_nested_topk": _q_boolean_nested_topk,
         "membership_check": _q_membership_check,
         "projection_limit": _q_projection_limit,
         "delete_by_query": _q_delete_by_query,
@@ -751,8 +792,47 @@ SELECT doc_id, conv_id, round(raw, 6) AS score
 FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
 """
 
+# Nested boolean: spark AND (window OR table) NOT merge.
+# One pass over the leaf terms' token rows; per-doc presence flags
+# evaluate the expression, the score sums BM25 over the POSITIVE
+# leaves only (merge gates, never scores) — the same contract as
+# operators/boolean.boolean_topk.
+_BOOL_LEAVES = ("spark", "window", "table", "merge")
+_BOOL_POS = ("spark", "window", "table")
+
+_BOOL_NESTED = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {_BOOL_LEAVES!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+agg AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(CASE WHEN tf.term IN {_BOOL_POS!r} THEN
+               ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+             ELSE 0.0 END) AS raw,
+         max(CASE WHEN tf.term = 'spark' THEN 1 ELSE 0 END) AS has_spark,
+         max(CASE WHEN tf.term = 'window' THEN 1 ELSE 0 END) AS has_window,
+         max(CASE WHEN tf.term = 'table' THEN 1 ELSE 0 END) AS has_table,
+         max(CASE WHEN tf.term = 'merge' THEN 1 ELSE 0 END) AS has_merge
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM agg
+WHERE has_spark = 1 AND (has_window = 1 OR has_table = 1) AND has_merge = 0
+ORDER BY raw DESC, doc_id ASC
+LIMIT 10
+"""
+
 _PIPELINE_ORACLES = {
     "boolean_not_topk": _BOOL_NOT,
+    "boolean_nested_topk": _BOOL_NESTED,
     "multimodal_resize": f"""
 SELECT doc_id AS media_id,
        CAST({_MEDIA_NB} AS BIGINT) AS in_bytes,

@@ -60,11 +60,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=("wand", "and", "phrase", "not"),
+        choices=("wand", "and", "phrase", "not", "bool"),
         default="wand",
         help="wand: BM25 OR-of-terms via the pruned block index; "
         "and: every term required; phrase: exact positional phrase; "
-        "not: positives AND NOT --neg terms",
+        "not: positives AND NOT --neg terms; "
+        "bool: nested boolean grammar, e.g. 'a AND (b OR c) NOT d'",
     )
     q.add_argument("--neg", default="", help="negative terms for --mode not")
 
@@ -105,32 +106,55 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"built": args.store}))
         return 0
     if args.cmd == "query":
-        dead = lifecycle.tombstoned_doc_ids(spark, store)
         if args.mode == "wand":
+            # WAND's per-range numpy kernel takes its exclude set as a
+            # scalar list (it never re-enters a Spark plan) — the ONLY
+            # query path that collects tombstone ids to the driver.
+            dead = lifecycle.tombstoned_doc_ids(spark, store)
             bidx = lifecycle.load_block_index(spark, store)
             rows = wand_topk(
                 spark, bidx, args.q, k=args.k, exclude_doc_ids=dead
             ).collect()
         else:
+            from solr_ocr_processor_spark.operators.boolean import (
+                BooleanSyntaxError,
+                boolean_topk,
+            )
             from solr_ocr_processor_spark.operators.query import (
                 boolean_not_topk,
                 conjunctive_topk,
                 phrase_topk,
             )
 
+            # tombstone suppression IN THE PLAN: the tombstone table
+            # anti-joins before the top-k, so k stays k and no
+            # unbounded dead-id list ever reaches the driver.
+            dead_df = lifecycle.tombstoned_convs(spark, store)
             idx = lifecycle.load_index(spark, store)
             if args.mode == "and":
-                out = conjunctive_topk(spark, idx, args.q, k=args.k + len(dead))
+                out = conjunctive_topk(
+                    spark, idx, args.q, k=args.k, exclude_docs=dead_df
+                )
             elif args.mode == "phrase":
-                out = phrase_topk(spark, idx, args.q, k=args.k + len(dead))
+                out = phrase_topk(
+                    spark, idx, args.q, k=args.k, exclude_docs=dead_df
+                )
+            elif args.mode == "bool":
+                # parse errors are the 400 analog (Solr would reject
+                # malformed query syntax as a bad request)
+                try:
+                    out = boolean_topk(
+                        spark, idx, args.q, k=args.k, exclude_docs=dead_df
+                    )
+                except BooleanSyntaxError as e:
+                    print(json.dumps({"error": "bad_request", "detail": str(e)[:200]}))
+                    return BAD_REQUEST_EXIT
             else:
                 out = boolean_not_topk(
-                    spark, idx, args.q, args.neg, k=args.k + len(dead)
+                    spark, idx, args.q, args.neg, k=args.k,
+                    exclude_docs=dead_df,
                 )
-            # tombstone suppression: over-fetch by |dead|, drop, cut to k
-            rows = [r for r in out.collect() if r["doc_id"] not in set(dead)][
-                : args.k
-            ]
+            rows = out.collect()
         for r in rows:
             print(json.dumps({"doc_id": r["doc_id"], "conv_id": r["conv_id"], "score": r["score"]}))
         return 0

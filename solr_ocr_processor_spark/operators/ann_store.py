@@ -1,0 +1,188 @@
+"""Persisted ANN index: stored assignment tables probed by queries.
+
+The reference queries a *stored* Solr core (app/process/solr.go:100-124
+— the index is built once by POST and every GET/query hits the stored
+segments); the in-memory :mod:`ann` operators, by contrast, recomputed
+the full-corpus bucket/list assignment inside every query — a
+brute-force-cost "ANN" at 10^9 vectors. This module is the write-once /
+probe-many layout:
+
+- :func:`build_ann_store` — materialize both assignment tables under a
+  store root:
+
+    {root}/lsh/band=B/bucket=V/   (id, vec) — sign-pattern buckets
+    {root}/ivf/list_id=L/         (id, vec) — nearest-centroid lists
+    {root}/meta.json              params + centroids (tiny)
+
+  Both tables CARRY THE VECTOR, the classic IVF layout (FAISS-style):
+  a probe reads candidate ids *and* their vectors from only the probed
+  partitions, so a query never scans or joins the full corpus. For LSH
+  this replicates each vector num_bands times — the standard space/time
+  trade for multi-band probing; at 8 bands that is 8x storage for a
+  ~corpus/2^bits-per-band read per probe.
+
+- :func:`lsh_topk_stored` / :func:`ivf_topk_stored` — the query side:
+  compute the query's buckets / probe lists driver-side (tiny, from
+  meta), push them as predicates on the PARTITION COLUMNS — Catalyst
+  prunes to the probed directories (PartitionFilters in the plan; the
+  parquet scan lists only those files) — then exact cosine re-rank via
+  whole-stage-codegen column math (ann.cosine_topk).
+
+Results are identical to the in-memory ann.lsh_topk / ann.ivf_topk
+(same md5-derived planes / centroid ranks, same re-rank), so the same
+DuckDB oracles verify both; equality is asserted in tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ann import _planes, cosine_topk, ivf_assign, ivf_centroids, lsh_assign
+
+
+@dataclass
+class AnnStore:
+    root: str
+    dim: int
+    num_bands: int
+    bits_per_band: int
+    lsh_seed: int
+    n_centroids: int
+    ivf_seed: int
+    centroids: np.ndarray  # (n_centroids, dim), L2-normalized
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+
+def build_ann_store(
+    spark: SparkSession,
+    embs: DataFrame,
+    root: str,
+    dim: int,
+    num_bands: int = 8,
+    bits_per_band: int = 8,
+    lsh_seed: int = 13,
+    n_centroids: int = 16,
+    ivf_seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> AnnStore:
+    """One pass per structure: assign (mapInPandas over the corpus,
+    the same kernels queries used to re-run), join the vector back,
+    write partitioned by the probe key. The assignment cost moves from
+    per-query to once-at-build — the whole point of an index."""
+    e = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    lsh = lsh_assign(embs, dim, num_bands, bits_per_band, lsh_seed, id_col, vec_col)
+    (
+        lsh.join(e, "id")
+        .write.mode("overwrite")
+        .partitionBy("band", "bucket")
+        .parquet(os.path.join(root, "lsh"))
+    )
+
+    C = ivf_centroids(embs, n_centroids, ivf_seed, id_col, vec_col)
+    ivf = ivf_assign(embs, C, id_col, vec_col)
+    (
+        ivf.join(e, "id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(os.path.join(root, "ivf"))
+    )
+
+    meta = {
+        "dim": dim,
+        "num_bands": num_bands,
+        "bits_per_band": bits_per_band,
+        "lsh_seed": lsh_seed,
+        "n_centroids": int(C.shape[0]),
+        "ivf_seed": ivf_seed,
+        "centroids": C.tolist(),
+    }
+    with open(os.path.join(root, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return AnnStore(
+        root=root,
+        dim=dim,
+        num_bands=num_bands,
+        bits_per_band=bits_per_band,
+        lsh_seed=lsh_seed,
+        n_centroids=int(C.shape[0]),
+        ivf_seed=ivf_seed,
+        centroids=C,
+    )
+
+
+def load_ann_store(root: str) -> AnnStore:
+    with open(os.path.join(root, "meta.json")) as f:
+        m = json.load(f)
+    return AnnStore(
+        root=root,
+        dim=m["dim"],
+        num_bands=m["num_bands"],
+        bits_per_band=m["bits_per_band"],
+        lsh_seed=m["lsh_seed"],
+        n_centroids=m["n_centroids"],
+        ivf_seed=m["ivf_seed"],
+        centroids=np.asarray(m["centroids"], dtype=np.float64),
+    )
+
+
+def _query_buckets(store: AnnStore, query_vec: list[float]) -> list[tuple[int, int]]:
+    """The query's (band, bucket) probe set — driver-side scalars from
+    the md5-derived planes (identical math to ann.lsh_topk)."""
+    P = _planes(store.dim, store.num_bands, store.bits_per_band, store.lsh_seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    S = ((P @ q) > 0).reshape(store.num_bands, store.bits_per_band)
+    pw = (1 << np.arange(store.bits_per_band)).astype(np.int64)
+    return [(int(b), int((S[b] * pw).sum())) for b in range(store.num_bands)]
+
+
+def lsh_topk_stored(
+    spark: SparkSession, store: AnnStore, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Probe the stored LSH table: OR-of-(band=B AND bucket=V) on the
+    partition columns prunes the scan to num_bands directories; a
+    vector probed via several bands dedupes by id before the exact
+    re-rank. No full-corpus scan, no assignment recompute."""
+    probes = _query_buckets(store, query_vec)
+    pred = None
+    for b, v in probes:
+        clause = (F.col("band") == b) & (F.col("bucket") == v)
+        pred = clause if pred is None else (pred | clause)
+    cand = (
+        spark.read.parquet(store.path("lsh"))
+        .where(pred)
+        .select("id", "vec")
+        .dropDuplicates(["id"])
+    )
+    return cosine_topk(cand, query_vec, k, id_col="id", vec_col="vec")
+
+
+def ivf_topk_stored(
+    spark: SparkSession,
+    store: AnnStore,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest stored centroid lists (partition
+    pruning on list_id), exact re-rank. Centroid ranking is driver-side
+    over the (tiny) persisted centroid matrix — stable sort, ties by
+    list_id asc, same contract as ann.ivf_topk and the SQL oracle."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(store.centroids @ qn), kind="stable")[:nprobe].tolist()
+    cand = (
+        spark.read.parquet(store.path("ivf"))
+        .where(F.col("list_id").isin([int(x) for x in probe]))
+        .select("id", "vec")
+    )
+    return cosine_topk(cand, query_vec, k, id_col="id", vec_col="vec")

@@ -37,12 +37,26 @@ from .build import Index
 from .score import bm25_scores, resolve_conv_ids
 
 
+def _suppress(scored: DataFrame, exclude_docs: DataFrame | None) -> DataFrame:
+    """Anti-join an exclusion set (e.g. the tombstone table) into the
+    scoring plan BEFORE the top-k — the deleted docs never compete for
+    the k slots and never reach the driver. The alternative (over-fetch
+    k + |dead| rows, filter driver-side) collects an unbounded list as
+    deletes accumulate between compactions."""
+    if exclude_docs is None:
+        return scored
+    return scored.join(
+        exclude_docs.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+
+
 def conjunctive_topk(
     spark: SparkSession,
     index: Index,
     query: str,
     k: int = 10,
     cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """AND semantics: only documents containing EVERY query term,
     ranked by the same BM25 sum as the OR scorer.
@@ -50,12 +64,14 @@ def conjunctive_topk(
     Plan: the per-doc scoring aggregation already sees one row per
     (doc, matched term), so the matched-term count comes out of that
     SAME aggregation (bm25_scores with_match_count) — the gate costs
-    one filter, no second scan of the token table.
+    one filter, no second scan of the token table. ``exclude_docs``
+    (tombstones) anti-joins in-plan before the top-k.
     """
     terms = query_terms(query, cfg)
     if not terms:
         return spark.createDataFrame([], "doc_id long, conv_id string, score double")
     scored = bm25_scores(spark, index, query, cfg=cfg, with_match_count=True)
+    scored = _suppress(scored, exclude_docs)
     top = (
         scored.where(F.col("n_matched") == len(terms))
         .select("doc_id", "score")
@@ -72,6 +88,7 @@ def boolean_not_topk(
     negative: str,
     k: int = 10,
     cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """``positive AND NOT negative``: BM25 over the positive terms,
     excluding any document containing any negative term — the
@@ -92,6 +109,7 @@ def boolean_not_topk(
             .distinct()
         )
         scored = scored.join(neg_docs, "doc_id", "left_anti")
+    scored = _suppress(scored, exclude_docs)
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     return resolve_conv_ids(index, top)
 
@@ -233,9 +251,11 @@ def phrase_topk(
     phrase: str,
     k: int = 10,
     cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Phrase query ranked Lucene-style:
-    ``(Σ_t idf(t)) * tfnorm(phrase_tf, dl, avgdl)``, ties doc_id asc."""
+    ``(Σ_t idf(t)) * tfnorm(phrase_tf, dl, avgdl)``, ties doc_id asc.
+    ``exclude_docs`` (tombstones) anti-joins in-plan before the top-k."""
     terms = [t for _, t, _, _ in tokenize_text(phrase, cfg)]
     empty = spark.createDataFrame([], "doc_id long, conv_id string, score double")
     if not terms:
@@ -256,7 +276,9 @@ def phrase_topk(
         math.log1p((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in terms
     )
     k1, b = float(cfg.k1), float(cfg.b)
-    counts = _phrase_counts(index, terms)  # carries dl — no doc_meta join
+    counts = _suppress(
+        _phrase_counts(index, terms), exclude_docs
+    )  # carries dl — no doc_meta join
     top = (
         counts.withColumn(
             "score",

@@ -293,3 +293,56 @@ def test_embedding_near_dup_negative_ids(spark, embs):
         for r in embedding_near_dup(shifted, 0.45, block_rows=64).collect()
     }
     assert got == base and base
+
+
+def test_ann_store_probes_match_inmemory(spark, embs, tmp_path):
+    """The persisted ANN store must answer identically to the
+    in-memory operators (same planes/centroids/re-rank), while its
+    probes PRUNE to the probed partitions instead of scanning the
+    corpus — the stored-index behavior (VERDICT r2 #2)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from solr_ocr_processor_spark.operators.ann import (
+        ivf_centroids,
+        ivf_topk,
+        lsh_topk,
+    )
+    from solr_ocr_processor_spark.operators.ann_store import (
+        build_ann_store,
+        ivf_topk_stored,
+        load_ann_store,
+        lsh_topk_stored,
+    )
+
+    q = list(embs.where("vec_id = 3").first()["embedding"])
+    built = build_ann_store(spark, embs, str(tmp_path / "ann"), dim=64)
+    store = load_ann_store(built.root)  # meta round-trip
+    assert (store.centroids == built.centroids).all()
+
+    got = lsh_topk_stored(spark, store, q, k=10).collect()
+    want = lsh_topk(embs, q, k=10).collect()
+    assert [(r["id"], r["cos"]) for r in got] == [
+        (r["id"], r["cos"]) for r in want
+    ]
+
+    C = ivf_centroids(embs, n_centroids=16)
+    got = ivf_topk_stored(spark, store, q, k=10, nprobe=4).collect()
+    want = ivf_topk(embs, C, q, k=10, nprobe=4).collect()
+    assert [(r["id"], r["cos"]) for r in got] == [
+        (r["id"], r["cos"]) for r in want
+    ]
+
+    # the probe plan prunes on the partition columns — the scan must
+    # carry PartitionFilters on list_id / (band, bucket), not a
+    # full-table scan + post-filter
+    for df, col in (
+        (ivf_topk_stored(spark, store, q, k=10, nprobe=4), "list_id"),
+        (lsh_topk_stored(spark, store, q, k=10), "band"),
+    ):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+        pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert pf and any(col in l for l in pf), plan

@@ -69,3 +69,67 @@ def test_phrase_topk_ranks_by_tfnorm(spark, tiny):
     assert [r["conv_id"] for r in top][0] == "c0"  # 3 occurrences wins
     assert len(top) == 2
     assert top[0]["score"] > top[1]["score"] > 0
+
+
+# --- nested boolean grammar ------------------------------------------------
+
+
+def test_boolean_parse_shapes():
+    from solr_ocr_processor_spark.operators.boolean import (
+        And,
+        BooleanSyntaxError,
+        Not,
+        Or,
+        Term,
+        parse_boolean,
+    )
+
+    assert parse_boolean("big") == Term("big")
+    # AND binds tighter than OR (Lucene precedence)
+    assert parse_boolean("a AND b OR c") == Or(
+        (And((Term("a"), Term("b"))), Term("c"))
+    )
+    # binary NOT sugar: x NOT y == x AND NOT y
+    assert parse_boolean("a NOT b") == And((Term("a"), Not(Term("b"))))
+    assert parse_boolean("a AND (b OR c) NOT d") == And(
+        (Term("a"), Or((Term("b"), Term("c"))), Not(Term("d")))
+    )
+    # an atom the analyzer splits becomes the AND of its tokens
+    assert parse_boolean("big-data") == And((Term("big"), Term("data")))
+
+    for bad in ("NOT big", "big OR NOT data", "NOT (a AND b)",
+                "a AND (b OR", "a )", "a AND", "AND a", ""):
+        with pytest.raises(BooleanSyntaxError):
+            parse_boolean(bad)
+
+
+def test_boolean_topk_semantics(spark, tiny):
+    from solr_ocr_processor_spark.operators.boolean import boolean_topk
+
+    def convs(q):
+        return {r["conv_id"] for r in boolean_topk(spark, tiny, q).collect()}
+
+    assert convs("big AND (pipelines OR here) NOT reversed") == {"c0", "c1"}
+    assert convs("big NOT data") == set()  # every big doc also has data
+    assert convs("(love OR only) AND data") == {"c1", "c2"}
+    assert convs("big AND pipelines OR love") == {"c0", "c1"}
+    # nested NOT under parens with a positive sibling
+    assert convs("data AND NOT (pipelines OR here)") == {"c2"}
+
+
+def test_boolean_scores_match_flat_not(spark, tiny):
+    """For the flat shape `pos NOT neg` the nested-grammar scorer must
+    produce bit-identical scores to boolean_not_topk (same BM25 sum
+    over positives, same sorted-term fold)."""
+    from solr_ocr_processor_spark.operators.boolean import boolean_topk
+    from solr_ocr_processor_spark.operators.query import boolean_not_topk
+
+    got = [
+        (r["conv_id"], r["score"])
+        for r in boolean_topk(spark, tiny, "big NOT reversed").collect()
+    ]
+    want = [
+        (r["conv_id"], r["score"])
+        for r in boolean_not_topk(spark, tiny, "big", "reversed").collect()
+    ]
+    assert got == want and got

@@ -152,3 +152,39 @@ def test_cli_query_modes(spark, tmp_path, capsys):
     # no NOT result may contain the negative term: check via conjunctive
     both = {r["conv_id"] for r in run("--q", "spark merge", "--k", "100", "--mode", "and")[1]}
     assert not ({r["conv_id"] for r in neg} & both)
+
+
+def test_cli_tombstones_exceed_k(spark, tmp_path, capsys):
+    """Tombstone suppression runs IN THE PLAN (anti-join before top-k):
+    with more deletes than k, and/phrase/not modes must still return up
+    to k live docs — the old over-fetch-k+|dead| driver filter is gone,
+    so this also guards against any future reintroduction."""
+    cli = _cli()
+    from solr_ocr_processor_spark.config import DEFAULT
+    from solr_ocr_processor_spark.operators import lifecycle
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store_path = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=14, max_turns=6, seed=13).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store_path, "--shards", "2"]) == 0
+
+    store = lifecycle.IndexStore(store_path, DEFAULT)
+    victims = [f"s{i:06d}" for i in range(8)]  # 8 deletes > k=3
+    for v in victims:
+        lifecycle.delete_conv(spark, store, v)
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main(["query", "--store", store_path, *args])
+        out = capsys.readouterr().out
+        return rc, [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+
+    for mode_args in (
+        ("--q", "the", "--k", "3", "--mode", "and"),
+        ("--q", "the", "--k", "3", "--mode", "not", "--neg", "zzznope"),
+        ("--q", "the", "--k", "3"),  # wand path: scalar exclude list
+    ):
+        rc, rows = run(*mode_args)
+        assert rc == 0 and 0 < len(rows) <= 3, (mode_args, rows)
+        assert not ({r["conv_id"] for r in rows} & set(victims)), (mode_args, rows)
