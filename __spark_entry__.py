@@ -66,7 +66,7 @@ from solr_ocr_processor_spark.operators.query import (
     phrase_topk,
 )
 from solr_ocr_processor_spark.operators.wand import wand_topk
-from solr_ocr_processor_spark.operators.score import bm25_topk, highlights
+from solr_ocr_processor_spark.operators.score import bm25_topk, highlights, snippets
 from solr_ocr_processor_spark.plans.materialize import materialize_docs, ordered_turns
 from solr_ocr_processor_spark.sources.transcripts import (
     derive_transcripts,
@@ -245,6 +245,16 @@ def _q_highlight_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "conv_id", "turn_idx", "term", "start_in_turn", "end_in_turn"
     )
+
+
+def _q_snippet_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q10/Q11: rendered snippet text for the flagship query's
+    top-5 docs — matched turns resolved via the lazy content pointer
+    with every hit wrapped in Solr's default <em> markers (the
+    user-visible half of the reference's snippet capability)."""
+    idx = _index(spark, sf_dir)
+    s = snippets(spark, idx, FLAGSHIP_QUERY, k=5)
+    return s.select("conv_id", "turn_idx", "snippet")
 
 
 # ---------------------------------------------------------------------------
@@ -506,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_limit": _q_projection_limit,
         "delete_by_query": _q_delete_by_query,
         "highlight_offsets": _q_highlight_offsets,
+        "snippet_render": _q_snippet_render,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -790,6 +801,61 @@ scored AS (
 )
 SELECT doc_id, conv_id, round(raw, 6) AS score
 FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
+"""
+
+# Shared CTE chain for the highlight/snippet oracles: BM25 top-5 for
+# the flagship query, then reconstruct per-word doc offsets and the
+# word -> turn mapping (turn = TW-word chunk) straight off `documents`.
+_HL_PREFIX = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+),
+top5 AS (SELECT doc_id, conv_id FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 5),
+words AS (
+  SELECT t.conv_id, str_split(d.text, ' ') AS w
+  FROM top5 t
+  JOIN documents d
+    ON t.conv_id = 'c' || lpad(CAST(d.doc_id AS VARCHAR), 8, '0')
+),
+positions0 AS (
+  SELECT conv_id, CAST(unnest(range(len(w))) AS INT) AS wpos, w
+  FROM words
+),
+positions AS (
+  SELECT conv_id, wpos, w[wpos + 1] AS word FROM positions0
+),
+offsets AS (
+  SELECT conv_id, wpos, word,
+         CAST(coalesce(sum(length(word) + 1) OVER (
+             PARTITION BY conv_id ORDER BY wpos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS doc_start
+  FROM positions
+),
+turnmap AS (
+  SELECT conv_id, wpos, word, doc_start,
+         CAST(wpos // {TW} AS INT) AS turn_idx
+  FROM offsets
+),
+turn_starts AS (
+  SELECT conv_id, turn_idx, min(doc_start) AS turn_char_start
+  FROM turnmap GROUP BY conv_id, turn_idx
+)
 """
 
 # Nested boolean: spark AND (window OR table) NOT merge.
@@ -1177,62 +1243,28 @@ ids AS (
 )
 SELECT doc_id, conv_id FROM ids WHERE doc_id % 10 <> 3
 """,
-        "highlight_offsets": f"""
-WITH {_DOCS},
-stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
-tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
-tf AS (
-  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
-  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
-  GROUP BY doc_id, conv_id, dl, term
-),
-dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-scored AS (
-  SELECT tf.doc_id, tf.conv_id,
-         sum(
-           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
-         ) AS raw
-  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
-  GROUP BY tf.doc_id, tf.conv_id
-),
-top5 AS (SELECT doc_id, conv_id FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 5),
-words AS (
-  SELECT t.conv_id, str_split(d.text, ' ') AS w
-  FROM top5 t
-  JOIN documents d
-    ON t.conv_id = 'c' || lpad(CAST(d.doc_id AS VARCHAR), 8, '0')
-),
-positions0 AS (
-  SELECT conv_id, CAST(unnest(range(len(w))) AS INT) AS wpos, w
-  FROM words
-),
-positions AS (
-  SELECT conv_id, wpos, w[wpos + 1] AS word FROM positions0
-),
-offsets AS (
-  SELECT conv_id, wpos, word,
-         CAST(coalesce(sum(length(word) + 1) OVER (
-             PARTITION BY conv_id ORDER BY wpos
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           AS doc_start
-  FROM positions
-),
-turnmap AS (
-  SELECT conv_id, wpos, word, doc_start,
-         CAST(wpos // {TW} AS INT) AS turn_idx
-  FROM offsets
-),
-turn_starts AS (
-  SELECT conv_id, turn_idx, min(doc_start) AS turn_char_start
-  FROM turnmap GROUP BY conv_id, turn_idx
-)
+        "highlight_offsets": _HL_PREFIX + f"""
 SELECT tm.conv_id, tm.turn_idx, tm.word AS term,
        CAST(tm.doc_start - ts.turn_char_start AS INT) AS start_in_turn,
        CAST(tm.doc_start - ts.turn_char_start + length(tm.word) AS INT) AS end_in_turn
 FROM turnmap tm
 JOIN turn_starts ts USING (conv_id, turn_idx)
 WHERE tm.word IN {FLAGSHIP_TERMS!r}
+""",
+        # Rendered snippets: same top-5 + word/turn reconstruction; the
+        # snippet is the matched turn's words re-joined with every
+        # matched word wrapped in <em></em> (word == token in this
+        # corpus, so token-span wrapping and word wrapping coincide —
+        # the same identity highlight_offsets' oracle already relies on).
+        "snippet_render": _HL_PREFIX + f"""
+SELECT tm.conv_id, tm.turn_idx,
+       string_agg(
+         CASE WHEN tm.word IN {FLAGSHIP_TERMS!r}
+              THEN '<em>' || tm.word || '</em>' ELSE tm.word END,
+         ' ' ORDER BY tm.wpos) AS snippet
+FROM turnmap tm
+GROUP BY tm.conv_id, tm.turn_idx
+HAVING max(CASE WHEN tm.word IN {FLAGSHIP_TERMS!r} THEN 1 ELSE 0 END) = 1
 """,
         **_PIPELINE_ORACLES,
     }

@@ -8,9 +8,9 @@ brute-force-cost "ANN" at 10^9 vectors. This module is the write-once /
 probe-many layout:
 
 - :func:`build_ann_store` — materialize both assignment tables under a
-  store root:
+  store root::
 
-    {root}/lsh/band=B/bucket=V/   (id, vec) — sign-pattern buckets
+    {root}/lsh/band=B/bdir=D/     (id, bucket, vec), sorted by bucket
     {root}/ivf/list_id=L/         (id, vec) — nearest-centroid lists
     {root}/meta.json              params + centroids (tiny)
 
@@ -21,12 +21,24 @@ probe-many layout:
   trade for multi-band probing; at 8 bands that is 8x storage for a
   ~corpus/2^bits-per-band read per probe.
 
+  **Directory granularity auto-scales with corpus size.** The LSH
+  partition dirs are (band, bdir) with ``bdir = bucket >> shift``:
+  at 10^9 vectors shift=0 gives the full 2048 (band, bucket) dirs
+  (~4M rows / ~1 GB each — textbook partition sizing, probes read
+  exactly 8 dirs); at test scale the same layout would mean thousands
+  of near-empty files (measured 10x slower build AND probe at n=2000),
+  so shift grows until dirs hold ~``rows_per_dir`` rows. The full
+  bucket is always a DATA column, sorted within each file, so the
+  fine-grained bucket predicate still prunes via parquet row-group
+  stats (PushedFilters) whenever the dirs are coarser than buckets.
+  Results are layout-independent; only I/O granularity adapts.
+
 - :func:`lsh_topk_stored` / :func:`ivf_topk_stored` — the query side:
   compute the query's buckets / probe lists driver-side (tiny, from
-  meta), push them as predicates on the PARTITION COLUMNS — Catalyst
-  prunes to the probed directories (PartitionFilters in the plan; the
-  parquet scan lists only those files) — then exact cosine re-rank via
-  whole-stage-codegen column math (ann.cosine_topk).
+  meta), push them as predicates on the partition columns (Catalyst
+  prunes to the probed directories — PartitionFilters in the plan) and
+  on the bucket data column (row-group pruning), then exact cosine
+  re-rank via whole-stage-codegen column math (ann.cosine_topk).
 
 Results are identical to the in-memory ann.lsh_topk / ann.ivf_topk
 (same md5-derived planes / centroid ranks, same re-rank), so the same
@@ -36,6 +48,7 @@ DuckDB oracles verify both; equality is asserted in tests.
 from __future__ import annotations
 
 import json
+import math
 import os
 from dataclasses import dataclass
 
@@ -56,9 +69,21 @@ class AnnStore:
     n_centroids: int
     ivf_seed: int
     centroids: np.ndarray  # (n_centroids, dim), L2-normalized
+    bucket_shift: int = 0  # bdir = bucket >> bucket_shift
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
+
+
+def _auto_shift(n_rows: int, num_bands: int, bits_per_band: int,
+                rows_per_dir: int) -> int:
+    """Smallest shift so an LSH partition dir is expected to hold >=
+    ``rows_per_dir`` rows: dirs = num_bands * 2^(bits - shift),
+    rows/dir = n_rows * num_bands / dirs = n_rows * 2^(shift - bits)."""
+    if n_rows <= 0:
+        return bits_per_band
+    want = max(0, math.ceil(math.log2(rows_per_dir / max(n_rows, 1))) + bits_per_band)
+    return min(bits_per_band, want)
 
 
 def build_ann_store(
@@ -73,18 +98,35 @@ def build_ann_store(
     ivf_seed: int = 17,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rows_per_dir: int = 100_000,
+    bucket_shift: int | None = None,
 ) -> AnnStore:
     """One pass per structure: assign (mapInPandas over the corpus,
     the same kernels queries used to re-run), join the vector back,
-    write partitioned by the probe key. The assignment cost moves from
-    per-query to once-at-build — the whole point of an index."""
+    cluster by the partition key, write. The assignment cost moves from
+    per-query to once-at-build — the whole point of an index.
+
+    The data is REPARTITIONED ON THE PARTITION KEY before partitionBy:
+    writing from randomly-distributed tasks creates one file per
+    (task, key) pair — tasks x dirs tiny files (measured ~40k files and
+    a 10x slower build at bench scale); after the repartition each dir
+    gets exactly one sorted file. At 10^9 rows pair this with
+    spark.sql.files.maxRecordsPerFile to split oversized bucket files.
+    """
     e = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if bucket_shift is None:
+        bucket_shift = _auto_shift(
+            embs.count(), num_bands, bits_per_band, rows_per_dir
+        )
 
     lsh = lsh_assign(embs, dim, num_bands, bits_per_band, lsh_seed, id_col, vec_col)
     (
         lsh.join(e, "id")
+        .withColumn("bdir", F.shiftright("bucket", bucket_shift))
+        .repartition("band", "bdir")
+        .sortWithinPartitions("band", "bdir", "bucket")
         .write.mode("overwrite")
-        .partitionBy("band", "bucket")
+        .partitionBy("band", "bdir")
         .parquet(os.path.join(root, "lsh"))
     )
 
@@ -92,6 +134,7 @@ def build_ann_store(
     ivf = ivf_assign(embs, C, id_col, vec_col)
     (
         ivf.join(e, "id")
+        .repartition("list_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(os.path.join(root, "ivf"))
@@ -105,6 +148,7 @@ def build_ann_store(
         "n_centroids": int(C.shape[0]),
         "ivf_seed": ivf_seed,
         "centroids": C.tolist(),
+        "bucket_shift": bucket_shift,
     }
     with open(os.path.join(root, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -117,6 +161,7 @@ def build_ann_store(
         n_centroids=int(C.shape[0]),
         ivf_seed=ivf_seed,
         centroids=C,
+        bucket_shift=bucket_shift,
     )
 
 
@@ -132,6 +177,7 @@ def load_ann_store(root: str) -> AnnStore:
         n_centroids=m["n_centroids"],
         ivf_seed=m["ivf_seed"],
         centroids=np.asarray(m["centroids"], dtype=np.float64),
+        bucket_shift=m.get("bucket_shift", 0),
     )
 
 
@@ -148,14 +194,19 @@ def _query_buckets(store: AnnStore, query_vec: list[float]) -> list[tuple[int, i
 def lsh_topk_stored(
     spark: SparkSession, store: AnnStore, query_vec: list[float], k: int = 10
 ) -> DataFrame:
-    """Probe the stored LSH table: OR-of-(band=B AND bucket=V) on the
-    partition columns prunes the scan to num_bands directories; a
-    vector probed via several bands dedupes by id before the exact
-    re-rank. No full-corpus scan, no assignment recompute."""
+    """Probe the stored LSH table: OR-of-(band AND bdir AND bucket) —
+    band/bdir prune directories (PartitionFilters), bucket prunes row
+    groups inside them (PushedFilters over the sorted column); a vector
+    probed via several bands dedupes by id before the exact re-rank.
+    No full-corpus scan, no assignment recompute."""
     probes = _query_buckets(store, query_vec)
     pred = None
     for b, v in probes:
-        clause = (F.col("band") == b) & (F.col("bucket") == v)
+        clause = (
+            (F.col("band") == b)
+            & (F.col("bdir") == (v >> store.bucket_shift))
+            & (F.col("bucket") == v)
+        )
         pred = clause if pred is None else (pred | clause)
     cand = (
         spark.read.parquet(store.path("lsh"))

@@ -231,3 +231,91 @@ def highlights(
         )
         .orderBy("doc_id", "turn_idx", "start_in_turn")
     )
+
+
+def snippets(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> DataFrame:
+    """Rendered snippet text for the top-k hits — the user-visible half
+    of the reference's snippet capability (README.md:3-8: Solr's
+    highlighting response returns the matched page region's text, not
+    just coordinates). Each matched turn's text is resolved via the
+    lazy content pointer (Q11: a join to the stored turn table, only
+    for the top-k docs' matched turns) and every matched token span is
+    wrapped in ``pre``/``post`` tags (Solr's default ``<em>`` markers).
+
+    Output: (doc_id, conv_id, score, turn_idx, snippet).
+
+    Plan shape: :func:`highlights` already yields the k docs' per-turn
+    char spans; they aggregate to one row per matched turn (tiny:
+    <= k docs x matched turns), broadcast-join against the turn table
+    — the corpus-sized side is probed, never shuffled — and the span
+    fold renders the snippet as a pure codegen ``aggregate`` over the
+    sorted span array: no UDF, no Python, no per-row interpretation.
+    """
+    h = highlights(spark, index, query, k, cfg)
+    spans = h.groupBy("doc_id", "conv_id", "score", "turn_idx").agg(
+        F.array_sort(
+            F.collect_set(
+                F.struct(
+                    F.col("start_in_turn").alias("s"),
+                    F.col("end_in_turn").alias("e"),
+                )
+            )
+        ).alias("spans")
+    )
+    turns = index.mat.turns.select("doc_id", "turn_idx", "text")
+    joined = turns.join(F.broadcast(spans), ["doc_id", "turn_idx"])
+
+    # Span offsets live in the NORMALIZED (NFKC + casefold) turn space
+    # the tokenizer recorded them in (functions/tokenizer.normalize) —
+    # slice that exact space. Python's casefold/NFKC can change string
+    # length (e.g. 'ß' -> 'ss'), so JVM lower() is NOT equivalent; a
+    # tiny Arrow-batched pandas UDF reuses the tokenizer's own
+    # normalization. It only ever sees the k docs' matched turns, so
+    # the Python hop is k-bounded, never corpus-bounded.
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    do_nfkc, do_fold = cfg.unicode_nfkc, cfg.casefold
+
+    @pandas_udf("string")
+    def _norm(col):
+        import unicodedata
+
+        def f(s):
+            if do_nfkc:
+                s = unicodedata.normalize("NFKC", s)
+            return s.casefold() if do_fold else s
+
+        return col.map(f)
+
+    joined = joined.withColumn("ntext", _norm(F.col("text")))
+    text = F.col("ntext")
+    # Fold the (sorted, non-overlapping) spans left-to-right carrying
+    # (chars consumed, rendered prefix); finish appends the tail.
+    snippet = F.aggregate(
+        F.col("spans"),
+        F.struct(F.lit(0).alias("pos"), F.lit("").alias("out")),
+        lambda acc, sp: F.struct(
+            sp["e"].alias("pos"),
+            F.concat(
+                acc["out"],
+                text.substr(acc["pos"] + F.lit(1), sp["s"] - acc["pos"]),
+                F.lit(pre),
+                text.substr(sp["s"] + F.lit(1), sp["e"] - sp["s"]),
+                F.lit(post),
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"], text.substr(acc["pos"] + F.lit(1), F.length(text) - acc["pos"])
+        ),
+    )
+    return joined.select(
+        "doc_id", "conv_id", "score", "turn_idx", snippet.alias("snippet")
+    ).orderBy("doc_id", "turn_idx")

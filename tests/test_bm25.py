@@ -60,6 +60,27 @@ def test_highlights_point_at_query_terms(spark, corpus):
         assert norm[h.start_in_turn : h.end_in_turn] == h.term
 
 
+def test_snippets_wrap_matched_terms(spark, corpus):
+    """Rendered snippets: the matched turn's NORMALIZED text with every
+    query-term token wrapped in <em></em> — stripping the markers must
+    recover the normalized turn text exactly, and every marked span
+    must be a query term."""
+    import re
+    import unicodedata
+
+    from solr_ocr_processor_spark.operators.score import snippets
+
+    t, index, _ = corpus
+    got = snippets(spark, index, "spark window", k=5).collect()
+    assert got
+    turn_text = {(r.conv_id, r.turn_idx): r.text for r in t.collect()}
+    for r in got:
+        norm = unicodedata.normalize("NFKC", turn_text[(r.conv_id, r.turn_idx)]).casefold()
+        assert r.snippet.replace("<em>", "").replace("</em>", "") == norm
+        marked = re.findall(r"<em>(.*?)</em>", r.snippet)
+        assert marked and set(marked) <= {"spark", "window"}
+
+
 def test_sum_tf_equals_token_count(spark, corpus):
     """Property: sum of tf over postings == total token count."""
     _, index, docs = corpus

@@ -326,6 +326,18 @@ def test_ann_store_probes_match_inmemory(spark, embs, tmp_path):
         (r["id"], r["cos"]) for r in want
     ]
 
+    # layout independence: the full-granularity directory layout
+    # (bucket_shift=0, the 10^9-vector path: one dir per (band,bucket))
+    # must answer identically to the adaptive coarse layout
+    fine = build_ann_store(
+        spark, embs, str(tmp_path / "ann0"), dim=64, bucket_shift=0
+    )
+    assert fine.bucket_shift == 0 and store.bucket_shift > 0
+    got0 = lsh_topk_stored(spark, fine, q, k=10).collect()
+    assert [(r["id"], r["cos"]) for r in got0] == [
+        (r["id"], r["cos"]) for r in want
+    ]
+
     C = ivf_centroids(embs, n_centroids=16)
     got = ivf_topk_stored(spark, store, q, k=10, nprobe=4).collect()
     want = ivf_topk(embs, C, q, k=10, nprobe=4).collect()
