@@ -85,6 +85,14 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     args = p.parse_args(argv)
+    if args.cmd == "check":
+        # Cluster-free: membership is a point lookup against the
+        # store's own parquet (pyarrow pushdown) — no Spark session,
+        # no job, same exit-code contract (reference GET = one HTTP
+        # call, app/process/solr.go:100-124).
+        found = lifecycle.check_offline(args.store, args.conv_id)
+        print(json.dumps({"conv_id": args.conv_id, "found": found}))
+        return 0 if found else NOT_FOUND_EXIT
     spark = get_spark(app_name=f"socr-{args.cmd}")
     store = lifecycle.IndexStore(args.store, DEFAULT)
 
@@ -158,10 +166,6 @@ def main(argv: list[str] | None = None) -> int:
         for r in rows:
             print(json.dumps({"doc_id": r["doc_id"], "conv_id": r["conv_id"], "score": r["score"]}))
         return 0
-    if args.cmd == "check":
-        found = lifecycle.check(spark, store, args.conv_id)
-        print(json.dumps({"conv_id": args.conv_id, "found": found}))
-        return 0 if found else NOT_FOUND_EXIT
     if args.cmd == "delete":
         lifecycle.delete_conv(spark, store, args.conv_id)
         print(json.dumps({"deleted": args.conv_id}))

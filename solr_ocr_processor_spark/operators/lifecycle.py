@@ -280,6 +280,36 @@ def check(spark: SparkSession, store: IndexStore, conv_id: str) -> bool:
     return bool(dm.where(F.col("conv_id") == conv_id).limit(1).count())
 
 
+def check_offline(root: str, conv_id: str) -> bool:
+    """GET membership WITHOUT a cluster: the reference's check is one
+    HTTP call against the stored core (app/process/solr.go:100-124);
+    spinning a Spark job over the store for an exists-lookup is the
+    wrong cost class. This reads the store's own parquet directly via
+    pyarrow with predicate pushdown — doc_map is written range-
+    partitioned and sorted by conv_id (plans/materialize.assign_doc_ids
+    feeds the step-0 checkpoint in that order), so file- and row-group
+    min/max stats prune the point lookup to ~one row group even at
+    10^9 conversations; tombstones stay O(deletes-since-compact).
+    Same semantics as :func:`check`: indexed and not tombstoned."""
+    import pyarrow.dataset as pads
+
+    tomb = os.path.join(root, "tombstones")
+    if os.path.isdir(tomb):
+        hit = pads.dataset(tomb, format="parquet").count_rows(
+            filter=pads.field("conv_id") == conv_id
+        )
+        if hit:
+            return False
+    dm = os.path.join(root, "doc_map")
+    if not os.path.isdir(dm):
+        return False
+    return bool(
+        pads.dataset(dm, format="parquet").count_rows(
+            filter=pads.field("conv_id") == conv_id
+        )
+    )
+
+
 def delete_conv(spark: SparkSession, store: IndexStore, conv_id: str) -> None:
     """DELETE: record a tombstone. Like the reference we capture the
     doc ids BEFORE logically removing them (app/process/solr.go:25-34 —

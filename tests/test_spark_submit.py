@@ -154,6 +154,48 @@ def test_cli_query_modes(spark, tmp_path, capsys):
     assert not ({r["conv_id"] for r in neg} & both)
 
 
+def test_cli_check_is_cluster_free(spark, tmp_path, capsys, monkeypatch):
+    """The check verb is a point lookup against the store's parquet
+    (pyarrow pushdown) — it must never create a Spark session, keep
+    its exit-code contract, and agree with the Spark-side check across
+    delete/compact."""
+    cli = _cli()
+    from solr_ocr_processor_spark.config import DEFAULT
+    from solr_ocr_processor_spark.operators import lifecycle
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store_path = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=8, max_turns=5, seed=3).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store_path, "--shards", "2"]) == 0
+
+    def boom(*a, **k):
+        raise AssertionError("check must not create a Spark session")
+
+    monkeypatch.setattr(cli, "get_spark", boom)
+
+    def run_check(conv):
+        capsys.readouterr()
+        return cli.main(["check", "--store", store_path, "--conv-id", conv])
+
+    assert run_check("s000001") == 0
+    assert run_check("missing") == 4  # 404 analog, unchanged
+    assert run_check("s000001") == 0
+
+    store = lifecycle.IndexStore(store_path, DEFAULT)
+    lifecycle.delete_conv(spark, store, "s000001")
+    assert run_check("s000001") == 4  # tombstone visible offline
+    assert run_check("s000002") == 0
+
+    lifecycle.compact(spark, store)
+    assert run_check("s000001") == 4  # physically gone
+    # offline and Spark-side answers agree post-compaction
+    for conv in ("s000001", "s000002", "missing"):
+        assert lifecycle.check_offline(store_path, conv) == lifecycle.check(
+            spark, store, conv
+        )
+
+
 def test_cli_tombstones_exceed_k(spark, tmp_path, capsys):
     """Tombstone suppression runs IN THE PLAN (anti-join before top-k):
     with more deletes than k, and/phrase/not modes must still return up
