@@ -145,9 +145,11 @@ def fix_response(text: Column) -> Column:
 def xml_codepoint_escape(text: Column) -> Column:
     """UTF-8 -> XML decimal character references for codepoints > 127,
     as a fold over the string's characters (pure built-ins: split to
-    chars, transform, concat)."""
+    chars, transform, concat). Pure-ASCII rows — the overwhelming
+    majority in an escape-at-build pass — short-circuit on one rlike
+    and never pay the per-char array allocation."""
     chars = F.split(text, "")
-    return F.array_join(
+    escaped = F.array_join(
         F.transform(
             chars,
             lambda c: F.when(
@@ -157,3 +159,4 @@ def xml_codepoint_escape(text: Column) -> Column:
         ),
         "",
     )
+    return F.when(text.rlike(r"[^\x00-\x7F]"), escaped).otherwise(text)

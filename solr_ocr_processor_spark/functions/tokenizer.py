@@ -124,10 +124,18 @@ def tokenize_postings(
             turns.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
 
+    # Transfer diet: the Python side needs only (doc_id, text,
+    # char_start). conv_id was carried solely to detect document
+    # boundaries — doc_id is 1:1 with conv and does the same job
+    # without shipping 1 string value/row through the ~1 µs/value
+    # JVM->Python pipe; ordinal is only the JVM-side sort key, pruned
+    # by the projection AFTER the sort. 5 -> 3 values/row, and the two
+    # dropped columns were the widest (string) and a long.
     part = (
-        turns.select("doc_id", "conv_id", "ordinal", "text", "char_start")
-        .repartition(num_partitions, "conv_id")
-        .sortWithinPartitions("conv_id", "ordinal")
+        turns.select("doc_id", "ordinal", "text", "char_start")
+        .repartition(num_partitions, "doc_id")
+        .sortWithinPartitions("doc_id", "ordinal")
+        .select("doc_id", "text", "char_start")
     )
 
     # Flush granularity: the numpy encode (lexsort + delta + varint)
@@ -143,7 +151,7 @@ def tokenize_postings(
         from .codec import gap_reset, varint_slices
 
         pat = re.compile(pat_src)
-        cur_conv = None
+        cur_doc = None
         # flush-buffer state: token-level parallel lists spanning many
         # docs; per-doc term dictionaries for string lookup at encode
         doc_terms: list[list[str]] = []   # per buffered doc: tid -> term
@@ -204,19 +212,18 @@ def tokenize_postings(
             return pdf
 
         for pdf_in in batches:
-            for did, conv, text, cstart in zip(
+            for did, text, cstart in zip(
                 pdf_in["doc_id"].values,
-                pdf_in["conv_id"].values,
                 pdf_in["text"].values,
                 pdf_in["char_start"].values,
             ):
-                if conv != cur_conv:
-                    # only flush at conv boundaries: groups never split
+                if did != cur_doc:
+                    # only flush at doc boundaries: groups never split
                     if len(tids) >= FLUSH_TOKENS:
                         pdf_out = flush()
                         if pdf_out is not None:
                             yield pdf_out
-                    cur_conv = conv
+                    cur_doc = did
                     tid_of = {}
                     npos = 0
                     doc_terms.append([])
