@@ -87,8 +87,12 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # one-time costs (codegen compile, scan listing, Python-worker
         # import for mapInPandas plans) that a warm service would not;
         # min-of-N is the standard single-box noise control and is what
-        # BASELINE.md's idle-box numbers effectively measured.
-        tries = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_TRIES", "2")))
+        # BASELINE.md's idle-box numbers effectively measured. N=3:
+        # this VM's host-contention windows depress individual runs
+        # 1.5-3x (BASELINE.md §3 box-noise disclosure); the headline
+        # metric sums the per-query minima, so extra tries cost driver
+        # wall time but never inflate the metric.
+        tries = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_TRIES", "3")))
         timings: dict[str, float] = {}
         for name, fn in entry.queries().items():
             best = float("inf")
@@ -214,12 +218,26 @@ def main() -> None:
         res = {}
         # fresh JVM + fresh python per leg; repeat, keep the best run
         # (min wall) — standard noise control for single-box benchmarks
+        import shutil
+
         for cpus in pair:
             best = None
             for _ in range(tries):
+                cmd = [sys.executable, os.path.abspath(__file__),
+                       "--scaling-leg", str(cpus), path]
+                # Pin the whole leg (JVM + python workers) to exactly
+                # `cpus` cores. Without this, a local[2] leg on a
+                # 32-core box silently borrows the other 30 cores for
+                # GC/JIT threads (the JVM sizes its pools from the
+                # machine, not the task-slot count) and for OpenBLAS
+                # inside numpy — inflating the low-core leg and
+                # understating efficiency. A real 2-core executor HAS
+                # 2 cores; sched affinity is the honest stand-in, and
+                # Java 17 + OpenBLAS both size their pools from it.
+                if shutil.which("taskset"):
+                    cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
                 p = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--scaling-leg", str(cpus), path],
+                    cmd,
                     capture_output=True, text=True, timeout=2400,
                     env=dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR),
                 )

@@ -92,6 +92,7 @@ def tokenize_postings(
     turns: DataFrame,
     cfg: IndexConfig = DEFAULT,
     num_partitions: int | None = None,
+    doc_partitioned: bool = False,
 ) -> DataFrame:
     """Tokenize documents into PER-POSTING rows — the primary index
     artifact: (doc_id, term, tf, dl, pos_bytes, loc_bytes).
@@ -131,10 +132,20 @@ def tokenize_postings(
     # JVM->Python pipe; ordinal is only the JVM-side sort key, pruned
     # by the projection AFTER the sort. 5 -> 3 values/row, and the two
     # dropped columns were the widest (string) and a long.
+    #
+    # ``doc_partitioned``: the kernel below needs each doc's rows
+    # CONTIGUOUS in one partition, nothing more. materialize_docs
+    # already hash-partitions turns by conv_id (the ordinal window's
+    # shuffle) and doc_id is 1:1 with conv_id, so for that caller the
+    # repartition here would re-shuffle the full turn table to arrive
+    # at an equivalent layout — the in-partition sort alone
+    # re-establishes contiguity after the doc-id join. Callers passing
+    # arbitrarily-partitioned turns keep the explicit shuffle.
+    sel = turns.select("doc_id", "ordinal", "text", "char_start")
+    if not doc_partitioned:
+        sel = sel.repartition(num_partitions, "doc_id")
     part = (
-        turns.select("doc_id", "ordinal", "text", "char_start")
-        .repartition(num_partitions, "doc_id")
-        .sortWithinPartitions("doc_id", "ordinal")
+        sel.sortWithinPartitions("doc_id", "ordinal")
         .select("doc_id", "text", "char_start")
     )
 

@@ -68,7 +68,12 @@ def build_postings(
     # docs feeds doc_meta; postings feed blocks, dl, and stats. Persist
     # both hubs so each subtree runs once.
     mat.docs.persist()
-    postings = tokenize_postings(mat.turns, cfg).persist()
+    # doc_partitioned: mat.turns comes out of the ordinal window's
+    # hash-partition on conv_id (1:1 with doc_id), so every doc is
+    # already wholly inside one partition under every join strategy —
+    # the tokenizer's repartition(doc_id) would be a second full-table
+    # shuffle for an equivalent layout.
+    postings = tokenize_postings(mat.turns, cfg, doc_partitioned=True).persist()
 
     # Doc lengths — dl is constant per doc on posting rows.
     doc_len = postings.groupBy("doc_id").agg(F.max("dl").alias("dl"))

@@ -54,19 +54,19 @@ def main() -> None:
     if phase == "jvm":
         mat = materialize_docs(t)
         turns = mat.turns
-        nsp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # mirrors tokenize_postings(doc_partitioned=True): in-partition
+        # sort only, reusing the ordinal window's conv_id partitioning
         part = (
             turns.select("doc_id", "ordinal", "text", "char_start")
-            .repartition(nsp, "doc_id")
             .sortWithinPartitions("doc_id", "ordinal")
             .select("doc_id", "text", "char_start")
         )
         part.write.format("noop").mode("overwrite").save()
     elif phase == "tok":
         mat = materialize_docs(t)
-        tokenize_postings(mat.turns).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        tokenize_postings(mat.turns, doc_partitioned=True).write.format(
+            "noop"
+        ).mode("overwrite").save()
     elif phase == "full":
         idx = build_postings(t)
         bidx = build_block_index(idx)
