@@ -284,10 +284,17 @@ def _ann_store(spark: SparkSession, sf_dir: str) -> AnnStore:
     assignment — the stored-Solr-core analog (solr.go:100-124)."""
     key = (id(spark), sf_dir)
     if key not in _ann_cache:
+        import atexit
+        import os
         import re
+        import shutil
 
         tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.strip("/"))
-        root = f"/tmp/spark_graft_ann_{tag}"
+        # pid-scoped: two processes on the same sf_dir (bench + oracle
+        # check) must not overwrite each other's store mid-probe; the
+        # atexit hook reclaims the per-process directory.
+        root = f"/tmp/spark_graft_ann_{tag}_{os.getpid()}"
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         _ann_cache[key] = build_ann_store(
             spark, _embs(spark, sf_dir), root, dim=64
         )

@@ -86,11 +86,21 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
     if args.cmd == "check":
-        # Cluster-free: membership is a point lookup against the
-        # store's own parquet (pyarrow pushdown) — no Spark session,
-        # no job, same exit-code contract (reference GET = one HTTP
-        # call, app/process/solr.go:100-124).
-        found = lifecycle.check_offline(args.store, args.conv_id)
+        # Cluster-free when the store is on the local filesystem:
+        # membership is a point lookup against the store's own parquet
+        # (pyarrow pushdown) — no Spark session, no job, same
+        # exit-code contract (reference GET = one HTTP call,
+        # app/process/solr.go:100-124). Stores on a Hadoop filesystem
+        # (hdfs://, s3a://, ...) fall through to the Spark-backed
+        # lookup — pyarrow's local-path reader can't see them, and a
+        # silent "not found" would be a wrong answer, not a slow one.
+        scheme_local = "://" not in args.store or args.store.startswith("file://")
+        if scheme_local:
+            found = lifecycle.check_offline(args.store, args.conv_id)
+        else:
+            spark = get_spark(app_name="socr-check")
+            store = lifecycle.IndexStore(args.store, DEFAULT)
+            found = lifecycle.check(spark, store, args.conv_id)
         print(json.dumps({"conv_id": args.conv_id, "found": found}))
         return 0 if found else NOT_FOUND_EXIT
     spark = get_spark(app_name=f"socr-{args.cmd}")

@@ -113,6 +113,12 @@ def build_ann_store(
     gets exactly one sorted file. At 10^9 rows pair this with
     spark.sql.files.maxRecordsPerFile to split oversized bucket files.
     """
+    # The build reads the corpus for several consumers (the sizing
+    # count, two assignment passes, two join-backs, the centroid
+    # seed). Persist the 2-column projection for the build's duration
+    # or each action is its own full source scan — at 10^9 vectors
+    # that is ~3 redundant corpus reads.
+    embs = embs.select(id_col, vec_col).persist()
     e = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if bucket_shift is None:
         bucket_shift = _auto_shift(
@@ -152,6 +158,7 @@ def build_ann_store(
     }
     with open(os.path.join(root, "meta.json"), "w") as f:
         json.dump(meta, f)
+    embs.unpersist()
     return AnnStore(
         root=root,
         dim=dim,

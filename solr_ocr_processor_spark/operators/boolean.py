@@ -58,7 +58,12 @@ from ..config import DEFAULT, IndexConfig
 from ..functions.tokenizer import query_terms
 from .build import Index
 from .query import _suppress
-from .score import _query_idf, resolve_conv_ids
+from .score import (
+    _query_idf,
+    bm25_term_score,
+    resolve_conv_ids,
+    sorted_term_fold,
+)
 
 
 # --- AST -------------------------------------------------------------------
@@ -238,31 +243,20 @@ def boolean_topk(
         index.postings.where(F.col("term").isin(terms))
         .join(F.broadcast(qidf), "term")
         .withColumn(
-            # Same associativity as operators/score.bm25_scores:
-            # idf * (num / denom) — bit-identical across engines.
+            # Shared score contract (bm25_term_score / sorted_term_fold
+            # live in operators/score.py — ONE home for the
+            # associativity + fold-order bit-identity rules). Only
+            # POSITIVE leaves contribute score; negative-only leaves
+            # still count for presence.
             "term_score",
             F.when(
-                F.col("term").isin(sorted(post)),
-                F.col("idf")
-                * (
-                    (F.col("tf") * F.lit(k1 + 1.0))
-                    / (
-                        F.col("tf")
-                        + F.lit(k1)
-                        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
-                    )
-                ),
+                F.col("term").isin(sorted(post)), bm25_term_score(k1, b, avgdl)
             ).otherwise(F.lit(0.0)),
         )
         .select("doc_id", "term", "term_score")
     )
     scored = per_term.groupBy("doc_id").agg(
-        # sorted-term fold -> bit-deterministic sum (score contract)
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("term", "term_score"))),
-            F.lit(0.0),
-            lambda acc, s: acc + s["term_score"],
-        ).alias("score"),
+        sorted_term_fold().alias("score"),
         F.collect_set("term").alias("terms_present"),
     )
     scored = _suppress(scored, exclude_docs)

@@ -68,12 +68,16 @@ def build_postings(
     # docs feeds doc_meta; postings feed blocks, dl, and stats. Persist
     # both hubs so each subtree runs once.
     mat.docs.persist()
-    # doc_partitioned: mat.turns comes out of the ordinal window's
-    # hash-partition on conv_id (1:1 with doc_id), so every doc is
-    # already wholly inside one partition under every join strategy —
+    # doc_partitioned: when materialize_docs broadcast the doc-id map,
+    # mat.turns keeps the ordinal window's conv_id hash partitioning
+    # (1:1 with doc_id) and every doc is wholly inside one partition —
     # the tokenizer's repartition(doc_id) would be a second full-table
-    # shuffle for an equivalent layout.
-    postings = tokenize_postings(mat.turns, cfg, doc_partitioned=True).persist()
+    # shuffle for an equivalent layout. With a shuffled doc-id join the
+    # guarantee is void (AQE skew splits divide partitions by map
+    # ranges, not keys), so the explicit repartition stays.
+    postings = tokenize_postings(
+        mat.turns, cfg, doc_partitioned=mat.doc_co_located
+    ).persist()
 
     # Doc lengths — dl is constant per doc on posting rows.
     doc_len = postings.groupBy("doc_id").agg(F.max("dl").alias("dl"))

@@ -290,8 +290,13 @@ def check_offline(root: str, conv_id: str) -> bool:
     feeds the step-0 checkpoint in that order), so file- and row-group
     min/max stats prune the point lookup to ~one row group even at
     10^9 conversations; tombstones stay O(deletes-since-compact).
-    Same semantics as :func:`check`: indexed and not tombstoned."""
+    Same semantics as :func:`check`: indexed and not tombstoned.
+    Local filesystem only — callers route hdfs://s3a:// stores to
+    :func:`check` (jobs/cli.py does)."""
     import pyarrow.dataset as pads
+
+    if root.startswith("file://"):
+        root = root[len("file://"):]
 
     tomb = os.path.join(root, "tombstones")
     if os.path.isdir(tomb):

@@ -43,6 +43,36 @@ def _query_idf(spark: SparkSession, index: Index, terms: list[str]):
     return stats.withColumn("idf", idf_col).select("term", "df", "idf"), n_docs, avgdl
 
 
+def bm25_term_score(k1: float, b: float, avgdl: float) -> "Column":
+    """The per-posting BM25 term-score expression over (tf, dl, idf)
+    columns. THE single home of the score contract's associativity:
+    idf * (num / denom), never (idf * num) / denom — required for
+    bit-identity with the numpy oracle paths (functions/bm25.tf_norm).
+    Shared by bm25_scores and operators/boolean.boolean_topk."""
+    return F.col("idf") * (
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+
+
+def sorted_term_fold() -> "Column":
+    """Bit-deterministic per-doc score: float addition isn't
+    associative, so summing in shuffle-arrival order makes the last
+    ulp depend on partitioning. Sort the (few) per-doc (term,
+    term_score) pairs by term and fold in that fixed order ->
+    identical scores on every rerun, resume, or cluster size (the
+    rank-identity requirement). Aggregate over ("term", "term_score")
+    columns; shared by bm25_scores and boolean_topk."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct("term", "term_score"))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["term_score"],
+    )
+
+
 def bm25_scores(
     spark: SparkSession,
     index: Index,
@@ -91,33 +121,10 @@ def bm25_scores(
     )
     scored = (
         per_term
-        .withColumn(
-            # Associativity matters for bit-identity with the numpy
-            # paths (functions/bm25.tf_norm): idf * (num / denom),
-            # never (idf * num) / denom.
-            "term_score",
-            F.col("idf")
-            * (
-                (F.col("tf") * F.lit(k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
-                )
-            ),
-        )
+        .withColumn("term_score", bm25_term_score(k1, b, avgdl))
         .groupBy("doc_id")
-        # Bit-deterministic score: float addition isn't associative, so
-        # summing in shuffle-arrival order makes the last ulp depend on
-        # partitioning. Sort the (few) per-doc term scores by term and
-        # fold in that fixed order -> identical scores on every rerun,
-        # resume, or cluster size (rank-identity requirement).
         .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "term_score"))),
-                F.lit(0.0),
-                lambda acc, s: acc + s["term_score"],
-            ).alias("score"),
+            sorted_term_fold().alias("score"),
             F.count(F.lit(1)).cast("int").alias("n_matched"),
         )
     )

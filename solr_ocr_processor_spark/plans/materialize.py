@@ -34,11 +34,27 @@ from pyspark.sql.window import Window
 
 JOINER = " "  # single-space joiner between turn texts
 
+# Doc-id maps up to this many rows are broadcast in materialize_docs
+# (~40 B/row in the broadcast hash table -> ~160 MB at the cap, well
+# inside a 32 g driver). Beyond it the join shuffles and the tokenizer
+# pays its own repartition — correctness first at 10^9-conv scale.
+BROADCAST_DOC_IDS_MAX = 4_000_000
+
 
 @dataclass
 class Materialized:
     turns: DataFrame  # conv_id, turn_idx, ordinal, role, tool, ts, text, char_start, char_end
     docs: DataFrame   # doc_id, conv_id, doc_text, n_turns, n_chars
+    # True iff each doc_id's turn rows are guaranteed wholly inside one
+    # partition of `turns` (the tokenizer's no-shuffle precondition).
+    # Only the BROADCAST doc-id join gives this guarantee: it preserves
+    # the ordinal window's conv_id hash partitioning untouched. A
+    # shuffled join does NOT — AQE skew-join splitting
+    # (spark.sql.adaptive.skewJoin, on by default in session.py) splits
+    # an oversized partition by map-output ranges, not by key, so one
+    # conv's rows can land in two task splits and a downstream
+    # per-partition kernel would see the doc twice.
+    doc_co_located: bool = False
     # The PERSISTED ordered_turns node `turns` was derived from. `turns`
     # itself is a join on top of it, so unpersisting `turns` would not
     # release (or even find) the cache entry — a leak that also poisons
@@ -152,6 +168,17 @@ def materialize_docs(
         doc_map.select("doc_id", "conv_id") if doc_map is not None
         else assign_doc_ids(turns)
     )
+    # Broadcast the doc-id map when it is provably driver-sized. This
+    # is a CORRECTNESS gate, not only a perf hint: the broadcast join
+    # leaves the window's conv_id partitioning untouched, so the
+    # tokenizer may skip its repartition (doc_partitioned=True). Past
+    # the threshold the plain shuffled join is used and downstream
+    # consumers must re-establish co-location themselves (see
+    # Materialized.doc_co_located).
+    n_doc_ids = doc_ids.count()
+    doc_co_located = n_doc_ids <= BROADCAST_DOC_IDS_MAX
+    if doc_co_located:
+        doc_ids = F.broadcast(doc_ids)
     aggs = [
         F.count(F.lit(1)).alias("n_turns"),
         # n_chars of the joined doc text, without joining it:
@@ -189,4 +216,9 @@ def materialize_docs(
         "char_start",
         "char_end",
     )
-    return Materialized(turns=turns, docs=docs, turns_base=base)
+    return Materialized(
+        turns=turns,
+        docs=docs,
+        doc_co_located=doc_co_located,
+        turns_base=base,
+    )

@@ -64,9 +64,9 @@ def main() -> None:
         part.write.format("noop").mode("overwrite").save()
     elif phase == "tok":
         mat = materialize_docs(t)
-        tokenize_postings(mat.turns, doc_partitioned=True).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        tokenize_postings(
+            mat.turns, doc_partitioned=mat.doc_co_located
+        ).write.format("noop").mode("overwrite").save()
     elif phase == "full":
         idx = build_postings(t)
         bidx = build_block_index(idx)
