@@ -71,3 +71,35 @@ def test_roundtrip_per_turn_text_equality(spark, sf_dir):
     bad = joined.where(F.col("doc_text") != F.col("orig_text")).count()
     assert bad == 0
     assert joined.count() == orig.count()
+
+
+def test_shuffled_doc_id_join_fallback_parity(spark, monkeypatch):
+    """Past BROADCAST_DOC_IDS_MAX the doc-id join shuffles, the
+    co-location guarantee is void (AQE skew splits divide partitions
+    by map ranges, not keys), and the tokenizer must fall back to its
+    own repartition. Force the fallback and assert the posting table
+    is IDENTICAL to the broadcast/co-located build — same (doc, term)
+    rows, same tf/dl, same packed position and location payloads."""
+    from solr_ocr_processor_spark.operators.build import build_postings
+    from solr_ocr_processor_spark.plans import materialize as M
+
+    t = synth_transcripts(spark, n_convs=12, seed=21)
+
+    def snapshot(idx):
+        return sorted(
+            (r.doc_id, r.term, r.tf, r.dl, bytes(r.pos_bytes), bytes(r.loc_bytes))
+            for r in idx.postings.collect()
+        )
+
+    fast = build_postings(t)
+    assert fast.mat.doc_co_located
+    want = snapshot(fast)
+    fast.postings.unpersist()
+    fast.mat.unpersist()
+
+    monkeypatch.setattr(M, "BROADCAST_DOC_IDS_MAX", 0)
+    slow = build_postings(t.repartition(5))
+    assert not slow.mat.doc_co_located
+    assert snapshot(slow) == want
+    slow.postings.unpersist()
+    slow.mat.unpersist()
