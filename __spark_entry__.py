@@ -1032,11 +1032,14 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_COS_D} >= 0.45
 """,
     # LSH: md5-derived planes (operators/ann._planes) replayed in SQL;
-    # candidate set = vectors sharing >=1 (band, bucket) with vec_id 0,
-    # then the exact cosine re-rank — identical to the Spark operator.
+    # candidate set = vectors whose bucket is within Hamming distance
+    # <= 1 of vec 0's bucket in >= 1 band (multi-probe radius 1 —
+    # lsh_topk_stored's default), then the exact cosine re-rank —
+    # identical to the Spark operator.
     "ann_lsh_topk": _lsh_buckets_cte(8) + """,
-qb AS (SELECT band, bucket FROM buckets WHERE vec_id = 0),
-cand AS (SELECT DISTINCT b.vec_id AS id FROM buckets b JOIN qb USING (band, bucket)),
+qb AS (SELECT band, bucket AS qbucket FROM buckets WHERE vec_id = 0),
+cand AS (SELECT DISTINCT b.vec_id AS id FROM buckets b JOIN qb USING (band)
+         WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 1),
 q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
       FROM embeddings WHERE vec_id = 0),
 s AS (

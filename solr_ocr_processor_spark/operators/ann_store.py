@@ -198,21 +198,48 @@ def _query_buckets(store: AnnStore, query_vec: list[float]) -> list[tuple[int, i
     return [(int(b), int((S[b] * pw).sum())) for b in range(store.num_bands)]
 
 
+def _expand_bucket(v: int, bits: int, radius: int) -> list[int]:
+    """All bucket values within Hamming distance <= radius of ``v`` —
+    the multi-probe set for one band, sorted for determinism."""
+    from itertools import combinations
+
+    out = {v}
+    for r in range(1, radius + 1):
+        for pos in combinations(range(bits), r):
+            out.add(v ^ sum(1 << p for p in pos))
+    return sorted(out)
+
+
 def lsh_topk_stored(
-    spark: SparkSession, store: AnnStore, query_vec: list[float], k: int = 10
+    spark: SparkSession,
+    store: AnnStore,
+    query_vec: list[float],
+    k: int = 10,
+    radius: int = 1,
 ) -> DataFrame:
     """Probe the stored LSH table: OR-of-(band AND bdir AND bucket) —
     band/bdir prune directories (PartitionFilters), bucket prunes row
     groups inside them (PushedFilters over the sorted column); a vector
     probed via several bands dedupes by id before the exact re-rank.
-    No full-corpus scan, no assignment recompute."""
+    No full-corpus scan, no assignment recompute.
+
+    ``radius`` enables MULTI-PROBE (Lv et al., VLDB'07 — the classic fix for
+    sign-LSH's boundary misses): each band also probes every bucket
+    within Hamming distance <= radius of the query's bucket, catching
+    neighbors whose near-zero plane dot flipped one bit. radius=1
+    turns 8 probes into 8*(1+bits) = 72 — still a partition-pruned
+    point read per probe, vs re-hashing the corpus. The probe set is a
+    pure function of (query, md5 planes), so the DuckDB oracle replays
+    it as ``bit_count(xor(bucket, q_bucket)) <= radius``."""
     probes = _query_buckets(store, query_vec)
     pred = None
     for b, v in probes:
+        vals = _expand_bucket(v, store.bits_per_band, radius)
+        dirs = sorted({x >> store.bucket_shift for x in vals})
         clause = (
             (F.col("band") == b)
-            & (F.col("bdir") == (v >> store.bucket_shift))
-            & (F.col("bucket") == v)
+            & (F.col("bdir").isin(dirs))
+            & (F.col("bucket").isin(vals))
         )
         pred = clause if pred is None else (pred | clause)
     cand = (

@@ -320,10 +320,25 @@ def test_ann_store_probes_match_inmemory(spark, embs, tmp_path):
     store = load_ann_store(built.root)  # meta round-trip
     assert (store.centroids == built.centroids).all()
 
-    got = lsh_topk_stored(spark, store, q, k=10).collect()
+    # radius=0: bit-identical to the in-memory operator (same planes,
+    # same exact-bucket probe, same re-rank)
+    got = lsh_topk_stored(spark, store, q, k=10, radius=0).collect()
     want = lsh_topk(embs, q, k=10).collect()
     assert [(r["id"], r["cos"]) for r in got] == [
         (r["id"], r["cos"]) for r in want
+    ]
+
+    # radius=1 (default): multi-probe candidates are a superset of the
+    # exact-bucket candidates, so recall can only improve — the i-th
+    # best cosine is >= the exact-probe i-th best; and the probe set is
+    # a pure function of (query, planes), so the result is stable.
+    mp = lsh_topk_stored(spark, store, q, k=10).collect()
+    assert len(mp) >= len(got)
+    for r_mp, r_ex in zip(mp, got):
+        assert r_mp["cos"] >= r_ex["cos"]
+    again = lsh_topk_stored(spark, store, q, k=10).collect()
+    assert [(r["id"], r["cos"]) for r in mp] == [
+        (r["id"], r["cos"]) for r in again
     ]
 
     # layout independence: the full-granularity directory layout
@@ -335,7 +350,7 @@ def test_ann_store_probes_match_inmemory(spark, embs, tmp_path):
     assert fine.bucket_shift == 0 and store.bucket_shift > 0
     got0 = lsh_topk_stored(spark, fine, q, k=10).collect()
     assert [(r["id"], r["cos"]) for r in got0] == [
-        (r["id"], r["cos"]) for r in want
+        (r["id"], r["cos"]) for r in mp
     ]
 
     C = ivf_centroids(embs, n_centroids=16)
