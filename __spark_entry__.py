@@ -168,16 +168,18 @@ def _q_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY Q4: positional phrase match via the positions payload."""
+    """SURVEY Q4: positional phrase match via the positions payload,
+    block-range-pruned (the common terms' postings drop everywhere the
+    rarest term has no block, before the doc shuffle)."""
     idx = _index(spark, sf_dir)
-    return phrase_match(spark, idx, PHRASE)
+    return phrase_match(spark, idx, PHRASE, bidx=_block_index(spark, sf_dir))
 
 
 def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY Q4/Q8: phrase query ranked Lucene-style
     (sum-idf * tfnorm(phrase_tf))."""
     idx = _index(spark, sf_dir)
-    top = phrase_topk(spark, idx, PHRASE, k=10)
+    top = phrase_topk(spark, idx, PHRASE, k=10, bidx=_block_index(spark, sf_dir))
     return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 

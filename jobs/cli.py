@@ -154,8 +154,11 @@ def main(argv: list[str] | None = None) -> int:
                     spark, idx, args.q, k=args.k, exclude_docs=dead_df
                 )
             elif args.mode == "phrase":
+                # block-range prune: common terms' postings drop
+                # everywhere the rarest term has no block
                 out = phrase_topk(
-                    spark, idx, args.q, k=args.k, exclude_docs=dead_df
+                    spark, idx, args.q, k=args.k, exclude_docs=dead_df,
+                    bidx=lifecycle.load_block_index(spark, store),
                 )
             elif args.mode == "bool":
                 # parse errors are the 400 analog (Solr would reject

@@ -119,7 +119,16 @@ _ANCHOR_SHIFT = 30  # doc-local positions < 2^30 (a 1B-token doc);
 # global doc_id (which the 10^12-doc target would overflow)
 
 
-def _phrase_counts(index: Index, phrase_terms: list[str]) -> DataFrame:
+# A phrase prune's candidate-range broadcast is bounded by the rarest
+# term's doc frequency (<= 1 range per doc); past this many ranges the
+# prune is skipped — an all-stopword phrase has ~every range as a
+# candidate anyway, so the broadcast would cost more than it saves.
+_PRUNE_MAX_RANGES = 4_000_000
+
+
+def _phrase_counts(
+    index: Index, phrase_terms: list[str], bidx=None
+) -> DataFrame:
     """(doc_id, phrase_tf, dl): occurrence count of the exact phrase
     per document, as ONE vectorized positional-intersection stage.
     dl rides along from the posting rows so phrase SCORING never joins
@@ -141,6 +150,17 @@ def _phrase_counts(index: Index, phrase_terms: list[str]) -> DataFrame:
     Python only ever sees the QUERY TERMS' postings — at 10^12 turns
     the decoded set is the phrase terms' posting lists, the same data
     a posting-list-intersection engine reads.
+
+    ``bidx`` (the compressed block index) enables BLOCK-RANGE PRUNING:
+    a doc can hold the phrase only if EVERY term has a block in the
+    doc's 4096-doc range, so the intersection of the terms' block
+    range sets — a tiny dictionary-scale frame — broadcast-joins
+    against the postings BEFORE the doc shuffle. For a mixed
+    rare+common phrase ("heisenberg the") this drops the common term's
+    postings everywhere the rare term doesn't appear: shuffle volume
+    scales with the rarest term's ranges, not the stopword's corpus
+    footprint. Skipped when the rarest term's df exceeds
+    ``_PRUNE_MAX_RANGES`` (all-common phrase: nothing to prune).
     """
     import pandas as pd
 
@@ -149,11 +169,33 @@ def _phrase_counts(index: Index, phrase_terms: list[str]) -> DataFrame:
     num_partitions = int(
         index.postings.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    sub = (
-        index.postings.where(F.col("term").isin(terms))
-        .select("term", "doc_id", "tf", "dl", "pos_bytes")
-        .repartition(num_partitions, "doc_id")
+    sub = index.postings.where(F.col("term").isin(terms)).select(
+        "term", "doc_id", "tf", "dl", "pos_bytes"
     )
+    if bidx is not None:
+        dfs = {
+            r["term"]: r["df"]
+            for r in index.term_stats.where(F.col("term").isin(terms)).collect()
+        }
+        if min((dfs.get(t, 0) for t in terms), default=0) <= _PRUNE_MAX_RANGES:
+            cand = (
+                bidx.blocks.where(F.col("term").isin(terms))
+                .select("term", "range_id")
+                .distinct()
+                .groupBy("range_id")
+                .agg(F.count(F.lit(1)).alias("_nt"))
+                .where(F.col("_nt") == len(terms))
+                .select("range_id")
+            )
+            rs = int(bidx.cfg.range_size)
+            sub = (
+                sub.withColumn(
+                    "range_id", (F.col("doc_id") / F.lit(rs)).cast("long")
+                )
+                .join(F.broadcast(cand), "range_id")
+                .drop("range_id")
+            )
+    sub = sub.repartition(num_partitions, "doc_id")
 
     def _anchors(batches):
         import numpy as np
@@ -228,16 +270,18 @@ def phrase_match(
     index: Index,
     phrase: str,
     cfg: IndexConfig = DEFAULT,
+    bidx=None,
 ) -> DataFrame:
     """Documents containing the exact phrase, with occurrence count.
 
     Returns (doc_id, conv_id, phrase_tf) ordered by (phrase_tf desc,
-    doc_id asc).
+    doc_id asc). ``bidx`` enables block-range pruning
+    (see :func:`_phrase_counts`).
     """
     terms = [t for _, t, _, _ in tokenize_text(phrase, cfg)]
     if not terms:
         return spark.createDataFrame([], "doc_id long, conv_id string, phrase_tf long")
-    counts = _phrase_counts(index, terms)
+    counts = _phrase_counts(index, terms, bidx)
     return (
         counts.join(index.doc_meta.select("doc_id", "conv_id"), "doc_id")
         .select("doc_id", "conv_id", "phrase_tf")
@@ -252,6 +296,7 @@ def phrase_topk(
     k: int = 10,
     cfg: IndexConfig = DEFAULT,
     exclude_docs: DataFrame | None = None,
+    bidx=None,
 ) -> DataFrame:
     """Phrase query ranked Lucene-style:
     ``(Σ_t idf(t)) * tfnorm(phrase_tf, dl, avgdl)``, ties doc_id asc.
@@ -277,7 +322,7 @@ def phrase_topk(
     )
     k1, b = float(cfg.k1), float(cfg.b)
     counts = _suppress(
-        _phrase_counts(index, terms), exclude_docs
+        _phrase_counts(index, terms, bidx), exclude_docs
     )  # carries dl — no doc_meta join
     top = (
         counts.withColumn(

@@ -133,3 +133,32 @@ def test_boolean_scores_match_flat_not(spark, tiny):
         for r in boolean_not_topk(spark, tiny, "big", "reversed").collect()
     ]
     assert got == want and got
+
+
+def test_phrase_block_range_prune_parity(spark, tiny):
+    """The block-range prune (bidx given) must be result-invariant:
+    it only drops ranges where some phrase term has NO block, which
+    cannot hold any matching doc. Same rows with and without the
+    prune, including an unseen-term phrase (empty candidate set)."""
+    from solr_ocr_processor_spark.operators.blocks import build_block_index
+
+    bidx = build_block_index(tiny)
+
+    def rows(df):
+        return sorted((r.doc_id, r.conv_id, r.phrase_tf) for r in df.collect())
+
+    assert rows(phrase_match(spark, tiny, "big data", bidx=bidx)) == rows(
+        phrase_match(spark, tiny, "big data")
+    )
+    assert phrase_match(spark, tiny, "data nothing", bidx=bidx).count() == 0
+    assert phrase_topk(spark, tiny, "zzz unseen", bidx=bidx).count() == 0
+
+    top_p = [
+        (r.doc_id, round(r.score, 9))
+        for r in phrase_topk(spark, tiny, "big data", k=5, bidx=bidx).collect()
+    ]
+    top_n = [
+        (r.doc_id, round(r.score, 9))
+        for r in phrase_topk(spark, tiny, "big data", k=5).collect()
+    ]
+    assert top_p == top_n
