@@ -66,7 +66,12 @@ from solr_ocr_processor_spark.operators.query import (
     phrase_topk,
 )
 from solr_ocr_processor_spark.operators.wand import wand_topk
-from solr_ocr_processor_spark.operators.score import bm25_topk, highlights, snippets
+from solr_ocr_processor_spark.operators.score import (
+    bm25_topk,
+    highlights,
+    phrase_highlights,
+    snippets,
+)
 from solr_ocr_processor_spark.plans.materialize import materialize_docs, ordered_turns
 from solr_ocr_processor_spark.sources.transcripts import (
     derive_transcripts,
@@ -247,6 +252,18 @@ def _q_highlight_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "conv_id", "turn_idx", "term", "start_in_turn", "end_in_turn"
     )
+
+
+def _q_phrase_highlight_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q10 (phrase form): ONE span per phrase occurrence — first
+    term's start to last term's end — clipped per overlapped turn, for
+    the top-5 phrase-ranked docs (solr-ocrhighlighting's headline
+    capability is exactly phrase-hit region coordinates)."""
+    idx = _index(spark, sf_dir)
+    h = phrase_highlights(
+        spark, idx, PHRASE, k=5, bidx=_block_index(spark, sf_dir)
+    )
+    return h.select("conv_id", "turn_idx", "start_in_turn", "end_in_turn")
 
 
 def _q_snippet_render(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_limit": _q_projection_limit,
         "delete_by_query": _q_delete_by_query,
         "highlight_offsets": _q_highlight_offsets,
+        "phrase_highlight_offsets": _q_phrase_highlight_offsets,
         "snippet_render": _q_snippet_render,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -865,6 +883,72 @@ turn_starts AS (
   SELECT conv_id, turn_idx, min(doc_start) AS turn_char_start
   FROM turnmap GROUP BY conv_id, turn_idx
 )
+"""
+
+
+# Phrase highlights: top-5 phrase-ranked docs, every anchor becomes one
+# char span (first term start .. last term end), clipped to each turn
+# it overlaps — identical contract to operators/score.phrase_highlights.
+_PHRASE_HL = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+{_PHRASE_ANCHORS},
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokp
+  WHERE term IN {_PHRASE_T!r} GROUP BY term
+),
+sidf AS (
+  SELECT sum(ln(1 + (s.n_docs - df + 0.5) / (df + 0.5))) AS sum_idf
+  FROM dfs CROSS JOIN stats s
+),
+top5 AS (
+  SELECT ids.doc_id, ids.conv_id
+  FROM ph JOIN ids USING (doc_id) CROSS JOIN stats s CROSS JOIN sidf si
+  ORDER BY si.sum_idf * (ph.phrase_tf * 2.2)
+           / (ph.phrase_tf + 1.2 * (0.25 + 0.75 * ids.dl / s.avgdl)) DESC,
+           ids.doc_id ASC
+  LIMIT 5
+),
+anchors AS (
+  SELECT t.conv_id, a0.anchor
+  FROM a0 JOIN a1 USING (doc_id, anchor) JOIN top5 t USING (doc_id)
+),
+words AS (
+  SELECT t.conv_id, str_split(d.text, ' ') AS w
+  FROM top5 t
+  JOIN documents d ON t.conv_id = 'c' || lpad(CAST(d.doc_id AS VARCHAR), 8, '0')
+),
+positions0 AS (
+  SELECT conv_id, CAST(unnest(range(len(w))) AS INT) AS wpos, w FROM words
+),
+positions AS (SELECT conv_id, wpos, w[wpos + 1] AS word FROM positions0),
+offsets AS (
+  SELECT conv_id, wpos, word,
+         CAST(coalesce(sum(length(word) + 1) OVER (
+             PARTITION BY conv_id ORDER BY wpos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS doc_start
+  FROM positions
+),
+spans AS (
+  SELECT a.conv_id, o0.doc_start AS span_start,
+         o1.doc_start + length(o1.word) AS span_end
+  FROM anchors a
+  JOIN offsets o0 ON o0.conv_id = a.conv_id AND o0.wpos = a.anchor - 1
+  JOIN offsets o1 ON o1.conv_id = a.conv_id AND o1.wpos = a.anchor
+),
+tr AS (
+  SELECT conv_id, CAST(wpos // {TW} AS INT) AS turn_idx,
+         min(doc_start) AS tstart,
+         max(doc_start + length(word)) AS tend
+  FROM offsets GROUP BY 1, 2
+)
+SELECT s.conv_id, tr.turn_idx,
+       CAST(greatest(s.span_start, tr.tstart) - tr.tstart AS INT) AS start_in_turn,
+       CAST(least(s.span_end, tr.tend) - tr.tstart AS INT) AS end_in_turn
+FROM spans s
+JOIN tr ON s.conv_id = tr.conv_id
+       AND s.span_start < tr.tend AND s.span_end > tr.tstart
 """
 
 # Nested boolean: spark AND (window OR table) NOT merge.
@@ -1221,6 +1305,7 @@ ORDER BY df DESC, term ASC LIMIT 50
         "bm25_wand_topk": _BM25,
         "conjunctive_topk": _CONJ,
         "phrase_match": _PHRASE_MATCH,
+        "phrase_highlight_offsets": _PHRASE_HL,
         "phrase_topk": _PHRASE_TOPK,
         "membership_check": f"""
 WITH {_CTE},

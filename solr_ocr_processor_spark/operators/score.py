@@ -240,6 +240,100 @@ def highlights(
     )
 
 
+def phrase_highlights(
+    spark: SparkSession,
+    index: Index,
+    phrase: str,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    bidx=None,
+) -> DataFrame:
+    """Per-turn highlight spans for the top-k PHRASE hits — the
+    reference ecosystem's headline capability (solr-ocrhighlighting
+    returns the matched phrase region's coordinates, README.md:3-8),
+    where :func:`highlights` covers the per-term case.
+
+    Output: (doc_id, conv_id, score, turn_idx, start_in_turn,
+    end_in_turn) — ONE span per phrase occurrence, from the first
+    term's start to the last term's end, clipped to each turn it
+    overlaps (a phrase may span a turn boundary; each overlapped turn
+    gets the in-turn portion — the per-page clipping model OCR
+    highlighters use for region coordinates).
+
+    Plan: top-k by phrase score, then a late-materialized decode of
+    ONLY the winners' phrase-term postings into the flat token view;
+    anchors re-derive declaratively ((k-1) self-joins over k docs'
+    tokens — winner-bounded, never corpus-bounded); spans range-join
+    the turn table on overlap. ``bidx`` forwards to the block-range
+    prune inside the scoring pass."""
+    from ..functions.tokenizer import flat_tokens, tokenize_text
+    from .query import phrase_topk
+
+    terms = [t for _, t, _, _ in tokenize_text(phrase, cfg)]
+    empty = spark.createDataFrame(
+        [],
+        "doc_id long, conv_id string, score double, turn_idx int, "
+        "start_in_turn int, end_in_turn int",
+    )
+    if not terms:
+        return empty
+    top = phrase_topk(spark, index, phrase, k, cfg, bidx=bidx)
+
+    toks = flat_tokens(
+        index.postings.where(F.col("term").isin(list(set(terms)))).join(
+            F.broadcast(top.select("doc_id")), "doc_id"
+        )
+    ).join(F.broadcast(top), "doc_id")
+
+    spans = (
+        toks.where(F.col("term") == terms[0])
+        .select(
+            "doc_id",
+            "conv_id",
+            "score",
+            F.col("token_pos").cast("long").alias("anchor"),
+            F.col("char_start").alias("span_start"),
+            F.col("char_end").alias("_e0"),
+        )
+    )
+    for i, t in enumerate(terms[1:], 1):
+        nxt = toks.where(F.col("term") == t).select(
+            "doc_id",
+            (F.col("token_pos") - F.lit(i)).cast("long").alias("anchor"),
+            F.col("char_end").alias(f"_e{i}"),
+        )
+        spans = spans.join(nxt, ["doc_id", "anchor"])
+    spans = spans.select(
+        "doc_id",
+        "conv_id",
+        "score",
+        "span_start",
+        F.col(f"_e{len(terms) - 1}").alias("span_end"),
+    )
+
+    turns = index.mat.turns.select("doc_id", "turn_idx", "char_start", "char_end")
+    return (
+        spans.join(turns, "doc_id")
+        .where(
+            (F.col("span_start") < F.col("char_end"))
+            & (F.col("span_end") > F.col("char_start"))
+        )
+        .select(
+            "doc_id",
+            "conv_id",
+            "score",
+            "turn_idx",
+            (F.greatest("span_start", "char_start") - F.col("char_start"))
+            .cast("int")
+            .alias("start_in_turn"),
+            (F.least("span_end", "char_end") - F.col("char_start"))
+            .cast("int")
+            .alias("end_in_turn"),
+        )
+        .orderBy("doc_id", "turn_idx", "start_in_turn")
+    )
+
+
 def snippets(
     spark: SparkSession,
     index: Index,

@@ -162,3 +162,26 @@ def test_phrase_block_range_prune_parity(spark, tiny):
         for r in phrase_topk(spark, tiny, "big data", k=5).collect()
     ]
     assert top_p == top_n
+
+
+def test_phrase_highlights_spans_and_cross_turn_clip(spark, tiny):
+    """One span per phrase occurrence, first term's start to last
+    term's end; an occurrence crossing a turn boundary is clipped into
+    a row per overlapped turn. Hand-computed on the tiny fixture:
+    c0 doc text = 'big data is big data big data pipelines', turns
+    [0,15) / [16,40) — the 2nd occurrence spans 12..20."""
+    from solr_ocr_processor_spark.operators.score import phrase_highlights
+
+    rows = sorted(
+        (r.conv_id, r.turn_idx, r.start_in_turn, r.end_in_turn)
+        for r in phrase_highlights(spark, tiny, "big data", k=5).collect()
+    )
+    assert rows == [
+        ("c0", 0, 0, 8),     # 'big data' at doc start
+        ("c0", 0, 12, 15),   # boundary occurrence: 'big' tail of turn 0
+        ("c0", 1, 0, 4),     # ...'data' head of turn 1
+        ("c0", 1, 5, 13),    # 'big data' inside turn 1
+        ("c1", 0, 8, 16),    # 'big data' in c1
+    ]
+    # absent phrase / unseen term: empty, stable schema
+    assert phrase_highlights(spark, tiny, "data nothing", k=5).count() == 0
