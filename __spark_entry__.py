@@ -70,6 +70,7 @@ from solr_ocr_processor_spark.operators.score import (
     bm25_topk,
     highlights,
     phrase_highlights,
+    phrase_snippets,
     snippets,
 )
 from solr_ocr_processor_spark.plans.materialize import materialize_docs, ordered_turns
@@ -264,6 +265,18 @@ def _q_phrase_highlight_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx, PHRASE, k=5, bidx=_block_index(spark, sf_dir)
     )
     return h.select("conv_id", "turn_idx", "start_in_turn", "end_in_turn")
+
+
+def _q_phrase_snippet_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q10/Q11 (phrase form): rendered snippet text with each
+    phrase occurrence wrapped as ONE <em>...</em> region (inner spaces
+    included), turns resolved via the lazy content pointer for the
+    top-5 phrase-ranked docs only."""
+    idx = _index(spark, sf_dir)
+    sn = phrase_snippets(
+        spark, idx, PHRASE, k=5, bidx=_block_index(spark, sf_dir)
+    )
+    return sn.select("conv_id", "turn_idx", "snippet")
 
 
 def _q_snippet_render(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -543,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_by_query": _q_delete_by_query,
         "highlight_offsets": _q_highlight_offsets,
         "phrase_highlight_offsets": _q_phrase_highlight_offsets,
+        "phrase_snippet_render": _q_phrase_snippet_render,
         "snippet_render": _q_snippet_render,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -943,12 +957,49 @@ tr AS (
          max(doc_start + length(word)) AS tend
   FROM offsets GROUP BY 1, 2
 )
+"""
+
+_PHRASE_HL_OFFSETS = _PHRASE_HL + """
 SELECT s.conv_id, tr.turn_idx,
        CAST(greatest(s.span_start, tr.tstart) - tr.tstart AS INT) AS start_in_turn,
        CAST(least(s.span_end, tr.tend) - tr.tstart AS INT) AS end_in_turn
 FROM spans s
 JOIN tr ON s.conv_id = tr.conv_id
        AND s.span_start < tr.tend AND s.span_end > tr.tstart
+"""
+
+# Rendered phrase snippets: each clipped span wraps as ONE <em> region
+# (word-aligned by construction: clip points are turn boundaries =
+# word boundaries), matched turns only — same contract as
+# operators/score.phrase_snippets.
+_PHRASE_SNIPPET = _PHRASE_HL + f""",
+marks AS (
+  SELECT o.conv_id, tr.turn_idx, o.wpos, o.word,
+         max(CASE WHEN s.conv_id IS NOT NULL
+                   AND o.doc_start = greatest(s.span_start, tr.tstart)
+             THEN 1 ELSE 0 END) AS is_start,
+         max(CASE WHEN s.conv_id IS NOT NULL
+                   AND o.doc_start + length(o.word) = least(s.span_end, tr.tend)
+             THEN 1 ELSE 0 END) AS is_end
+  FROM offsets o
+  JOIN tr ON tr.conv_id = o.conv_id AND tr.turn_idx = CAST(o.wpos // {TW} AS INT)
+  LEFT JOIN spans s ON s.conv_id = o.conv_id
+       AND s.span_start < tr.tend AND s.span_end > tr.tstart
+  GROUP BY o.conv_id, tr.turn_idx, o.wpos, o.word
+),
+mt AS (
+  SELECT DISTINCT s.conv_id, tr.turn_idx
+  FROM spans s
+  JOIN tr ON s.conv_id = tr.conv_id
+         AND s.span_start < tr.tend AND s.span_end > tr.tstart
+)
+SELECT m.conv_id, m.turn_idx,
+       string_agg(
+         CASE WHEN m.is_start = 1 THEN '<em>' || m.word ELSE m.word END ||
+         CASE WHEN m.is_end = 1 THEN '</em>' ELSE '' END,
+         ' ' ORDER BY m.wpos) AS snippet
+FROM marks m JOIN mt USING (conv_id, turn_idx)
+GROUP BY m.conv_id, m.turn_idx
 """
 
 # Nested boolean: spark AND (window OR table) NOT merge.
@@ -1305,7 +1356,8 @@ ORDER BY df DESC, term ASC LIMIT 50
         "bm25_wand_topk": _BM25,
         "conjunctive_topk": _CONJ,
         "phrase_match": _PHRASE_MATCH,
-        "phrase_highlight_offsets": _PHRASE_HL,
+        "phrase_highlight_offsets": _PHRASE_HL_OFFSETS,
+        "phrase_snippet_render": _PHRASE_SNIPPET,
         "phrase_topk": _PHRASE_TOPK,
         "membership_check": f"""
 WITH {_CTE},

@@ -361,7 +361,51 @@ def snippets(
     sorted span array: no UDF, no Python, no per-row interpretation.
     """
     h = highlights(spark, index, query, k, cfg)
-    spans = h.groupBy("doc_id", "conv_id", "score", "turn_idx").agg(
+    return _render_turn_spans(index, h, cfg, pre, post)
+
+
+def phrase_snippets(
+    spark: SparkSession,
+    index: Index,
+    phrase: str,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    pre: str = "<em>",
+    post: str = "</em>",
+    bidx=None,
+) -> DataFrame:
+    """Rendered snippet text for the top-k PHRASE hits: each phrase
+    occurrence wraps as ONE ``pre``...``post`` region (the whole
+    matched phrase, inner spaces included — Solr's phrase-highlight
+    rendering), clipped per turn when an occurrence crosses a turn
+    boundary. Same lazy-pointer plan as :func:`snippets`, spans from
+    :func:`phrase_highlights`."""
+    ph = phrase_highlights(spark, index, phrase, k, cfg, bidx=bidx)
+    return _render_turn_spans(index, ph, cfg, pre, post)
+
+
+def _render_turn_spans(
+    index: Index,
+    span_rows: DataFrame,
+    cfg: IndexConfig,
+    pre: str,
+    post: str,
+) -> DataFrame:
+    """Shared snippet renderer: (doc_id, conv_id, score, turn_idx,
+    start_in_turn, end_in_turn) rows -> one rendered snippet per
+    matched turn.
+
+    The k-doc-bounded span rows aggregate to one row per matched turn,
+    broadcast-join against the stored turn table (the corpus-sized
+    side is probed, never shuffled — lazy content resolution, Q11) and
+    the span fold renders as a pure codegen ``aggregate`` over the
+    sorted span array: no UDF in the fold, no per-row interpretation.
+    The fold CLAMPS each span to the already-consumed prefix, so
+    overlapping spans (possible for phrases with repeated terms, e.g.
+    "big big" in "big big big") render as adjacent regions instead of
+    slicing negative lengths; for disjoint spans the output is
+    byte-identical to the naive fold."""
+    spans = span_rows.groupBy("doc_id", "conv_id", "score", "turn_idx").agg(
         F.array_sort(
             F.collect_set(
                 F.struct(
@@ -398,21 +442,30 @@ def snippets(
 
     joined = joined.withColumn("ntext", _norm(F.col("text")))
     text = F.col("ntext")
-    # Fold the (sorted, non-overlapping) spans left-to-right carrying
-    # (chars consumed, rendered prefix); finish appends the tail.
+    # Fold the sorted spans left-to-right carrying (chars consumed,
+    # rendered prefix); each span clips to the consumed prefix first;
+    # finish appends the tail.
+    def _step(acc, sp):
+        cs = F.greatest(sp["s"], acc["pos"])
+        ce = F.greatest(sp["e"], acc["pos"])
+        return F.struct(
+            ce.alias("pos"),
+            F.concat(
+                acc["out"],
+                text.substr(acc["pos"] + F.lit(1), cs - acc["pos"]),
+                F.when(
+                    ce > cs,
+                    F.concat(
+                        F.lit(pre), text.substr(cs + F.lit(1), ce - cs), F.lit(post)
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("out"),
+        )
+
     snippet = F.aggregate(
         F.col("spans"),
         F.struct(F.lit(0).alias("pos"), F.lit("").alias("out")),
-        lambda acc, sp: F.struct(
-            sp["e"].alias("pos"),
-            F.concat(
-                acc["out"],
-                text.substr(acc["pos"] + F.lit(1), sp["s"] - acc["pos"]),
-                F.lit(pre),
-                text.substr(sp["s"] + F.lit(1), sp["e"] - sp["s"]),
-                F.lit(post),
-            ).alias("out"),
-        ),
+        _step,
         lambda acc: F.concat(
             acc["out"], text.substr(acc["pos"] + F.lit(1), F.length(text) - acc["pos"])
         ),

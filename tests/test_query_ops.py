@@ -185,3 +185,19 @@ def test_phrase_highlights_spans_and_cross_turn_clip(spark, tiny):
     ]
     # absent phrase / unseen term: empty, stable schema
     assert phrase_highlights(spark, tiny, "data nothing", k=5).count() == 0
+
+
+def test_phrase_snippets_render_cross_turn(spark, tiny):
+    """Each phrase occurrence renders as ONE <em> region (inner space
+    included); a boundary-spanning occurrence renders its in-turn
+    portion in each turn."""
+    from solr_ocr_processor_spark.operators.score import phrase_snippets
+
+    got = {
+        (r.conv_id, r.turn_idx): r.snippet
+        for r in phrase_snippets(spark, tiny, "big data", k=5).collect()
+    }
+    assert got[("c0", 0)] == "<em>big data</em> is <em>big</em>"
+    assert got[("c0", 1)] == "<em>data</em> <em>big data</em> pipelines"
+    assert got[("c1", 0)] == "we love <em>big data</em> here"
+    assert ("c2", 0) not in got and ("c3", 0) not in got
