@@ -385,9 +385,10 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-10 with md5-derived planes over
-    the PERSISTED bucket table — the probe reads only the query's 8
-    (band, bucket) partitions. Bucketing + re-rank replayed exactly by
-    the DuckDB oracle."""
+    the PERSISTED bucket table — multi-probe radius 1: each of the 8
+    bands probes its query bucket plus the 8 Hamming-1 neighbors (72
+    partition-pruned point reads, never a corpus scan). Bucketing +
+    re-rank replayed exactly by the DuckDB oracle."""
     return lsh_topk_stored(
         spark, _ann_store(spark, sf_dir), _qvec(spark, sf_dir), k=10
     )
@@ -844,6 +845,32 @@ SELECT doc_id, conv_id, round(raw, 6) AS score
 FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
 """
 
+# Word-offset reconstruction for a `top5(doc_id, conv_id)` CTE: the
+# per-word doc_start offsets under the single-space joiner, straight
+# off `documents`. Shared by the term- and phrase-highlight oracles —
+# ONE home for the offset/turn-width math.
+_WORD_OFFSETS = """words AS (
+  SELECT t.conv_id, str_split(d.text, ' ') AS w
+  FROM top5 t
+  JOIN documents d
+    ON t.conv_id = 'c' || lpad(CAST(d.doc_id AS VARCHAR), 8, '0')
+),
+positions0 AS (
+  SELECT conv_id, CAST(unnest(range(len(w))) AS INT) AS wpos, w
+  FROM words
+),
+positions AS (
+  SELECT conv_id, wpos, w[wpos + 1] AS word FROM positions0
+),
+offsets AS (
+  SELECT conv_id, wpos, word,
+         CAST(coalesce(sum(length(word) + 1) OVER (
+             PARTITION BY conv_id ORDER BY wpos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS doc_start
+  FROM positions
+)"""
+
 # Shared CTE chain for the highlight/snippet oracles: BM25 top-5 for
 # the flagship query, then reconstruct per-word doc offsets and the
 # word -> turn mapping (turn = TW-word chunk) straight off `documents`.
@@ -867,27 +894,7 @@ scored AS (
   GROUP BY tf.doc_id, tf.conv_id
 ),
 top5 AS (SELECT doc_id, conv_id FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 5),
-words AS (
-  SELECT t.conv_id, str_split(d.text, ' ') AS w
-  FROM top5 t
-  JOIN documents d
-    ON t.conv_id = 'c' || lpad(CAST(d.doc_id AS VARCHAR), 8, '0')
-),
-positions0 AS (
-  SELECT conv_id, CAST(unnest(range(len(w))) AS INT) AS wpos, w
-  FROM words
-),
-positions AS (
-  SELECT conv_id, wpos, w[wpos + 1] AS word FROM positions0
-),
-offsets AS (
-  SELECT conv_id, wpos, word,
-         CAST(coalesce(sum(length(word) + 1) OVER (
-             PARTITION BY conv_id ORDER BY wpos
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           AS doc_start
-  FROM positions
-),
+{_WORD_OFFSETS},
 turnmap AS (
   SELECT conv_id, wpos, word, doc_start,
          CAST(wpos // {TW} AS INT) AS turn_idx
@@ -927,23 +934,7 @@ anchors AS (
   SELECT t.conv_id, a0.anchor
   FROM a0 JOIN a1 USING (doc_id, anchor) JOIN top5 t USING (doc_id)
 ),
-words AS (
-  SELECT t.conv_id, str_split(d.text, ' ') AS w
-  FROM top5 t
-  JOIN documents d ON t.conv_id = 'c' || lpad(CAST(d.doc_id AS VARCHAR), 8, '0')
-),
-positions0 AS (
-  SELECT conv_id, CAST(unnest(range(len(w))) AS INT) AS wpos, w FROM words
-),
-positions AS (SELECT conv_id, wpos, w[wpos + 1] AS word FROM positions0),
-offsets AS (
-  SELECT conv_id, wpos, word,
-         CAST(coalesce(sum(length(word) + 1) OVER (
-             PARTITION BY conv_id ORDER BY wpos
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           AS doc_start
-  FROM positions
-),
+{_WORD_OFFSETS},
 spans AS (
   SELECT a.conv_id, o0.doc_start AS span_start,
          o1.doc_start + length(o1.word) AS span_end

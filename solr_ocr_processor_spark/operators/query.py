@@ -127,7 +127,7 @@ _PRUNE_MAX_RANGES = 4_000_000
 
 
 def _phrase_counts(
-    index: Index, phrase_terms: list[str], bidx=None
+    index: Index, phrase_terms: list[str], bidx=None, dfs=None
 ) -> DataFrame:
     """(doc_id, phrase_tf, dl): occurrence count of the exact phrase
     per document, as ONE vectorized positional-intersection stage.
@@ -173,10 +173,14 @@ def _phrase_counts(
         "term", "doc_id", "tf", "dl", "pos_bytes"
     )
     if bidx is not None:
-        dfs = {
-            r["term"]: r["df"]
-            for r in index.term_stats.where(F.col("term").isin(terms)).collect()
-        }
+        # ``dfs``: callers that already collected the query terms' doc
+        # frequencies (phrase_topk does, for sum_idf) pass them in so
+        # the prune gate costs zero extra Spark jobs.
+        if dfs is None:
+            dfs = {
+                r["term"]: r["df"]
+                for r in index.term_stats.where(F.col("term").isin(terms)).collect()
+            }
         if min((dfs.get(t, 0) for t in terms), default=0) <= _PRUNE_MAX_RANGES:
             cand = (
                 bidx.blocks.where(F.col("term").isin(terms))
@@ -322,7 +326,7 @@ def phrase_topk(
     )
     k1, b = float(cfg.k1), float(cfg.b)
     counts = _suppress(
-        _phrase_counts(index, terms, bidx), exclude_docs
+        _phrase_counts(index, terms, bidx, dfs=dfs), exclude_docs
     )  # carries dl — no doc_meta join
     top = (
         counts.withColumn(

@@ -277,7 +277,17 @@ def phrase_highlights(
     )
     if not terms:
         return empty
-    top = phrase_topk(spark, index, phrase, k, cfg, bidx=bidx)
+    # Materialize the k winners ONCE: the top frame is referenced by
+    # two broadcasts below, and two distinct broadcast plans would each
+    # re-execute the whole phrase scoring pipeline (scan + prune +
+    # shuffle + positional intersection). k rows through the driver is
+    # the same cost class as WAND's bound collects.
+    top_rows = phrase_topk(spark, index, phrase, k, cfg, bidx=bidx).collect()
+    if not top_rows:
+        return empty
+    top = spark.createDataFrame(
+        top_rows, "doc_id long, conv_id string, score double"
+    )
 
     toks = flat_tokens(
         index.postings.where(F.col("term").isin(list(set(terms)))).join(
