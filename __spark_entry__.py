@@ -59,6 +59,8 @@ from solr_ocr_processor_spark.operators.multimodal import (
 )
 from solr_ocr_processor_spark.operators.build import Index, build_postings
 from solr_ocr_processor_spark.operators.boolean import boolean_topk
+from solr_ocr_processor_spark.operators.expand import fuzzy_topk, prefix_topk
+from solr_ocr_processor_spark.operators.facet import facet_counts
 from solr_ocr_processor_spark.operators.query import (
     boolean_not_topk,
     conjunctive_topk,
@@ -208,6 +210,37 @@ def _q_boolean_nested_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index(spark, sf_dir)
     top = boolean_topk(spark, idx, BOOL_QUERY, k=10)
     return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+PREFIX_Q = "s*"  # -> scan, slow, small, sort, spark, stream at sf0.01
+FUZZY_Q, FUZZY_EDITS = "bag", 2  # -> big(d1), agg(d2), a(d2) at sf0.01
+
+
+def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q4 (rewrite surface): Lucene PrefixQuery analog —
+    dictionary expansion of ``s*`` capped at top-50 by (df DESC, term
+    ASC), then disjunctive BM25 over the expansion set
+    (operators/expand.py)."""
+    idx = _index(spark, sf_dir)
+    top = prefix_topk(spark, idx, PREFIX_Q, k=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q4 (rewrite surface): Lucene FuzzyQuery analog —
+    dictionary terms within 2 Levenshtein edits of ``bag``, same
+    deterministic cap + disjunctive BM25."""
+    idx = _index(spark, sf_dir)
+    top = fuzzy_topk(spark, idx, FUZZY_Q, k=10, max_edits=FUZZY_EDITS)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet analog: histogram of the docs matching ANY flagship
+    term, range-bucketed by doc length (operators/facet.py) — the
+    aggregation runs on posting rows only, no doc-table join."""
+    idx = _index(spark, sf_dir)
+    return facet_counts(spark, idx, FLAGSHIP_QUERY, width=64)
 
 
 def _q_membership_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,6 +585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": _q_phrase_topk,
         "boolean_not_topk": _q_boolean_not_topk,
         "boolean_nested_topk": _q_boolean_nested_topk,
+        "prefix_topk": _q_prefix_topk,
+        "fuzzy_topk": _q_fuzzy_topk,
+        "facet_counts": _q_facet_counts,
         "membership_check": _q_membership_check,
         "projection_limit": _q_projection_limit,
         "delete_by_query": _q_delete_by_query,
@@ -1031,9 +1067,66 @@ ORDER BY raw DESC, doc_id ASC
 LIMIT 10
 """
 
+# Rewrite queries (operators/expand.py): expand against the dictionary
+# with the deterministic (df DESC, term ASC) top-50 cap, then score the
+# expansion set as a disjunctive BM25 — the oracle replays both halves.
+def _expansion_bm25_sql(match_pred: str) -> str:
+    return f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+exp AS (SELECT term FROM dict WHERE {match_pred}
+        ORDER BY df DESC, term ASC LIMIT 50),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN (SELECT term FROM exp)
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored
+ORDER BY raw DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+_PREFIX_TOPK_SQL = _expansion_bm25_sql("term LIKE 's%'")
+_FUZZY_TOPK_SQL = _expansion_bm25_sql(
+    f"levenshtein(term, '{FUZZY_Q}') <= {FUZZY_EDITS}"
+)
+
+# Facet histogram: docs matching ANY flagship term, bucketed by token
+# count (dl). max(dl) mirrors the Spark side's per-doc dedup aggregate
+# (dl is constant per doc, so max is exact).
+_FACET_SQL = f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM ids),
+m AS (
+  SELECT doc_id, max(dl) AS dl
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id
+)
+SELECT CAST(floor(dl / 64.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM m GROUP BY bucket ORDER BY bucket
+"""
+
 _PIPELINE_ORACLES = {
     "boolean_not_topk": _BOOL_NOT,
     "boolean_nested_topk": _BOOL_NESTED,
+    "prefix_topk": _PREFIX_TOPK_SQL,
+    "fuzzy_topk": _FUZZY_TOPK_SQL,
+    "facet_counts": _FACET_SQL,
     "multimodal_resize": f"""
 SELECT doc_id AS media_id,
        CAST({_MEDIA_NB} AS BIGINT) AS in_bytes,

@@ -61,9 +61,13 @@ def build_postings(
     transcripts: DataFrame,
     cfg: IndexConfig = DEFAULT,
     doc_map: DataFrame | None = None,
+    n_docs_hint: int | None = None,
 ) -> Index:
     mat = materialize_docs(
-        transcripts, doc_map, with_text=(cfg.index_type == "full")
+        transcripts,
+        doc_map,
+        with_text=(cfg.index_type == "full"),
+        n_docs_hint=n_docs_hint,
     )
     # docs feeds doc_meta; postings feed blocks, dl, and stats. Persist
     # both hubs so each subtree runs once.

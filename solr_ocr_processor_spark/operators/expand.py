@@ -1,0 +1,153 @@
+"""Multi-term query rewrite: prefix and fuzzy queries.
+
+Lucene-surface parity: the reference forwards user query strings
+verbatim to Solr (app/process/solr.go:48-49,102-103), whose Lucene
+parser rewrites ``win*`` (PrefixQuery) and ``spark~1`` (FuzzyQuery)
+into a boolean OR over the dictionary terms the pattern matches,
+capped at the 50 highest-docFreq expansions (TopTermsRewrite).
+:mod:`boolean` covers the explicit-operator surface; this module
+covers the pattern-term surface. Same model, Spark-first:
+
+1. **Expand against the dictionary**, never the postings: term_stats
+   is |vocab| rows — Heaps' law keeps it orders of magnitude below the
+   corpus at any scale. A prefix compiles to ``startswith``, which
+   Catalyst pushes into the parquet scan (PushedFilters:
+   StringStartsWith), so the term-sorted stored dictionary prunes row
+   groups; fuzzy matching brute-forces Levenshtein over the
+   dictionary behind a length band ``|len(t) - len(w)| <= max_edits``
+   that eliminates most rows before the edit-distance kernel runs.
+   (Lucene intersects an FST automaton instead — sub-linear in vocab;
+   one narrow vectorized dictionary scan is the Spark-native trade
+   and is corpus-size-independent.)
+
+2. **Cap deterministically**: top ``max_expansions`` by
+   (df DESC, term ASC) — Lucene's highest-docFreq cut made a total
+   order, so reruns, resumes, and the DuckDB oracle replay the exact
+   expansion set. The cap lowers to TakeOrderedAndProject (per-
+   partition heaps, k rows to the driver).
+
+3. **Score as a disjunctive BM25** over the expanded terms — each
+   matched expansion contributes its own term score once (Lucene
+   SCORING_BOOLEAN_REWRITE semantics) via the shared score contract
+   (score.bm25_term_score + sorted_term_fold), one dictionary-
+   filtered posting scan, TakeOrderedAndProject top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, IndexConfig
+from ..functions.tokenizer import query_terms
+from .build import Index
+from .score import bm25_scores_terms, resolve_conv_ids
+
+MAX_EXPANSIONS = 50  # Lucene BooleanQuery rewrite default
+
+
+def _normalize_single(word: str, cfg: IndexConfig) -> str | None:
+    """Normalize a pattern word through the build analyzer (build-time
+    and query-time analysis must match — reference rule,
+    app/assets/build/config.yml:34-39). Multi-token normalizations are
+    rejected: a pattern applies to ONE dictionary term."""
+    toks = query_terms(word, cfg)
+    return toks[0] if len(toks) == 1 else None
+
+
+def expand_prefix(
+    spark: SparkSession,
+    index: Index,
+    prefix: str,
+    max_expansions: int = MAX_EXPANSIONS,
+    cfg: IndexConfig = DEFAULT,
+) -> list[str]:
+    """Dictionary terms starting with ``prefix`` (a trailing ``*`` is
+    accepted and stripped), top ``max_expansions`` by (df DESC, term
+    ASC). Empty prefix is rejected — Lucene refuses a bare ``*`` for
+    the same reason: it expands to the whole dictionary."""
+    p = _normalize_single(prefix.rstrip("*"), cfg)
+    if not p:
+        return []
+    rows = (
+        index.term_stats.where(F.col("term").startswith(p))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def expand_fuzzy(
+    spark: SparkSession,
+    index: Index,
+    word: str,
+    max_edits: int = 1,
+    max_expansions: int = MAX_EXPANSIONS,
+    cfg: IndexConfig = DEFAULT,
+) -> list[str]:
+    """Dictionary terms within ``max_edits`` Levenshtein edits of
+    ``word`` (the exact term itself included, distance 0 — Lucene
+    FuzzyQuery semantics), top ``max_expansions`` by (df DESC, term
+    ASC). The length band prunes the dictionary before the O(len^2)
+    edit-distance kernel; both predicates are JVM codegen
+    (``F.levenshtein`` — no UDF)."""
+    w = _normalize_single(word, cfg)
+    if not w:
+        return []
+    n = len(w)
+    rows = (
+        index.term_stats.where(
+            (F.length("term") >= n - max_edits)
+            & (F.length("term") <= n + max_edits)
+            & (F.levenshtein(F.col("term"), F.lit(w)) <= max_edits)
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def _expansion_topk(
+    spark: SparkSession, index: Index, terms: list[str], k: int, cfg: IndexConfig
+) -> DataFrame:
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, conv_id string, score double")
+    top = (
+        bm25_scores_terms(spark, index, terms, cfg)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return resolve_conv_ids(index, top)
+
+
+def prefix_topk(
+    spark: SparkSession,
+    index: Index,
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Top-k for a prefix query ``pre*`` — expansion + disjunctive
+    BM25 (module docstring). Returns (doc_id, conv_id, score), score
+    DESC, ties doc_id ASC."""
+    terms = expand_prefix(spark, index, prefix, max_expansions, cfg)
+    return _expansion_topk(spark, index, terms, k, cfg)
+
+
+def fuzzy_topk(
+    spark: SparkSession,
+    index: Index,
+    word: str,
+    k: int = 10,
+    max_edits: int = 1,
+    max_expansions: int = MAX_EXPANSIONS,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Top-k for a fuzzy query ``word~max_edits`` — expansion +
+    disjunctive BM25 (module docstring). Returns (doc_id, conv_id,
+    score), score DESC, ties doc_id ASC."""
+    terms = expand_fuzzy(spark, index, word, max_edits, max_expansions, cfg)
+    return _expansion_topk(spark, index, terms, k, cfg)

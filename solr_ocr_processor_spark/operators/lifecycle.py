@@ -158,8 +158,15 @@ def build_store(
         )
         # build_postings assigns doc ids by local row_number; override
         # with the checkpointed global map to keep ids stable. Blocks
-        # encode bounds against the GLOBAL stats from step 0.
-        idx = build_postings(shard_t, cfg, doc_map=convs)
+        # encode bounds against the GLOBAL stats from step 0. Doc ids
+        # are dense 0..n-1, so the shard's conv count is known exactly
+        # from its id range — no per-shard count() barrier.
+        idx = build_postings(
+            shard_t,
+            cfg,
+            doc_map=convs,
+            n_docs_hint=max(0, min(hi, n_docs_total) - lo),
+        )
         bidx = build_block_index(idx, cfg, corpus_stats=global_stats)
 
         idx.postings.write.mode("overwrite").parquet(

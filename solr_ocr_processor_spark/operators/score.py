@@ -100,7 +100,26 @@ def bm25_scores(
     (reference rule: build-time and query-time analysis must match,
     app/assets/build/config.yml:34-39).
     """
-    terms = query_terms(query, cfg)
+    return bm25_scores_terms(
+        spark, index, query_terms(query, cfg), cfg, with_match_count
+    )
+
+
+def bm25_scores_terms(
+    spark: SparkSession,
+    index: Index,
+    terms: list[str],
+    cfg: IndexConfig = DEFAULT,
+    with_match_count: bool = False,
+) -> DataFrame:
+    """:func:`bm25_scores` over an explicit list of ALREADY-NORMALIZED
+    index terms — the entry point for rewrite queries (prefix/fuzzy
+    expansion, operators/expand.py) whose term set comes from the
+    dictionary rather than the analyzer. Disjunctive (OR) semantics:
+    every matched term contributes its own BM25 term score once.
+    Duplicate terms are collapsed (a duplicated query term must not
+    double-score)."""
+    terms = sorted(set(terms))
     if not terms:
         schema = "doc_id long, score double" + (
             ", n_matched int" if with_match_count else ""

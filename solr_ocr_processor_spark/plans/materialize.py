@@ -62,10 +62,15 @@ class Materialized:
     # logical plan over the same paths matches the stale entry and
     # silently serves rows whose backing files were replaced.
     turns_base: DataFrame | None = None
+    # Intermediate caches from the deferred doc-id assignment (the
+    # rank output + its range-partitioned parents). They stay cached
+    # until the build finishes so the first REAL action materializes
+    # them in-line instead of paying dedicated count() barrier jobs.
+    extra_caches: tuple = ()
 
     def unpersist(self) -> None:
         """Release every cache entry this materialization created."""
-        for df in (self.docs, self.turns_base):
+        for df in (self.docs, self.turns_base, *self.extra_caches):
             if df is not None:
                 df.unpersist()
 
@@ -92,7 +97,33 @@ def ordered_turns(transcripts: DataFrame) -> DataFrame:
 
 def assign_doc_ids(turns: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Dense deterministic doc_id per conv_id: the global sorted rank
-    of conv_id. Returns (doc_id, conv_id).
+    of conv_id. Returns (doc_id, conv_id), materialized (persisted +
+    counted) with the intermediate caches already released — the eager
+    form for callers that immediately write the map out (lifecycle
+    checkpoint, stream fold-in). :func:`materialize_docs` uses the
+    deferred core instead to keep driver job barriers off the build's
+    critical path."""
+    out, _n, caches = _assign_doc_ids_deferred(turns, num_partitions)
+    out.count()
+    for c in caches:
+        c.unpersist()
+    return out
+
+
+def _assign_doc_ids_deferred(
+    turns: DataFrame, num_partitions: int | None = None
+) -> tuple[DataFrame, int, tuple]:
+    """Deferred two-pass doc-id rank. Returns ``(out, n_convs, caches)``
+    where ``out`` is persisted but NOT yet materialized: the first
+    downstream action fills the cache in-line, so no dedicated
+    ``count()`` barrier job runs on the build path (Amdahl: barrier
+    jobs are pure serial fraction — the 2→8 scaling profile attributed
+    ~10 s of core-count-independent time to exactly these driver
+    round-trips). ``n_convs`` is exact and FREE — it is the sum of the
+    per-partition counts the offset pass already collected — so
+    callers never re-count the map. ``caches`` (the range-partitioned
+    parents) must stay persisted until ``out`` materializes; owners
+    release them via ``Materialized.unpersist``.
 
     Scalable two-pass rank instead of a partitionless Window (which
     funnels every conv_id through ONE task): range-partition the
@@ -128,21 +159,17 @@ def assign_doc_ids(turns: DataFrame, num_partitions: int | None = None) -> DataF
         .join(F.broadcast(off_df), "_pid")
         .select((F.col("_rn") + F.col("_off")).alias("doc_id"), "conv_id")
     )
-    # Materialize the (small) result, then drop the intermediate caches
-    # — without this, every build/merge leaks two cached DataFrames for
-    # the session lifetime (one distinct conv set + one range-
-    # partitioned copy per call).
+    # Persisted but not materialized here — see docstring. acc is the
+    # exact conv count (sum of the per-partition counts).
     out = out.persist()
-    out.count()
-    parts.unpersist()
-    convs.unpersist()
-    return out
+    return out, acc, (parts, convs)
 
 
 def materialize_docs(
     transcripts: DataFrame,
     doc_map: DataFrame | None = None,
     with_text: bool = False,
+    n_docs_hint: int | None = None,
 ) -> Materialized:
     """Full materialization: ordered turns + per-conversation metadata.
 
@@ -156,7 +183,11 @@ def materialize_docs(
 
     ``doc_map`` (doc_id, conv_id), when given, overrides the local
     doc-id assignment with a checkpointed global one — how resumable
-    shard builds keep ids stable across runs (SURVEY §4.2-5).
+    shard builds keep ids stable across runs (SURVEY §4.2-5);
+    ``n_docs_hint`` is its EXACT row count when the caller already
+    knows it (shard width, stream fold-in's distinct count), sparing
+    the broadcast-decision count() job — a per-shard serial barrier
+    in resumable builds.
     """
     # turns feeds three consumers (doc-id assignment, the doc agg, and
     # the output turns frame). Persist it or Spark recomputes the
@@ -164,10 +195,13 @@ def materialize_docs(
     # build and the recompute compounds at high parallelism.
     base = ordered_turns(transcripts).persist()
     turns = base
-    doc_ids = (
-        doc_map.select("doc_id", "conv_id") if doc_map is not None
-        else assign_doc_ids(turns)
-    )
+    extra_caches: tuple = ()
+    if doc_map is not None:
+        doc_ids = doc_map.select("doc_id", "conv_id")
+        n_doc_ids = n_docs_hint if n_docs_hint is not None else doc_ids.count()
+    else:
+        doc_ids, n_doc_ids, parents = _assign_doc_ids_deferred(turns)
+        extra_caches = (doc_ids, *parents)
     # Broadcast the doc-id map when it is provably driver-sized. This
     # is a CORRECTNESS gate, not only a perf hint: the broadcast join
     # leaves the window's conv_id partitioning untouched, so the
@@ -175,7 +209,6 @@ def materialize_docs(
     # the threshold the plain shuffled join is used and downstream
     # consumers must re-establish co-location themselves (see
     # Materialized.doc_co_located).
-    n_doc_ids = doc_ids.count()
     doc_co_located = n_doc_ids <= BROADCAST_DOC_IDS_MAX
     if doc_co_located:
         doc_ids = F.broadcast(doc_ids)
@@ -221,4 +254,5 @@ def materialize_docs(
         docs=docs,
         doc_co_located=doc_co_located,
         turns_base=base,
+        extra_caches=extra_caches,
     )

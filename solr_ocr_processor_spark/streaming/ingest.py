@@ -273,7 +273,7 @@ def merge_stream(spark: SparkSession, store) -> int:
     )
     new_map.persist()
 
-    idx = build_postings(fresh, store.cfg, doc_map=new_map)
+    idx = build_postings(fresh, store.cfg, doc_map=new_map, n_docs_hint=n_new)
     # Unpersist in a FINALLY: the cached frames are keyed on the
     # staging path, so a crash that leaves them cached poisons a
     # same-session retry — Spark's plan-cache matches the retry's

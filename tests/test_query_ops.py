@@ -201,3 +201,84 @@ def test_phrase_snippets_render_cross_turn(spark, tiny):
     assert got[("c0", 1)] == "<em>data</em> <em>big data</em> pipelines"
     assert got[("c1", 0)] == "we love <em>big data</em> here"
     assert ("c2", 0) not in got and ("c3", 0) not in got
+
+
+# --- rewrite queries (prefix / fuzzy expansion) + facets -------------------
+#
+# tiny vocabulary and dfs: big(3) data(3), everything else df=1
+# (is, pipelines, we, love, here, only, reversed, nothing, relevant,
+# at, all). Doc lengths: c0=8, c1=5, c2=4, c3=4 tokens.
+
+
+def test_expand_prefix_order_and_cap(spark, tiny):
+    from solr_ocr_processor_spark.operators.expand import expand_prefix
+
+    # df tie (both 1) breaks term ASC — deterministic total order
+    assert expand_prefix(spark, tiny, "re*") == ["relevant", "reversed"]
+    assert expand_prefix(spark, tiny, "re", max_expansions=1) == ["relevant"]
+    # bare '*' (empty prefix) is rejected, as is a non-term pattern
+    assert expand_prefix(spark, tiny, "*") == []
+    assert expand_prefix(spark, tiny, "  ") == []
+
+
+def test_expand_fuzzy_edits_and_identity(spark, tiny):
+    from solr_ocr_processor_spark.operators.expand import expand_fuzzy
+
+    assert expand_fuzzy(spark, tiny, "bog", max_edits=1) == ["big"]
+    # exact dictionary term is distance 0 — always included
+    assert expand_fuzzy(spark, tiny, "data", max_edits=1) == ["data"]
+    # df DESC orders the expansion: big(3) before at/is (1) for 'bit'~2
+    got = expand_fuzzy(spark, tiny, "bit", max_edits=2)
+    assert got[0] == "big" and set(got[1:]) <= {"at", "is", "it"}
+
+
+def test_prefix_topk_disjunctive(spark, tiny):
+    from solr_ocr_processor_spark.operators.expand import prefix_topk
+
+    rows = prefix_topk(spark, tiny, "re*", k=10).collect()
+    # relevant -> c3, reversed -> c2; disjunctive OR reaches both
+    assert {r.conv_id for r in rows} == {"c2", "c3"}
+    assert all(r.score > 0 for r in rows)
+
+
+def test_fuzzy_topk_routes_through_expansion(spark, tiny):
+    from solr_ocr_processor_spark.operators.expand import fuzzy_topk
+
+    rows = fuzzy_topk(spark, tiny, "pipeline", k=10, max_edits=1).collect()
+    assert [r.conv_id for r in rows] == ["c0"]
+    # no expansion -> empty result with the stable contract schema
+    empty = fuzzy_topk(spark, tiny, "qqqqqqq", k=10, max_edits=1)
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "conv_id", "score"]
+
+
+def test_bm25_terms_duplicate_collapse(spark, tiny):
+    """A duplicated expansion term must score once, not twice."""
+    from solr_ocr_processor_spark.operators.score import bm25_scores_terms
+
+    once = {
+        r.doc_id: r.score
+        for r in bm25_scores_terms(spark, tiny, ["big"]).collect()
+    }
+    twice = {
+        r.doc_id: r.score
+        for r in bm25_scores_terms(spark, tiny, ["big", "big"]).collect()
+    }
+    assert once == twice and once
+
+
+def test_facet_counts_histogram(spark, tiny):
+    from solr_ocr_processor_spark.operators.facet import facet_counts
+
+    rows = facet_counts(spark, tiny, "big data", width=4).collect()
+    # matched docs: c0(dl=8 -> bucket 2), c1(5 -> 1), c2(4 -> 1)
+    assert [(r.bucket, r.n_docs) for r in rows] == [(1, 2), (2, 1)]
+    # a multi-term match counts each doc ONCE (c0..c2 all have both terms)
+    assert sum(r.n_docs for r in rows) == 3
+
+
+def test_facet_counts_no_match(spark, tiny):
+    from solr_ocr_processor_spark.operators.facet import facet_counts
+
+    got = facet_counts(spark, tiny, "zzzz", width=4)
+    assert got.count() == 0 and got.columns == ["bucket", "n_docs"]
