@@ -60,14 +60,23 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=("wand", "and", "phrase", "not", "bool"),
+        choices=("wand", "and", "phrase", "not", "bool", "prefix", "fuzzy"),
         default="wand",
         help="wand: BM25 OR-of-terms via the pruned block index; "
         "and: every term required; phrase: exact positional phrase; "
         "not: positives AND NOT --neg terms; "
-        "bool: nested boolean grammar, e.g. 'a AND (b OR c) NOT d'",
+        "bool: nested boolean grammar, e.g. 'a AND (b OR c) NOT d'; "
+        "prefix: dictionary expansion of 'pre*'; "
+        "fuzzy: terms within n edits of 'word~n' (bare ~ means 2)",
     )
     q.add_argument("--neg", default="", help="negative terms for --mode not")
+
+    f = sub.add_parser(
+        "facet", help="histogram of matching docs bucketed by doc length"
+    )
+    f.add_argument("--store", required=True)
+    f.add_argument("--q", required=True)
+    f.add_argument("--width", type=int, default=64, help="bucket width in tokens")
 
     c = sub.add_parser("check", help="membership check")
     c.add_argument("--store", required=True)
@@ -170,6 +179,37 @@ def main(argv: list[str] | None = None) -> int:
                 except BooleanSyntaxError as e:
                     print(json.dumps({"error": "bad_request", "detail": str(e)[:200]}))
                     return BAD_REQUEST_EXIT
+            elif args.mode == "prefix":
+                from solr_ocr_processor_spark.operators.expand import prefix_topk
+
+                # Lucene rejects a bare '*' (it expands to the whole
+                # dictionary) — same 400 analog here.
+                if not args.q.rstrip("*").strip():
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": "empty prefix pattern"}))
+                    return BAD_REQUEST_EXIT
+                out = prefix_topk(
+                    spark, idx, args.q, k=args.k, exclude_docs=dead_df
+                )
+            elif args.mode == "fuzzy":
+                from solr_ocr_processor_spark.operators.expand import fuzzy_topk
+
+                # 'word~n' with bare '~' meaning 2 edits (Lucene default)
+                word, _, edits = args.q.partition("~")
+                if not word.strip():
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": "empty fuzzy pattern"}))
+                    return BAD_REQUEST_EXIT
+                try:
+                    max_edits = int(edits) if edits else 2
+                except ValueError:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": f"bad edit count {edits!r}"}))
+                    return BAD_REQUEST_EXIT
+                out = fuzzy_topk(
+                    spark, idx, word, k=args.k, max_edits=max_edits,
+                    exclude_docs=dead_df,
+                )
             else:
                 out = boolean_not_topk(
                     spark, idx, args.q, args.neg, k=args.k,
@@ -178,6 +218,16 @@ def main(argv: list[str] | None = None) -> int:
             rows = out.collect()
         for r in rows:
             print(json.dumps({"doc_id": r["doc_id"], "conv_id": r["conv_id"], "score": r["score"]}))
+        return 0
+    if args.cmd == "facet":
+        from solr_ocr_processor_spark.operators.facet import facet_counts
+
+        idx = lifecycle.load_index(spark, store)
+        dead_df = lifecycle.tombstoned_convs(spark, store)
+        for r in facet_counts(
+            spark, idx, args.q, width=args.width, exclude_docs=dead_df
+        ).collect():
+            print(json.dumps({"bucket": r["bucket"], "n_docs": r["n_docs"]}))
         return 0
     if args.cmd == "delete":
         lifecycle.delete_conv(spark, store, args.conv_id)

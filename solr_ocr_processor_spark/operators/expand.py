@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT, IndexConfig
 from ..functions.tokenizer import query_terms
 from .build import Index
+from .query import _suppress
 from .score import bm25_scores_terms, resolve_conv_ids
 
 MAX_EXPANSIONS = 50  # Lucene BooleanQuery rewrite default
@@ -110,15 +111,17 @@ def expand_fuzzy(
 
 
 def _expansion_topk(
-    spark: SparkSession, index: Index, terms: list[str], k: int, cfg: IndexConfig
+    spark: SparkSession,
+    index: Index,
+    terms: list[str],
+    k: int,
+    cfg: IndexConfig,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     if not terms:
         return spark.createDataFrame([], "doc_id long, conv_id string, score double")
-    top = (
-        bm25_scores_terms(spark, index, terms, cfg)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    scored = _suppress(bm25_scores_terms(spark, index, terms, cfg), exclude_docs)
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     return resolve_conv_ids(index, top)
 
 
@@ -129,12 +132,14 @@ def prefix_topk(
     k: int = 10,
     max_expansions: int = MAX_EXPANSIONS,
     cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k for a prefix query ``pre*`` — expansion + disjunctive
     BM25 (module docstring). Returns (doc_id, conv_id, score), score
-    DESC, ties doc_id ASC."""
+    DESC, ties doc_id ASC. ``exclude_docs`` (tombstones) anti-joins
+    in-plan before the top-k."""
     terms = expand_prefix(spark, index, prefix, max_expansions, cfg)
-    return _expansion_topk(spark, index, terms, k, cfg)
+    return _expansion_topk(spark, index, terms, k, cfg, exclude_docs)
 
 
 def fuzzy_topk(
@@ -145,9 +150,11 @@ def fuzzy_topk(
     max_edits: int = 1,
     max_expansions: int = MAX_EXPANSIONS,
     cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k for a fuzzy query ``word~max_edits`` — expansion +
     disjunctive BM25 (module docstring). Returns (doc_id, conv_id,
-    score), score DESC, ties doc_id ASC."""
+    score), score DESC, ties doc_id ASC. ``exclude_docs`` (tombstones)
+    anti-joins in-plan before the top-k."""
     terms = expand_fuzzy(spark, index, word, max_edits, max_expansions, cfg)
-    return _expansion_topk(spark, index, terms, k, cfg)
+    return _expansion_topk(spark, index, terms, k, cfg, exclude_docs)

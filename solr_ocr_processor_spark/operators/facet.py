@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT, IndexConfig
 from ..functions.tokenizer import query_terms
 from .build import Index
+from .query import _suppress
 
 
 def facet_counts(
@@ -40,17 +41,21 @@ def facet_counts(
     query: str,
     width: int = 64,
     cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Range-facet histogram of the docs matching ANY query term
     (Solr's default OR semantics for ``q``): (bucket, n_docs) with
-    ``bucket = floor(dl / width)``, ordered by bucket ASC."""
+    ``bucket = floor(dl / width)``, ordered by bucket ASC.
+    ``exclude_docs`` (tombstones) anti-joins before the bucket count —
+    Solr facets likewise never count deleted docs."""
     terms = sorted(set(query_terms(query, cfg)))
     if not terms:
         return spark.createDataFrame([], "bucket long, n_docs long")
-    matched = (
+    matched = _suppress(
         index.postings.where(F.col("term").isin(terms))
         .groupBy("doc_id")
-        .agg(F.max("dl").alias("dl"))
+        .agg(F.max("dl").alias("dl")),
+        exclude_docs,
     )
     return (
         matched.select(

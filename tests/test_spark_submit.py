@@ -230,3 +230,52 @@ def test_cli_tombstones_exceed_k(spark, tmp_path, capsys):
         rc, rows = run(*mode_args)
         assert rc == 0 and 0 < len(rows) <= 3, (mode_args, rows)
         assert not ({r["conv_id"] for r in rows} & set(victims)), (mode_args, rows)
+
+
+def test_cli_rewrite_modes_and_facet(spark, tmp_path, capsys):
+    """prefix/fuzzy query modes + the facet verb, including the 400
+    analogs for malformed patterns and tombstone suppression."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=12, max_turns=6, seed=7).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store, "--shards", "2"]) == 0
+
+    def run(verb, *args):
+        capsys.readouterr()
+        rc = cli.main([verb, "--store", store, *args])
+        out = capsys.readouterr().out
+        rows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+        return rc, rows
+
+    # prefix mode: 'sp*' must reach the docs a plain 'spark' query hits
+    rc, pre = run("query", "--q", "sp*", "--mode", "prefix", "--k", "100")
+    assert rc == 0
+    rc, spark_hits = run("query", "--q", "spark", "--k", "100")
+    assert {r["conv_id"] for r in spark_hits} <= {r["conv_id"] for r in pre}
+
+    # fuzzy mode: one edit away recovers the term; bare ~ defaults to 2
+    rc, fz = run("query", "--q", "spork~1", "--mode", "fuzzy", "--k", "100")
+    assert rc == 0 and {r["conv_id"] for r in spark_hits} <= {r["conv_id"] for r in fz}
+
+    # 400 analogs
+    assert run("query", "--q", "*", "--mode", "prefix")[0] == 2
+    assert run("query", "--q", "~1", "--mode", "fuzzy")[0] == 2
+    assert run("query", "--q", "spark~x", "--mode", "fuzzy")[0] == 2
+
+    # facet verb: histogram over matching docs; counts cover the hits
+    rc, fc = run("facet", "--q", "spark", "--width", "8")
+    assert rc == 0 and fc
+    assert sum(r["n_docs"] for r in fc) == len(spark_hits)
+
+    # tombstone suppression: delete a hit conv, it must vanish from all
+    victim = pre[0]["conv_id"]
+    assert cli.main(["delete", "--store", store, "--conv-id", victim]) == 0
+    rc, pre2 = run("query", "--q", "sp*", "--mode", "prefix", "--k", "100")
+    assert victim not in {r["conv_id"] for r in pre2}
+    rc, fc2 = run("facet", "--q", "spark", "--width", "8")
+    n_before = sum(r["n_docs"] for r in fc)
+    n_after = sum(r["n_docs"] for r in fc2)
+    assert n_after == n_before - (1 if victim in {r["conv_id"] for r in spark_hits} else 0)
