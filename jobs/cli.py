@@ -70,6 +70,18 @@ def main(argv: list[str] | None = None) -> int:
         "fuzzy: terms within n edits of 'word~n' (bare ~ means 2)",
     )
     q.add_argument("--neg", default="", help="negative terms for --mode not")
+    q.add_argument(
+        "--snippets",
+        action="store_true",
+        help="also print rendered snippet text (<em>-marked matched "
+        "turns) for the hits — wand and phrase modes only; needs "
+        "--input (the store is lazy: content lives in the source table)",
+    )
+    q.add_argument(
+        "--input",
+        default=None,
+        help="transcripts source for --snippets text resolution",
+    )
 
     f = sub.add_parser(
         "facet", help="histogram of matching docs bucketed by doc length"
@@ -133,6 +145,15 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"built": args.store}))
         return 0
     if args.cmd == "query":
+        if args.snippets and args.mode not in ("wand", "phrase"):
+            print(json.dumps({"error": "bad_request",
+                              "detail": f"--snippets unsupported for mode {args.mode}"}))
+            return BAD_REQUEST_EXIT
+        if args.snippets and not args.input:
+            print(json.dumps({"error": "bad_request",
+                              "detail": "--snippets needs --input (lazy store: "
+                              "snippet text resolves from the source table)"}))
+            return BAD_REQUEST_EXIT
         if args.mode == "wand":
             # WAND's per-range numpy kernel takes its exclude set as a
             # scalar list (it never re-enters a Spark plan) — the ONLY
@@ -218,6 +239,36 @@ def main(argv: list[str] | None = None) -> int:
             rows = out.collect()
         for r in rows:
             print(json.dumps({"doc_id": r["doc_id"], "conv_id": r["conv_id"], "score": r["score"]}))
+        if args.snippets:
+            # The user-visible half of the reference's capability: the
+            # matched turns' text with <em>-marked hits, resolved via
+            # the lazy content pointer for the k winners only.
+            from solr_ocr_processor_spark.operators.score import (
+                phrase_snippets,
+                snippets,
+            )
+
+            try:
+                src = read_transcripts(spark, args.input)
+            except Exception as e:
+                print(json.dumps({"error": "bad_request", "detail": str(e)[:200]}))
+                return BAD_REQUEST_EXIT
+            s_idx = lifecycle.load_index_with_content(spark, store, src)
+            s_dead = lifecycle.tombstoned_convs(spark, store)
+            if args.mode == "phrase":
+                sn = phrase_snippets(
+                    spark, s_idx, args.q, k=args.k,
+                    bidx=lifecycle.load_block_index(spark, store),
+                    exclude_docs=s_dead,
+                )
+            else:
+                sn = snippets(spark, s_idx, args.q, k=args.k, exclude_docs=s_dead)
+            for r in sn.collect():
+                print(json.dumps({
+                    "conv_id": r["conv_id"],
+                    "turn_idx": r["turn_idx"],
+                    "snippet": r["snippet"],
+                }))
         return 0
     if args.cmd == "facet":
         from solr_ocr_processor_spark.operators.facet import facet_counts

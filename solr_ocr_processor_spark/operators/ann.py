@@ -294,6 +294,7 @@ def ivf_centroids_kmeans(
     seed: int = 17,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "sample",
 ) -> np.ndarray:
     """Lloyd-refined coarse centroids: md5-rank seeds, then ``iters``
     distributed k-means steps — assignment is the narrow pandas-UDF
@@ -304,8 +305,20 @@ def ivf_centroids_kmeans(
     you train at 10^9+ vectors; the md5-rank sample
     (:func:`ivf_centroids`) remains the deterministic, oracle-checkable
     default for the driver queries (float-sum order makes k-means
-    centroids reproducible only within a run config)."""
-    C = ivf_centroids(embs, n_centroids, seed, id_col, vec_col)
+    centroids reproducible only within a run config).
+
+    ``init='kmeanspar'`` seeds from :func:`ivf_centroids_kmeanspar`
+    (D²-weighted k-means|| oversampling) instead of the uniform
+    md5-rank sample — better starting cost, fewer distributed Lloyd
+    iterations to converge."""
+    if init == "kmeanspar":
+        C = ivf_centroids_kmeanspar(
+            embs, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    elif init == "sample":
+        C = ivf_centroids(embs, n_centroids, seed, id_col, vec_col)
+    else:
+        raise ValueError(f"unknown init {init!r}")
     # fewer vectors than requested centroids: degrade, don't crash
     n_centroids = C.shape[0]
     dim = C.shape[1]
@@ -336,6 +349,158 @@ def ivf_centroids_kmeans(
         norms = np.linalg.norm(C_new, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         C = C_new / norms
+    return C
+
+
+def _d2_frame(
+    embs: DataFrame,
+    centroids: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, d2): squared cosine distance to the NEAREST current
+    centroid, d2 = (1 - max cos)² — the D² weight of k-means|| seeding.
+    Same narrow mapInPandas shape as :func:`ivf_assign` (one corpus
+    pass, two values out per row)."""
+    C = centroids
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("d2", T.DoubleType(), False),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].values).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            d = np.clip(1.0 - (Vn @ C.T).max(axis=1), 0.0, None)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].values.astype(np.int64), "d2": d * d}
+            )
+
+    return embs.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def ivf_centroids_kmeanspar(
+    embs: DataFrame,
+    n_centroids: int = 16,
+    rounds: int = 3,
+    oversample: int | None = None,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """k-means|| seeding (Bahmani et al., VLDB'12 — the distributed
+    D²-weighted initializer Spark MLlib also uses) with DETERMINISTIC
+    md5-threshold sampling, then a driver-side weighted reduction to
+    ``n_centroids`` seeds.
+
+    Per round (``rounds`` ~ O(log corpus), 3 suffices in practice):
+    one corpus pass computes each vector's D² to the nearest chosen
+    seed (:func:`_d2_frame`), one aggregation yields ΣD², and each
+    vector self-selects with probability ``min(1, l·D²/ΣD²)`` — the
+    coin is ``md5(seed:round:id)`` mapped to [0,1), so reruns and
+    resumes pick the identical seed set with no RNG state. Expected
+    picks per round ≈ ``l`` (default 2k); only picked ROWS reach the
+    driver, never the corpus.
+
+    The ≈ ``rounds·l`` candidates are then weighted by how many corpus
+    vectors each one attracts (one :func:`ivf_assign` pass + count —
+    |candidates| rows collected) and reduced driver-side with weighted
+    k-means++ + Lloyd on the candidate set (tiny: O(rounds·l) × dim).
+    Seeding quality feeds :func:`ivf_centroids_kmeans` via ``init`` —
+    better seeds mean fewer distributed Lloyd iterations for the same
+    quantization cost, which at 10⁹ vectors is the whole game.
+
+    Determinism matches :func:`ivf_centroids_kmeans`'s contract: exact
+    within a run config (float-sum order), not oracle-replayed — the
+    md5-rank sample (:func:`ivf_centroids`) remains the driver-query
+    default."""
+    l = int(oversample if oversample is not None else 2 * n_centroids)
+    first = ivf_centroids(embs, 1, seed, id_col, vec_col)
+    C = first  # (1, dim) — the md5-rank-min vector
+    # Deterministic unit coin in [0,1): top 15 md5 hex digits / 16^15.
+    def _coin(r: int):
+        h = F.md5(
+            F.concat(
+                F.lit(f"{seed}:{r}:"), F.col(id_col).cast("string")
+            )
+        )
+        return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / float(16**15)
+
+    for r in range(rounds):
+        d2 = _d2_frame(embs, C, id_col, vec_col)
+        tot = d2.agg(F.sum("d2").alias("s")).first()["s"]
+        if not tot or tot <= 0.0:  # corpus already fully covered
+            break
+        p = F.least(F.lit(1.0), F.lit(float(l)) * F.col("d2") / F.lit(float(tot)))
+        picked = (
+            embs.select(id_col, vec_col)
+            .join(d2.where(F.col("d2") > 0), embs[id_col] == F.col("id"))
+            .where(_coin(r) < p)
+            .select(vec_col)
+            .collect()
+        )
+        if picked:
+            P = np.vstack([np.asarray(row[vec_col], dtype=np.float64) for row in picked])
+            P = P / np.linalg.norm(P, axis=1, keepdims=True)
+            C = np.vstack([C, P])
+    if C.shape[0] <= n_centroids:
+        return C
+    # Weight candidates by attraction, then reduce on the driver.
+    counts = (
+        ivf_assign(embs, C, id_col, vec_col)
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    w = np.zeros(C.shape[0])
+    for row in counts:
+        w[row["list_id"]] = float(row["w"])
+    return _weighted_kmeans(C, w, n_centroids, seed)
+
+
+def _weighted_kmeans(
+    X: np.ndarray, w: np.ndarray, k: int, seed: int, iters: int = 20
+) -> np.ndarray:
+    """Driver-side weighted k-means++ + Lloyd over a CANDIDATE set
+    (rows of X are unit vectors, w their attraction weights) — the
+    k-means|| reduction step. Deterministic: the k-means++ D²-draws use
+    md5(seed:step) as the uniform variate, no RNG state."""
+    n = X.shape[0]
+    sims = X @ X.T
+    d2 = None
+    chosen = [int(np.argmax(w))]  # heaviest candidate first
+    for step in range(1, k):
+        d = np.clip(1.0 - sims[:, chosen].max(axis=1), 0.0, None)
+        d2 = w * d * d
+        tot = d2.sum()
+        if tot <= 0:
+            break
+        import hashlib
+
+        u = (
+            int(hashlib.md5(f"{seed}:{step}".encode()).hexdigest()[:15], 16)
+            / float(16**15)
+        )
+        chosen.append(int(np.searchsorted(np.cumsum(d2 / tot), u)))
+    C = X[chosen].copy()
+    for _ in range(iters):
+        a = np.argmax(X @ C.T, axis=1)
+        C_new = C.copy()
+        for j in range(C.shape[0]):
+            m = a == j
+            if m.any():
+                C_new[j] = (X[m] * w[m, None]).sum(axis=0)
+        norms = np.linalg.norm(C_new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        C_new = C_new / norms
+        if np.allclose(C_new, C):
+            break
+        C = C_new
     return C
 
 

@@ -41,8 +41,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT, IndexConfig
 from ..functions.tokenizer import query_terms
 from .build import Index
-from .query import _suppress
-from .score import bm25_scores_terms, resolve_conv_ids
+from .score import _suppress, bm25_scores_terms, resolve_conv_ids
 
 MAX_EXPANSIONS = 50  # Lucene BooleanQuery rewrite default
 

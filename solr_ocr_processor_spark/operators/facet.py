@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT, IndexConfig
 from ..functions.tokenizer import query_terms
 from .build import Index
-from .query import _suppress
+from .score import _suppress
 
 
 def facet_counts(

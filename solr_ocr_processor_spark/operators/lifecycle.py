@@ -263,6 +263,32 @@ def load_index(spark: SparkSession, store: IndexStore) -> Index:
     )
 
 
+def load_index_with_content(
+    spark: SparkSession, store: IndexStore, transcripts: DataFrame
+) -> Index:
+    """:func:`load_index` plus LAZY CONTENT RESOLUTION: the store holds
+    ids + stats only (S8 sink-lazy default), so snippet text must come
+    from the original transcripts source — the reference's lazy model
+    exactly (Solr's lazy index stores a pointer and re-reads the OCR
+    file at highlight time, app/assets/build/config.yml:27-33). The
+    turns frame re-derives deterministically (same ordinal/char-offset
+    rules as build time) and doc ids attach from the store's own
+    checkpointed doc_map, so offsets in stored postings line up with
+    the resolved text bit-for-bit."""
+    from ..plans.materialize import Materialized, ordered_turns
+
+    idx = load_index(spark, store)
+    doc_map = spark.read.parquet(store.path("doc_map")).select("doc_id", "conv_id")
+    turns = ordered_turns(transcripts).join(doc_map, "conv_id")
+    return Index(
+        postings=idx.postings,
+        doc_meta=idx.doc_meta,
+        term_stats=idx.term_stats,
+        corpus=idx.corpus,
+        mat=Materialized(turns=turns, docs=None),
+    )
+
+
 def load_block_index(spark: SparkSession, store: IndexStore) -> BlockIndex:
     """Open the persisted store for querying (blocks + dictionary)."""
     crow = spark.read.parquet(store.path("corpus")).first()

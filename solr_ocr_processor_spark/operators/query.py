@@ -34,20 +34,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT, IndexConfig
 from ..functions.tokenizer import query_terms, tokenize_text
 from .build import Index
-from .score import bm25_scores, resolve_conv_ids
-
-
-def _suppress(scored: DataFrame, exclude_docs: DataFrame | None) -> DataFrame:
-    """Anti-join an exclusion set (e.g. the tombstone table) into the
-    scoring plan BEFORE the top-k — the deleted docs never compete for
-    the k slots and never reach the driver. The alternative (over-fetch
-    k + |dead| rows, filter driver-side) collects an unbounded list as
-    deletes accumulate between compactions."""
-    if exclude_docs is None:
-        return scored
-    return scored.join(
-        exclude_docs.select("doc_id").distinct(), "doc_id", "left_anti"
-    )
+from .score import _suppress, bm25_scores, resolve_conv_ids
 
 
 def conjunctive_topk(

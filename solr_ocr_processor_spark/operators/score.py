@@ -152,6 +152,19 @@ def bm25_scores_terms(
     return scored
 
 
+def _suppress(scored: DataFrame, exclude_docs: DataFrame | None) -> DataFrame:
+    """Anti-join an exclusion set (e.g. the tombstone table) into the
+    scoring plan BEFORE the top-k — the deleted docs never compete for
+    the k slots and never reach the driver. The alternative (over-fetch
+    k + |dead| rows, filter driver-side) collects an unbounded list as
+    deletes accumulate between compactions."""
+    if exclude_docs is None:
+        return scored
+    return scored.join(
+        exclude_docs.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+
+
 def resolve_conv_ids(index: Index, topk: DataFrame) -> DataFrame:
     """Join conv_id onto a K-ROW result — the small side broadcasts,
     doc_meta is probed, nothing corpus-sized shuffles. Re-applies the
@@ -169,13 +182,15 @@ def bm25_topk(
     query: str,
     k: int = 10,
     cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, conv_id, score). Spark lowers orderBy+limit to
     TakeOrderedAndProject: per-partition heaps + driver merge — the
     global sort never materializes. conv_id resolves AFTER the top-k
-    (k-row broadcast join, never a corpus-wide doc_meta shuffle)."""
+    (k-row broadcast join, never a corpus-wide doc_meta shuffle).
+    ``exclude_docs`` (tombstones) anti-joins in-plan before the top-k."""
     top = (
-        bm25_scores(spark, index, query, cfg)
+        _suppress(bm25_scores(spark, index, query, cfg), exclude_docs)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
@@ -188,6 +203,7 @@ def highlights(
     query: str,
     k: int = 10,
     cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-turn highlight spans for the top-k hits.
 
@@ -195,9 +211,10 @@ def highlights(
     end_in_turn) — the analog of the reference's IIIF snippet word
     coordinates. Doc-global token offsets are mapped into turn-local
     offsets via the turn char ranges captured at materialization.
+    ``exclude_docs`` (tombstones) suppresses docs inside the top-k.
     """
     terms = query_terms(query, cfg)
-    top = bm25_topk(spark, index, query, k, cfg)
+    top = bm25_topk(spark, index, query, k, cfg, exclude_docs=exclude_docs)
 
     # Matched postings for the winners only (term pre-filter + top-k
     # doc join), THEN decode their loc payloads — the late-
@@ -266,6 +283,7 @@ def phrase_highlights(
     k: int = 10,
     cfg: IndexConfig = DEFAULT,
     bidx=None,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-turn highlight spans for the top-k PHRASE hits — the
     reference ecosystem's headline capability (solr-ocrhighlighting
@@ -301,7 +319,9 @@ def phrase_highlights(
     # re-execute the whole phrase scoring pipeline (scan + prune +
     # shuffle + positional intersection). k rows through the driver is
     # the same cost class as WAND's bound collects.
-    top_rows = phrase_topk(spark, index, phrase, k, cfg, bidx=bidx).collect()
+    top_rows = phrase_topk(
+        spark, index, phrase, k, cfg, bidx=bidx, exclude_docs=exclude_docs
+    ).collect()
     if not top_rows:
         return empty
     top = spark.createDataFrame(
@@ -371,6 +391,7 @@ def snippets(
     cfg: IndexConfig = DEFAULT,
     pre: str = "<em>",
     post: str = "</em>",
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Rendered snippet text for the top-k hits — the user-visible half
     of the reference's snippet capability (README.md:3-8: Solr's
@@ -389,7 +410,7 @@ def snippets(
     fold renders the snippet as a pure codegen ``aggregate`` over the
     sorted span array: no UDF, no Python, no per-row interpretation.
     """
-    h = highlights(spark, index, query, k, cfg)
+    h = highlights(spark, index, query, k, cfg, exclude_docs=exclude_docs)
     return _render_turn_spans(index, h, cfg, pre, post)
 
 
@@ -402,6 +423,7 @@ def phrase_snippets(
     pre: str = "<em>",
     post: str = "</em>",
     bidx=None,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Rendered snippet text for the top-k PHRASE hits: each phrase
     occurrence wraps as ONE ``pre``...``post`` region (the whole
@@ -409,7 +431,9 @@ def phrase_snippets(
     rendering), clipped per turn when an occurrence crosses a turn
     boundary. Same lazy-pointer plan as :func:`snippets`, spans from
     :func:`phrase_highlights`."""
-    ph = phrase_highlights(spark, index, phrase, k, cfg, bidx=bidx)
+    ph = phrase_highlights(
+        spark, index, phrase, k, cfg, bidx=bidx, exclude_docs=exclude_docs
+    )
     return _render_turn_spans(index, ph, cfg, pre, post)
 
 

@@ -373,3 +373,37 @@ def test_ann_store_probes_match_inmemory(spark, embs, tmp_path):
         plan = buf.getvalue()
         pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
         assert pf and any(col in l for l in pf), plan
+
+
+def test_ivf_kmeanspar_seeding(spark, embs):
+    """k-means|| seeding (D²-oversampled, md5-coin deterministic):
+    right shape, reproducible across calls, and at least as good a
+    starting quantization as the uniform md5-rank sample — the property
+    that buys fewer distributed Lloyd iterations at scale."""
+    import numpy as _np
+
+    from solr_ocr_processor_spark.operators.ann import (
+        ivf_centroids,
+        ivf_centroids_kmeans,
+        ivf_centroids_kmeanspar,
+    )
+
+    def mean_best_cos(C):
+        rows = embs.collect()
+        M = _np.vstack([_np.asarray(r["embedding"], dtype=_np.float64) for r in rows])
+        M /= _np.linalg.norm(M, axis=1, keepdims=True)
+        return float((M @ C.T).max(axis=1).mean())
+
+    Cp = ivf_centroids_kmeanspar(embs, n_centroids=8)
+    assert Cp.shape[0] == 8
+    assert _np.allclose(_np.linalg.norm(Cp, axis=1), 1.0)
+    # md5 coins, not RNG state: a second run picks the same seed set
+    assert _np.allclose(Cp, ivf_centroids_kmeanspar(embs, n_centroids=8))
+    # seeding quality: the D²-weighted reduction must not start worse
+    # than the uniform sample it replaces
+    C0 = ivf_centroids(embs, n_centroids=8)
+    assert mean_best_cos(Cp) >= mean_best_cos(C0) - 1e-9
+    # end-to-end through the Lloyd refiner's init hook
+    Ck = ivf_centroids_kmeans(embs, n_centroids=8, iters=1, init="kmeanspar")
+    assert Ck.shape == Cp.shape
+    assert mean_best_cos(Ck) >= mean_best_cos(Cp) - 1e-9

@@ -279,3 +279,48 @@ def test_cli_rewrite_modes_and_facet(spark, tmp_path, capsys):
     n_before = sum(r["n_docs"] for r in fc)
     n_after = sum(r["n_docs"] for r in fc2)
     assert n_after == n_before - (1 if victim in {r["conv_id"] for r in spark_hits} else 0)
+
+
+def test_cli_snippets_lazy_resolution(spark, tmp_path, capsys):
+    """query --snippets resolves matched-turn text from the SOURCE table
+    (lazy store: content never lives in the index) and marks hits with
+    <em>; guarded by the 400 analogs for unsupported modes / no input."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=10, max_turns=5, seed=11).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store, "--shards", "2"]) == 0
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main(["query", "--store", store, *args])
+        out = capsys.readouterr().out
+        rows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+        return rc, rows
+
+    rc, rows = run("--q", "spark", "--k", "3", "--snippets", "--input", src)
+    assert rc == 0
+    hits = [r for r in rows if "score" in r]
+    snips = [r for r in rows if "snippet" in r]
+    assert hits and snips
+    # every snippet marks the matched term and belongs to a hit conv
+    assert all("<em>spark</em>" in s["snippet"] for s in snips)
+    assert {s["conv_id"] for s in snips} <= {h["conv_id"] for h in hits}
+
+    # phrase-mode snippets run through the same flag
+    rc, rows = run("--q", "spark merge", "--k", "3", "--mode", "phrase",
+                   "--snippets", "--input", src)
+    assert rc == 0  # may be hitless, but must not error
+
+    # 400 analogs: unsupported mode, missing input
+    assert run("--q", "spark", "--mode", "and", "--snippets", "--input", src)[0] == 2
+    assert run("--q", "spark", "--snippets")[0] == 2
+
+    # tombstone suppression reaches the snippet path
+    victim = hits[0]["conv_id"]
+    assert cli.main(["delete", "--store", store, "--conv-id", victim]) == 0
+    rc, rows2 = run("--q", "spark", "--k", "3", "--snippets", "--input", src)
+    assert rc == 0
+    assert victim not in {r["conv_id"] for r in rows2}
