@@ -101,6 +101,9 @@ def _index(spark: SparkSession, sf_dir: str) -> Index:
             df.persist()
         idx.postings.count()
         idx.corpus.count()  # scoring calls corpus.first() per query
+        # The deferred doc-id rank is materialized by the counts above;
+        # its range-partitioned parents are dead weight from here on.
+        idx.mat.release_intermediates()
         _index_cache[key] = idx
     return _index_cache[key]
 

@@ -201,13 +201,18 @@ def main(argv: list[str] | None = None) -> int:
                     print(json.dumps({"error": "bad_request", "detail": str(e)[:200]}))
                     return BAD_REQUEST_EXIT
             elif args.mode == "prefix":
-                from solr_ocr_processor_spark.operators.expand import prefix_topk
+                from solr_ocr_processor_spark.operators.expand import (
+                    is_valid_prefix_pattern,
+                    prefix_topk,
+                )
 
-                # Lucene rejects a bare '*' (it expands to the whole
-                # dictionary) — same 400 analog here.
-                if not args.q.rstrip("*").strip():
+                # Lucene rejects a bare '*' (whole-dictionary expansion)
+                # and this is a PREFIX surface: '*abc' / 's*r' are not
+                # prefix queries and must not silently run as one.
+                if not is_valid_prefix_pattern(args.q):
                     print(json.dumps({"error": "bad_request",
-                                      "detail": "empty prefix pattern"}))
+                                      "detail": "bad prefix pattern: need "
+                                      "a non-empty stem, '*' only at the end"}))
                     return BAD_REQUEST_EXIT
                 out = prefix_topk(
                     spark, idx, args.q, k=args.k, exclude_docs=dead_df
@@ -227,6 +232,14 @@ def main(argv: list[str] | None = None) -> int:
                     print(json.dumps({"error": "bad_request",
                                       "detail": f"bad edit count {edits!r}"}))
                     return BAD_REQUEST_EXIT
+                # Lucene's FuzzyQuery bound: maxEdits in 0..2. Negative
+                # silently matches nothing; large values brute-force
+                # Levenshtein over the whole dictionary.
+                if not 0 <= max_edits <= 2:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": f"edit count {max_edits} "
+                                      "outside 0..2"}))
+                    return BAD_REQUEST_EXIT
                 out = fuzzy_topk(
                     spark, idx, word, k=args.k, max_edits=max_edits,
                     exclude_docs=dead_df,
@@ -239,10 +252,16 @@ def main(argv: list[str] | None = None) -> int:
             rows = out.collect()
         for r in rows:
             print(json.dumps({"doc_id": r["doc_id"], "conv_id": r["conv_id"], "score": r["score"]}))
-        if args.snippets:
+        if args.snippets and rows:
             # The user-visible half of the reference's capability: the
             # matched turns' text with <em>-marked hits, resolved via
-            # the lazy content pointer for the k winners only.
+            # the lazy content pointer. The ALREADY-COLLECTED hit list
+            # feeds the renderers (no second scan+score+top-k), and the
+            # source reads ONLY the winning convs — the isin predicate
+            # pushes into the parquet scan, so the whole snippet half
+            # is k-bounded.
+            from pyspark.sql import functions as F
+
             from solr_ocr_processor_spark.operators.score import (
                 phrase_snippets,
                 snippets,
@@ -253,16 +272,18 @@ def main(argv: list[str] | None = None) -> int:
             except Exception as e:
                 print(json.dumps({"error": "bad_request", "detail": str(e)[:200]}))
                 return BAD_REQUEST_EXIT
-            s_idx = lifecycle.load_index_with_content(spark, store, src)
-            s_dead = lifecycle.tombstoned_convs(spark, store)
+            win = [r["conv_id"] for r in rows]
+            s_idx = lifecycle.load_index_with_content(
+                spark, store, src.where(F.col("conv_id").isin(win))
+            )
+            top = [(r["doc_id"], r["conv_id"], r["score"]) for r in rows]
             if args.mode == "phrase":
-                sn = phrase_snippets(
-                    spark, s_idx, args.q, k=args.k,
-                    bidx=lifecycle.load_block_index(spark, store),
-                    exclude_docs=s_dead,
-                )
+                sn = phrase_snippets(spark, s_idx, args.q, k=args.k, top_rows=top)
             else:
-                sn = snippets(spark, s_idx, args.q, k=args.k, exclude_docs=s_dead)
+                top_df = spark.createDataFrame(
+                    top, "doc_id long, conv_id string, score double"
+                )
+                sn = snippets(spark, s_idx, args.q, k=args.k, top=top_df)
             for r in sn.collect():
                 print(json.dumps({
                     "conv_id": r["conv_id"],
@@ -273,6 +294,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "facet":
         from solr_ocr_processor_spark.operators.facet import facet_counts
 
+        if args.width < 1:
+            print(json.dumps({"error": "bad_request",
+                              "detail": f"bucket width {args.width} < 1"}))
+            return BAD_REQUEST_EXIT
         idx = lifecycle.load_index(spark, store)
         dead_df = lifecycle.tombstoned_convs(spark, store)
         for r in facet_counts(

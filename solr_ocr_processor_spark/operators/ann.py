@@ -422,28 +422,40 @@ def ivf_centroids_kmeanspar(
     l = int(oversample if oversample is not None else 2 * n_centroids)
     first = ivf_centroids(embs, 1, seed, id_col, vec_col)
     C = first  # (1, dim) — the md5-rank-min vector
-    # Deterministic unit coin in [0,1): top 15 md5 hex digits / 16^15.
-    def _coin(r: int):
-        h = F.md5(
-            F.concat(
-                F.lit(f"{seed}:{r}:"), F.col(id_col).cast("string")
-            )
-        )
-        return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / float(16**15)
-
+    # Deterministic unit coin in [0,1): top 15 md5 hex digits / 16^15,
+    # inlined in the loop over the d2 frame's own id column.
     for r in range(rounds):
-        d2 = _d2_frame(embs, C, id_col, vec_col)
+        # Persist the corpus D² pass: it feeds TWO actions (the ΣD²
+        # aggregate and the pick filter) and would otherwise run the
+        # Vn@C.T kernel twice per round.
+        d2 = _d2_frame(embs, C, id_col, vec_col).persist()
         tot = d2.agg(F.sum("d2").alias("s")).first()["s"]
         if not tot or tot <= 0.0:  # corpus already fully covered
+            d2.unpersist()
             break
+        # The coin and the threshold depend only on (id, d2), so the
+        # ~l winning IDS select BEFORE any join — the vectors then
+        # attach via a join against an l-row side (broadcast), never a
+        # corpus×corpus shuffle.
         p = F.least(F.lit(1.0), F.lit(float(l)) * F.col("d2") / F.lit(float(tot)))
+        coin = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}:{r}:"), F.col("id").cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("double")
+            / float(16**15)
+        )
+        picked_ids = d2.where((F.col("d2") > 0) & (coin < p)).select("id")
         picked = (
             embs.select(id_col, vec_col)
-            .join(d2.where(F.col("d2") > 0), embs[id_col] == F.col("id"))
-            .where(_coin(r) < p)
+            .join(F.broadcast(picked_ids), embs[id_col] == F.col("id"))
             .select(vec_col)
             .collect()
         )
+        d2.unpersist()
         if picked:
             P = np.vstack([np.asarray(row[vec_col], dtype=np.float64) for row in picked])
             P = P / np.linalg.norm(P, axis=1, keepdims=True)
@@ -486,7 +498,9 @@ def _weighted_kmeans(
             int(hashlib.md5(f"{seed}:{step}".encode()).hexdigest()[:15], 16)
             / float(16**15)
         )
-        chosen.append(int(np.searchsorted(np.cumsum(d2 / tot), u)))
+        # clamp: float rounding can leave cumsum[-1] < u, and
+        # searchsorted would then return n (out of range)
+        chosen.append(min(int(np.searchsorted(np.cumsum(d2 / tot), u)), n - 1))
     C = X[chosen].copy()
     for _ in range(iters):
         a = np.argmax(X @ C.T, axis=1)

@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT, IndexConfig
 from ..functions.tokenizer import query_terms
 from .build import Index
-from .query import _suppress
+from .score import _suppress
 from .score import (
     _query_idf,
     bm25_term_score,

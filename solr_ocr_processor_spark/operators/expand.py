@@ -66,6 +66,8 @@ def expand_prefix(
     accepted and stripped), top ``max_expansions`` by (df DESC, term
     ASC). Empty prefix is rejected — Lucene refuses a bare ``*`` for
     the same reason: it expands to the whole dictionary."""
+    if not is_valid_prefix_pattern(prefix):
+        return []
     p = _normalize_single(prefix.rstrip("*"), cfg)
     if not p:
         return []
@@ -76,6 +78,15 @@ def expand_prefix(
         .collect()
     )
     return [r["term"] for r in rows]
+
+
+def is_valid_prefix_pattern(pattern: str) -> bool:
+    """True iff the pattern is a Lucene-shaped prefix: non-empty stem,
+    '*' only at the end. Leading/interior wildcards ('*abc', 's*r') are
+    NOT prefix queries — without this gate the analyzer silently eats
+    the '*' and the query runs with the wrong semantics."""
+    stem = pattern.rstrip("*")
+    return bool(stem.strip()) and "*" not in stem
 
 
 def expand_fuzzy(

@@ -204,6 +204,7 @@ def highlights(
     k: int = 10,
     cfg: IndexConfig = DEFAULT,
     exclude_docs: DataFrame | None = None,
+    top: DataFrame | None = None,
 ) -> DataFrame:
     """Per-turn highlight spans for the top-k hits.
 
@@ -212,9 +213,13 @@ def highlights(
     coordinates. Doc-global token offsets are mapped into turn-local
     offsets via the turn char ranges captured at materialization.
     ``exclude_docs`` (tombstones) suppresses docs inside the top-k.
+    ``top`` (doc_id, …, score) short-circuits the ranking pass with an
+    ALREADY-COMPUTED result — callers that just collected the hit list
+    (the CLI) must not pay scan+score+top-k twice.
     """
     terms = query_terms(query, cfg)
-    top = bm25_topk(spark, index, query, k, cfg, exclude_docs=exclude_docs)
+    if top is None:
+        top = bm25_topk(spark, index, query, k, cfg, exclude_docs=exclude_docs)
 
     # Matched postings for the winners only (term pre-filter + top-k
     # doc join), THEN decode their loc payloads — the late-
@@ -284,6 +289,7 @@ def phrase_highlights(
     cfg: IndexConfig = DEFAULT,
     bidx=None,
     exclude_docs: DataFrame | None = None,
+    top_rows: list | None = None,
 ) -> DataFrame:
     """Per-turn highlight spans for the top-k PHRASE hits — the
     reference ecosystem's headline capability (solr-ocrhighlighting
@@ -319,9 +325,10 @@ def phrase_highlights(
     # re-execute the whole phrase scoring pipeline (scan + prune +
     # shuffle + positional intersection). k rows through the driver is
     # the same cost class as WAND's bound collects.
-    top_rows = phrase_topk(
-        spark, index, phrase, k, cfg, bidx=bidx, exclude_docs=exclude_docs
-    ).collect()
+    if top_rows is None:
+        top_rows = phrase_topk(
+            spark, index, phrase, k, cfg, bidx=bidx, exclude_docs=exclude_docs
+        ).collect()
     if not top_rows:
         return empty
     top = spark.createDataFrame(
@@ -392,6 +399,7 @@ def snippets(
     pre: str = "<em>",
     post: str = "</em>",
     exclude_docs: DataFrame | None = None,
+    top: DataFrame | None = None,
 ) -> DataFrame:
     """Rendered snippet text for the top-k hits — the user-visible half
     of the reference's snippet capability (README.md:3-8: Solr's
@@ -410,7 +418,9 @@ def snippets(
     fold renders the snippet as a pure codegen ``aggregate`` over the
     sorted span array: no UDF, no Python, no per-row interpretation.
     """
-    h = highlights(spark, index, query, k, cfg, exclude_docs=exclude_docs)
+    h = highlights(
+        spark, index, query, k, cfg, exclude_docs=exclude_docs, top=top
+    )
     return _render_turn_spans(index, h, cfg, pre, post)
 
 
@@ -424,6 +434,7 @@ def phrase_snippets(
     post: str = "</em>",
     bidx=None,
     exclude_docs: DataFrame | None = None,
+    top_rows: list | None = None,
 ) -> DataFrame:
     """Rendered snippet text for the top-k PHRASE hits: each phrase
     occurrence wraps as ONE ``pre``...``post`` region (the whole
@@ -432,7 +443,8 @@ def phrase_snippets(
     boundary. Same lazy-pointer plan as :func:`snippets`, spans from
     :func:`phrase_highlights`."""
     ph = phrase_highlights(
-        spark, index, phrase, k, cfg, bidx=bidx, exclude_docs=exclude_docs
+        spark, index, phrase, k, cfg, bidx=bidx, exclude_docs=exclude_docs,
+        top_rows=top_rows,
     )
     return _render_turn_spans(index, ph, cfg, pre, post)
 

@@ -67,12 +67,26 @@ class Materialized:
     # until the build finishes so the first REAL action materializes
     # them in-line instead of paying dedicated count() barrier jobs.
     extra_caches: tuple = ()
+    # The subset of extra_caches needed ONLY until the rank output
+    # materializes (the range-partitioned parents). Long-lived owners
+    # that keep the index (and therefore the rank cache) alive should
+    # call release_intermediates() after the first build action —
+    # otherwise every build in a long session pins two conv-count-sized
+    # caches it will never read again.
+    intermediates: tuple = ()
 
     def unpersist(self) -> None:
         """Release every cache entry this materialization created."""
         for df in (self.docs, self.turns_base, *self.extra_caches):
             if df is not None:
                 df.unpersist()
+
+    def release_intermediates(self) -> None:
+        """Release only the deferred-rank parents — safe once any build
+        action has run (the rank cache is filled by then). Keeps turns/
+        docs/doc-ids persisted for owners that serve queries."""
+        for df in self.intermediates:
+            df.unpersist()
 
 
 def ordered_turns(transcripts: DataFrame) -> DataFrame:
@@ -196,12 +210,14 @@ def materialize_docs(
     base = ordered_turns(transcripts).persist()
     turns = base
     extra_caches: tuple = ()
+    intermediates: tuple = ()
     if doc_map is not None:
         doc_ids = doc_map.select("doc_id", "conv_id")
         n_doc_ids = n_docs_hint if n_docs_hint is not None else doc_ids.count()
     else:
         doc_ids, n_doc_ids, parents = _assign_doc_ids_deferred(turns)
         extra_caches = (doc_ids, *parents)
+        intermediates = parents
     # Broadcast the doc-id map when it is provably driver-sized. This
     # is a CORRECTNESS gate, not only a perf hint: the broadcast join
     # leaves the window's conv_id partitioning untouched, so the
@@ -255,4 +271,5 @@ def materialize_docs(
         doc_co_located=doc_co_located,
         turns_base=base,
         extra_caches=extra_caches,
+        intermediates=intermediates,
     )

@@ -282,3 +282,19 @@ def test_facet_counts_no_match(spark, tiny):
 
     got = facet_counts(spark, tiny, "zzzz", width=4)
     assert got.count() == 0 and got.columns == ["bucket", "n_docs"]
+
+
+def test_expand_prefix_rejects_non_trailing_wildcards(spark, tiny):
+    """Review regression: '*abc' / 's*r' are not prefix queries — the
+    analyzer must not silently eat the '*' and run the wrong query."""
+    from solr_ocr_processor_spark.operators.expand import (
+        expand_prefix,
+        is_valid_prefix_pattern,
+    )
+
+    assert expand_prefix(spark, tiny, "*re") == []
+    assert expand_prefix(spark, tiny, "r*e") == []
+    assert is_valid_prefix_pattern("re*") and is_valid_prefix_pattern("re")
+    assert not is_valid_prefix_pattern("*re")
+    assert not is_valid_prefix_pattern("r*e")
+    assert not is_valid_prefix_pattern("**")

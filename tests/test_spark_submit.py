@@ -324,3 +324,29 @@ def test_cli_snippets_lazy_resolution(spark, tmp_path, capsys):
     rc, rows2 = run("--q", "spark", "--k", "3", "--snippets", "--input", src)
     assert rc == 0
     assert victim not in {r["conv_id"] for r in rows2}
+
+
+def test_cli_pattern_validation_regressions(spark, tmp_path, capsys):
+    """Review regressions: non-trailing prefix wildcards, out-of-range
+    fuzzy edit counts, and non-positive facet widths are 400s, not
+    silent wrong answers."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=6, max_turns=4, seed=3).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store, "--shards", "1"]) == 0
+
+    def rc(*args):
+        capsys.readouterr()
+        code = cli.main(list(args))
+        capsys.readouterr()
+        return code
+
+    assert rc("query", "--store", store, "--q", "*spark", "--mode", "prefix") == 2
+    assert rc("query", "--store", store, "--q", "sp*rk", "--mode", "prefix") == 2
+    assert rc("query", "--store", store, "--q", "spark~3", "--mode", "fuzzy") == 2
+    assert rc("query", "--store", store, "--q", "spark~-1", "--mode", "fuzzy") == 2
+    assert rc("facet", "--store", store, "--q", "spark", "--width", "0") == 2
+    assert rc("facet", "--store", store, "--q", "spark", "--width", "-4") == 2
