@@ -59,7 +59,12 @@ from solr_ocr_processor_spark.operators.multimodal import (
 )
 from solr_ocr_processor_spark.operators.build import Index, build_postings
 from solr_ocr_processor_spark.operators.boolean import boolean_topk
-from solr_ocr_processor_spark.operators.expand import fuzzy_topk, prefix_topk
+from solr_ocr_processor_spark.operators.expand import (
+    fuzzy_topk,
+    mlt_topk,
+    prefix_topk,
+    suggest_terms,
+)
 from solr_ocr_processor_spark.operators.facet import facet_counts
 from solr_ocr_processor_spark.operators.query import (
     boolean_not_topk,
@@ -236,6 +241,25 @@ def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index(spark, sf_dir)
     top = fuzzy_topk(spark, idx, FUZZY_Q, k=10, max_edits=FUZZY_EDITS)
     return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+MLT_DOC, MLT_TERMS = 7, 5  # seed doc + term cap for the MLT driver query
+
+
+def _q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr MoreLikeThis analog: docs most similar to doc 7 via its
+    top-5 tf·idf terms, disjunctive BM25, seed excluded
+    (operators/expand.py::mlt_topk)."""
+    idx = _index(spark, sf_dir)
+    top = mlt_topk(spark, idx, MLT_DOC, k=10, max_query_terms=MLT_TERMS)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr suggester analog: dictionary completions of ``s`` ranked
+    (df DESC, term ASC) — the ranked completion list itself."""
+    idx = _index(spark, sf_dir)
+    return suggest_terms(spark, idx, "s", n=10)
 
 
 def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,6 +614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_nested_topk": _q_boolean_nested_topk,
         "prefix_topk": _q_prefix_topk,
         "fuzzy_topk": _q_fuzzy_topk,
+        "mlt_topk": _q_mlt_topk,
+        "suggest_terms": _q_suggest_terms,
         "facet_counts": _q_facet_counts,
         "membership_check": _q_membership_check,
         "projection_limit": _q_projection_limit,
@@ -1124,11 +1150,63 @@ SELECT CAST(floor(dl / 64.0) AS BIGINT) AS bucket,
 FROM m GROUP BY bucket ORDER BY bucket
 """
 
+# More-Like-This: the seed doc's tf·idf-ranked term set (tie term ASC,
+# cap MLT_TERMS) scored as a disjunctive BM25 with the seed excluded —
+# both halves replayed, same idf spelling as the engine.
+_MLT_SQL = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+src AS (
+  SELECT term, CAST(count(*) AS INT) AS tf FROM tok
+  WHERE doc_id = {MLT_DOC} GROUP BY term
+),
+mlt AS (
+  SELECT s.term
+  FROM src s JOIN dict d USING (term) CROSS JOIN stats st
+  ORDER BY s.tf * ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5)) DESC,
+           s.term ASC
+  LIMIT {MLT_TERMS}
+),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN (SELECT term FROM mlt)
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored WHERE doc_id <> {MLT_DOC}
+ORDER BY raw DESC, doc_id ASC
+LIMIT 10
+"""
+
+_SUGGEST_SQL = f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM ids),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df FROM dict
+WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC
+LIMIT 10
+"""
+
 _PIPELINE_ORACLES = {
     "boolean_not_topk": _BOOL_NOT,
     "boolean_nested_topk": _BOOL_NESTED,
     "prefix_topk": _PREFIX_TOPK_SQL,
     "fuzzy_topk": _FUZZY_TOPK_SQL,
+    "mlt_topk": _MLT_SQL,
+    "suggest_terms": _SUGGEST_SQL,
     "facet_counts": _FACET_SQL,
     "multimodal_resize": f"""
 SELECT doc_id AS media_id,

@@ -90,6 +90,20 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--q", required=True)
     f.add_argument("--width", type=int, default=64, help="bucket width in tokens")
 
+    m = sub.add_parser(
+        "mlt", help="more-like-this: docs similar to a conversation"
+    )
+    m.add_argument("--store", required=True)
+    m.add_argument("--conv-id", required=True)
+    m.add_argument("--k", type=int, default=10)
+    m.add_argument("--max-terms", type=int, default=25,
+                   help="tf*idf-ranked seed terms (Lucene MLT default 25)")
+
+    sg = sub.add_parser("suggest", help="dictionary completions for a prefix")
+    sg.add_argument("--store", required=True)
+    sg.add_argument("--q", required=True)
+    sg.add_argument("--n", type=int, default=10)
+
     c = sub.add_parser("check", help="membership check")
     c.add_argument("--store", required=True)
     c.add_argument("--conv-id", required=True)
@@ -304,6 +318,44 @@ def main(argv: list[str] | None = None) -> int:
             spark, idx, args.q, width=args.width, exclude_docs=dead_df
         ).collect():
             print(json.dumps({"bucket": r["bucket"], "n_docs": r["n_docs"]}))
+        return 0
+    if args.cmd == "mlt":
+        from solr_ocr_processor_spark.operators.expand import mlt_topk
+
+        idx = lifecycle.load_index(spark, store)
+        dead_df = lifecycle.tombstoned_convs(spark, store)
+        seed = idx.doc_meta.where(
+            idx.doc_meta["conv_id"] == args.conv_id
+        ).select("doc_id").first()
+        dead_seed = (
+            seed is not None
+            and dead_df.where(dead_df["conv_id"] == args.conv_id).first() is not None
+        )
+        if seed is None or dead_seed:  # unknown/deleted = GET-miss 404
+            print(json.dumps({"error": "not_found", "conv_id": args.conv_id}))
+            return NOT_FOUND_EXIT
+        out = mlt_topk(
+            spark, idx, seed["doc_id"], k=args.k,
+            max_query_terms=args.max_terms, exclude_docs=dead_df,
+        )
+        for r in out.collect():
+            print(json.dumps({"doc_id": r["doc_id"], "conv_id": r["conv_id"],
+                              "score": r["score"]}))
+        return 0
+    if args.cmd == "suggest":
+        from solr_ocr_processor_spark.operators.expand import (
+            is_valid_prefix_pattern,
+            suggest_terms,
+        )
+
+        if not is_valid_prefix_pattern(args.q):
+            print(json.dumps({"error": "bad_request",
+                              "detail": "bad prefix pattern: need a non-empty "
+                              "stem, '*' only at the end"}))
+            return BAD_REQUEST_EXIT
+        idx = lifecycle.load_index(spark, store)
+        for r in suggest_terms(spark, idx, args.q, n=args.n).collect():
+            print(json.dumps({"term": r["term"], "df": r["df"]}))
         return 0
     if args.cmd == "delete":
         lifecycle.delete_conv(spark, store, args.conv_id)

@@ -120,6 +120,97 @@ def expand_fuzzy(
     return [r["term"] for r in rows]
 
 
+def suggest_terms(
+    spark: SparkSession,
+    index: Index,
+    prefix: str,
+    n: int = 10,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Dictionary completion — the Solr suggester analog: (term, df)
+    for terms starting with ``prefix``, ordered (df DESC, term ASC),
+    top ``n``. Same |vocab|-bounded dictionary scan as
+    :func:`expand_prefix` (startswith pushes into the parquet scan),
+    but returns the ranked completion list itself rather than feeding
+    a scorer."""
+    empty = spark.createDataFrame([], "term string, df long")
+    if not is_valid_prefix_pattern(prefix):
+        return empty
+    p = _normalize_single(prefix.rstrip("*"), cfg)
+    if not p:
+        return empty
+    return (
+        index.term_stats.where(F.col("term").startswith(p))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def mlt_terms(
+    spark: SparkSession,
+    index: Index,
+    doc_id: int,
+    max_query_terms: int = 25,
+    min_tf: int = 1,
+    min_df: int = 1,
+    cfg: IndexConfig = DEFAULT,
+) -> list[str]:
+    """The source document's most informative terms — Lucene
+    MoreLikeThis term selection: rank the doc's terms by tf·idf (the
+    engine's ONE idf definition, functions/bm25.py), tie-break term
+    ASC, cap at ``max_query_terms`` (Lucene default 25). ``min_tf`` /
+    ``min_df`` mirror MLT's noise gates.
+
+    Plan: the source doc's postings are a ≤|doc-vocab| row slice
+    (doc_id filter → parquet row-group stats pruning); they BROADCAST
+    against term_stats for df, so nothing corpus-sized moves."""
+    n_docs = index.corpus.first()["n_docs"]
+    doc_terms = (
+        index.postings.where(F.col("doc_id") == int(doc_id)).select("term", "tf")
+    )
+    idf_col = F.log1p(
+        (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    rows = (
+        index.term_stats.select("term", "df")
+        .join(F.broadcast(doc_terms), "term")
+        .where((F.col("tf") >= min_tf) & (F.col("df") >= min_df))
+        .withColumn("w", F.col("tf") * idf_col)
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(max_query_terms)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def mlt_topk(
+    spark: SparkSession,
+    index: Index,
+    doc_id: int,
+    k: int = 10,
+    max_query_terms: int = 25,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """More-Like-This: top-k documents similar to ``doc_id`` — the
+    Solr MLT handler surface. The source doc's tf·idf-ranked term set
+    (:func:`mlt_terms`) runs as a disjunctive BM25, with the source
+    document itself excluded from the result (MLT never returns its
+    own seed). Returns (doc_id, conv_id, score), score DESC, ties
+    doc_id ASC."""
+    terms = mlt_terms(spark, index, doc_id, max_query_terms, cfg=cfg)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, conv_id string, score double")
+    scored = _suppress(bm25_scores_terms(spark, index, terms, cfg), exclude_docs)
+    top = (
+        scored.where(F.col("doc_id") != int(doc_id))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return resolve_conv_ids(index, top)
+
+
 def _expansion_topk(
     spark: SparkSession,
     index: Index,

@@ -298,3 +298,36 @@ def test_expand_prefix_rejects_non_trailing_wildcards(spark, tiny):
     assert not is_valid_prefix_pattern("*re")
     assert not is_valid_prefix_pattern("r*e")
     assert not is_valid_prefix_pattern("**")
+
+
+def test_mlt_terms_and_topk(spark, tiny):
+    """MoreLikeThis: seed terms rank by tf*idf (tie term ASC), the
+    disjunctive rerun never returns the seed itself."""
+    from solr_ocr_processor_spark.operators.expand import mlt_terms, mlt_topk
+
+    # doc 0 (c0): big tf=3 data tf=3, is/pipelines tf=1; df(big)=df(data)=3,
+    # df(is)=df(pipelines)=1 -> idf(rare) > idf(common) but tf=3 wins:
+    # w(big)=w(data)=3*idf3 > w(is)=w(pipelines)=idf1?  idf(df=1) vs 3*idf(df=3):
+    # N=4: idf(3)=ln(1+1.5/3.5)=0.357 -> 1.07; idf(1)=ln(1+3.5/1.5)=1.20.
+    # So 'is'/'pipelines' (1.20) outrank big/data (1.07) — assert exact order.
+    got = mlt_terms(spark, tiny, 0, max_query_terms=3)
+    assert got == ["is", "pipelines", "big"]
+
+    rows = mlt_topk(spark, tiny, 0, k=10, max_query_terms=4).collect()
+    ids = [r.conv_id for r in rows]
+    assert "c0" not in ids          # the seed never returns itself
+    assert set(ids) <= {"c1", "c2"}  # docs sharing big/data
+    assert all(r.score > 0 for r in rows)
+
+    # unknown doc id -> empty with the contract schema
+    empty = mlt_topk(spark, tiny, 999, k=5)
+    assert empty.count() == 0 and empty.columns == ["doc_id", "conv_id", "score"]
+
+
+def test_suggest_terms_ranking(spark, tiny):
+    from solr_ocr_processor_spark.operators.expand import suggest_terms
+
+    rows = suggest_terms(spark, tiny, "re", n=10).collect()
+    assert [(r.term, r.df) for r in rows] == [("relevant", 1), ("reversed", 1)]
+    assert suggest_terms(spark, tiny, "re", n=1).count() == 1
+    assert suggest_terms(spark, tiny, "*re", n=5).count() == 0

@@ -350,3 +350,42 @@ def test_cli_pattern_validation_regressions(spark, tmp_path, capsys):
     assert rc("query", "--store", store, "--q", "spark~-1", "--mode", "fuzzy") == 2
     assert rc("facet", "--store", store, "--q", "spark", "--width", "0") == 2
     assert rc("facet", "--store", store, "--q", "spark", "--width", "-4") == 2
+
+
+def test_cli_mlt_and_suggest(spark, tmp_path, capsys):
+    """mlt returns similar convs (never the seed, 404 for unknown or
+    deleted seeds); suggest returns ranked completions."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=10, max_turns=5, seed=13).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store, "--shards", "2"]) == 0
+
+    def run(verb, *args):
+        capsys.readouterr()
+        rc = cli.main([verb, "--store", store, *args])
+        out = capsys.readouterr().out
+        rows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+        return rc, rows
+
+    # pick a real conv from suggest's corpus surface
+    rc, sugg = run("suggest", "--q", "s", "--n", "5")
+    assert rc == 0 and sugg
+    assert all({"term", "df"} <= set(r) for r in sugg)
+    # ranked df DESC, ties term ASC
+    keys = [(-r["df"], r["term"]) for r in sugg]
+    assert keys == sorted(keys)
+    assert run("suggest", "--q", "*s")[0] == 2
+
+    rc, hits = run("mlt", "--conv-id", "s000001", "--k", "5")
+    assert rc == 0 and hits
+    assert all(r["conv_id"] != "s000001" for r in hits)
+
+    assert run("mlt", "--conv-id", "cNOPE")[0] == 4
+    # deleting the seed makes it a 404 and removes it from others' results
+    assert cli.main(["delete", "--store", store, "--conv-id", "s000001"]) == 0
+    assert run("mlt", "--conv-id", "s000001")[0] == 4
+    rc, hits2 = run("mlt", "--conv-id", "s000002", "--k", "100")
+    assert rc == 0 and all(r["conv_id"] != "s000001" for r in hits2)
