@@ -71,6 +71,7 @@ from solr_ocr_processor_spark.operators.query import (
     conjunctive_topk,
     phrase_match,
     phrase_topk,
+    sort_topk,
 )
 from solr_ocr_processor_spark.operators.wand import wand_topk
 from solr_ocr_processor_spark.operators.score import (
@@ -241,6 +242,14 @@ def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index(spark, sf_dir)
     top = fuzzy_topk(spark, idx, FUZZY_Q, k=10, max_edits=FUZZY_EDITS)
     return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``sort=`` analog: docs matching ANY flagship term ordered
+    by doc length (dl DESC, doc_id ASC) instead of relevance
+    (operators/query.py::sort_topk)."""
+    idx = _index(spark, sf_dir)
+    return sort_topk(spark, idx, FLAGSHIP_QUERY, by="dl", k=10)
 
 
 MLT_DOC, MLT_TERMS = 7, 5  # seed doc + term cap for the MLT driver query
@@ -617,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_topk": _q_mlt_topk,
         "suggest_terms": _q_suggest_terms,
         "facet_counts": _q_facet_counts,
+        "sort_topk": _q_sort_topk,
         "membership_check": _q_membership_check,
         "projection_limit": _q_projection_limit,
         "delete_by_query": _q_delete_by_query,
@@ -1208,6 +1218,15 @@ _PIPELINE_ORACLES = {
     "mlt_topk": _MLT_SQL,
     "suggest_terms": _SUGGEST_SQL,
     "facet_counts": _FACET_SQL,
+    "sort_topk": f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM ids),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN {FLAGSHIP_TERMS!r})
+SELECT ids.doc_id, ids.conv_id, CAST(ids.dl AS BIGINT) AS dl
+FROM ids JOIN m USING (doc_id)
+ORDER BY ids.dl DESC, ids.doc_id ASC
+LIMIT 10
+""",
     "multimodal_resize": f"""
 SELECT doc_id AS media_id,
        CAST({_MEDIA_NB} AS BIGINT) AS in_bytes,

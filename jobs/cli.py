@@ -60,15 +60,21 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=("wand", "and", "phrase", "not", "bool", "prefix", "fuzzy"),
+        choices=("wand", "and", "phrase", "not", "bool", "prefix", "fuzzy",
+                 "sort"),
         default="wand",
         help="wand: BM25 OR-of-terms via the pruned block index; "
         "and: every term required; phrase: exact positional phrase; "
         "not: positives AND NOT --neg terms; "
         "bool: nested boolean grammar, e.g. 'a AND (b OR c) NOT d'; "
         "prefix: dictionary expansion of 'pre*'; "
-        "fuzzy: terms within n edits of 'word~n' (bare ~ means 2)",
+        "fuzzy: terms within n edits of 'word~n' (bare ~ means 2); "
+        "sort: matches ordered by --sort-by instead of relevance",
     )
+    q.add_argument("--sort-by", default="n_chars",
+                   help="doc field for --mode sort (n_chars, n_turns, dl)")
+    q.add_argument("--asc", action="store_true",
+                   help="ascending field order for --mode sort")
     q.add_argument("--neg", default="", help="negative terms for --mode not")
     q.add_argument(
         "--snippets",
@@ -258,6 +264,26 @@ def main(argv: list[str] | None = None) -> int:
                     spark, idx, word, k=args.k, max_edits=max_edits,
                     exclude_docs=dead_df,
                 )
+            elif args.mode == "sort":
+                from solr_ocr_processor_spark.operators.query import (
+                    SORT_FIELDS,
+                    sort_topk,
+                )
+
+                if args.sort_by not in SORT_FIELDS:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": f"unknown sort field "
+                                      f"{args.sort_by!r}; one of {SORT_FIELDS}"}))
+                    return BAD_REQUEST_EXIT
+                out = sort_topk(
+                    spark, idx, args.q, by=args.sort_by,
+                    descending=not args.asc, k=args.k, exclude_docs=dead_df,
+                )
+                for r in out.collect():
+                    print(json.dumps({"doc_id": r["doc_id"],
+                                      "conv_id": r["conv_id"],
+                                      args.sort_by: r[args.sort_by]}))
+                return 0
             else:
                 out = boolean_not_topk(
                     spark, idx, args.q, args.neg, k=args.k,

@@ -68,6 +68,50 @@ def conjunctive_topk(
     return resolve_conv_ids(index, top)
 
 
+SORT_FIELDS = ("n_chars", "n_turns", "dl")  # doc_meta numeric fields
+
+
+def sort_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    by: str = "n_chars",
+    descending: bool = True,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Field-sorted matches — Solr's ``sort=`` param overriding
+    relevance: the documents matching ANY query term, ordered by a
+    doc_meta field instead of BM25, ties doc_id ASC. Returns (doc_id,
+    conv_id, <by>).
+
+    Plan: dictionary-filtered posting scan → ONE per-doc dedup
+    aggregation (map-side combinable) → semi-join doc_meta on doc_id →
+    orderBy+limit lowers to TakeOrderedAndProject (per-partition k-row
+    heaps, no global sort). doc_meta is probed by the match set; the
+    sort field never rides the posting rows."""
+    if by not in SORT_FIELDS:
+        raise ValueError(f"unknown sort field {by!r}; one of {SORT_FIELDS}")
+    terms = sorted(set(query_terms(query, cfg)))
+    empty_schema = f"doc_id long, conv_id string, {by} long"
+    if not terms:
+        return spark.createDataFrame([], empty_schema)
+    matched = _suppress(
+        index.postings.where(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_nt")),
+        exclude_docs,
+    ).select("doc_id")
+    order = F.col(by).desc() if descending else F.col(by).asc()
+    return (
+        index.doc_meta.join(matched, "doc_id", "left_semi")
+        .select("doc_id", "conv_id", F.col(by).cast("long").alias(by))
+        .orderBy(order, F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def boolean_not_topk(
     spark: SparkSession,
     index: Index,

@@ -331,3 +331,22 @@ def test_suggest_terms_ranking(spark, tiny):
     assert [(r.term, r.df) for r in rows] == [("relevant", 1), ("reversed", 1)]
     assert suggest_terms(spark, tiny, "re", n=1).count() == 1
     assert suggest_terms(spark, tiny, "*re", n=5).count() == 0
+
+
+def test_sort_topk_field_ordering(spark, tiny):
+    """Solr sort= analog: matches ordered by a doc field, not BM25."""
+    import pytest as _pytest
+
+    from solr_ocr_processor_spark.operators.query import sort_topk
+
+    # matched docs and their dl: c0=8, c1=5, c2=4
+    rows = sort_topk(spark, tiny, "big data", by="dl", k=10).collect()
+    assert [(r.conv_id, r.dl) for r in rows] == [("c0", 8), ("c1", 5), ("c2", 4)]
+    asc = sort_topk(spark, tiny, "big data", by="dl", descending=False, k=2)
+    assert [r.conv_id for r in asc.collect()] == ["c2", "c1"]
+    # other doc_meta fields work; unknown fields are rejected
+    byc = sort_topk(spark, tiny, "big data", by="n_turns", k=1).collect()
+    assert byc[0].conv_id == "c0"
+    with _pytest.raises(ValueError):
+        sort_topk(spark, tiny, "big data", by="doc_text")
+    assert sort_topk(spark, tiny, "", by="dl").count() == 0

@@ -389,3 +389,36 @@ def test_cli_mlt_and_suggest(spark, tmp_path, capsys):
     assert run("mlt", "--conv-id", "s000001")[0] == 4
     rc, hits2 = run("mlt", "--conv-id", "s000002", "--k", "100")
     assert rc == 0 and all(r["conv_id"] != "s000001" for r in hits2)
+
+
+def test_cli_sort_mode(spark, tmp_path, capsys):
+    """query --mode sort orders matches by the field, validates the
+    field name, and suppresses tombstones."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=8, max_turns=6, seed=17).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store, "--shards", "2"]) == 0
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main(["query", "--store", store, *args])
+        out = capsys.readouterr().out
+        rows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+        return rc, rows
+
+    rc, rows = run("--q", "spark", "--mode", "sort", "--sort-by", "n_chars", "--k", "50")
+    assert rc == 0 and rows
+    vals = [r["n_chars"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    rc, asc = run("--q", "spark", "--mode", "sort", "--sort-by", "n_chars", "--asc", "--k", "50")
+    assert [r["conv_id"] for r in asc] == [r["conv_id"] for r in reversed(rows)] or \
+        [r["n_chars"] for r in asc] == sorted(vals)
+    assert run("--q", "spark", "--mode", "sort", "--sort-by", "nope")[0] == 2
+
+    victim = rows[0]["conv_id"]
+    assert cli.main(["delete", "--store", store, "--conv-id", victim]) == 0
+    rc, rows2 = run("--q", "spark", "--mode", "sort", "--sort-by", "n_chars", "--k", "50")
+    assert victim not in {r["conv_id"] for r in rows2}
