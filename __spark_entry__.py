@@ -244,6 +244,15 @@ def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
+def _q_paged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``start=`` analog: PAGE TWO (rows 10..19) of the flagship
+    ranking — offset+limit lower into one TakeOrderedAndProject and the
+    (score DESC, doc_id ASC) total order keeps pages stable."""
+    idx = _index(spark, sf_dir)
+    top = bm25_topk(spark, idx, FLAGSHIP_QUERY, k=10, start=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
 def _q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr ``sort=`` analog: docs matching ANY flagship term ordered
     by doc length (dl DESC, doc_id ASC) instead of relevance
@@ -627,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": _q_suggest_terms,
         "facet_counts": _q_facet_counts,
         "sort_topk": _q_sort_topk,
+        "paged_topk": _q_paged_topk,
         "membership_check": _q_membership_check,
         "projection_limit": _q_projection_limit,
         "delete_by_query": _q_delete_by_query,
@@ -1227,6 +1237,8 @@ FROM ids JOIN m USING (doc_id)
 ORDER BY ids.dl DESC, ids.doc_id ASC
 LIMIT 10
 """,
+    # page two of _BM25: same ranking, rows 10..19
+    "paged_topk": _BM25.replace("LIMIT 10", "LIMIT 10 OFFSET 10"),
     "multimodal_resize": f"""
 SELECT doc_id AS media_id,
        CAST({_MEDIA_NB} AS BIGINT) AS in_bytes,

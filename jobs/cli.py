@@ -76,6 +76,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--asc", action="store_true",
                    help="ascending field order for --mode sort")
     q.add_argument("--neg", default="", help="negative terms for --mode not")
+    q.add_argument("--start", type=int, default=0,
+                   help="result offset — Solr start= pagination; the "
+                   "(score DESC, doc_id ASC) total order keeps pages stable")
     q.add_argument(
         "--snippets",
         action="store_true",
@@ -174,6 +177,14 @@ def main(argv: list[str] | None = None) -> int:
                               "detail": "--snippets needs --input (lazy store: "
                               "snippet text resolves from the source table)"}))
             return BAD_REQUEST_EXIT
+        if args.start < 0:
+            print(json.dumps({"error": "bad_request",
+                              "detail": f"negative start {args.start}"}))
+            return BAD_REQUEST_EXIT
+        # Pagination: every top-k fetches the page's END (start+k rows,
+        # still driver-bounded) and slices the page off — the total
+        # order (score DESC, doc_id ASC) makes pages stable.
+        fetch_k = args.k + args.start
         if args.mode == "wand":
             # WAND's per-range numpy kernel takes its exclude set as a
             # scalar list (it never re-enters a Spark plan) — the ONLY
@@ -181,8 +192,8 @@ def main(argv: list[str] | None = None) -> int:
             dead = lifecycle.tombstoned_doc_ids(spark, store)
             bidx = lifecycle.load_block_index(spark, store)
             rows = wand_topk(
-                spark, bidx, args.q, k=args.k, exclude_doc_ids=dead
-            ).collect()
+                spark, bidx, args.q, k=fetch_k, exclude_doc_ids=dead
+            ).collect()[args.start:]
         else:
             from solr_ocr_processor_spark.operators.boolean import (
                 BooleanSyntaxError,
@@ -201,13 +212,13 @@ def main(argv: list[str] | None = None) -> int:
             idx = lifecycle.load_index(spark, store)
             if args.mode == "and":
                 out = conjunctive_topk(
-                    spark, idx, args.q, k=args.k, exclude_docs=dead_df
+                    spark, idx, args.q, k=fetch_k, exclude_docs=dead_df
                 )
             elif args.mode == "phrase":
                 # block-range prune: common terms' postings drop
                 # everywhere the rarest term has no block
                 out = phrase_topk(
-                    spark, idx, args.q, k=args.k, exclude_docs=dead_df,
+                    spark, idx, args.q, k=fetch_k, exclude_docs=dead_df,
                     bidx=lifecycle.load_block_index(spark, store),
                 )
             elif args.mode == "bool":
@@ -215,7 +226,7 @@ def main(argv: list[str] | None = None) -> int:
                 # malformed query syntax as a bad request)
                 try:
                     out = boolean_topk(
-                        spark, idx, args.q, k=args.k, exclude_docs=dead_df
+                        spark, idx, args.q, k=fetch_k, exclude_docs=dead_df
                     )
                 except BooleanSyntaxError as e:
                     print(json.dumps({"error": "bad_request", "detail": str(e)[:200]}))
@@ -235,7 +246,7 @@ def main(argv: list[str] | None = None) -> int:
                                       "a non-empty stem, '*' only at the end"}))
                     return BAD_REQUEST_EXIT
                 out = prefix_topk(
-                    spark, idx, args.q, k=args.k, exclude_docs=dead_df
+                    spark, idx, args.q, k=fetch_k, exclude_docs=dead_df
                 )
             elif args.mode == "fuzzy":
                 from solr_ocr_processor_spark.operators.expand import fuzzy_topk
@@ -261,7 +272,7 @@ def main(argv: list[str] | None = None) -> int:
                                       "outside 0..2"}))
                     return BAD_REQUEST_EXIT
                 out = fuzzy_topk(
-                    spark, idx, word, k=args.k, max_edits=max_edits,
+                    spark, idx, word, k=fetch_k, max_edits=max_edits,
                     exclude_docs=dead_df,
                 )
             elif args.mode == "sort":
@@ -277,19 +288,19 @@ def main(argv: list[str] | None = None) -> int:
                     return BAD_REQUEST_EXIT
                 out = sort_topk(
                     spark, idx, args.q, by=args.sort_by,
-                    descending=not args.asc, k=args.k, exclude_docs=dead_df,
+                    descending=not args.asc, k=fetch_k, exclude_docs=dead_df,
                 )
-                for r in out.collect():
+                for r in out.collect()[args.start:]:
                     print(json.dumps({"doc_id": r["doc_id"],
                                       "conv_id": r["conv_id"],
                                       args.sort_by: r[args.sort_by]}))
                 return 0
             else:
                 out = boolean_not_topk(
-                    spark, idx, args.q, args.neg, k=args.k,
+                    spark, idx, args.q, args.neg, k=fetch_k,
                     exclude_docs=dead_df,
                 )
-            rows = out.collect()
+            rows = out.collect()[args.start:]
         for r in rows:
             print(json.dumps({"doc_id": r["doc_id"], "conv_id": r["conv_id"], "score": r["score"]}))
         if args.snippets and rows:

@@ -183,15 +183,22 @@ def bm25_topk(
     k: int = 10,
     cfg: IndexConfig = DEFAULT,
     exclude_docs: DataFrame | None = None,
+    start: int = 0,
 ) -> DataFrame:
     """Top-k (doc_id, conv_id, score). Spark lowers orderBy+limit to
     TakeOrderedAndProject: per-partition heaps + driver merge — the
     global sort never materializes. conv_id resolves AFTER the top-k
     (k-row broadcast join, never a corpus-wide doc_meta shuffle).
-    ``exclude_docs`` (tombstones) anti-joins in-plan before the top-k."""
+    ``exclude_docs`` (tombstones) anti-joins in-plan before the top-k.
+    ``start`` pages (Solr's ``start=`` param): rows [start, start+k)
+    of the ranking — offset+limit lower into the SAME
+    TakeOrderedAndProject (per-partition (start+k)-row heaps), and the
+    (score DESC, doc_id ASC) total order makes pages stable across
+    requests — no cursor state."""
     top = (
         _suppress(bm25_scores(spark, index, query, cfg), exclude_docs)
         .orderBy(F.desc("score"), F.asc("doc_id"))
+        .offset(start)
         .limit(k)
     )
     return resolve_conv_ids(index, top)

@@ -350,3 +350,15 @@ def test_sort_topk_field_ordering(spark, tiny):
     with _pytest.raises(ValueError):
         sort_topk(spark, tiny, "big data", by="doc_text")
     assert sort_topk(spark, tiny, "", by="dl").count() == 0
+
+
+def test_bm25_pagination(spark, tiny):
+    """Solr start= analog: pages partition the ranking (the total order
+    makes them stable), past-the-end pages are empty."""
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    full = bm25_topk(spark, tiny, "big data", k=10).collect()
+    p1 = bm25_topk(spark, tiny, "big data", k=2).collect()
+    p2 = bm25_topk(spark, tiny, "big data", k=2, start=2).collect()
+    assert [tuple(r) for r in p1 + p2] == [tuple(r) for r in full[:4]]
+    assert bm25_topk(spark, tiny, "big data", k=5, start=50).count() == 0

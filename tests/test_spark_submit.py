@@ -422,3 +422,29 @@ def test_cli_sort_mode(spark, tmp_path, capsys):
     assert cli.main(["delete", "--store", store, "--conv-id", victim]) == 0
     rc, rows2 = run("--q", "spark", "--mode", "sort", "--sort-by", "n_chars", "--k", "50")
     assert victim not in {r["conv_id"] for r in rows2}
+
+
+def test_cli_pagination(spark, tmp_path, capsys):
+    """--start pages every query mode; negative start is a 400."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=8, max_turns=5, seed=19).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store, "--shards", "2"]) == 0
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main(["query", "--store", store, *args])
+        out = capsys.readouterr().out
+        return rc, [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+
+    rc, full = run("--q", "spark", "--k", "6")
+    assert rc == 0 and len(full) >= 3
+    rc, page = run("--q", "spark", "--k", "2", "--start", "1")
+    assert rc == 0 and page == full[1:3]
+    rc, spage = run("--q", "spark", "--mode", "sort", "--sort-by", "n_chars",
+                    "--k", "2", "--start", "1")
+    assert rc == 0 and len(spage) == 2
+    assert run("--q", "spark", "--start", "-1")[0] == 2
