@@ -65,7 +65,12 @@ from solr_ocr_processor_spark.operators.expand import (
     prefix_topk,
     suggest_terms,
 )
-from solr_ocr_processor_spark.operators.facet import facet_counts
+from solr_ocr_processor_spark.operators.collapse import collapse_topk
+from solr_ocr_processor_spark.operators.facet import (
+    date_facet_counts,
+    facet_counts,
+    stats_field,
+)
 from solr_ocr_processor_spark.operators.query import (
     boolean_not_topk,
     conjunctive_topk,
@@ -286,6 +291,32 @@ def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation runs on posting rows only, no doc-table join."""
     idx = _index(spark, sf_dir)
     return facet_counts(spark, idx, FLAGSHIP_QUERY, width=64)
+
+
+def _q_date_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``facet.range`` over a DATE field: matching docs bucketed
+    by their build-time ``last_ts`` doc-values column (10-minute gap,
+    epoch-aligned buckets — operators/facet.py)."""
+    idx = _index(spark, sf_dir)
+    return date_facet_counts(spark, idx, FLAGSHIP_QUERY, gap_minutes=10)
+
+
+def _q_stats_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr stats component (``stats.field=dl``): one-row numeric
+    summary of the matching docs' lengths."""
+    idx = _index(spark, sf_dir)
+    return stats_field(spark, idx, FLAGSHIP_QUERY, field="dl")
+
+
+def _q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``{!collapse field=...}``: top-10 with at most one doc per
+    dl-bucket — each bucket's champion picked by (score DESC, doc_id
+    ASC) before the global page (operators/collapse.py)."""
+    idx = _index(spark, sf_dir)
+    top = collapse_topk(spark, idx, FLAGSHIP_QUERY, width=64, k=10)
+    return top.select(
+        "group", "doc_id", "conv_id", F.round("score", 6).alias("score")
+    )
 
 
 def _q_membership_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,6 +666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_topk": _q_mlt_topk,
         "suggest_terms": _q_suggest_terms,
         "facet_counts": _q_facet_counts,
+        "date_facet_counts": _q_date_facet_counts,
+        "stats_dl": _q_stats_dl,
+        "collapse_topk": _q_collapse_topk,
         "sort_topk": _q_sort_topk,
         "paged_topk": _q_paged_topk,
         "membership_check": _q_membership_check,
@@ -1228,6 +1262,77 @@ _PIPELINE_ORACLES = {
     "mlt_topk": _MLT_SQL,
     "suggest_terms": _SUGGEST_SQL,
     "facet_counts": _FACET_SQL,
+    # date-range facet: last_ts = base + (last turn_idx) minutes; the
+    # last turn index is ceil(words/TW) - 1 under the TW-word turnizer
+    # (sources/transcripts.py) — replayed here without the turn table.
+    "date_facet_counts": f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM ids),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN {FLAGSHIP_TERMS!r}),
+nw AS (
+  SELECT 'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+         len(str_split(text, ' ')) AS n_words
+  FROM documents
+),
+dated AS (
+  SELECT ids.doc_id,
+         CAST(epoch(TIMESTAMP '2026-01-01 00:00:00'
+              + INTERVAL 1 MINUTE
+                * CAST(ceil(n_words / {TW}.0) - 1 AS INT)) AS BIGINT) AS ep
+  FROM ids JOIN nw USING (conv_id) JOIN m USING (doc_id)
+)
+SELECT CAST(ep // 600 * 600 AS BIGINT) AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM dated GROUP BY bucket_start ORDER BY bucket_start
+""",
+    "stats_dl": f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM ids),
+m AS (
+  SELECT doc_id, max(dl) AS v
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(min(v) AS BIGINT) AS min,
+       CAST(max(v) AS BIGINT) AS max,
+       CAST(sum(v) AS BIGINT) AS sum,
+       round(avg(v), 6) AS mean,
+       round(stddev_samp(v), 6) AS stddev
+FROM m
+""",
+    # collapse: per-dl-bucket champion by (raw DESC, doc_id ASC), then
+    # the global top-10 page over champions — same BM25 spelling as _BM25.
+    "collapse_topk": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id, tf.dl,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id, tf.dl
+),
+champ AS (
+  SELECT CAST(floor(dl / 64.0) AS BIGINT) AS "group", doc_id, conv_id, raw,
+         row_number() OVER (PARTITION BY floor(dl / 64.0)
+                            ORDER BY raw DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT "group", doc_id, conv_id, round(raw, 6) AS score
+FROM champ WHERE rn = 1
+ORDER BY raw DESC, doc_id ASC
+LIMIT 10
+""",
     "sort_topk": f"""
 WITH {_DOCS},
 tok AS (SELECT doc_id, unnest(toks) AS term FROM ids),

@@ -61,7 +61,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument(
         "--mode",
         choices=("wand", "and", "phrase", "not", "bool", "prefix", "fuzzy",
-                 "sort"),
+                 "sort", "collapse"),
         default="wand",
         help="wand: BM25 OR-of-terms via the pruned block index; "
         "and: every term required; phrase: exact positional phrase; "
@@ -69,10 +69,15 @@ def main(argv: list[str] | None = None) -> int:
         "bool: nested boolean grammar, e.g. 'a AND (b OR c) NOT d'; "
         "prefix: dictionary expansion of 'pre*'; "
         "fuzzy: terms within n edits of 'word~n' (bare ~ means 2); "
-        "sort: matches ordered by --sort-by instead of relevance",
+        "sort: matches ordered by --sort-by instead of relevance; "
+        "collapse: at most one hit per --width dl-bucket (Solr "
+        "{!collapse})",
     )
+    q.add_argument("--width", type=int, default=64,
+                   help="dl-bucket width for --mode collapse")
     q.add_argument("--sort-by", default="n_chars",
-                   help="doc field for --mode sort (n_chars, n_turns, dl)")
+                   help="doc field for --mode sort (n_chars, n_turns, dl, "
+                   "last_ts — dates sort as epoch seconds)")
     q.add_argument("--asc", action="store_true",
                    help="ascending field order for --mode sort")
     q.add_argument("--neg", default="", help="negative terms for --mode not")
@@ -93,11 +98,24 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     f = sub.add_parser(
-        "facet", help="histogram of matching docs bucketed by doc length"
+        "facet", help="histogram of matching docs bucketed by a doc field"
     )
     f.add_argument("--store", required=True)
     f.add_argument("--q", required=True)
     f.add_argument("--width", type=int, default=64, help="bucket width in tokens")
+    f.add_argument("--by", choices=("dl", "last_ts"), default="dl",
+                   help="dl: token-length range facet; last_ts: date-range "
+                   "facet over the build-time last-activity doc-values")
+    f.add_argument("--gap", type=int, default=10,
+                   help="date bucket gap in minutes for --by last_ts")
+
+    st = sub.add_parser(
+        "stats", help="numeric summary of matching docs (Solr stats component)"
+    )
+    st.add_argument("--store", required=True)
+    st.add_argument("--q", required=True)
+    st.add_argument("--field", choices=("dl", "n_turns", "n_chars"),
+                    default="dl")
 
     m = sub.add_parser(
         "mlt", help="more-like-this: docs similar to a conversation"
@@ -295,6 +313,25 @@ def main(argv: list[str] | None = None) -> int:
                                       "conv_id": r["conv_id"],
                                       args.sort_by: r[args.sort_by]}))
                 return 0
+            elif args.mode == "collapse":
+                from solr_ocr_processor_spark.operators.collapse import (
+                    collapse_topk,
+                )
+
+                if args.width < 1:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": f"bucket width {args.width} < 1"}))
+                    return BAD_REQUEST_EXIT
+                out = collapse_topk(
+                    spark, idx, args.q, width=args.width, k=fetch_k,
+                    exclude_docs=dead_df,
+                )
+                for r in out.collect()[args.start:]:
+                    print(json.dumps({"group": r["group"],
+                                      "doc_id": r["doc_id"],
+                                      "conv_id": r["conv_id"],
+                                      "score": r["score"]}))
+                return 0
             else:
                 out = boolean_not_topk(
                     spark, idx, args.q, args.neg, k=fetch_k,
@@ -343,18 +380,52 @@ def main(argv: list[str] | None = None) -> int:
                 }))
         return 0
     if args.cmd == "facet":
-        from solr_ocr_processor_spark.operators.facet import facet_counts
+        from solr_ocr_processor_spark.operators.facet import (
+            date_facet_counts,
+            facet_counts,
+        )
 
-        if args.width < 1:
+        if args.width < 1 or args.gap < 1:
             print(json.dumps({"error": "bad_request",
-                              "detail": f"bucket width {args.width} < 1"}))
+                              "detail": f"bucket width {args.width} / gap "
+                              f"{args.gap} < 1"}))
             return BAD_REQUEST_EXIT
         idx = lifecycle.load_index(spark, store)
         dead_df = lifecycle.tombstoned_convs(spark, store)
+        if args.by == "last_ts":
+            try:
+                out = date_facet_counts(
+                    spark, idx, args.q, gap_minutes=args.gap,
+                    exclude_docs=dead_df,
+                )
+            except ValueError as e:  # ts-less store has no date field
+                print(json.dumps({"error": "bad_request",
+                                  "detail": str(e)[:200]}))
+                return BAD_REQUEST_EXIT
+            for r in out.collect():
+                print(json.dumps({"bucket_start": r["bucket_start"],
+                                  "n_docs": r["n_docs"]}))
+            return 0
         for r in facet_counts(
             spark, idx, args.q, width=args.width, exclude_docs=dead_df
         ).collect():
             print(json.dumps({"bucket": r["bucket"], "n_docs": r["n_docs"]}))
+        return 0
+    if args.cmd == "stats":
+        from solr_ocr_processor_spark.operators.facet import stats_field
+
+        idx = lifecycle.load_index(spark, store)
+        dead_df = lifecycle.tombstoned_convs(spark, store)
+        row = stats_field(
+            spark, idx, args.q, field=args.field, exclude_docs=dead_df
+        ).first()
+        # row is None only for an empty query (no analyzable terms) —
+        # a zero-match query still yields one n=0 row from the agg.
+        stats = row.asDict() if row is not None else {
+            "n": 0, "min": None, "max": None, "sum": None,
+            "mean": None, "stddev": None,
+        }
+        print(json.dumps({"field": args.field, **stats}))
         return 0
     if args.cmd == "mlt":
         from solr_ocr_processor_spark.operators.expand import mlt_topk

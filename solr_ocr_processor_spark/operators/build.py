@@ -43,7 +43,7 @@ from ..plans.materialize import Materialized, materialize_docs
 @dataclass
 class Index:
     postings: DataFrame   # doc_id, term, tf, dl, pos_bytes, loc_bytes
-    doc_meta: DataFrame   # doc_id, conv_id, dl, n_turns, n_chars [, doc_text if full]
+    doc_meta: DataFrame   # doc_id, conv_id, dl, n_turns, n_chars [, last_ts][, doc_text if full]
     term_stats: DataFrame # term, df, cf
     corpus: DataFrame     # single row: n_docs, avgdl, total_tokens
     mat: Materialized
@@ -85,7 +85,7 @@ def build_postings(
 
     # Doc lengths — dl is constant per doc on posting rows.
     doc_len = postings.groupBy("doc_id").agg(F.max("dl").alias("dl"))
-    doc_cols = ["doc_id", "conv_id", "n_turns", "n_chars"]
+    doc_cols = ["doc_id", "conv_id", "n_turns", "n_chars", "last_ts"]
     if cfg.index_type == "full":
         doc_cols.append("doc_text")  # inline text (reference "full" indexing)
     doc_meta = mat.docs.select(*doc_cols).join(doc_len, "doc_id", "left").fillna(

@@ -1,0 +1,80 @@
+"""Field collapse — Solr's ``{!collapse field=...}`` query parser.
+
+Solr's CollapsingQParser keeps only the highest-scoring document per
+group value and lets the survivors compete for the page — result
+diversification over a doc-values field. The reference's delegated
+Solr surface carries this for every query it forwards
+(app/process/solr.go:100-124 queries a stored core whose query-parser
+plugins include collapse). Here the group key is the same doc-values
+bucket the range facet uses (``floor(dl / width)`` — the doc attribute
+posting rows already carry), so collapse needs NO doc_meta join before
+ranking.
+
+Plan shape (scale-first):
+
+1. exhaustive BM25 scores with ``with_dl=True`` — dl rides the scoring
+   aggregation itself (operators/score.bm25_scores_terms), zero extra
+   shuffle or join;
+2. ONE window (partitionBy group, orderBy score desc / doc_id asc,
+   row_number = 1) picks each group's champion — the shuffle moves
+   only the MATCHING docs, hash-partitioned by group key, and the
+   per-group sort is tiny;
+3. global top-k over the champions lowers to TakeOrderedAndProject
+   (per-partition heaps, no global sort);
+4. conv_id resolves AFTER the top-k (k-row broadcast join — late
+   materialization, same discipline as operators/score.bm25_topk).
+
+Ties inside a group break by doc_id ASC (Lucene convention), so the
+champion set — and therefore the page — is deterministic under any
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import DEFAULT, IndexConfig
+from ..functions.tokenizer import query_terms
+from .build import Index
+from .score import _suppress, bm25_scores_terms
+
+
+def collapse_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    width: int = 64,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k BM25 with at most ONE doc per dl-bucket (``floor(dl /
+    width)``): (group, doc_id, conv_id, score), score DESC. Disjunctive
+    (OR) match semantics like ``bm25_topk``; ``exclude_docs``
+    (tombstones) anti-joins BEFORE champions are picked — a deleted
+    champion must not shadow its group's runner-up."""
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+    terms = sorted(set(query_terms(query, cfg)))
+    if not terms:
+        return spark.createDataFrame(
+            [], "group long, doc_id long, conv_id string, score double"
+        )
+    scored = _suppress(
+        bm25_scores_terms(spark, index, terms, cfg, with_dl=True), exclude_docs
+    ).withColumn(
+        "group", F.floor(F.col("dl") / F.lit(float(width))).cast("long")
+    )
+    w = Window.partitionBy("group").orderBy(F.desc("score"), F.asc("doc_id"))
+    champions = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("group", "doc_id", "score")
+    )
+    top = champions.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    out = top.join(index.doc_meta.select("doc_id", "conv_id"), "doc_id")
+    return out.select("group", "doc_id", "conv_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )

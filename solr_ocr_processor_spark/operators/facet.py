@@ -65,3 +65,110 @@ def facet_counts(
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("bucket")
     )
+
+
+def date_facet_counts(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    gap_minutes: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Date-range facet — Solr's ``facet.range`` over a date field
+    (``facet.range=last_ts&facet.range.gap=+10MINUTES``): histogram of
+    the docs matching ANY query term, bucketed by the doc's
+    last-activity timestamp. Returns (bucket_start epoch-seconds,
+    n_docs) ordered by bucket.
+
+    ``last_ts`` is a doc-values column captured at BUILD time
+    (plans/materialize.py — max(ts) rides the doc aggregation), so the
+    facet never touches the turn table: match doc_ids from postings
+    (dictionary ``isin`` pre-filter → parquet row-group pruning), ONE
+    doc_id equi-join to doc_meta for the date column, then a
+    |buckets|-row aggregation. At rest postings and doc_meta shards
+    are written by the same doc-id ranges, so the join co-locates.
+
+    Buckets are epoch-aligned (``floor(epoch / gap)``), matching
+    DuckDB's ``epoch(ts) // gap`` — integer seconds, no float or
+    timezone dependence in the oracle comparison.
+    """
+    if gap_minutes <= 0:
+        raise ValueError(f"gap_minutes must be positive, got {gap_minutes}")
+    if "last_ts" not in index.doc_meta.columns:
+        # Stores built from a ts-less source have no date doc-values —
+        # an explicit error beats a silently-empty histogram.
+        raise ValueError("store has no last_ts doc-values column")
+    gap_s = int(gap_minutes) * 60
+    terms = sorted(set(query_terms(query, cfg)))
+    if not terms:
+        return spark.createDataFrame([], "bucket_start long, n_docs long")
+    matched = _suppress(
+        index.postings.where(F.col("term").isin(terms)).select("doc_id").distinct(),
+        exclude_docs,
+    )
+    dated = matched.join(
+        index.doc_meta.select("doc_id", "last_ts"), "doc_id"
+    ).where(F.col("last_ts").isNotNull())
+    return (
+        dated.select(
+            (
+                F.floor(F.unix_timestamp("last_ts") / F.lit(gap_s)) * F.lit(gap_s)
+            ).cast("long").alias("bucket_start")
+        )
+        .groupBy("bucket_start")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("bucket_start")
+    )
+
+
+def stats_field(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    field: str = "dl",
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Stats component — Solr's ``stats=true&stats.field=...``: one row
+    of (n, min, max, sum, mean, stddev) over a numeric doc field for
+    the docs matching ANY query term.
+
+    ``dl`` needs no join (posting rows carry it); ``n_turns`` /
+    ``n_chars`` join doc_meta on the matched doc_ids (same co-located
+    equi-join as :func:`date_facet_counts`). The output is ONE row —
+    the whole reduction is a map-side-combinable aggregation, nothing
+    corpus-sized moves. mean/stddev round to 6dp for oracle comparison
+    (stddev is the SAMPLE stddev on both engines).
+    """
+    allowed = ("dl", "n_turns", "n_chars")
+    if field not in allowed:
+        raise ValueError(f"stats field {field!r} not in {allowed}")
+    terms = sorted(set(query_terms(query, cfg)))
+    if not terms:
+        return spark.createDataFrame(
+            [], "n long, min long, max long, sum long, mean double, stddev double"
+        )
+    if field == "dl":
+        matched = (
+            index.postings.where(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg(F.max("dl").cast("long").alias("v"))
+        )
+    else:
+        matched = (
+            index.postings.where(F.col("term").isin(terms))
+            .select("doc_id")
+            .distinct()
+            .join(index.doc_meta.select("doc_id", field), "doc_id")
+            .withColumn("v", F.col(field).cast("long"))
+        )
+    matched = _suppress(matched, exclude_docs)
+    return matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("v").cast("long").alias("min"),
+        F.max("v").cast("long").alias("max"),
+        F.sum("v").cast("long").alias("sum"),
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(F.stddev_samp("v"), 6).alias("stddev"),
+    )

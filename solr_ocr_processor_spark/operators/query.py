@@ -68,7 +68,9 @@ def conjunctive_topk(
     return resolve_conv_ids(index, top)
 
 
-SORT_FIELDS = ("n_chars", "n_turns", "dl")  # doc_meta numeric fields
+# doc_meta sortable doc-values: numeric fields + the build-time date
+# column (last_ts sorts as epoch seconds — Solr's `sort=date desc`).
+SORT_FIELDS = ("n_chars", "n_turns", "dl", "last_ts")
 
 
 def sort_topk(

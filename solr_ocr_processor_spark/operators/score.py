@@ -111,6 +111,7 @@ def bm25_scores_terms(
     terms: list[str],
     cfg: IndexConfig = DEFAULT,
     with_match_count: bool = False,
+    with_dl: bool = False,
 ) -> DataFrame:
     """:func:`bm25_scores` over an explicit list of ALREADY-NORMALIZED
     index terms — the entry point for rewrite queries (prefix/fuzzy
@@ -118,11 +119,16 @@ def bm25_scores_terms(
     dictionary rather than the analyzer. Disjunctive (OR) semantics:
     every matched term contributes its own BM25 term score once.
     Duplicate terms are collapsed (a duplicated query term must not
-    double-score)."""
+    double-score). ``with_dl`` adds the doc length to the same final
+    aggregation (dl is constant per doc, so ``max`` is exact) —
+    collapse/facet callers get their doc-values group key with no
+    doc_meta join."""
     terms = sorted(set(terms))
     if not terms:
-        schema = "doc_id long, score double" + (
-            ", n_matched int" if with_match_count else ""
+        schema = (
+            "doc_id long, score double"
+            + (", n_matched int" if with_match_count else "")
+            + (", dl long" if with_dl else "")
         )
         return spark.createDataFrame([], schema)
     qidf, _, avgdl = _query_idf(spark, index, terms)
@@ -138,14 +144,17 @@ def bm25_scores_terms(
         .join(F.broadcast(qidf), "term")
         .select("term", "doc_id", "tf", "dl", "idf")
     )
+    aggs = [
+        sorted_term_fold().alias("score"),
+        F.count(F.lit(1)).cast("int").alias("n_matched"),
+    ]
+    if with_dl:
+        aggs.append(F.max("dl").cast("long").alias("dl"))
     scored = (
         per_term
         .withColumn("term_score", bm25_term_score(k1, b, avgdl))
         .groupBy("doc_id")
-        .agg(
-            sorted_term_fold().alias("score"),
-            F.count(F.lit(1)).cast("int").alias("n_matched"),
-        )
+        .agg(*aggs)
     )
     if not with_match_count:
         scored = scored.drop("n_matched")

@@ -44,7 +44,7 @@ BROADCAST_DOC_IDS_MAX = 4_000_000
 @dataclass
 class Materialized:
     turns: DataFrame  # conv_id, turn_idx, ordinal, role, tool, ts, text, char_start, char_end
-    docs: DataFrame   # doc_id, conv_id, doc_text, n_turns, n_chars
+    docs: DataFrame   # doc_id, conv_id, doc_text?, n_turns, n_chars, last_ts?
     # True iff each doc_id's turn rows are guaranteed wholly inside one
     # partition of `turns` (the tokenizer's no-shuffle precondition).
     # Only the BROADCAST doc-id join gives this guarantee: it preserves
@@ -238,6 +238,13 @@ def materialize_docs(
             - F.lit(1)
         ).cast("long").alias("n_chars"),
     ]
+    # last_ts: the doc's last-activity timestamp, captured as a
+    # doc-values column at BUILD time (Solr docValues discipline) so
+    # date-range facets / sorts never re-aggregate the turn table at
+    # query time. Rides the same groupBy — zero extra shuffle. ts is
+    # always present (the ordinal window orders by it); only stores
+    # written BEFORE this column existed lack it at read time.
+    aggs.append(F.max("ts").alias("last_ts"))
     if with_text:
         aggs.insert(
             0,
@@ -249,7 +256,7 @@ def materialize_docs(
                 JOINER,
             ).alias("doc_text"),
         )
-    cols = ["doc_id", "conv_id", "n_turns", "n_chars"] + (
+    cols = ["doc_id", "conv_id", "n_turns", "n_chars", "last_ts"] + (
         ["doc_text"] if with_text else []
     )
     docs = turns.groupBy("conv_id").agg(*aggs).join(doc_ids, "conv_id").select(*cols)

@@ -352,6 +352,19 @@ def test_sort_topk_field_ordering(spark, tiny):
     assert sort_topk(spark, tiny, "", by="dl").count() == 0
 
 
+def test_sort_topk_by_date(spark, dated):
+    """last_ts sorts as epoch seconds — newest-activity-first is the
+    Solr `sort=date desc` staple."""
+    from solr_ocr_processor_spark.operators.query import sort_topk
+
+    rows = sort_topk(spark, dated, "big data", by="last_ts").collect()
+    assert [r["conv_id"] for r in rows] == ["d2", "d1", "d0"]
+    base = int(
+        datetime.datetime(2026, 3, 1, tzinfo=datetime.timezone.utc).timestamp()
+    )
+    assert rows[0]["last_ts"] == base + 27 * 60
+
+
 def test_bm25_pagination(spark, tiny):
     """Solr start= analog: pages partition the ranking (the total order
     makes them stable), past-the-end pages are empty."""
@@ -362,3 +375,123 @@ def test_bm25_pagination(spark, tiny):
     p2 = bm25_topk(spark, tiny, "big data", k=2, start=2).collect()
     assert [tuple(r) for r in p1 + p2] == [tuple(r) for r in full[:4]]
     assert bm25_topk(spark, tiny, "big data", k=5, start=50).count() == 0
+
+
+# --- Solr response components: date facet, stats, collapse ------------------
+
+
+@pytest.fixture(scope="module")
+def dated(spark):
+    """Tiny index whose convs END at different times: last_ts is the
+    max ts over a conv's turns (build-time doc-values)."""
+    def ts(minute):
+        return datetime.datetime(2026, 3, 1, 0, minute)
+
+    rows = [
+        ("d0", 0, "user", "big data early", None, ts(1)),
+        ("d0", 1, "assistant", "more big data", None, ts(4)),    # ends 00:04
+        ("d1", 0, "user", "big data later on", None, ts(13)),    # ends 00:13
+        ("d2", 0, "user", "big data latest of all", None, ts(27)),  # 00:27
+        ("d3", 0, "user", "irrelevant filler", None, ts(2)),
+    ]
+    idx = build_postings(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA))
+    idx.doc_meta.persist().count()
+    return idx
+
+
+def test_date_facet_buckets(spark, dated):
+    """Matching docs bucket by last_ts, epoch-aligned 10-min gaps;
+    the non-matching conv never counts."""
+    from solr_ocr_processor_spark.operators.facet import date_facet_counts
+
+    got = {
+        r["bucket_start"]: r["n_docs"]
+        for r in date_facet_counts(spark, dated, "big data", 10).collect()
+    }
+    base = int(datetime.datetime(2026, 3, 1, tzinfo=datetime.timezone.utc).timestamp())
+    assert got == {base: 1, base + 600: 1, base + 1200: 1}
+    # one conv per 10-min bucket: d0 ends :04, d1 :13, d2 :27
+
+    with pytest.raises(ValueError):
+        date_facet_counts(spark, dated, "big data", 0)
+    assert date_facet_counts(spark, dated, "", 10).count() == 0
+    assert date_facet_counts(spark, dated, "zzzz", 10).count() == 0
+
+
+def test_date_facet_tsless_store_rejected(spark, dated):
+    """An index whose doc_meta lacks last_ts (a store written before
+    the doc-values column existed) raises instead of returning a
+    silently-empty histogram."""
+    import dataclasses
+
+    from solr_ocr_processor_spark.operators.facet import date_facet_counts
+
+    old = dataclasses.replace(dated, doc_meta=dated.doc_meta.drop("last_ts"))
+    with pytest.raises(ValueError):
+        date_facet_counts(spark, old, "big data", 10)
+
+
+def test_stats_field(spark, tiny):
+    from solr_ocr_processor_spark.operators.facet import stats_field
+    import statistics
+
+    dls = {
+        r["doc_id"]: r["dl"]
+        for r in tiny.doc_meta.select("doc_id", "dl").collect()
+    }
+    # "big data" matches c0, c1, c2 (not c3)
+    matched = [dls[d] for d in sorted(dls)[:3]]
+    row = stats_field(spark, tiny, "big data", field="dl").first()
+    assert row["n"] == 3
+    assert row["min"] == min(matched) and row["max"] == max(matched)
+    assert row["sum"] == sum(matched)
+    assert row["mean"] == round(statistics.mean(matched), 6)
+    assert row["stddev"] == round(statistics.stdev(matched), 6)
+
+    # doc_meta-resident fields go through the doc_id join path
+    row2 = stats_field(spark, tiny, "big data", field="n_turns").first()
+    assert row2["n"] == 3 and row2["max"] == 2  # c0 has two turns
+
+    with pytest.raises(ValueError):
+        stats_field(spark, tiny, "big data", field="doc_text")
+    assert stats_field(spark, tiny, "", field="dl").count() == 0
+
+
+def test_collapse_topk(spark, tiny):
+    """One champion per dl-bucket; deleted champions un-shadow their
+    runner-up; a corpus-wide bucket degenerates to global top-1."""
+    from solr_ocr_processor_spark.operators.collapse import collapse_topk
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    full = bm25_topk(spark, tiny, "big data", k=10).collect()
+    dls = {r["doc_id"]: r["dl"] for r in tiny.doc_meta.collect()}
+
+    # width wide enough for one bucket -> exactly the global winner
+    one = collapse_topk(spark, tiny, "big data", width=10_000, k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in one] == [
+        (full[0]["doc_id"], full[0]["score"])
+    ]
+
+    # width=1: manual expectation — best (score, -doc_id) per dl value
+    got = collapse_topk(spark, tiny, "big data", width=1, k=10).collect()
+    best: dict[int, tuple] = {}
+    for r in full:
+        g = dls[r["doc_id"]]
+        if g not in best or (r["score"], -r["doc_id"]) > (best[g]["score"], -best[g]["doc_id"]):
+            best[g] = r
+    want = sorted(
+        ((dls[r["doc_id"]], r["doc_id"], r["score"]) for r in best.values()),
+        key=lambda t: (-t[2], t[1]),
+    )
+    assert [(r["group"], r["doc_id"], r["score"]) for r in got] == want
+
+    # tombstoning the wide-bucket champion surfaces the runner-up
+    dead = spark.createDataFrame([(full[0]["doc_id"],)], "doc_id long")
+    got2 = collapse_topk(
+        spark, tiny, "big data", width=10_000, k=10, exclude_docs=dead
+    ).collect()
+    assert [r["doc_id"] for r in got2] == [full[1]["doc_id"]]
+
+    with pytest.raises(ValueError):
+        collapse_topk(spark, tiny, "big data", width=0)
+    assert collapse_topk(spark, tiny, "").count() == 0

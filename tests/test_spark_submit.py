@@ -448,3 +448,61 @@ def test_cli_pagination(spark, tmp_path, capsys):
                     "--k", "2", "--start", "1")
     assert rc == 0 and len(spage) == 2
     assert run("--q", "spark", "--start", "-1")[0] == 2
+
+
+def test_cli_stats_facet_collapse(spark, tmp_path, capsys):
+    """The Solr response components over a real store: stats verb,
+    date-range facet, and collapse mode (one hit per dl-bucket), with
+    tombstones excluded everywhere."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=10, max_turns=6, seed=23).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store, "--shards", "2"]) == 0
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main(list(args))
+        out = capsys.readouterr().out
+        return rc, [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+
+    # stats: one row, n equals the match count from a wide query
+    rc, rows = run("stats", "--store", store, "--q", "spark", "--field", "dl")
+    assert rc == 0 and len(rows) == 1
+    st = rows[0]
+    assert st["field"] == "dl" and st["n"] >= 1
+    assert st["min"] <= st["mean"] <= st["max"] and st["sum"] >= st["max"]
+
+    # date facet: buckets are epoch-aligned multiples of the gap and
+    # cover every matching doc exactly once (sum == stats n)
+    rc, fac = run("facet", "--store", store, "--q", "spark",
+                  "--by", "last_ts", "--gap", "5")
+    assert rc == 0 and fac
+    assert all(r["bucket_start"] % 300 == 0 for r in fac)
+    assert sum(r["n_docs"] for r in fac) == st["n"]
+    # bad gap is a 400
+    assert run("facet", "--store", store, "--q", "spark",
+               "--by", "last_ts", "--gap", "0")[0] == 2
+
+    # collapse: one hit per group, scores non-increasing
+    rc, col = run("query", "--store", store, "--q", "spark",
+                  "--mode", "collapse", "--width", "8", "--k", "10")
+    assert rc == 0 and col
+    groups = [r["group"] for r in col]
+    assert len(groups) == len(set(groups))
+    scores = [r["score"] for r in col]
+    assert scores == sorted(scores, reverse=True)
+    assert run("query", "--store", store, "--q", "spark",
+               "--mode", "collapse", "--width", "0")[0] == 2
+
+    # delete the top collapse hit: its conv disappears, its group's
+    # runner-up (if any) may surface, and stats shrink by one
+    victim = col[0]["conv_id"]
+    assert cli.main(["delete", "--store", store, "--conv-id", victim]) == 0
+    rc, col2 = run("query", "--store", store, "--q", "spark",
+                   "--mode", "collapse", "--width", "8", "--k", "10")
+    assert victim not in {r["conv_id"] for r in col2}
+    rc, rows2 = run("stats", "--store", store, "--q", "spark")
+    assert rows2[0]["n"] == st["n"] - 1
