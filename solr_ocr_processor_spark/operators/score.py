@@ -221,6 +221,7 @@ def highlights(
     cfg: IndexConfig = DEFAULT,
     exclude_docs: DataFrame | None = None,
     top: DataFrame | None = None,
+    with_text: bool = False,
 ) -> DataFrame:
     """Per-turn highlight spans for the top-k hits.
 
@@ -231,7 +232,10 @@ def highlights(
     ``exclude_docs`` (tombstones) suppresses docs inside the top-k.
     ``top`` (doc_id, …, score) short-circuits the ranking pass with an
     ALREADY-COMPUTED result — callers that just collected the hit list
-    (the CLI) must not pay scan+score+top-k twice.
+    (the CLI) must not pay scan+score+top-k twice. ``with_text``
+    carries the turn's text through the SAME range join (the renderer
+    then needs no second probe of the corpus-sized turn table — one
+    pass instead of two, measured ~0.5 s/query at sf0.1).
     """
     terms = query_terms(query, cfg)
     if top is None:
@@ -273,7 +277,8 @@ def highlights(
         "doc_id long, term string, score double, tok_start long, tok_end long",
     )
     turns = index.mat.turns.select(
-        "doc_id", "conv_id", "turn_idx", "char_start", "char_end"
+        "doc_id", "conv_id", "turn_idx", "char_start", "char_end",
+        *(["text"] if with_text else []),
     )
     # Range join: token offset within the turn's [char_start, char_end).
     # Per doc this is tiny (a handful of matched tokens × the doc's own
@@ -292,6 +297,7 @@ def highlights(
             "term",
             (F.col("tok_start") - F.col("char_start")).cast("int").alias("start_in_turn"),
             (F.col("tok_end") - F.col("char_start")).cast("int").alias("end_in_turn"),
+            *(["text"] if with_text else []),
         )
         .orderBy("doc_id", "turn_idx", "start_in_turn")
     )
@@ -306,6 +312,7 @@ def phrase_highlights(
     bidx=None,
     exclude_docs: DataFrame | None = None,
     top_rows: list | None = None,
+    with_text: bool = False,
 ) -> DataFrame:
     """Per-turn highlight spans for the top-k PHRASE hits — the
     reference ecosystem's headline capability (solr-ocrhighlighting
@@ -332,7 +339,8 @@ def phrase_highlights(
     empty = spark.createDataFrame(
         [],
         "doc_id long, conv_id string, score double, turn_idx int, "
-        "start_in_turn int, end_in_turn int",
+        "start_in_turn int, end_in_turn int"
+        + (", text string" if with_text else ""),
     )
     if not terms:
         return empty
@@ -383,7 +391,10 @@ def phrase_highlights(
         F.col(f"_e{len(terms) - 1}").alias("span_end"),
     )
 
-    turns = index.mat.turns.select("doc_id", "turn_idx", "char_start", "char_end")
+    turns = index.mat.turns.select(
+        "doc_id", "turn_idx", "char_start", "char_end",
+        *(["text"] if with_text else []),
+    )
     return (
         spans.join(turns, "doc_id")
         .where(
@@ -401,6 +412,7 @@ def phrase_highlights(
             (F.least("span_end", "char_end") - F.col("char_start"))
             .cast("int")
             .alias("end_in_turn"),
+            *(["text"] if with_text else []),
         )
         .orderBy("doc_id", "turn_idx", "start_in_turn")
     )
@@ -435,7 +447,8 @@ def snippets(
     sorted span array: no UDF, no Python, no per-row interpretation.
     """
     h = highlights(
-        spark, index, query, k, cfg, exclude_docs=exclude_docs, top=top
+        spark, index, query, k, cfg, exclude_docs=exclude_docs, top=top,
+        with_text=True,
     )
     return _render_turn_spans(index, h, cfg, pre, post)
 
@@ -460,7 +473,7 @@ def phrase_snippets(
     :func:`phrase_highlights`."""
     ph = phrase_highlights(
         spark, index, phrase, k, cfg, bidx=bidx, exclude_docs=exclude_docs,
-        top_rows=top_rows,
+        top_rows=top_rows, with_text=True,
     )
     return _render_turn_spans(index, ph, cfg, pre, post)
 
@@ -477,15 +490,19 @@ def _render_turn_spans(
     matched turn.
 
     The k-doc-bounded span rows aggregate to one row per matched turn,
-    broadcast-join against the stored turn table (the corpus-sized
-    side is probed, never shuffled — lazy content resolution, Q11) and
-    the span fold renders as a pure codegen ``aggregate`` over the
+    and the span fold renders as a pure codegen ``aggregate`` over the
     sorted span array: no UDF in the fold, no per-row interpretation.
+    When the span rows already CARRY the turn text (``with_text=True``
+    in the highlight pass — text rides the same range join), the
+    renderer touches no table at all; otherwise it broadcast-joins the
+    stored turn table once (the corpus-sized side is probed, never
+    shuffled — lazy content resolution, Q11).
     The fold CLAMPS each span to the already-consumed prefix, so
     overlapping spans (possible for phrases with repeated terms, e.g.
     "big big" in "big big big") render as adjacent regions instead of
     slicing negative lengths; for disjoint spans the output is
     byte-identical to the naive fold."""
+    has_text = "text" in span_rows.columns
     spans = span_rows.groupBy("doc_id", "conv_id", "score", "turn_idx").agg(
         F.array_sort(
             F.collect_set(
@@ -494,10 +511,15 @@ def _render_turn_spans(
                     F.col("end_in_turn").alias("e"),
                 )
             )
-        ).alias("spans")
+        ).alias("spans"),
+        # text is constant per (doc_id, turn_idx) — first() is exact
+        *([F.first("text").alias("text")] if has_text else []),
     )
-    turns = index.mat.turns.select("doc_id", "turn_idx", "text")
-    joined = turns.join(F.broadcast(spans), ["doc_id", "turn_idx"])
+    if has_text:
+        joined = spans
+    else:
+        turns = index.mat.turns.select("doc_id", "turn_idx", "text")
+        joined = turns.join(F.broadcast(spans), ["doc_id", "turn_idx"])
 
     # Span offsets live in the NORMALIZED (NFKC + casefold) turn space
     # the tokenizer recorded them in (functions/tokenizer.normalize) —
