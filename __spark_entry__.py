@@ -319,6 +319,20 @@ def _q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window rollup over the events table — the
+    streaming module's monitoring aggregation run in batch mode (the
+    SAME plan serves readStream; watermark no-ops here), so the
+    windowed-agg semantics get a DuckDB oracle instead of only a
+    rows-only check (streaming/ingest.events_per_window)."""
+    from solr_ocr_processor_spark.streaming.ingest import events_per_window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events_per_window(events, window="1 hour").orderBy(
+        "window_start", "event_type"
+    )
+
+
 def _q_membership_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY Q1/A7: GET membership check — EXISTS semantics via
     left-semi-style lookup on the doc-meta table."""
@@ -671,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_topk": _q_collapse_topk,
         "sort_topk": _q_sort_topk,
         "paged_topk": _q_paged_topk,
+        "events_windowed": _q_events_windowed,
         "membership_check": _q_membership_check,
         "projection_limit": _q_projection_limit,
         "delete_by_query": _q_delete_by_query,
@@ -1344,6 +1359,17 @@ LIMIT 10
 """,
     # page two of _BM25: same ranking, rows 10..19
     "paged_topk": _BM25.replace("LIMIT 10", "LIMIT 10 OFFSET 10"),
+    # tumbling windows are epoch-aligned on both engines -> integer math
+    "events_windowed": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       max(value) AS max_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
     "multimodal_resize": f"""
 SELECT doc_id AS media_id,
        CAST({_MEDIA_NB} AS BIGINT) AS in_bytes,

@@ -33,6 +33,9 @@ lacks:
 - :func:`turns_per_window`      — event-time windowed counts per role
   with a watermark: the standard late-data-tolerant monitoring agg
   over the ingest stream (build-metrics analog of S11).
+- :func:`events_per_window`     — the same construct over a generic
+  event stream; one plan serves batch (oracle-checkable — watermark is
+  a no-op) and streaming (bounded state).
 """
 
 from __future__ import annotations
@@ -346,5 +349,46 @@ def turns_per_window(
             "role",
             "n_turns",
             "n_convs",
+        )
+    )
+
+
+def events_per_window(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window rollup per event_type over a generic
+    event stream (event_id, ts, user_id, event_type, value, props):
+    (window_start epoch-seconds, event_type, n_events, sum_value,
+    max_value).
+
+    The SAME plan serves batch and stream: ``withWatermark`` is a
+    no-op on batch inputs (Spark ignores it outside streaming), so the
+    windowed aggregation is oracle-checkable on the batch table while
+    the streaming deployment gets bounded state for free. Windows are
+    epoch-aligned tumbling buckets (`F.window` origin 1970-01-01), so
+    the DuckDB twin is integer epoch math — no timestamp arithmetic in
+    the compare. One hash aggregation, map-side combinable; output is
+    |windows × types| rows.
+    """
+    # watermarks require TIMESTAMP (with zone); parquet event feeds are
+    # often TIMESTAMP_NTZ — the cast is value-identical under the
+    # session's pinned UTC zone (session.py).
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "max_value",
         )
     )

@@ -387,3 +387,37 @@ def test_merge_stream_crash_before_commit(spark, tmp_path_factory, monkeypatch):
         d for d in _os.listdir(store.path("postings")) if d.startswith("shard=")
     )
     assert shards == ["shard=0", "shard=1", "shard=2"]
+
+
+def test_events_per_window_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The generic event rollup: ONE plan, two runtimes — streaming the
+    events table file-by-file yields exactly the batch aggregation
+    (watermark no-ops in batch; the stream's complete-mode output
+    converges to it)."""
+    from solr_ocr_processor_spark.streaming.ingest import events_per_window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = sorted(
+        tuple(r) for r in events_per_window(events, window="1 hour").collect()
+    )
+
+    # the file stream source wants a DIRECTORY of files = micro-batches
+    src = str(tmp_path / "events")
+    events.where("event_id % 2 = 0").write.mode("overwrite").parquet(src)
+    events.where("event_id % 2 = 1").write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        events_per_window(stream, window="1 hour")
+        .writeStream.format("memory")
+        .queryName("evagg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM evagg").collect())
+    assert got == want and len(got) > 0
