@@ -319,6 +319,28 @@ def _q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr spellcheck (did-you-mean): closest dictionary terms to the
+    misspelling 'windoe' by (edit distance ASC, df DESC, term ASC) —
+    operators/expand.spellcheck_terms."""
+    from solr_ocr_processor_spark.operators.expand import spellcheck_terms
+
+    idx = _index(spark, sf_dir)
+    return spellcheck_terms(spark, idx, "windoe", n=5, max_edits=2)
+
+
+def _q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``fq=`` analog: flagship BM25 restricted to docs with
+    dl in [40, 120] — the filter narrows the match set but never the
+    scoring stats (idf stays global), so scores equal the unfiltered
+    ranking's (operators/query.filtered_topk)."""
+    from solr_ocr_processor_spark.operators.query import filtered_topk
+
+    idx = _index(spark, sf_dir)
+    top = filtered_topk(spark, idx, FLAGSHIP_QUERY, "dl:[40 TO 120]", k=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
 def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window rollup over the events table — the
     streaming module's monitoring aggregation run in batch mode (the
@@ -679,12 +701,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_topk": _q_fuzzy_topk,
         "mlt_topk": _q_mlt_topk,
         "suggest_terms": _q_suggest_terms,
+        "spellcheck": _q_spellcheck,
         "facet_counts": _q_facet_counts,
         "date_facet_counts": _q_date_facet_counts,
         "stats_dl": _q_stats_dl,
         "collapse_topk": _q_collapse_topk,
         "sort_topk": _q_sort_topk,
         "paged_topk": _q_paged_topk,
+        "filtered_topk": _q_filtered_topk,
         "events_windowed": _q_events_windowed,
         "membership_check": _q_membership_check,
         "projection_limit": _q_projection_limit,
@@ -1359,6 +1383,46 @@ LIMIT 10
 """,
     # page two of _BM25: same ranking, rows 10..19
     "paged_topk": _BM25.replace("LIMIT 10", "LIMIT 10 OFFSET 10"),
+    # spellcheck: same dictionary, same total order (dist, df DESC, term)
+    "spellcheck": f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM ids),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term,
+       CAST(levenshtein(term, 'windoe') AS INT) AS dist,
+       CAST(df AS BIGINT) AS df
+FROM dict
+WHERE abs(length(term) - 6) <= 2 AND levenshtein(term, 'windoe') <= 2
+ORDER BY dist ASC, df DESC, term ASC
+LIMIT 5
+""",
+    # fq: dfreq stays GLOBAL (computed before the range filter) — the
+    # filter narrows competition, never scoring stats (Solr fq rule)
+    "filtered_topk": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  WHERE tf.dl BETWEEN 40 AND 120
+  GROUP BY tf.doc_id, tf.conv_id
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored
+ORDER BY raw DESC, doc_id ASC
+LIMIT 10
+""",
     # tumbling windows are epoch-aligned on both engines -> integer math
     "events_windowed": """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

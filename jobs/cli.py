@@ -61,7 +61,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument(
         "--mode",
         choices=("wand", "and", "phrase", "not", "bool", "prefix", "fuzzy",
-                 "sort", "collapse"),
+                 "sort", "collapse", "filter"),
         default="wand",
         help="wand: BM25 OR-of-terms via the pruned block index; "
         "and: every term required; phrase: exact positional phrase; "
@@ -71,10 +71,14 @@ def main(argv: list[str] | None = None) -> int:
         "fuzzy: terms within n edits of 'word~n' (bare ~ means 2); "
         "sort: matches ordered by --sort-by instead of relevance; "
         "collapse: at most one hit per --width dl-bucket (Solr "
-        "{!collapse})",
+        "{!collapse}); filter: BM25 restricted by --fq",
     )
     q.add_argument("--width", type=int, default=64,
                    help="dl-bucket width for --mode collapse")
+    q.add_argument("--fq", default="",
+                   help="doc-values range filter for --mode filter, Solr "
+                   "syntax 'field:[lo TO hi]' (* = open end; fields: dl, "
+                   "n_turns, n_chars, last_ts as epoch seconds)")
     q.add_argument("--sort-by", default="n_chars",
                    help="doc field for --mode sort (n_chars, n_turns, dl, "
                    "last_ts — dates sort as epoch seconds)")
@@ -130,6 +134,14 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--store", required=True)
     sg.add_argument("--q", required=True)
     sg.add_argument("--n", type=int, default=10)
+
+    sp = sub.add_parser(
+        "spellcheck", help="did-you-mean: closest dictionary terms to a word"
+    )
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--q", required=True)
+    sp.add_argument("--n", type=int, default=5)
+    sp.add_argument("--max-edits", type=int, default=2)
 
     c = sub.add_parser("check", help="membership check")
     c.add_argument("--store", required=True)
@@ -313,6 +325,21 @@ def main(argv: list[str] | None = None) -> int:
                                       "conv_id": r["conv_id"],
                                       args.sort_by: r[args.sort_by]}))
                 return 0
+            elif args.mode == "filter":
+                from solr_ocr_processor_spark.operators.query import (
+                    FilterSyntaxError,
+                    filtered_topk,
+                )
+
+                try:
+                    out = filtered_topk(
+                        spark, idx, args.q, args.fq, k=fetch_k,
+                        exclude_docs=dead_df,
+                    )
+                except FilterSyntaxError as e:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": str(e)[:200]}))
+                    return BAD_REQUEST_EXIT
             elif args.mode == "collapse":
                 from solr_ocr_processor_spark.operators.collapse import (
                     collapse_topk,
@@ -464,6 +491,21 @@ def main(argv: list[str] | None = None) -> int:
         idx = lifecycle.load_index(spark, store)
         for r in suggest_terms(spark, idx, args.q, n=args.n).collect():
             print(json.dumps({"term": r["term"], "df": r["df"]}))
+        return 0
+    if args.cmd == "spellcheck":
+        from solr_ocr_processor_spark.operators.expand import spellcheck_terms
+
+        if not (0 <= args.max_edits <= 2):
+            print(json.dumps({"error": "bad_request",
+                              "detail": f"max edits {args.max_edits} "
+                              "outside 0..2"}))
+            return BAD_REQUEST_EXIT
+        idx = lifecycle.load_index(spark, store)
+        for r in spellcheck_terms(
+            spark, idx, args.q, n=args.n, max_edits=args.max_edits
+        ).collect():
+            print(json.dumps({"term": r["term"], "dist": r["dist"],
+                              "df": r["df"]}))
         return 0
     if args.cmd == "delete":
         lifecycle.delete_conv(spark, store, args.conv_id)

@@ -259,3 +259,40 @@ def fuzzy_topk(
     anti-joins in-plan before the top-k."""
     terms = expand_fuzzy(spark, index, word, max_edits, max_expansions, cfg)
     return _expansion_topk(spark, index, terms, k, cfg, exclude_docs)
+
+
+def spellcheck_terms(
+    spark: SparkSession,
+    index: Index,
+    word: str,
+    n: int = 5,
+    max_edits: int = 2,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Spellcheck component — Solr's did-you-mean: the closest
+    dictionary terms to a (possibly misspelled) word, (term, dist, df)
+    ordered (dist ASC, df DESC, term ASC), top ``n``. Distance 0 first
+    means "correctly spelled" — Lucene's DirectSpellChecker consults
+    the same index dictionary, no side corpus.
+
+    Same |vocab|-bounded plan as :func:`expand_fuzzy`: length band +
+    ``F.levenshtein`` are JVM codegen over the stored dictionary; the
+    cap lowers to TakeOrderedAndProject. The (dist, df DESC, term)
+    total order makes the suggestion list deterministic and
+    oracle-replayable."""
+    empty = spark.createDataFrame([], "term string, dist int, df long")
+    w = _normalize_single(word, cfg)
+    if not w:
+        return empty
+    ln = len(w)
+    return (
+        index.term_stats.where(
+            (F.length("term") >= ln - max_edits)
+            & (F.length("term") <= ln + max_edits)
+        )
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(w)).cast("int"))
+        .where(F.col("dist") <= max_edits)
+        .select("term", "dist", F.col("df").cast("long").alias("df"))
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(n)
+    )

@@ -379,3 +379,90 @@ def phrase_topk(
         .limit(k)
     )
     return resolve_conv_ids(index, top)
+
+
+# --- filter queries (Solr fq=) ----------------------------------------------
+
+# fq-filterable doc-values: the numeric doc_meta fields plus the
+# build-time date column (compared as epoch seconds).
+FQ_FIELDS = ("dl", "n_turns", "n_chars", "last_ts")
+
+_FQ_RE = None  # compiled lazily (module import stays cheap)
+
+
+class FilterSyntaxError(ValueError):
+    """Malformed fq string — the CLI maps this to a 400."""
+
+
+def parse_range_filter(fq: str) -> tuple[str, int | None, int | None]:
+    """Parse Solr's inclusive range-filter syntax
+    ``field:[lo TO hi]`` (``*`` = open end) into (field, lo, hi).
+    Values are integers (last_ts compares as epoch seconds). Raises
+    :class:`FilterSyntaxError` on anything else — the engine would
+    rather 400 than guess."""
+    global _FQ_RE
+    if _FQ_RE is None:
+        import re
+
+        _FQ_RE = re.compile(
+            r"^\s*(\w+)\s*:\s*\[\s*(\*|-?\d+)\s+TO\s+(\*|-?\d+)\s*\]\s*$"
+        )
+    m = _FQ_RE.match(fq or "")
+    if not m:
+        raise FilterSyntaxError(
+            f"bad filter {fq!r}; expected field:[lo TO hi] with * for open ends"
+        )
+    field, lo, hi = m.group(1), m.group(2), m.group(3)
+    if field not in FQ_FIELDS:
+        raise FilterSyntaxError(f"unknown filter field {field!r}; one of {FQ_FIELDS}")
+    lo_v = None if lo == "*" else int(lo)
+    hi_v = None if hi == "*" else int(hi)
+    if lo_v is not None and hi_v is not None and lo_v > hi_v:
+        raise FilterSyntaxError(f"empty range [{lo_v} TO {hi_v}]")
+    return field, lo_v, hi_v
+
+
+def filtered_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    fq: str,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 top-k restricted by a doc-values range filter — Solr's
+    ``fq=`` param: ``filtered_topk(..., "dl:[50 TO 200]")`` ranks only
+    docs whose length is in [50, 200].
+
+    Solr semantics preserved: the filter restricts the MATCH SET but
+    never the scoring statistics — idf stays global (bm25_scores reads
+    term_stats), so a doc's score is identical with and without the
+    filter; only the competition changes.
+
+    Plan: the fq predicate evaluates on doc_meta (doc-values scan,
+    min/max row-group pruning on the stored column), producing an
+    allowed doc-id set that left-semi-joins into the scoring plan
+    BEFORE the top-k (same doc_id equi-join discipline as the
+    tombstone anti-join; at rest postings and doc_meta shards share
+    doc-id ranges, so the join co-locates). Top-k lowers to
+    TakeOrderedAndProject.
+    """
+    field, lo, hi = parse_range_filter(fq)
+    terms = query_terms(query, cfg)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, conv_id string, score double")
+    col = F.col(field).cast("long")  # last_ts -> epoch seconds
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (col >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (col <= F.lit(hi))
+    allowed = index.doc_meta.where(cond).select("doc_id")
+    scored = _suppress(bm25_scores(spark, index, query, cfg=cfg), exclude_docs)
+    top = (
+        scored.join(allowed, "doc_id", "left_semi")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return resolve_conv_ids(index, top)

@@ -495,3 +495,70 @@ def test_collapse_topk(spark, tiny):
     with pytest.raises(ValueError):
         collapse_topk(spark, tiny, "big data", width=0)
     assert collapse_topk(spark, tiny, "").count() == 0
+
+
+def test_filter_query_parse():
+    from solr_ocr_processor_spark.operators.query import (
+        FilterSyntaxError,
+        parse_range_filter,
+    )
+
+    assert parse_range_filter("dl:[10 TO 20]") == ("dl", 10, 20)
+    assert parse_range_filter(" n_chars : [ * TO 99 ] ") == ("n_chars", None, 99)
+    assert parse_range_filter("last_ts:[1767225600 TO *]") == (
+        "last_ts", 1767225600, None,
+    )
+    for bad in ("dl:[20 TO 10]", "dl:[a TO b]", "dl:{10 TO 20}",
+                "score:[1 TO 2]", "dl:[1 TO 2] OR x", "", "dl"):
+        with pytest.raises(FilterSyntaxError):
+            parse_range_filter(bad)
+
+
+def test_filtered_topk(spark, tiny, dated):
+    """fq narrows the match set but never the scores: every surviving
+    hit keeps its unfiltered score; out-of-range docs drop."""
+    from solr_ocr_processor_spark.operators.query import filtered_topk
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    full = {r["doc_id"]: r["score"]
+            for r in bm25_topk(spark, tiny, "big data", k=10).collect()}
+    dls = {r["doc_id"]: r["dl"] for r in tiny.doc_meta.collect()}
+
+    got = filtered_topk(spark, tiny, "big data", "dl:[5 TO 7]", k=10).collect()
+    assert got, "range should keep some docs"
+    for r in got:
+        assert 5 <= dls[r["doc_id"]] <= 7
+        assert r["score"] == full[r["doc_id"]]  # scores unchanged by fq
+    kept = {d for d, dl in dls.items() if 5 <= dl <= 7 and d in full}
+    assert {r["doc_id"] for r in got} == kept
+
+    # open ends; empty range result; date filter on the dated fixture
+    assert {r["doc_id"] for r in
+            filtered_topk(spark, tiny, "big data", "dl:[* TO *]", k=10).collect()
+            } == set(full)
+    assert filtered_topk(spark, tiny, "big data", "dl:[900 TO 999]").count() == 0
+    base = int(
+        datetime.datetime(2026, 3, 1, tzinfo=datetime.timezone.utc).timestamp()
+    )
+    late = filtered_topk(
+        spark, dated, "big data", f"last_ts:[{base + 600} TO *]", k=10
+    ).collect()
+    assert {r["conv_id"] for r in late} == {"d1", "d2"}  # d0 ends :04
+    assert filtered_topk(spark, tiny, "", "dl:[1 TO 2]").count() == 0
+
+
+def test_spellcheck_terms(spark, tiny):
+    """(dist ASC, df DESC, term ASC): exact hit first, then 1-edit
+    neighbors by popularity; empty/unnormalizable words empty."""
+    from solr_ocr_processor_spark.operators.expand import spellcheck_terms
+
+    # tiny dictionary includes 'big' (df 3) and 'data' (df 3)
+    got = [(r["term"], r["dist"]) for r in
+           spellcheck_terms(spark, tiny, "dat", n=5, max_edits=2).collect()]
+    assert got[0][1] <= got[-1][1]  # non-decreasing distance
+    assert ("data", 1) in got
+    exact = [(r["term"], r["dist"]) for r in
+             spellcheck_terms(spark, tiny, "big", n=5, max_edits=1).collect()]
+    assert exact[0] == ("big", 0)  # correctly-spelled word ranks itself first
+    assert spellcheck_terms(spark, tiny, "", n=5).count() == 0
+    assert spellcheck_terms(spark, tiny, "zzzzzzzzzz", n=5).count() == 0

@@ -506,3 +506,36 @@ def test_cli_stats_facet_collapse(spark, tmp_path, capsys):
     assert victim not in {r["conv_id"] for r in col2}
     rc, rows2 = run("stats", "--store", store, "--q", "spark")
     assert rows2[0]["n"] == st["n"] - 1
+
+
+def test_cli_filter_and_spellcheck(spark, tmp_path, capsys):
+    """--mode filter applies the fq range in-plan (bad fq = 400);
+    the spellcheck verb suggests dictionary terms by edit distance."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=10, max_turns=6, seed=29).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store, "--shards", "2"]) == 0
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main(list(args))
+        out = capsys.readouterr().out
+        return rc, [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+
+    rc, full = run("query", "--store", store, "--q", "spark", "--k", "50")
+    assert rc == 0 and full
+    rc, kept = run("query", "--store", store, "--q", "spark",
+                   "--mode", "filter", "--fq", "n_turns:[2 TO *]", "--k", "50")
+    assert rc == 0 and 0 < len(kept) <= len(full)
+    # rejected: malformed / unknown-field / inverted ranges
+    for bad in ("dl:(1 TO 2)", "score:[1 TO 2]", "dl:[9 TO 1]", ""):
+        assert run("query", "--store", store, "--q", "spark",
+                   "--mode", "filter", "--fq", bad)[0] == 2
+
+    rc, sug = run("spellcheck", "--store", store, "--q", "spxrk")
+    assert rc == 0 and any(s["term"] == "spark" and s["dist"] == 1 for s in sug)
+    assert run("spellcheck", "--store", store, "--q", "spxrk",
+               "--max-edits", "9")[0] == 2
