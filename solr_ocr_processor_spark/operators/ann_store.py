@@ -137,14 +137,43 @@ def build_ann_store(
     )
 
     C = ivf_centroids(embs, n_centroids, ivf_seed, id_col, vec_col)
-    ivf = ivf_assign(embs, C, id_col, vec_col)
+    ivf = ivf_assign(embs, C, id_col, vec_col).persist()
+    # k-means lists are never balanced (a dense region's centroid can
+    # own many times its share); repartition("list_id") alone would
+    # hand each hot list to ONE writer task — a straggler at build and
+    # one oversized file at rest (AQE skew-splitting does not apply to
+    # partitionBy writes). Salt the shuffle by each list's ACTUAL size
+    # (the size census is |lists| rows, a scalar collect): a list of
+    # s rows gets ceil(s / rows_per_dir) salt values, the partition
+    # count is pinned to the total salt count (an EXPLICIT count —
+    # AQE's small-partition coalescing would otherwise merge the
+    # fan-out right back), and maxRecordsPerFile caps any file a hash
+    # collision still co-locates. Build-task and file sizes stay
+    # ~rows_per_dir regardless of cluster skew; the salt shapes only
+    # the shuffle — list_id stays the single partition key, probes and
+    # results are layout-independent.
+    sizes = {r["list_id"]: r["n"] for r in
+             ivf.groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    fanout = {
+        lid: max(1, math.ceil(n / rows_per_dir)) for lid, n in sizes.items()
+    }
+    fan_df = spark.createDataFrame(
+        [(int(lid), int(fo)) for lid, fo in fanout.items()],
+        "list_id int, _fanout int",
+    )
+    total_slots = max(1, sum(fanout.values()))
     (
         ivf.join(e, "id")
-        .repartition("list_id")
+        .join(F.broadcast(fan_df), "list_id")
+        .withColumn("_salt", F.pmod(F.hash("id"), F.col("_fanout")))
+        .repartition(total_slots, "list_id", "_salt")
+        .drop("_fanout", "_salt")
         .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_dir)
         .partitionBy("list_id")
         .parquet(os.path.join(root, "ivf"))
     )
+    ivf.unpersist()
 
     meta = {
         "dim": dim,

@@ -407,3 +407,44 @@ def test_ivf_kmeanspar_seeding(spark, embs):
     Ck = ivf_centroids_kmeans(embs, n_centroids=8, iters=1, init="kmeanspar")
     assert Ck.shape == Cp.shape
     assert mean_best_cos(Ck) >= mean_best_cos(Cp) - 1e-9
+
+
+def test_ann_store_ivf_write_skew_salting(spark, embs, tmp_path):
+    """Hot k-means lists get ceil(size/rows_per_dir) writer tasks: file
+    counts at rest track each list's ACTUAL size (no one-file hot
+    list, no straggler writer), and the salt never changes results."""
+    import glob
+
+    from solr_ocr_processor_spark.operators.ann_store import (
+        build_ann_store,
+        ivf_topk_stored,
+    )
+
+    q = list(embs.where("vec_id = 3").first()["embedding"])
+    one = build_ann_store(spark, embs, str(tmp_path / "one"), dim=64)
+    # tiny rows_per_dir forces fanout > 1 for every non-trivial list
+    many = build_ann_store(
+        spark, embs, str(tmp_path / "many"), dim=64, rows_per_dir=8
+    )
+
+    import duckdb  # count per-file rows without another Spark job
+
+    con = duckdb.connect()
+    split_lists = 0
+    for d in glob.glob(f"{many.root}/ivf/list_id=*"):
+        files = glob.glob(f"{d}/*.parquet")
+        if len(files) > 1:
+            split_lists += 1
+        for f in files:  # the hard bound: no file exceeds rows_per_dir
+            n = con.execute(
+                f"SELECT count(*) FROM parquet_scan('{f}')"
+            ).fetchone()[0]
+            assert 0 < n <= 8
+    assert split_lists > 0  # the fan-out actually engaged
+    # default sizing at this scale: every list fits one writer/file
+    for d in glob.glob(f"{one.root}/ivf/list_id=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+
+    a = ivf_topk_stored(spark, one, q, k=10, nprobe=4).collect()
+    b = ivf_topk_stored(spark, many, q, k=10, nprobe=4).collect()
+    assert [(r["id"], r["cos"]) for r in a] == [(r["id"], r["cos"]) for r in b]
