@@ -64,8 +64,9 @@ from solr_ocr_processor_spark.operators.expand import (
     mlt_topk,
     prefix_topk,
     suggest_terms,
+    wildcard_topk,
 )
-from solr_ocr_processor_spark.operators.collapse import collapse_topk
+from solr_ocr_processor_spark.operators.collapse import collapse_topk, group_topk
 from solr_ocr_processor_spark.operators.facet import (
     date_facet_counts,
     facet_counts,
@@ -73,7 +74,9 @@ from solr_ocr_processor_spark.operators.facet import (
 )
 from solr_ocr_processor_spark.operators.query import (
     boolean_not_topk,
+    boosted_topk,
     conjunctive_topk,
+    mm_topk,
     phrase_match,
     phrase_topk,
     sort_topk,
@@ -247,6 +250,69 @@ def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index(spark, sf_dir)
     top = fuzzy_topk(spark, idx, FUZZY_Q, k=10, max_edits=FUZZY_EDITS)
     return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+WILDCARD_Q = "s?a*"  # -> scan, spark, small, slack-shaped terms at sf0.01
+
+
+def _q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q4 (rewrite surface): Lucene WildcardQuery analog —
+    wildcards in ANY position (``s?a*``), dictionary expansion via SQL
+    LIKE (identical semantics in Spark codegen and the DuckDB oracle),
+    top-50 cap by (df DESC, term ASC), disjunctive BM25
+    (operators/expand.py::wildcard_topk)."""
+    idx = _index(spark, sf_dir)
+    top = wildcard_topk(spark, idx, WILDCARD_Q, k=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+MM = 2  # flagship minimum-should-match threshold (of 3 terms)
+
+
+def _q_mm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr (e)dismax ``mm=`` analog: docs matching at least 2 of the
+    3 flagship terms, BM25-ranked — the gate rides the scoring
+    aggregation's own match count (operators/query.py::mm_topk)."""
+    idx = _index(spark, sf_dir)
+    top = mm_topk(spark, idx, FLAGSHIP_QUERY, mm=MM, k=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+GROUP_K, GROUP_LIMIT = 5, 2  # top-5 groups, 2 docs each
+
+
+def _q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr result grouping (``group=true&group.limit=2``): the top-5
+    dl-bucket groups by best-doc relevance, each with its own top-2
+    docs and in-group rank (operators/collapse.py::group_topk)."""
+    idx = _index(spark, sf_dir)
+    out = group_topk(
+        spark, idx, FLAGSHIP_QUERY, width=64, k=GROUP_K, group_limit=GROUP_LIMIT
+    )
+    return out.select(
+        "group", "doc_id", "conv_id", F.round("score", 6).alias("score"), "rn"
+    )
+
+
+BOOST_HALF_LIFE_DAYS = 0.01  # ~14 min — comparable to the synthetic ts spread
+
+
+def _q_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr boost-function analog (``boost=recip(ms(NOW,date),…)``):
+    flagship BM25 multiplied by a recency decay of the build-time
+    ``last_ts`` doc-values column, NOW = corpus max(last_ts) so the
+    ranking is wall-clock-free and oracle-replayable
+    (operators/query.py::boosted_topk)."""
+    idx = _index(spark, sf_dir)
+    top = boosted_topk(
+        spark, idx, FLAGSHIP_QUERY, half_life_days=BOOST_HALF_LIFE_DAYS, k=10
+    )
+    return top.select(
+        "doc_id",
+        "conv_id",
+        F.round("score", 6).alias("score"),
+        F.round("boosted", 6).alias("boosted"),
+    )
 
 
 def _q_paged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,6 +765,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_nested_topk": _q_boolean_nested_topk,
         "prefix_topk": _q_prefix_topk,
         "fuzzy_topk": _q_fuzzy_topk,
+        "wildcard_topk": _q_wildcard_topk,
+        "mm_topk": _q_mm_topk,
+        "group_topk": _q_group_topk,
+        "boosted_topk": _q_boosted_topk,
         "mlt_topk": _q_mlt_topk,
         "suggest_terms": _q_suggest_terms,
         "spellcheck": _q_spellcheck,
@@ -1293,11 +1363,126 @@ ORDER BY df DESC, term ASC
 LIMIT 10
 """
 
+# Minimum-should-match: the scored CTE already aggregates one row per
+# (doc, matched term); HAVING count(*) >= MM is the same gate the
+# engine applies to its match-count column.
+_MM_SQL = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+  HAVING count(*) >= {MM}
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored
+ORDER BY raw DESC, doc_id ASC
+LIMIT 10
+"""
+
+# Result grouping: per-dl-bucket rank (raw DESC, doc_id ASC), groups
+# paged by their champion's score — same BM25 spelling as _BM25.
+_GROUP_SQL = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id, tf.dl,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id, tf.dl
+),
+ranked AS (
+  SELECT CAST(floor(dl / 64.0) AS BIGINT) AS "group", doc_id, conv_id, raw,
+         CAST(row_number() OVER (PARTITION BY floor(dl / 64.0)
+                                 ORDER BY raw DESC, doc_id ASC) AS INT) AS rn
+  FROM scored
+),
+lim AS (SELECT * FROM ranked WHERE rn <= {GROUP_LIMIT}),
+tg AS (
+  SELECT "group" FROM lim WHERE rn = 1
+  ORDER BY raw DESC, "group" ASC LIMIT {GROUP_K}
+)
+SELECT lim."group", doc_id, conv_id, round(raw, 6) AS score, rn
+FROM lim JOIN tg USING ("group")
+"""
+
+# Recency boost: last_ts replays from the turnizer arithmetic (the
+# date_facet derivation); NOW = max over ALL docs; only epoch
+# DIFFERENCES enter the decay, so timezone conventions cancel.
+_BOOSTED_SQL = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+),
+nw AS (
+  SELECT 'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+         len(str_split(text, ' ')) AS n_words
+  FROM documents
+),
+dated AS (
+  SELECT ids.doc_id,
+         CAST(epoch(TIMESTAMP '2026-01-01 00:00:00'
+              + INTERVAL 1 MINUTE
+                * CAST(ceil(n_words / {TW}.0) - 1 AS INT)) AS BIGINT) AS ep
+  FROM ids JOIN nw USING (conv_id)
+),
+nowt AS (SELECT max(ep) AS now_ep FROM dated)
+SELECT s.doc_id, s.conv_id, round(s.raw, 6) AS score,
+       round(s.raw * ({BOOST_HALF_LIFE_DAYS} /
+             ({BOOST_HALF_LIFE_DAYS} + (n.now_ep - d.ep) / 86400.0)), 6)
+         AS boosted
+FROM scored s JOIN dated d ON s.doc_id = d.doc_id CROSS JOIN nowt n
+ORDER BY s.raw * ({BOOST_HALF_LIFE_DAYS} /
+         ({BOOST_HALF_LIFE_DAYS} + (n.now_ep - d.ep) / 86400.0)) DESC,
+         s.doc_id ASC
+LIMIT 10
+"""
+
 _PIPELINE_ORACLES = {
     "boolean_not_topk": _BOOL_NOT,
     "boolean_nested_topk": _BOOL_NESTED,
     "prefix_topk": _PREFIX_TOPK_SQL,
     "fuzzy_topk": _FUZZY_TOPK_SQL,
+    "wildcard_topk": _expansion_bm25_sql("term LIKE 's_a%'"),
+    "mm_topk": _MM_SQL,
+    "group_topk": _GROUP_SQL,
+    "boosted_topk": _BOOSTED_SQL,
     "mlt_topk": _MLT_SQL,
     "suggest_terms": _SUGGEST_SQL,
     "facet_counts": _FACET_SQL,

@@ -61,7 +61,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument(
         "--mode",
         choices=("wand", "and", "phrase", "not", "bool", "prefix", "fuzzy",
-                 "sort", "collapse", "filter"),
+                 "wildcard", "mm", "sort", "collapse", "group", "filter",
+                 "boost"),
         default="wand",
         help="wand: BM25 OR-of-terms via the pruned block index; "
         "and: every term required; phrase: exact positional phrase; "
@@ -69,10 +70,20 @@ def main(argv: list[str] | None = None) -> int:
         "bool: nested boolean grammar, e.g. 'a AND (b OR c) NOT d'; "
         "prefix: dictionary expansion of 'pre*'; "
         "fuzzy: terms within n edits of 'word~n' (bare ~ means 2); "
+        "wildcard: '?'/'*' in any position, e.g. 's?a*'; "
+        "mm: at least --mm of the terms required (edismax mm=); "
         "sort: matches ordered by --sort-by instead of relevance; "
         "collapse: at most one hit per --width dl-bucket (Solr "
-        "{!collapse}); filter: BM25 restricted by --fq",
+        "{!collapse}); group: top --k groups with --group-limit docs "
+        "each (Solr group=true); filter: BM25 restricted by --fq; "
+        "boost: relevance decayed by doc recency (--half-life days)",
     )
+    q.add_argument("--mm", type=int, default=2,
+                   help="minimum matching terms for --mode mm")
+    q.add_argument("--group-limit", type=int, default=2,
+                   help="docs per group for --mode group")
+    q.add_argument("--half-life", type=float, default=30.0,
+                   help="recency decay half-life in days for --mode boost")
     q.add_argument("--width", type=int, default=64,
                    help="dl-bucket width for --mode collapse")
     q.add_argument("--fq", default="",
@@ -305,6 +316,74 @@ def main(argv: list[str] | None = None) -> int:
                     spark, idx, word, k=fetch_k, max_edits=max_edits,
                     exclude_docs=dead_df,
                 )
+            elif args.mode == "wildcard":
+                from solr_ocr_processor_spark.operators.expand import (
+                    is_valid_wildcard_pattern,
+                    wildcard_topk,
+                )
+
+                # Lucene-shaped wildcard: literal chars must be index
+                # alphabet and at least one literal is required (a bare
+                # '*' is the whole-dictionary expansion Lucene refuses).
+                if not is_valid_wildcard_pattern(args.q):
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": "bad wildcard pattern: "
+                                      "[a-z0-9*?]+ with at least one "
+                                      "literal character"}))
+                    return BAD_REQUEST_EXIT
+                out = wildcard_topk(
+                    spark, idx, args.q, k=fetch_k, exclude_docs=dead_df
+                )
+            elif args.mode == "mm":
+                from solr_ocr_processor_spark.operators.query import mm_topk
+
+                if args.mm < 1:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": f"mm {args.mm} < 1"}))
+                    return BAD_REQUEST_EXIT
+                out = mm_topk(
+                    spark, idx, args.q, mm=args.mm, k=fetch_k,
+                    exclude_docs=dead_df,
+                )
+            elif args.mode == "boost":
+                from solr_ocr_processor_spark.operators.query import boosted_topk
+
+                if args.half_life <= 0:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": f"half-life {args.half_life} "
+                                      "must be positive"}))
+                    return BAD_REQUEST_EXIT
+                out = boosted_topk(
+                    spark, idx, args.q, half_life_days=args.half_life,
+                    k=fetch_k, exclude_docs=dead_df,
+                )
+                for r in out.collect()[args.start:]:
+                    print(json.dumps({"doc_id": r["doc_id"],
+                                      "conv_id": r["conv_id"],
+                                      "score": r["score"],
+                                      "boosted": r["boosted"]}))
+                return 0
+            elif args.mode == "group":
+                from solr_ocr_processor_spark.operators.collapse import group_topk
+
+                if args.width < 1 or args.group_limit < 1:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": f"bucket width {args.width} "
+                                      f"/ group limit {args.group_limit} < 1"}))
+                    return BAD_REQUEST_EXIT
+                # --start pages flat hit lists; a grouped page is
+                # group-shaped, so offset paging doesn't apply here
+                out = group_topk(
+                    spark, idx, args.q, width=args.width, k=args.k,
+                    group_limit=args.group_limit, exclude_docs=dead_df,
+                )
+                for r in out.collect():
+                    print(json.dumps({"group": r["group"],
+                                      "doc_id": r["doc_id"],
+                                      "conv_id": r["conv_id"],
+                                      "score": r["score"],
+                                      "rn": r["rn"]}))
+                return 0
             elif args.mode == "sort":
                 from solr_ocr_processor_spark.operators.query import (
                     SORT_FIELDS,

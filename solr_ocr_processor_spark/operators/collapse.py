@@ -78,3 +78,66 @@ def collapse_topk(
     return out.select("group", "doc_id", "conv_id", "score").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
+
+
+def group_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    width: int = 64,
+    k: int = 5,
+    group_limit: int = 2,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Result grouping — Solr's ``group=true&group.field=…&
+    group.limit=g``: the top ``k`` GROUPS (ranked by each group's best
+    doc, Solr's default group order), each carrying its own top
+    ``group_limit`` docs. Where :func:`collapse_topk` keeps one
+    survivor per group competing in a flat page, grouping returns the
+    per-group result lists themselves. Group key: the same dl bucket
+    (``floor(dl / width)``) collapse and the range facet use — a
+    doc-values key the posting rows already carry, so no doc_meta join
+    before ranking.
+
+    Output: (group, doc_id, conv_id, score, rn) — ``rn`` is the doc's
+    1-based rank within its group (score DESC, doc_id ASC); groups
+    orderable by their rn=1 row's score.
+
+    Plan shape: ONE hash shuffle on the group key ranks docs within
+    groups; each group's best doc IS its rn=1 row, so the group page
+    is a k-row TakeOrderedAndProject over the champions (no second
+    window, no second shuffle), broadcast back against the
+    <= group_limit-deep ranked rows; conv_id resolves after, when only
+    k*group_limit rows remain."""
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+    if group_limit <= 0:
+        raise ValueError(f"group_limit must be positive, got {group_limit}")
+    terms = sorted(set(query_terms(query, cfg)))
+    empty = "group long, doc_id long, conv_id string, score double, rn int"
+    if not terms:
+        return spark.createDataFrame([], empty)
+    scored = _suppress(
+        bm25_scores_terms(spark, index, terms, cfg, with_dl=True), exclude_docs
+    ).withColumn(
+        "group", F.floor(F.col("dl") / F.lit(float(width))).cast("long")
+    )
+    w = Window.partitionBy("group").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= group_limit)
+        .select("group", "doc_id", "score", "rn")
+    )
+    top_groups = (
+        ranked.where(F.col("rn") == 1)
+        .select("group", F.col("score").alias("_best"))
+        .orderBy(F.desc("_best"), F.asc("group"))
+        .limit(k)
+    )
+    out = ranked.join(F.broadcast(top_groups.select("group")), "group").join(
+        index.doc_meta.select("doc_id", "conv_id"), "doc_id"
+    )
+    return out.select("group", "doc_id", "conv_id", "score", "rn").orderBy(
+        F.asc("group"), F.asc("rn")
+    )

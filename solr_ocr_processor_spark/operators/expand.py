@@ -35,6 +35,8 @@ covers the pattern-term surface. Same model, Spark-first:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -87,6 +89,65 @@ def is_valid_prefix_pattern(pattern: str) -> bool:
     the '*' and the query runs with the wrong semantics."""
     stem = pattern.rstrip("*")
     return bool(stem.strip()) and "*" not in stem
+
+
+def _wildcard_like(pattern: str) -> str | None:
+    """Validate a Lucene wildcard pattern and compile it to SQL LIKE:
+    ``*`` (any run) -> ``%``, ``?`` (one char) -> ``_``. LIKE is the
+    match engine on BOTH sides — Spark's codegen ``Like`` and DuckDB's
+    ``LIKE`` share exact semantics, so the expansion set replays
+    bit-for-bit in the oracle with no regex-dialect drift.
+
+    Literal characters must already be index-alphabet (``[a-z0-9]``
+    after casefold): the analyzer never sees the pattern (it would eat
+    the wildcards), so anything it WOULD have rewritten is rejected
+    instead. A pattern with no literal character (``*``, ``?*``…) is
+    rejected the way Lucene refuses a match-all expansion."""
+    p = pattern.lower()
+    if not p or not re.fullmatch(r"[a-z0-9*?]+", p):
+        return None
+    if not re.search(r"[a-z0-9]", p):
+        return None
+    return p.replace("*", "%").replace("?", "_")
+
+
+def is_valid_wildcard_pattern(pattern: str) -> bool:
+    """True iff :func:`expand_wildcard` would accept the pattern —
+    callers (the CLI) reject invalid patterns as a 400 instead of
+    silently matching nothing."""
+    return _wildcard_like(pattern) is not None
+
+
+def expand_wildcard(
+    spark: SparkSession,
+    index: Index,
+    pattern: str,
+    max_expansions: int = MAX_EXPANSIONS,
+    cfg: IndexConfig = DEFAULT,
+) -> list[str]:
+    """Dictionary terms matching a Lucene wildcard pattern (``s?a*``,
+    ``w*d?w``), top ``max_expansions`` by (df DESC, term ASC) — the
+    WildcardQuery sibling of :func:`expand_prefix` for wildcards in
+    ANY position. Same |vocab|-bounded dictionary scan; the pattern's
+    literal prefix (chars before the first wildcard) is added as a
+    ``startswith`` conjunct so Catalyst still pushes a
+    StringStartsWith filter into the term-sorted parquet scan — the
+    LIKE match then runs only over the surviving row groups (Lucene
+    walks its FST the same way: anchored by the literal prefix)."""
+    like = _wildcard_like(pattern)
+    if like is None:
+        return []
+    cond = F.col("term").like(like)
+    m = re.match(r"[a-z0-9]*", pattern.lower())
+    if m and m.group(0):
+        cond = F.col("term").startswith(m.group(0)) & cond
+    rows = (
+        index.term_stats.where(cond)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
 
 
 def expand_fuzzy(
@@ -258,6 +319,23 @@ def fuzzy_topk(
     score), score DESC, ties doc_id ASC. ``exclude_docs`` (tombstones)
     anti-joins in-plan before the top-k."""
     terms = expand_fuzzy(spark, index, word, max_edits, max_expansions, cfg)
+    return _expansion_topk(spark, index, terms, k, cfg, exclude_docs)
+
+
+def wildcard_topk(
+    spark: SparkSession,
+    index: Index,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k for a wildcard query ``s?a*`` — expansion + disjunctive
+    BM25 (module docstring). Returns (doc_id, conv_id, score), score
+    DESC, ties doc_id ASC. ``exclude_docs`` (tombstones) anti-joins
+    in-plan before the top-k."""
+    terms = expand_wildcard(spark, index, pattern, max_expansions, cfg)
     return _expansion_topk(spark, index, terms, k, cfg, exclude_docs)
 
 

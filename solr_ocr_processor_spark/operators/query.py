@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT, IndexConfig
 from ..functions.tokenizer import query_terms, tokenize_text
 from .build import Index
-from .score import _suppress, bm25_scores, resolve_conv_ids
+from .score import _suppress, bm25_scores, bm25_scores_terms, resolve_conv_ids
 
 
 def conjunctive_topk(
@@ -66,6 +66,91 @@ def conjunctive_topk(
         .limit(k)
     )
     return resolve_conv_ids(index, top)
+
+
+def mm_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    mm: int = 2,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Minimum-should-match — Solr's (e)dismax ``mm=`` param: a doc
+    qualifies iff it contains at least ``mm`` DISTINCT query terms,
+    ranked by the same BM25 sum as the OR scorer. ``mm=1`` is the OR
+    query, ``mm=len(terms)`` is :func:`conjunctive_topk`; Solr clamps
+    an over-large mm to the clause count, mirrored here.
+
+    Plan: identical to the AND gate — the per-doc scoring aggregation
+    already sees one row per (doc, matched term), so the >= mm gate is
+    a filter on the SAME aggregation's match count (bm25_scores_terms
+    with_match_count); no second scan, no extra shuffle. ``exclude_docs``
+    (tombstones) anti-joins in-plan before the top-k."""
+    terms = sorted(set(query_terms(query, cfg)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, conv_id string, score double")
+    m = min(max(1, int(mm)), len(terms))
+    scored = bm25_scores_terms(spark, index, terms, cfg, with_match_count=True)
+    scored = _suppress(scored, exclude_docs)
+    top = (
+        scored.where(F.col("n_matched") >= m)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return resolve_conv_ids(index, top)
+
+
+def boosted_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    half_life_days: float = 30.0,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Recency-boosted relevance — Solr's boost function surface
+    (``boost=recip(ms(NOW,date),…)``): each match's BM25 score is
+    multiplied by the reciprocal decay ``h / (h + age_days)`` of its
+    ``last_ts`` doc-values column and the page ranks by the boosted
+    product. NOW is the corpus' max(last_ts), computed IN the plan —
+    a wall clock would make the ranking irreproducible across reruns,
+    resumes, and the DuckDB oracle replay. Returns (doc_id, conv_id,
+    score, boosted), boosted DESC, ties doc_id ASC.
+
+    Plan: the boost reorders ranks (a low-raw-score recent doc may
+    win), so last_ts must join BEFORE the top-k: the match-bounded
+    scored set joins doc_meta on doc_id (the same pre-ranking
+    doc-values probe as sort/filtered_topk; co-located when doc_meta
+    is bucketed by doc_id), the scalar NOW rides a 1-row broadcast
+    crossJoin, and the boosted order lowers to TakeOrderedAndProject."""
+    if "last_ts" not in index.doc_meta.columns:
+        raise ValueError("store has no last_ts doc-values column")
+    if half_life_days <= 0:
+        raise ValueError(f"half_life_days must be positive, got {half_life_days}")
+    empty = spark.createDataFrame(
+        [], "doc_id long, conv_id string, score double, boosted double"
+    )
+    if not query_terms(query, cfg):
+        return empty
+    scored = _suppress(bm25_scores(spark, index, query, cfg=cfg), exclude_docs)
+    meta = index.doc_meta.select("doc_id", "conv_id", "last_ts")
+    now = meta.agg(F.max("last_ts").alias("_now"))
+    h = float(half_life_days)
+    age_days = (
+        F.unix_timestamp("_now") - F.unix_timestamp("last_ts")
+    ) / F.lit(86400.0)
+    return (
+        scored.join(meta, "doc_id")
+        .crossJoin(F.broadcast(now))
+        .withColumn("boosted", F.col("score") * (F.lit(h) / (F.lit(h) + age_days)))
+        .select("doc_id", "conv_id", "score", "boosted")
+        .orderBy(F.desc("boosted"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 # doc_meta sortable doc-values: numeric fields + the build-time date

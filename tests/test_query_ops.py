@@ -562,3 +562,146 @@ def test_spellcheck_terms(spark, tiny):
     assert exact[0] == ("big", 0)  # correctly-spelled word ranks itself first
     assert spellcheck_terms(spark, tiny, "", n=5).count() == 0
     assert spellcheck_terms(spark, tiny, "zzzzzzzzzz", n=5).count() == 0
+
+
+def test_wildcard_expansion_and_topk(spark, tiny):
+    """Wildcards in any position expand against the dictionary; the
+    LIKE compilation and validity gate reject what Lucene rejects; a
+    single-expansion wildcard ranks exactly like the plain term."""
+    from solr_ocr_processor_spark.operators.expand import (
+        expand_wildcard,
+        is_valid_wildcard_pattern,
+        wildcard_topk,
+    )
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    assert expand_wildcard(spark, tiny, "d?ta") == ["data"]
+    assert expand_wildcard(spark, tiny, "*ata") == ["data"]   # leading ok
+    assert expand_wildcard(spark, tiny, "r*d") == ["reversed"]
+    # df DESC, term ASC cap order over a multi-hit pattern
+    multi = expand_wildcard(spark, tiny, "*e*")
+    dfs = {r["term"]: r["df"] for r in tiny.term_stats.collect()}
+    assert multi == sorted(multi, key=lambda t: (-dfs[t], t))
+
+    for bad in ("", "*", "??*", "b!g*", "big data*"):
+        assert not is_valid_wildcard_pattern(bad)
+        assert expand_wildcard(spark, tiny, bad) == []
+    assert is_valid_wildcard_pattern("Big*")  # casefolds like the analyzer
+
+    got = wildcard_topk(spark, tiny, "b?g", k=10).collect()
+    want = bm25_topk(spark, tiny, "big", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_mm_topk_thresholds(spark, tiny):
+    """mm=1 is the OR query, mm=len(terms) (and any over-large mm,
+    clamped) is the AND query — scores identical to the OR scorer's
+    (the gate filters, never rescores)."""
+    from solr_ocr_processor_spark.operators.query import mm_topk
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    disj = [(r["doc_id"], r["score"])
+            for r in bm25_topk(spark, tiny, "big data", k=10).collect()]
+    conj = [(r["doc_id"], r["score"])
+            for r in conjunctive_topk(spark, tiny, "big data", k=10).collect()]
+
+    got1 = [(r["doc_id"], r["score"])
+            for r in mm_topk(spark, tiny, "big data", mm=1, k=10).collect()]
+    got2 = [(r["doc_id"], r["score"])
+            for r in mm_topk(spark, tiny, "big data", mm=2, k=10).collect()]
+    got99 = [(r["doc_id"], r["score"])
+             for r in mm_topk(spark, tiny, "big data", mm=99, k=10).collect()]
+    assert got1 == disj
+    assert got2 == conj
+    assert got99 == conj          # Solr clamps mm to the clause count
+    # a query where the gate bites: only c2 has BOTH big and reversed
+    bites = mm_topk(spark, tiny, "big reversed", mm=2, k=10).collect()
+    assert len(bites) == 1
+    assert len(mm_topk(spark, tiny, "big reversed", mm=1, k=10).collect()) > 1
+    assert mm_topk(spark, tiny, "", mm=1).count() == 0
+
+
+def test_group_topk(spark, tiny):
+    """Top-k groups ranked by champion score, each with its own
+    (score DESC, doc_id ASC) top-group_limit list; group_limit=1
+    degenerates to the collapse champions of the paged groups."""
+    from solr_ocr_processor_spark.operators.collapse import group_topk
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    full = bm25_topk(spark, tiny, "big data", k=10).collect()
+    dls = {r["doc_id"]: r["dl"] for r in tiny.doc_meta.collect()}
+    by_group: dict[int, list] = {}
+    for r in sorted(full, key=lambda r: (-r["score"], r["doc_id"])):
+        by_group.setdefault(dls[r["doc_id"]], []).append(r)
+    order = sorted(by_group, key=lambda g: (-by_group[g][0]["score"], g))
+
+    got = group_topk(
+        spark, tiny, "big data", width=1, k=2, group_limit=2
+    ).collect()
+    want = [
+        (g, r["doc_id"], r["score"], rn)
+        for g in order[:2]
+        for rn, r in enumerate(by_group[g][:2], 1)
+    ]
+    assert sorted(
+        [(r["group"], r["doc_id"], r["score"], r["rn"]) for r in got]
+    ) == sorted(want)
+
+    # group_limit=1: exactly the champions of the same top-2 groups
+    got1 = group_topk(
+        spark, tiny, "big data", width=1, k=2, group_limit=1
+    ).collect()
+    assert sorted((r["group"], r["doc_id"]) for r in got1) == sorted(
+        (g, by_group[g][0]["doc_id"]) for g in order[:2]
+    )
+
+    with pytest.raises(ValueError):
+        group_topk(spark, tiny, "big data", width=0)
+    with pytest.raises(ValueError):
+        group_topk(spark, tiny, "big data", group_limit=0)
+    assert group_topk(spark, tiny, "").count() == 0
+
+
+def test_boosted_topk(spark, dated):
+    """Recency decay reranks by score * h/(h + age_days) with NOW =
+    corpus max(last_ts) — replayed manually from the raw scores and
+    doc-values; a freshness-dominant half-life reorders the page."""
+    import dataclasses
+
+    from solr_ocr_processor_spark.operators.query import boosted_topk
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    h = 0.005  # ~7 min — comparable to the fixture's last_ts spread
+    raw = {r["doc_id"]: r["score"]
+           for r in bm25_topk(spark, dated, "big data", k=10).collect()}
+    meta = {r["doc_id"]: r["last_ts"]
+            for r in dated.doc_meta.collect()}
+    now = max(meta.values())
+    want = sorted(
+        (
+            (d, s * (h / (h + (now - meta[d]).total_seconds() / 86400.0)))
+            for d, s in raw.items()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+
+    got = boosted_topk(spark, dated, "big data", half_life_days=h, k=10).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, b) in zip(got, want):
+        assert r["boosted"] == pytest.approx(b, abs=1e-9)
+        assert r["boosted"] <= r["score"]  # decay never amplifies
+
+    # the most recent doc wins under a freshness-dominant half-life
+    # even though an older doc has the higher raw score
+    best_raw = max(raw, key=lambda d: (raw[d], -d))
+    assert got[0]["doc_id"] == max(raw, key=lambda d: meta[d])
+    assert got[0]["doc_id"] != best_raw or len(raw) == 1
+
+    with pytest.raises(ValueError):
+        boosted_topk(spark, dated, "big data", half_life_days=0)
+    old = dataclasses.replace(dated, doc_meta=dated.doc_meta.drop("last_ts"))
+    with pytest.raises(ValueError):
+        boosted_topk(spark, old, "big data")
+    assert boosted_topk(spark, dated, "").count() == 0

@@ -539,3 +539,69 @@ def test_cli_filter_and_spellcheck(spark, tmp_path, capsys):
     assert rc == 0 and any(s["term"] == "spark" and s["dist"] == 1 for s in sug)
     assert run("spellcheck", "--store", store, "--q", "spxrk",
                "--max-edits", "9")[0] == 2
+
+
+def test_cli_wildcard_mm_group_boost_modes(spark, tmp_path, capsys):
+    """The round-3 extended surfaces from the store: wildcard, mm,
+    group, boost — results consistent with their flat-query siblings,
+    malformed params rejected as the 400 analog."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=12, max_turns=6, seed=9).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store, "--shards", "2"]) == 0
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main(["query", "--store", store, *args])
+        out = capsys.readouterr().out
+        rows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+        return rc, rows
+
+    # wildcard: 'sp?rk' reaches at least the docs a plain 'spark' hits
+    rc, wc = run("--q", "sp?rk", "--mode", "wildcard", "--k", "100")
+    assert rc == 0
+    plain = {r["conv_id"] for r in run("--q", "spark", "--k", "100")[1]}
+    assert plain <= {r["conv_id"] for r in wc}
+    # 400 analogs: no literal char / alphabet violation
+    assert run("--q", "*", "--mode", "wildcard")[0] == 2
+    assert run("--q", "sp!rk*", "--mode", "wildcard")[0] == 2
+
+    # mm: mm=1 == OR universe, over-large mm clamps to AND
+    rc, or_rows = run("--q", "spark merge", "--mode", "mm", "--mm", "1", "--k", "100")
+    assert rc == 0
+    assert {r["conv_id"] for r in or_rows} == {
+        r["conv_id"] for r in run("--q", "spark merge", "--k", "100")[1]
+    }
+    rc, and_rows = run("--q", "spark merge", "--mode", "mm", "--mm", "9", "--k", "100")
+    assert rc == 0
+    assert {r["conv_id"] for r in and_rows} == {
+        r["conv_id"]
+        for r in run("--q", "spark merge", "--mode", "and", "--k", "100")[1]
+    }
+    assert run("--q", "spark", "--mode", "mm", "--mm", "0")[0] == 2
+
+    # group: per-group rank present, group_limit respected
+    rc, grp = run("--q", "spark merge", "--mode", "group", "--k", "3",
+                  "--group-limit", "2")
+    assert rc == 0 and grp
+    per = {}
+    for r in grp:
+        assert {"group", "doc_id", "conv_id", "score", "rn"} <= set(r)
+        per.setdefault(r["group"], []).append(r["rn"])
+    assert len(per) <= 3
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 2
+               for v in per.values())
+    assert run("--q", "spark", "--mode", "group", "--group-limit", "0")[0] == 2
+
+    # boost: boosted <= score everywhere, page ordered by boosted
+    rc, bst = run("--q", "spark merge", "--mode", "boost", "--half-life", "0.01",
+                  "--k", "5")
+    assert rc == 0 and bst
+    assert all(r["boosted"] <= r["score"] + 1e-12 for r in bst)
+    assert [r["boosted"] for r in bst] == sorted(
+        (r["boosted"] for r in bst), reverse=True
+    )
+    assert run("--q", "spark", "--mode", "boost", "--half-life", "0")[0] == 2
