@@ -35,6 +35,7 @@ from solr_ocr_processor_spark.operators.ann_store import (
 )
 from solr_ocr_processor_spark.operators.blocks import BlockIndex, build_block_index
 from solr_ocr_processor_spark.operators.dedup import (
+    dup_clusters,
     embedding_near_dup,
     exact_dup_groups,
     minhash_lsh_pairs,
@@ -562,6 +563,24 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, tau=0.3)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup families -> canonical representative: connected
+    components (iterative min-label propagation, one shuffle/round)
+    over the MinHash+LSH verified pair graph — the keep-one
+    materialization step of the dedup pipeline
+    (operators/dedup.dup_clusters). The DuckDB twin replays the same
+    components as a recursive reachability closure."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, n=3, tau=0.3)
+    out = dup_clusters(docs.select("doc_id"), pairs)
+    return out.select(
+        "doc_id",
+        "rep_id",
+        "cluster_size",
+        F.col("is_canonical").cast("int").alias("is_canonical"),
+    )
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprints (md5 term hashes, tf-weighted)."""
     return simhash64(_docs(spark, sf_dir))
@@ -790,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
@@ -979,6 +999,41 @@ j AS (SELECT doc1, doc2, i::DOUBLE / (c1.c + c2.c - i) AS jac
       JOIN card c1 ON doc1 = c1.doc_id
       JOIN card c2 ON doc2 = c2.doc_id)
 SELECT doc1, doc2, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.3
+"""
+
+# Duplicate clusters: the SAME pair definition as _JACCARD_PAIRS
+# (minhash_lsh_pairs is exact-verified against it), then components
+# via a recursive reachability closure — min reachable doc_id is the
+# representative, exactly the fixpoint the engine's min-label
+# propagation converges to.
+_DUP_CLUSTERS = f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS p, toks FROM docs),
+sh AS (SELECT DISTINCT doc_id, toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2] AS shingle
+       FROM pos WHERE p + 2 <= len(toks)),
+card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+prs AS (SELECT doc1, doc2
+        FROM inter
+        JOIN card c1 ON doc1 = c1.doc_id
+        JOIN card c2 ON doc2 = c2.doc_id
+        WHERE i::DOUBLE / (c1.c + c2.c - i) >= 0.3),
+edges AS (SELECT doc1 AS a, doc2 AS b FROM prs
+          UNION ALL SELECT doc2, doc1 FROM prs),
+walk(doc_id, n) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.doc_id, e.b FROM walk w JOIN edges e ON e.a = w.n
+),
+labs AS (SELECT doc_id, min(n) AS rep_id FROM walk GROUP BY doc_id),
+sz AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM labs GROUP BY rep_id)
+SELECT l.doc_id, l.rep_id, s.cluster_size,
+       CAST(l.doc_id = l.rep_id AS INT) AS is_canonical
+FROM labs l JOIN sz s USING (rep_id)
 """
 
 _SIMHASH_CTE = f"""
@@ -1728,6 +1783,7 @@ FROM h JOIN g USING (text_hash)
     # LSH output is exact-verified and misses 0.9-jaccard pairs with
     # p~7e-17, so the exact join IS its oracle.
     "dedup_minhash_lsh": _JACCARD_PAIRS,
+    "dedup_clusters": _DUP_CLUSTERS,
     "dedup_simhash": f"""
 WITH {_SIMHASH_CTE}
 SELECT doc_id, simhash FROM simhashes

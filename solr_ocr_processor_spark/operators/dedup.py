@@ -17,6 +17,9 @@ Five family members over the ``documents(doc_id, text, ...)`` table:
   column: exact blocked all-pairs (block-pair join + per-pair GEMM
   tile, no driver collect); prune block pairs with operators/ann.py
   LSH buckets when even O(n²/B) tiles is too much.
+- :func:`dup_clusters`      — connected components over any of the
+  pair outputs: doc -> cluster representative (component min doc_id),
+  the keep-one materialization step after pair discovery.
 
 Hash discipline: every hash bottoms out in md5 (Spark ``F.md5`` ==
 DuckDB ``md5`` == hashlib on the same bytes), so the DuckDB oracle can
@@ -65,6 +68,80 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "group_size",
             (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
         )
+    )
+
+
+def dup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph — the keep-one
+    half of dedup: every doc maps to its cluster representative (the
+    component's min doc_id; singletons map to themselves), so
+    ``is_canonical`` filters a corpus down to one survivor per
+    duplicate family. ``nodes`` is (doc_id, …); ``pairs`` is
+    (doc1, doc2, …) from any pair producer (:func:`ngram_jaccard_pairs`,
+    :func:`minhash_lsh_pairs`, :func:`simhash_near_pairs`,
+    :func:`embedding_near_dup`).
+
+    Output: (doc_id, rep_id, cluster_size, is_canonical).
+
+    Algorithm: iterative min-label propagation —
+    ``label(v) <- min(label(v), min over neighbors)`` — each round ONE
+    shuffle (edge join + groupBy-min, both map-side combinable).
+    Rounds = component diameter: duplicate families are near-cliques
+    (diameter 1-3), so this converges in a handful of rounds; an
+    adversarial long-chain graph would want large-star/small-star
+    contraction (O(log n) rounds) — deliberately not implemented, the
+    diameter bound is the right trade for dedup graphs. Labels only
+    ever DECREASE, so sum(label) strictly decreases until fixpoint —
+    convergence is one scalar aggregate per round, no row-level diff
+    join. Lineage is truncated each round (localCheckpoint), keeping
+    the plan O(1) deep across iterations; on a real cluster swap in a
+    reliable checkpoint dir for executor-loss safety.
+
+    Everything is deterministic (min over doc ids), so the DuckDB
+    oracle replays the same components via a recursive reachability
+    closure."""
+    labels = nodes.select("doc_id", F.col("doc_id").alias("rep_id"))
+    edges = (
+        pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+        .union(pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("rep_id")).first()[0]
+    for _ in range(max_iters):
+        cand = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "rep_id")
+        )
+        new = (
+            labels.union(cand)
+            .groupBy("doc_id")
+            .agg(F.min("rep_id").alias("rep_id"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new.agg(F.sum("rep_id")).first()[0]
+        labels = new
+        if new_sum == prev_sum:  # monotone: equal sum == fixpoint
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds — "
+            "component diameter exceeds the dedup-graph assumption"
+        )
+    sizes = labels.groupBy("rep_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, "rep_id").select(
+        "doc_id",
+        "rep_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("rep_id")).alias("is_canonical"),
     )
 
 

@@ -448,3 +448,39 @@ def test_ann_store_ivf_write_skew_salting(spark, embs, tmp_path):
     a = ivf_topk_stored(spark, one, q, k=10, nprobe=4).collect()
     b = ivf_topk_stored(spark, many, q, k=10, nprobe=4).collect()
     assert [(r["id"], r["cos"]) for r in a] == [(r["id"], r["cos"]) for r in b]
+
+
+def test_dup_clusters_connected_components(spark):
+    """Min-label propagation finds component minima over chains (needs
+    >1 round), cliques, and singletons; cluster sizes and canonicals
+    line up; non-convergence raises instead of silently truncating."""
+    import pytest
+
+    from solr_ocr_processor_spark.operators.dedup import dup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    # chain 0-5-7 (diameter 2), clique {1,2,8}, pair {3,6}; 4 isolated
+    pairs = spark.createDataFrame(
+        [(5, 0), (5, 7), (1, 2), (1, 8), (2, 8), (3, 6)],
+        "doc1 long, doc2 long",
+    )
+    got = {
+        r["doc_id"]: (r["rep_id"], r["cluster_size"], r["is_canonical"])
+        for r in dup_clusters(nodes, pairs).collect()
+    }
+    assert got == {
+        0: (0, 3, True), 5: (0, 3, False), 7: (0, 3, False),
+        1: (1, 3, True), 2: (1, 3, False), 8: (1, 3, False),
+        3: (3, 2, True), 6: (3, 2, False),
+        4: (4, 1, True),
+    }
+
+    # a long chain exceeds a tiny round budget -> explicit failure
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc1 long, doc2 long"
+    )
+    with pytest.raises(RuntimeError):
+        dup_clusters(nodes, chain, max_iters=2)
+    # ...and converges with the default budget: one 9-doc component
+    full = dup_clusters(nodes, chain).collect()
+    assert {(r["rep_id"], r["cluster_size"]) for r in full} == {(0, 9)}
