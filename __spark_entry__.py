@@ -71,7 +71,12 @@ from solr_ocr_processor_spark.operators.collapse import collapse_topk, group_top
 from solr_ocr_processor_spark.operators.facet import (
     date_facet_counts,
     facet_counts,
+    pivot_facet_counts,
     stats_field,
+)
+from solr_ocr_processor_spark.operators.split import (
+    deterministic_sample,
+    hash_split,
 )
 from solr_ocr_processor_spark.operators.query import (
     boolean_not_topk,
@@ -366,6 +371,31 @@ def _q_date_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-aligned buckets — operators/facet.py)."""
     idx = _index(spark, sf_dir)
     return date_facet_counts(spark, idx, FLAGSHIP_QUERY, gap_minutes=10)
+
+
+def _q_pivot_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``facet.pivot`` analog: two-level counts of the matching
+    docs, dl-bucket x 10-minute last_ts bucket — the dl key rides the
+    scoring-side aggregation, the date key joins doc_meta once
+    (operators/facet.py::pivot_facet_counts)."""
+    idx = _index(spark, sf_dir)
+    return pivot_facet_counts(spark, idx, FLAGSHIP_QUERY, width=64, gap_minutes=10)
+
+
+def _q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by doc-id hash —
+    content-addressed (rerun-stable, append-stable, engine-portable),
+    map-only codegen (operators/split.py::hash_split)."""
+    return hash_split(_docs(spark, sf_dir).select("doc_id")).select(
+        "doc_id", "split"
+    )
+
+
+def _q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% subsample by the same id hash — nested with
+    smaller fractions (scaling-law subsets), partition-independent
+    (operators/split.py::deterministic_sample)."""
+    return deterministic_sample(_docs(spark, sf_dir).select("doc_id"), 0.10)
 
 
 def _q_stats_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -793,7 +823,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spellcheck": _q_spellcheck,
         "facet_counts": _q_facet_counts,
         "date_facet_counts": _q_date_facet_counts,
+        "pivot_facet_counts": _q_pivot_facet_counts,
         "stats_dl": _q_stats_dl,
+        "doc_split": _q_doc_split,
+        "doc_sample": _q_doc_sample,
         "collapse_topk": _q_collapse_topk,
         "sort_topk": _q_sort_topk,
         "paged_topk": _q_paged_topk,
@@ -1563,6 +1596,55 @@ dated AS (
 SELECT CAST(ep // 600 * 600 AS BIGINT) AS bucket_start,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM dated GROUP BY bucket_start ORDER BY bucket_start
+""",
+    # pivot facet: dl rides the match aggregation; last_ts replays
+    # from the turnizer arithmetic like date_facet_counts
+    "pivot_facet_counts": f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM ids),
+m AS (
+  SELECT doc_id, max(dl) AS dl
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id
+),
+nw AS (
+  SELECT 'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+         len(str_split(text, ' ')) AS n_words
+  FROM documents
+),
+dated AS (
+  SELECT ids.doc_id,
+         CAST(epoch(TIMESTAMP '2026-01-01 00:00:00'
+              + INTERVAL 1 MINUTE
+                * CAST(ceil(n_words / {TW}.0) - 1 AS INT)) AS BIGINT) AS ep
+  FROM ids JOIN nw USING (conv_id)
+)
+SELECT CAST(floor(m.dl / 64.0) AS BIGINT) AS dl_bucket,
+       CAST(ep // 600 * 600 AS BIGINT) AS ts_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM m JOIN dated USING (doc_id)
+GROUP BY dl_bucket, ts_bucket ORDER BY dl_bucket, ts_bucket
+""",
+    # split/sample: the same md5-first-15-hex-digits unit uniform the
+    # engine computes in codegen (operators/split.py) — 60 bits, exact
+    # in BIGINT and double on both engines
+    "doc_split": """
+SELECT doc_id,
+       CASE WHEN u < 0.90 THEN 'train'
+            WHEN u < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS u
+      FROM documents)
+""",
+    "doc_sample": """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM documents)
+WHERE u < 0.10
 """,
     "stats_dl": f"""
 WITH {_DOCS},

@@ -118,9 +118,10 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--store", required=True)
     f.add_argument("--q", required=True)
     f.add_argument("--width", type=int, default=64, help="bucket width in tokens")
-    f.add_argument("--by", choices=("dl", "last_ts"), default="dl",
+    f.add_argument("--by", choices=("dl", "last_ts", "pivot"), default="dl",
                    help="dl: token-length range facet; last_ts: date-range "
-                   "facet over the build-time last-activity doc-values")
+                   "facet over the build-time last-activity doc-values; "
+                   "pivot: two-level dl x last_ts counts (facet.pivot)")
     f.add_argument("--gap", type=int, default=10,
                    help="date bucket gap in minutes for --by last_ts")
 
@@ -510,6 +511,25 @@ def main(argv: list[str] | None = None) -> int:
                 return BAD_REQUEST_EXIT
             for r in out.collect():
                 print(json.dumps({"bucket_start": r["bucket_start"],
+                                  "n_docs": r["n_docs"]}))
+            return 0
+        if args.by == "pivot":
+            from solr_ocr_processor_spark.operators.facet import (
+                pivot_facet_counts,
+            )
+
+            try:
+                out = pivot_facet_counts(
+                    spark, idx, args.q, width=args.width,
+                    gap_minutes=args.gap, exclude_docs=dead_df,
+                )
+            except ValueError as e:  # ts-less store has no date field
+                print(json.dumps({"error": "bad_request",
+                                  "detail": str(e)[:200]}))
+                return BAD_REQUEST_EXIT
+            for r in out.collect():
+                print(json.dumps({"dl_bucket": r["dl_bucket"],
+                                  "ts_bucket": r["ts_bucket"],
                                   "n_docs": r["n_docs"]}))
             return 0
         for r in facet_counts(

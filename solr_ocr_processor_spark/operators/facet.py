@@ -172,3 +172,59 @@ def stats_field(
         F.round(F.avg("v"), 6).alias("mean"),
         F.round(F.stddev_samp("v"), 6).alias("stddev"),
     )
+
+
+def pivot_facet_counts(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    width: int = 64,
+    gap_minutes: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Pivot facet — Solr's ``facet.pivot=f1,f2``: the two-level
+    decision tree of counts over the matching docs, here dl-bucket x
+    date-bucket (the same keys the flat range facets use). Returns
+    (dl_bucket, ts_bucket epoch-seconds, n_docs) ordered by both keys.
+
+    Plan: the dl key rides the per-doc dedup aggregation itself
+    (max(dl) — posting rows carry dl), so the ONLY join is the same
+    co-located doc_id equi-join to doc_meta the date facet pays for
+    its date column; the pivot then aggregates to |bucket-pairs| rows.
+    A deeper pivot (f1,f2,f3…) is the same plan with more group keys —
+    Spark's hash aggregate doesn't care about pivot depth, only
+    cardinality.
+    """
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+    if gap_minutes <= 0:
+        raise ValueError(f"gap_minutes must be positive, got {gap_minutes}")
+    if "last_ts" not in index.doc_meta.columns:
+        raise ValueError("store has no last_ts doc-values column")
+    gap_s = int(gap_minutes) * 60
+    terms = sorted(set(query_terms(query, cfg)))
+    if not terms:
+        return spark.createDataFrame(
+            [], "dl_bucket long, ts_bucket long, n_docs long"
+        )
+    matched = _suppress(
+        index.postings.where(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl")),
+        exclude_docs,
+    )
+    dated = matched.join(
+        index.doc_meta.select("doc_id", "last_ts"), "doc_id"
+    ).where(F.col("last_ts").isNotNull())
+    return (
+        dated.select(
+            F.floor(F.col("dl") / F.lit(float(width))).cast("long").alias("dl_bucket"),
+            (
+                F.floor(F.unix_timestamp("last_ts") / F.lit(gap_s)) * F.lit(gap_s)
+            ).cast("long").alias("ts_bucket"),
+        )
+        .groupBy("dl_bucket", "ts_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("dl_bucket", "ts_bucket")
+    )

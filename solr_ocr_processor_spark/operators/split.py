@@ -1,0 +1,84 @@
+"""Deterministic dataset splitting and sampling.
+
+A training-data pipeline's last step before the trainer: carve the
+corpus into train/val/test and draw reproducible subsamples. Both are
+content-addressed — the assignment is a pure function of the row's id,
+never of partitioning, row order, cluster size, or a wall-clock seed:
+
+- rerunning the pipeline (or resuming a failed run) re-derives the
+  SAME split, so eval rows can never leak into train between runs;
+- adding documents later never reshuffles existing assignments
+  (each doc's fate depends only on its own id);
+- the DuckDB oracle replays assignments bit-for-bit.
+
+Hash discipline (same as operators/dedup.py): md5 of the id's utf-8
+string, first 15 hex digits as a 60-bit integer — Spark ``F.md5`` ==
+DuckDB ``md5`` on the same bytes, and 60 bits stays exact in a BIGINT
+on both engines. The unit uniform is ``h / 16^15``; both engines
+compute the identical IEEE double, so threshold comparisons can never
+disagree.
+
+Everything is whole-stage-codegen column expressions — no UDF, no
+shuffle: split assignment is a map-only pass at any scale, and the
+per-split counts are one map-side-combinable aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 15          # 60 bits: exact in BIGINT and in double's 53+ window
+_DENOM = float(16 ** _HEX_DIGITS)
+
+
+def unit_hash(id_col: Column) -> Column:
+    """Uniform-in-[0,1) hash of an id column: md5 of the utf-8 string,
+    first 15 hex digits / 16^15. Pure codegen, engine-portable."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string").cast("binary")), 1, _HEX_DIGITS), 16, 10)
+    return h.cast("long") / F.lit(_DENOM)
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every row a split label by its id hash: ``weights`` maps
+    label -> fraction (must sum to ~1; insertion order defines the
+    threshold ladder, so spell it the same way in the oracle). Adds a
+    ``split`` column.
+
+    The default 90/5/5 train/val/test mirrors the common pretraining
+    carve. No shuffle: the CASE ladder is a map-only projection.
+    """
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive: {weights}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    u = unit_hash(F.col(id_col))
+    labels = list(weights)
+    expr = F.lit(labels[-1])  # the last bucket absorbs the open end
+    acc = 0.0
+    ladder = []
+    for name in labels[:-1]:
+        acc += weights[name]
+        ladder.append((name, acc))
+    for name, hi in reversed(ladder):
+        expr = F.when(u < F.lit(hi), F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)
+
+
+def deterministic_sample(
+    docs: DataFrame, fraction: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Reproducible ``fraction`` subsample by id hash — unlike
+    ``DataFrame.sample`` (partition-dependent RNG), membership is a
+    pure function of the id: stable across reruns, cluster sizes, and
+    engines, and monotone (a 1% sample is a subset of the 10% sample,
+    so scaling-law subsets nest)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return docs.where(unit_hash(F.col(id_col)) < F.lit(float(fraction)))

@@ -705,3 +705,77 @@ def test_boosted_topk(spark, dated):
     with pytest.raises(ValueError):
         boosted_topk(spark, old, "big data")
     assert boosted_topk(spark, dated, "").count() == 0
+
+
+def test_pivot_facet_counts(spark, dated):
+    """Two-level dl x date counts: every cell consistent with the flat
+    facets' marginals; degenerate gaps/widths rejected; ts-less store
+    rejected."""
+    import dataclasses
+
+    from solr_ocr_processor_spark.operators.facet import (
+        date_facet_counts,
+        facet_counts,
+        pivot_facet_counts,
+    )
+
+    got = pivot_facet_counts(
+        spark, dated, "big data", width=1, gap_minutes=10
+    ).collect()
+    assert got and all(r["n_docs"] > 0 for r in got)
+    # marginals: summing cells over one axis reproduces each flat facet
+    dl_marg: dict[int, int] = {}
+    ts_marg: dict[int, int] = {}
+    for r in got:
+        dl_marg[r["dl_bucket"]] = dl_marg.get(r["dl_bucket"], 0) + r["n_docs"]
+        ts_marg[r["ts_bucket"]] = ts_marg.get(r["ts_bucket"], 0) + r["n_docs"]
+    flat_dl = {r["bucket"]: r["n_docs"]
+               for r in facet_counts(spark, dated, "big data", width=1).collect()}
+    flat_ts = {r["bucket_start"]: r["n_docs"]
+               for r in date_facet_counts(spark, dated, "big data", 10).collect()}
+    assert dl_marg == flat_dl
+    assert ts_marg == flat_ts
+
+    with pytest.raises(ValueError):
+        pivot_facet_counts(spark, dated, "big data", width=0)
+    with pytest.raises(ValueError):
+        pivot_facet_counts(spark, dated, "big data", gap_minutes=0)
+    old = dataclasses.replace(dated, doc_meta=dated.doc_meta.drop("last_ts"))
+    with pytest.raises(ValueError):
+        pivot_facet_counts(spark, old, "big data")
+    assert pivot_facet_counts(spark, dated, "").count() == 0
+
+
+def test_hash_split_and_sample(spark):
+    """Content-addressed split/sample: partition-independent (the same
+    ids land in the same buckets under any repartitioning), proportions
+    roughly honored, samples nest, bad params rejected."""
+    from solr_ocr_processor_spark.operators.split import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {(r["doc_id"], r["split"]) for r in hash_split(docs).collect()}
+    b = {(r["doc_id"], r["split"])
+         for r in hash_split(docs.repartition(7)).collect()}
+    assert a == b  # pure function of the id
+    counts: dict[str, int] = {}
+    for _, s in a:
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.90) < 0.03
+    assert abs(counts["val"] / 2000 - 0.05) < 0.02
+
+    small = {r["doc_id"] for r in deterministic_sample(docs, 0.02).collect()}
+    big = {r["doc_id"] for r in deterministic_sample(docs, 0.20).collect()}
+    assert small <= big  # monotone nesting
+    assert deterministic_sample(docs, 0.0).count() == 0
+    assert deterministic_sample(docs, 1.0).count() == 2000
+
+    with pytest.raises(ValueError):
+        hash_split(docs, {"train": 0.5, "val": 0.4})  # doesn't sum to 1
+    with pytest.raises(ValueError):
+        hash_split(docs, {"train": 1.5, "val": -0.5})
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, 1.5)

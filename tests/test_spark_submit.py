@@ -605,3 +605,29 @@ def test_cli_wildcard_mm_group_boost_modes(spark, tmp_path, capsys):
         (r["boosted"] for r in bst), reverse=True
     )
     assert run("--q", "spark", "--mode", "boost", "--half-life", "0")[0] == 2
+
+
+def test_cli_pivot_facet(spark, tmp_path, capsys):
+    """facet --by pivot: two-level dl x date counts whose total equals
+    the flat facet's total; ts-less params rejected as 400."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=10, max_turns=5, seed=11).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store, "--shards", "2"]) == 0
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main(["facet", "--store", store, *args])
+        out = capsys.readouterr().out
+        rows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+        return rc, rows
+
+    rc, piv = run("--q", "spark", "--by", "pivot", "--width", "8", "--gap", "5")
+    assert rc == 0 and piv
+    assert all({"dl_bucket", "ts_bucket", "n_docs"} <= set(r) for r in piv)
+    rc, flat = run("--q", "spark", "--width", "8")
+    assert sum(r["n_docs"] for r in piv) == sum(r["n_docs"] for r in flat)
+    assert run("--q", "spark", "--by", "pivot", "--gap", "0")[0] == 2
