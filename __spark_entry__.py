@@ -611,6 +611,20 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus export: near-dup keep-one
+    (connected components over the MinHash+LSH verified pairs) ->
+    quality >= 0.5 -> lang == 'en' -> 90/5/5 content-addressed split,
+    as ONE declarative plan (operators/pipeline.corpus_export). The
+    DuckDB twin replays the whole composition, so the export itself —
+    not just its stages — is correctness-gated."""
+    from solr_ocr_processor_spark.operators.pipeline import corpus_export
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, n=3, tau=0.3)
+    return corpus_export(docs, pairs, min_quality=0.5, lang="en")
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprints (md5 term hashes, tf-weighted)."""
     return simhash64(_docs(spark, sf_dir))
@@ -843,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
+        "corpus_export": _q_corpus_export,
         "dedup_simhash": _q_dedup_simhash,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
@@ -1067,6 +1082,76 @@ sz AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
 SELECT l.doc_id, l.rep_id, s.cluster_size,
        CAST(l.doc_id = l.rep_id AS INT) AS is_canonical
 FROM labs l JOIN sz s USING (rep_id)
+"""
+
+# The full export composition: keep-one closure + quality + lang +
+# split, every fragment identical to its standalone oracle twin.
+_CORPUS_EXPORT = f"""
+WITH RECURSIVE
+sdocs AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS p, toks FROM sdocs),
+shn AS (SELECT DISTINCT doc_id, toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2] AS shingle
+        FROM pos WHERE p + 2 <= len(toks)),
+card AS (SELECT doc_id, count(*) AS c FROM shn GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+          FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+prs AS (SELECT doc1, doc2
+        FROM inter
+        JOIN card c1 ON doc1 = c1.doc_id
+        JOIN card c2 ON doc2 = c2.doc_id
+        WHERE i::DOUBLE / (c1.c + c2.c - i) >= 0.3),
+edges AS (SELECT doc1 AS a, doc2 AS b FROM prs
+          UNION ALL SELECT doc2, doc1 FROM prs),
+walk(doc_id, n) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.doc_id, e.b FROM walk w JOIN edges e ON e.a = w.n
+),
+reps AS (SELECT doc_id
+         FROM (SELECT doc_id, min(n) AS rep FROM walk GROUP BY doc_id)
+         WHERE doc_id = rep),
+qm AS (
+  SELECT doc_id,
+         round(0.4 * alpha_ratio + 0.3 * least(stop_ratio * 4, 1.0)
+               + 0.3 * least(mean_tok_len / 8, 1.0), 6) AS quality
+  FROM (SELECT doc_id,
+               round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1), 6) AS alpha_ratio,
+               round(len(list_filter(toks, x -> x IN
+                     ('the','a','and','of','to','in','is','it')))::DOUBLE
+                     / greatest(len(toks), 1), 6) AS stop_ratio,
+               round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+                     / greatest(len(toks), 1), 6) AS mean_tok_len
+        FROM sdocs)),
+lv AS (SELECT doc_id,
+  len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS v_en,
+  len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS v_fr,
+  len(list_filter(toks, x -> x IN ('el','los','y','que','una'))) AS v_es,
+  len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS v_de
+  FROM sdocs),
+lng AS (SELECT doc_id,
+  CASE WHEN greatest(v_en, v_fr, v_es, v_de) = 0 THEN 'und'
+       WHEN v_de = greatest(v_en, v_fr, v_es, v_de) THEN 'de'
+       WHEN v_en = greatest(v_en, v_fr, v_es, v_de) THEN 'en'
+       WHEN v_es = greatest(v_en, v_fr, v_es, v_de) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+  FROM lv),
+spl AS (SELECT doc_id,
+               CASE WHEN u < 0.90 THEN 'train'
+                    WHEN u < 0.95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       / 1152921504606846976.0 AS u
+              FROM documents))
+SELECT d.doc_id, q.quality, l.lang_pred, s.split
+FROM documents d
+JOIN reps USING (doc_id)
+JOIN qm q USING (doc_id)
+JOIN lng l USING (doc_id)
+JOIN spl s USING (doc_id)
+WHERE q.quality >= 0.5 AND l.lang_pred = 'en'
 """
 
 _SIMHASH_CTE = f"""
@@ -1866,6 +1951,7 @@ FROM h JOIN g USING (text_hash)
     # p~7e-17, so the exact join IS its oracle.
     "dedup_minhash_lsh": _JACCARD_PAIRS,
     "dedup_clusters": _DUP_CLUSTERS,
+    "corpus_export": _CORPUS_EXPORT,
     "dedup_simhash": f"""
 WITH {_SIMHASH_CTE}
 SELECT doc_id, simhash FROM simhashes

@@ -484,3 +484,36 @@ def test_dup_clusters_connected_components(spark):
     # ...and converges with the default budget: one 9-doc component
     full = dup_clusters(nodes, chain).collect()
     assert {(r["rep_id"], r["cluster_size"]) for r in full} == {(0, 9)}
+
+
+def test_corpus_export_gates(spark):
+    """Every gate bites: the duplicate family keeps only its canonical
+    doc, the junk doc fails quality, the French doc fails lang, and
+    the survivors carry deterministic splits."""
+    from solr_ocr_processor_spark.operators.pipeline import corpus_export
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and it is fine"),
+        (1, "the quick brown fox jumps over the lazy dog and it is fine"),
+        (2, "a completely different english text about the weather and it"),
+        (3, "x9 #$% @@@ 00 11 22 33 44 55 66 77 88 99 !!"),
+        (4, "le chat et la souris dans les jardins des villes"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1)], "doc1 long, doc2 long")
+
+    got = {r["doc_id"]: r for r in corpus_export(docs, pairs).collect()}
+    assert set(got) == {0, 2}          # 1 = dup of 0; 3 = junk; 4 = fr
+    assert all(r["lang_pred"] == "en" for r in got.values())
+    assert all(r["quality"] >= 0.5 for r in got.values())
+    assert all(r["split"] in ("train", "val", "test") for r in got.values())
+
+    # rerun-stability: the export is a pure function of the input
+    again = {r["doc_id"]: r["split"]
+             for r in corpus_export(docs, pairs).collect()}
+    assert again == {d: r["split"] for d, r in got.items()}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        corpus_export(docs, pairs, min_quality=1.5)
