@@ -354,10 +354,15 @@ def main(argv: list[str] | None = None) -> int:
                                       "detail": f"half-life {args.half_life} "
                                       "must be positive"}))
                     return BAD_REQUEST_EXIT
-                out = boosted_topk(
-                    spark, idx, args.q, half_life_days=args.half_life,
-                    k=fetch_k, exclude_docs=dead_df,
-                )
+                try:
+                    out = boosted_topk(
+                        spark, idx, args.q, half_life_days=args.half_life,
+                        k=fetch_k, exclude_docs=dead_df,
+                    )
+                except ValueError as e:  # ts-less store has no date field
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": str(e)[:200]}))
+                    return BAD_REQUEST_EXIT
                 for r in out.collect()[args.start:]:
                     print(json.dumps({"doc_id": r["doc_id"],
                                       "conv_id": r["conv_id"],

@@ -47,6 +47,56 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _ratio_cols(text_col: str, toks) -> list:
+    """The three rounded quality ratios as named Columns, from an
+    ALREADY-BUILT toks expression (so fused callers tokenize once)."""
+    n_tok = F.size(toks)
+    alpha = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""))
+    stops = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return [
+        F.round(alpha / F.greatest(F.length(text_col), F.lit(1)), 6).alias(
+            "alpha_ratio"
+        ),
+        F.round(stops / F.greatest(n_tok, F.lit(1)), 6).alias("stop_ratio"),
+        F.round(tok_chars / F.greatest(n_tok, F.lit(1)), 6).alias("mean_tok_len"),
+    ]
+
+
+def _quality_col():
+    """quality over the ROUNDED named ratio columns (the oracle does
+    the same) — composes after any projection that produced them.
+    Built lazily: Column construction needs an active SparkContext,
+    so a module-level constant would break plain imports."""
+    return F.round(
+        F.lit(0.4) * F.col("alpha_ratio")
+        + F.lit(0.3) * F.least(F.col("stop_ratio") * 4, F.lit(1.0))
+        + F.lit(0.3) * F.least(F.col("mean_tok_len") / 8, F.lit(1.0)),
+        6,
+    )
+
+
+def _vote_cols(toks) -> list:
+    """Per-language marker-vote counts as named Columns (v_<lang>)."""
+    return [
+        F.size(F.filter(toks, lambda t: t.isin(*markers))).alias(f"v_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+
+
+def _lang_pred():
+    """argmax over the v_<lang> columns with fixed tie order (vote
+    desc, then language code asc; 'und' = no votes)."""
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"v_{lg}") for lg in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lg in langs:  # asc code order -> deterministic ties
+        pred = pred.when(F.col(f"v_{lg}") == best, F.lit(lg))
+    return pred, best
+
+
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, alpha_ratio, stop_ratio, mean_tok_len, quality).
 
@@ -56,51 +106,46 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     word lengths; bounded to [0,1]. (The reference's analog is its
     empty/garbage-page skipping, app/handler/indexer.go:102,123.)
     """
-    toks = _toks(text_col)
-    n_tok = F.size(toks)
-    alpha = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""))
-    stops = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    tok_chars = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
-    )
-    d = docs.select(
-        "doc_id",
-        F.round(alpha / F.greatest(F.length(text_col), F.lit(1)), 6).alias(
-            "alpha_ratio"
-        ),
-        F.round(stops / F.greatest(n_tok, F.lit(1)), 6).alias("stop_ratio"),
-        F.round(tok_chars / F.greatest(n_tok, F.lit(1)), 6).alias("mean_tok_len"),
-    )
-    return d.withColumn(
-        "quality",
-        F.round(
-            F.lit(0.4) * F.col("alpha_ratio")
-            + F.lit(0.3) * F.least(F.col("stop_ratio") * 4, F.lit(1.0))
-            + F.lit(0.3) * F.least(F.col("mean_tok_len") / 8, F.lit(1.0)),
-            6,
-        ),
-    )
+    d = docs.select("doc_id", *_ratio_cols(text_col, _toks(text_col)))
+    return d.withColumn("quality", _quality_col())
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, lang_pred, lang_votes): marker-stopword argmax with
     deterministic tie order (vote desc, then language code asc;
     'und' = no votes)."""
-    toks = _toks(text_col)
-    d = docs.select("doc_id", toks.alias("toks"))
-    for lang, markers in LANG_MARKERS.items():
-        d = d.withColumn(
-            f"v_{lang}", F.size(F.filter("toks", lambda t: t.isin(*markers)))
-        )
-    langs = sorted(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"v_{lg}") for lg in langs])
-    pred = F.when(best == 0, F.lit("und"))
-    for lg in langs:  # asc code order -> deterministic ties
-        pred = pred.when(F.col(f"v_{lg}") == best, F.lit(lg))
+    d = docs.select("doc_id", *_vote_cols(_toks(text_col)))
+    pred, best = _lang_pred()
     return d.select(
         "doc_id",
         pred.alias("lang_pred"),
         best.cast("long").alias("lang_votes"),
+    )
+
+
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, quality, lang_pred): the fused corpus-gating map stage
+    — quality and language from ONE projection over ONE materialized
+    toks column. Two separate operators joined on doc_id would run the
+    regex tokenization (the dominant per-doc map cost) twice AND pay a
+    join; here the toks attribute is referenced by every derived
+    column, and Catalyst keeps non-cheap multiply-referenced aliases
+    un-inlined (CollapseProject cost gate), so the extraction runs
+    once per row. Values are identical to quality_score / lang_id
+    (parity-tested)."""
+    d = docs.select(
+        "doc_id",
+        F.col(text_col).alias("_text"),
+        _toks(text_col).alias("toks"),
+    )
+    d = d.select(
+        "doc_id",
+        *_ratio_cols("_text", F.col("toks")),
+        *_vote_cols(F.col("toks")),
+    )
+    pred, _ = _lang_pred()
+    return d.select(
+        "doc_id", _quality_col().alias("quality"), pred.alias("lang_pred")
     )
 
 

@@ -105,9 +105,18 @@ def dup_clusters(
     oracle replays the same components via a recursive reachability
     closure."""
     labels = nodes.select("doc_id", F.col("doc_id").alias("rep_id"))
+    # Components are over the subgraph INDUCED on nodes: a pair whose
+    # endpoint isn't in nodes is dropped (both directions), otherwise
+    # foreign labels would leak in and the monotone-sum fixpoint proof
+    # (label set never grows) would not hold — a pairs row like (5, 3)
+    # with nodes={5} would stamp rep 5 onto a doc 3 that was never
+    # asked about and falsely converge.
+    node_ids = nodes.select("doc_id").distinct()
     edges = (
         pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
         .union(pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
+        .join(node_ids.withColumnRenamed("doc_id", "src"), "src", "left_semi")
+        .join(node_ids.withColumnRenamed("doc_id", "dst"), "dst", "left_semi")
         .distinct()
         .localCheckpoint(eager=True)
     )

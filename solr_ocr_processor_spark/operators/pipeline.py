@@ -11,10 +11,10 @@ declarative plan so Catalyst sees the whole thing:
 
 - the keep-one gate is a LEFT SEMI join against the canonical set
   (never materializes the non-survivors);
-- quality and language are map-only projections; their doc_id joins
-  co-locate when the corpus is bucketed by doc_id (the store layout),
-  and every gate PRUNES before the next join, so the data volume only
-  shrinks left to right;
+- quality and language come from ONE fused projection over ONE
+  tokenization pass (textstats.text_profile) and gate as plain
+  filters — no join between them, and the volume shrinks before the
+  semi-join;
 - split assignment is the last map-only pass over what's left.
 
 Every stage is engine-portable md5 arithmetic or plain column algebra,
@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textstats import lang_id, quality_score
+from ..functions.textstats import text_profile
 from .dedup import dup_clusters
 from .split import hash_split
 
@@ -57,18 +57,14 @@ def corpus_export(
         .where(F.col("is_canonical"))
         .select("doc_id")
     )
-    q = quality_score(docs, text_col).where(
-        F.col("quality") >= F.lit(float(min_quality))
-    ).select("doc_id", "quality")
-    lg = lang_id(docs, text_col).where(F.col("lang_pred") == lang).select(
-        "doc_id", "lang_pred"
+    # ONE fused projection computes quality and language from a single
+    # tokenization pass (functions/textstats.text_profile) — the gates
+    # are filters on it, not separate operators joined back together.
+    gated = text_profile(docs, text_col).where(
+        (F.col("quality") >= F.lit(float(min_quality)))
+        & (F.col("lang_pred") == lang)
     )
-    kept = (
-        docs.select("doc_id")
-        .join(reps, "doc_id", "left_semi")
-        .join(q, "doc_id")
-        .join(lg, "doc_id")
-    )
+    kept = gated.join(reps, "doc_id", "left_semi")
     return hash_split(kept, weights).select(
         "doc_id", "quality", "lang_pred", "split"
     )

@@ -61,11 +61,18 @@ def hash_split(
     u = unit_hash(F.col(id_col))
     labels = list(weights)
     expr = F.lit(labels[-1])  # the last bucket absorbs the open end
-    acc = 0.0
+    # Accumulate thresholds in DECIMAL (Fraction of the repr string),
+    # not binary floats: 0.9 + 0.05 in doubles is 0.9500000000000001,
+    # one ulp above the literal 0.95 an oracle SQL spells — enough for
+    # a hairline hash to land on different sides of the fence. The
+    # Fraction sum then rounds to the SAME double as the SQL literal.
+    from fractions import Fraction
+
+    acc = Fraction(0)
     ladder = []
     for name in labels[:-1]:
-        acc += weights[name]
-        ladder.append((name, acc))
+        acc += Fraction(repr(weights[name]))
+        ladder.append((name, float(acc)))
     for name, hi in reversed(ladder):
         expr = F.when(u < F.lit(hi), F.lit(name)).otherwise(expr)
     return docs.withColumn("split", expr)
@@ -81,4 +88,8 @@ def deterministic_sample(
     so scaling-law subsets nest)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        # identity, guaranteed: a 60-bit hash within 63 ulps of 2^60
+        # rounds to exactly 1.0 in double, which `u < 1.0` would drop
+        return docs
     return docs.where(unit_hash(F.col(id_col)) < F.lit(float(fraction)))

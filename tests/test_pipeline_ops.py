@@ -517,3 +517,40 @@ def test_corpus_export_gates(spark):
 
     with pytest.raises(ValueError):
         corpus_export(docs, pairs, min_quality=1.5)
+
+
+def test_text_profile_parity(spark, docs_tbl=None):
+    """The fused single-tokenization profile must equal the two
+    standalone operators value-for-value."""
+    from solr_ocr_processor_spark.functions.textstats import (
+        lang_id,
+        quality_score,
+        text_profile,
+    )
+
+    rows = [
+        (0, "the quick brown fox and the lazy dog to boot"),
+        (1, "le chat et la souris dans les jardins"),
+        (2, "!!! ??? 123 456"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["quality"], r["lang_pred"])
+           for r in text_profile(docs).collect()}
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    lg = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert got == {d: (q[d], lg[d]) for d in q}
+
+
+def test_dup_clusters_induced_subgraph(spark):
+    """Pairs referencing docs OUTSIDE nodes are ignored (components
+    over the induced subgraph): no foreign labels, no phantom rows."""
+    from solr_ocr_processor_spark.operators.dedup import dup_clusters
+
+    nodes = spark.createDataFrame([(3,), (5,)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(5, 99), (99, 3), (42, 43)], "doc1 long, doc2 long"
+    )
+    got = {r["doc_id"]: (r["rep_id"], r["cluster_size"])
+           for r in dup_clusters(nodes, pairs).collect()}
+    assert got == {3: (3, 1), 5: (5, 1)}  # both singletons, no doc 99/42/43
