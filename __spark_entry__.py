@@ -14,6 +14,7 @@ BM25 statistics can be oracle-checked directly against ``documents``.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -611,6 +612,45 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_stream_dedup_runs = [0]  # memory-sink names must be session-unique
+
+
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator (applyInPandasWithState):
+    first-occurrence-wins exact dedup over a document stream, state =
+    one seen-flag per content hash (streaming/dedup.dedup_doc_stream).
+    Run here as a single-batch availableNow replay over the static
+    documents table, which the module proves equals the BATCH keep-one
+    (min doc_id per md5 hash) — so the stateful operator gets a full
+    DuckDB hash-check, not a rows-only pass."""
+    import tempfile
+
+    _stream_dedup_runs[0] += 1
+    name = f"stream_dedup_sink_{_stream_dedup_runs[0]}"
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isfile(path):
+        # the file streaming source requires a directory basePath; a
+        # glob (here: last char as a one-char class) makes Spark
+        # resolve the parent as basePath and match just this file
+        path = path[:-1] + f"[{path[-1]}]"
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(path)
+    from solr_ocr_processor_spark.streaming.dedup import dedup_doc_stream
+
+    q = (
+        dedup_doc_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_sdedup_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("id", "text_hash")
+
+
 def _q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-corpus export: near-dup keep-one
     (connected components over the MinHash+LSH verified pairs) ->
@@ -858,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "corpus_export": _q_corpus_export,
+        "stream_dedup": _q_stream_dedup,
         "dedup_simhash": _q_dedup_simhash,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
@@ -1952,6 +1993,12 @@ FROM h JOIN g USING (text_hash)
     "dedup_minhash_lsh": _JACCARD_PAIRS,
     "dedup_clusters": _DUP_CLUSTERS,
     "corpus_export": _CORPUS_EXPORT,
+    # single-batch replay == batch keep-one: min doc_id per md5 hash
+    "stream_dedup": """
+WITH h AS (SELECT doc_id, md5(text) AS th FROM documents),
+m AS (SELECT th, min(doc_id) AS k FROM h GROUP BY th)
+SELECT k AS id, th AS text_hash FROM m
+""",
     "dedup_simhash": f"""
 WITH {_SIMHASH_CTE}
 SELECT doc_id, simhash FROM simhashes

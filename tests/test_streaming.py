@@ -421,3 +421,62 @@ def test_events_per_window_stream_equals_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM evagg").collect())
     assert got == want and len(got) > 0
+
+
+def test_dedup_doc_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState exact dedup: single-batch replay equals
+    the batch keep-one (min doc_id per content hash); across
+    microbatches the FIRST batch's winner holds the hash and later
+    arrivals — even with smaller ids — are dropped."""
+    from solr_ocr_processor_spark.operators.dedup import exact_dup_groups
+    from solr_ocr_processor_spark.streaming.dedup import dedup_doc_stream
+
+    schema = "doc_id long, text string"
+    rows1 = [(1, "alpha"), (2, "alpha"), (3, "beta")]
+    rows2 = [(0, "alpha"), (4, "beta"), (5, "gamma")]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "f1.parquet")
+    )
+
+    def run(name, max_files=None):
+        reader = spark.readStream.schema(schema)
+        if max_files is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        stream = reader.parquet(f"{src}/*")
+        q = (
+            dedup_doc_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["id"], r["text_hash"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    # single batch over f1 == batch keep-one over the same rows
+    got1 = run("dd_one")
+    batch = exact_dup_groups(spark.createDataFrame(rows1, schema))
+    want1 = {
+        (r["doc_id"], r["text_hash"])
+        for r in batch.where("is_canonical").collect()
+    }
+    assert got1 == want1 and len(got1) == 2  # alpha->1, beta->3
+
+    # second drop: doc 0 duplicates 'alpha' (already held by doc 1 in
+    # the state), doc 4 duplicates 'beta'; only 'gamma' is new
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src / "f2.parquet")
+    )
+    got2 = run("dd_two", max_files=1)  # one file per microbatch
+    # alpha kept by 1 (not by the later-arriving smaller id 0), beta
+    # by 3, gamma by 5 — and the first batch's winners are unchanged
+    by_hash = {h: i for i, h in got2}
+    assert sorted(by_hash.values()) == [1, 3, 5]
+    assert got1 <= got2
