@@ -665,6 +665,23 @@ def _q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_export(docs, pairs, min_quality=0.5, lang="en")
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (GPT-3-style n-gram rule, n=3 at this
+    doc length): flag every TRAIN-split doc sharing a word n-gram with
+    any TEST-split doc — eval shingles broadcast, corpus side stays
+    map-only (operators/pipeline.contamination_flags). Composes the
+    split and shingle operators, both already oracle-gated."""
+    from solr_ocr_processor_spark.operators.pipeline import contamination_flags
+
+    s = hash_split(_docs(spark, sf_dir))
+    out = contamination_flags(
+        s.where("split = 'train'"), s.where("split = 'test'"), n=3
+    )
+    return out.select(
+        "doc_id", "n_hits", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprints (md5 term hashes, tf-weighted)."""
     return simhash64(_docs(spark, sf_dir))
@@ -899,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "corpus_export": _q_corpus_export,
         "stream_dedup": _q_stream_dedup,
+        "decontaminate": _q_decontaminate,
         "dedup_simhash": _q_dedup_simhash,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
@@ -1993,6 +2011,33 @@ FROM h JOIN g USING (text_hash)
     "dedup_minhash_lsh": _JACCARD_PAIRS,
     "dedup_clusters": _DUP_CLUSTERS,
     "corpus_export": _CORPUS_EXPORT,
+    # decontamination: train-split docs sharing any 3-gram with the
+    # test split; split CASE and shingle CTE identical to their
+    # standalone twins
+    "decontaminate": f"""
+WITH spl AS (SELECT doc_id,
+                    CASE WHEN u < 0.90 THEN 'train'
+                         WHEN u < 0.95 THEN 'val'
+                         ELSE 'test' END AS split
+             FROM (SELECT doc_id,
+                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                            / 1152921504606846976.0 AS u
+                   FROM documents)),
+toked AS (SELECT d.doc_id, s.split, {_TOKS} AS toks
+          FROM documents d JOIN spl s USING (doc_id)),
+posd AS (SELECT doc_id, split, generate_subscripts(toks, 1) AS p, toks FROM toked),
+shd AS (SELECT DISTINCT doc_id, split,
+               toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2] AS shingle
+        FROM posd WHERE p + 2 <= len(toks)),
+esh AS (SELECT DISTINCT shingle FROM shd WHERE split = 'test'),
+h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM shd JOIN esh USING (shingle)
+      WHERE split = 'train' GROUP BY doc_id)
+SELECT t.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
+FROM (SELECT doc_id FROM spl WHERE split = 'train') t
+LEFT JOIN h USING (doc_id)
+""",
     # single-batch replay == batch keep-one: min doc_id per md5 hash
     "stream_dedup": """
 WITH h AS (SELECT doc_id, md5(text) AS th FROM documents),

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textstats import text_profile
-from .dedup import dup_clusters
+from .dedup import dup_clusters, shingles
 from .split import hash_split
 
 
@@ -67,4 +67,55 @@ def corpus_export(
     kept = gated.join(reps, "doc_id", "left_semi")
     return hash_split(kept, weights).select(
         "doc_id", "quality", "lang_pred", "split"
+    )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Eval-set decontamination — the n-gram overlap check every
+    serious pretraining pipeline runs before training: a candidate
+    document is CONTAMINATED if it shares at least one word n-gram
+    with any held-out evaluation document (the GPT-3/PaLM-style
+    13-gram rule; ``n`` is a knob because the right value tracks
+    document length). Returns (doc_id, n_hits, contaminated) for every
+    candidate doc — n_hits = how many DISTINCT eval n-grams it
+    contains, 0 rows lost (clean docs report 0/false), so the output
+    is a joinable audit column, not just a filter.
+
+    Plan shape (the asymmetry IS the design): the eval side is small
+    by definition — its distinct shingles build ONE broadcast set, and
+    the corpus side is a map-only shingle explode semi-joined against
+    that broadcast (a broadcast join, zero corpus shuffles). The
+    per-doc hit count is the only aggregation and it is map-side
+    combinable on doc_id. At 100 TB the cost is the corpus scan —
+    exactly the floor — while an eval set of even millions of n-grams
+    broadcasts in MBs.
+
+    Shingling reuses :func:`~.dedup.shingles` (distinct word n-grams,
+    the oracle-checked definition the dedup family uses)."""
+    if n < 1:
+        raise ValueError(f"n-gram order must be >= 1, got {n}")
+    ev = (
+        shingles(eval_docs, n, text_col)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        shingles(docs, n, text_col)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
     )

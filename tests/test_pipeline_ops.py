@@ -554,3 +554,36 @@ def test_dup_clusters_induced_subgraph(spark):
     got = {r["doc_id"]: (r["rep_id"], r["cluster_size"])
            for r in dup_clusters(nodes, pairs).collect()}
     assert got == {3: (3, 1), 5: (5, 1)}  # both singletons, no doc 99/42/43
+
+
+def test_contamination_flags(spark):
+    """n-gram decontamination: a train doc sharing an n-gram with the
+    eval set is flagged with the DISTINCT-hit count; clean docs report
+    0/false (no rows lost); an empty eval set clears everyone."""
+    import pytest
+
+    from solr_ocr_processor_spark.operators.pipeline import contamination_flags
+
+    train = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps high"),     # shares 2 trigrams
+            (1, "a totally clean document here"),       # clean
+            (2, "quick brown fox quick brown fox"),     # shares 1 (distinct)
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox ran")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in contamination_flags(train, ev, n=3).collect()}
+    # eval trigrams: {the quick brown, quick brown fox, brown fox ran}
+    assert got == {0: (2, True), 1: (0, False), 2: (1, True)}
+
+    empty_ev = spark.createDataFrame([], "doc_id long, text string")
+    clean = contamination_flags(train, empty_ev, n=3).collect()
+    assert all(r["n_hits"] == 0 and not r["contaminated"] for r in clean)
+    assert len(clean) == 3
+
+    with pytest.raises(ValueError):
+        contamination_flags(train, ev, n=0)
