@@ -155,6 +155,22 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--n", type=int, default=5)
     sp.add_argument("--max-edits", type=int, default=2)
 
+    ex = sub.add_parser(
+        "export",
+        help="training-corpus export: near-dup keep-one + quality/lang "
+        "gates + train/val/test split, optionally decontaminated "
+        "against the test split",
+    )
+    ex.add_argument("--input", required=True,
+                    help="transcripts source (parquet path or table)")
+    ex.add_argument("--min-quality", type=float, default=0.5)
+    ex.add_argument("--lang", default="en")
+    ex.add_argument("--decontaminate", action="store_true",
+                    help="also flag train rows sharing a word n-gram "
+                    "with the test split (GPT-3-style rule)")
+    ex.add_argument("--ngram", type=int, default=3,
+                    help="n-gram order for --decontaminate")
+
     c = sub.add_parser("check", help="membership check")
     c.add_argument("--store", required=True)
     c.add_argument("--conv-id", required=True)
@@ -190,7 +206,13 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"conv_id": args.conv_id, "found": found}))
         return 0 if found else NOT_FOUND_EXIT
     spark = get_spark(app_name=f"socr-{args.cmd}")
-    store = lifecycle.IndexStore(args.store, DEFAULT)
+    # export is store-less (source -> stdout); every other verb
+    # addresses a persisted index store
+    store = (
+        lifecycle.IndexStore(args.store, DEFAULT)
+        if args.cmd != "export"
+        else None
+    )
 
     if args.cmd == "build":
         try:
@@ -208,6 +230,64 @@ def main(argv: list[str] | None = None) -> int:
             return UNPROCESSABLE_EXIT
         lifecycle.build_store(spark, t, args.store, DEFAULT, n_shards=args.shards)
         print(json.dumps({"built": args.store}))
+        return 0
+    if args.cmd == "export":
+        from solr_ocr_processor_spark.functions.textstats import LANG_MARKERS
+        from solr_ocr_processor_spark.operators.dedup import minhash_lsh_pairs
+        from solr_ocr_processor_spark.operators.pipeline import (
+            contamination_flags,
+            corpus_export,
+        )
+        from solr_ocr_processor_spark.plans.materialize import materialize_docs
+
+        if not 0.0 <= args.min_quality <= 1.0:
+            print(json.dumps({"error": "bad_request",
+                              "detail": f"min-quality {args.min_quality} "
+                              "outside [0, 1]"}))
+            return BAD_REQUEST_EXIT
+        if args.lang not in LANG_MARKERS:
+            print(json.dumps({"error": "bad_request",
+                              "detail": f"unknown lang {args.lang!r}; one "
+                              f"of {sorted(LANG_MARKERS)}"}))
+            return BAD_REQUEST_EXIT
+        if args.ngram < 1:
+            print(json.dumps({"error": "bad_request",
+                              "detail": f"ngram {args.ngram} < 1"}))
+            return BAD_REQUEST_EXIT
+        try:
+            t = read_transcripts(spark, args.input)
+        except Exception as e:
+            print(json.dumps({"error": "bad_request", "detail": str(e)[:200]}))
+            return BAD_REQUEST_EXIT
+        from pyspark.sql import functions as F
+
+        mat = materialize_docs(t, with_text=True)
+        docs = mat.docs.select(
+            "doc_id", "conv_id", F.col("doc_text").alias("text")
+        )
+        pairs = minhash_lsh_pairs(docs, n=3, tau=0.3)
+        out = corpus_export(
+            docs, pairs, min_quality=args.min_quality, lang=args.lang
+        ).join(docs.select("doc_id", "conv_id"), "doc_id")
+        if args.decontaminate:
+            # audit column over the export: train rows vs test shingles
+            flags = contamination_flags(
+                out.where("split = 'train'").join(
+                    docs.select("doc_id", "text"), "doc_id"
+                ),
+                out.where("split = 'test'").join(
+                    docs.select("doc_id", "text"), "doc_id"
+                ),
+                n=args.ngram,
+            ).select("doc_id", "contaminated")
+            out = out.join(flags, "doc_id", "left").withColumn(
+                "contaminated", F.coalesce("contaminated", F.lit(False))
+            )
+        cols = ["conv_id", "quality", "lang_pred", "split"] + (
+            ["contaminated"] if args.decontaminate else []
+        )
+        for r in out.orderBy("doc_id").collect():
+            print(json.dumps({c: r[c] for c in cols}))
         return 0
     if args.cmd == "query":
         if args.snippets and args.mode not in ("wand", "phrase"):

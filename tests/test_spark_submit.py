@@ -631,3 +631,37 @@ def test_cli_pivot_facet(spark, tmp_path, capsys):
     rc, flat = run("--q", "spark", "--width", "8")
     assert sum(r["n_docs"] for r in piv) == sum(r["n_docs"] for r in flat)
     assert run("--q", "spark", "--by", "pivot", "--gap", "0")[0] == 2
+
+
+def test_cli_export_verb(spark, tmp_path, capsys):
+    """The export verb runs the full corpus pipeline from a transcripts
+    source: JSON rows with quality/lang/split, optional contamination
+    audit column, 400 analogs for bad params."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    synth_transcripts(spark, n_convs=14, max_turns=5, seed=13).write.parquet(src)
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main(["export", "--input", src, *args])
+        out = capsys.readouterr().out
+        rows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+        return rc, rows
+
+    rc, rows = run("--min-quality", "0.2")
+    assert rc == 0 and rows
+    assert all({"conv_id", "quality", "lang_pred", "split"} <= set(r) for r in rows)
+    assert all(r["quality"] >= 0.2 and r["lang_pred"] == "en" for r in rows)
+    assert "contaminated" not in rows[0]
+
+    rc, flagged = run("--min-quality", "0.2", "--decontaminate", "--ngram", "2")
+    assert rc == 0 and flagged
+    assert all("contaminated" in r for r in flagged)
+    # non-train rows are never flagged (the audit targets train rows)
+    assert all(not r["contaminated"] for r in flagged if r["split"] != "train")
+
+    assert run("--min-quality", "1.5")[0] == 2
+    assert run("--lang", "xx")[0] == 2
+    assert run("--decontaminate", "--ngram", "0")[0] == 2
