@@ -72,6 +72,7 @@ from solr_ocr_processor_spark.operators.collapse import collapse_topk, group_top
 from solr_ocr_processor_spark.operators.facet import (
     date_facet_counts,
     facet_counts,
+    group_stats,
     pivot_facet_counts,
     stats_field,
 )
@@ -381,6 +382,15 @@ def _q_pivot_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/facet.py::pivot_facet_counts)."""
     idx = _index(spark, sf_dir)
     return pivot_facet_counts(spark, idx, FLAGSHIP_QUERY, width=64, gap_minutes=10)
+
+
+def _q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``stats.facet`` analog: the stats.field summary computed
+    per dl-bucket of the matching docs — group key rides the match
+    aggregation, one doc_meta join for the stats field
+    (operators/facet.py::group_stats)."""
+    idx = _index(spark, sf_dir)
+    return group_stats(spark, idx, FLAGSHIP_QUERY, width=64)
 
 
 def _q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -896,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_facet_counts": _q_date_facet_counts,
         "pivot_facet_counts": _q_pivot_facet_counts,
         "stats_dl": _q_stats_dl,
+        "group_stats": _q_group_stats,
         "doc_split": _q_doc_split,
         "doc_sample": _q_doc_sample,
         "collapse_topk": _q_collapse_topk,
@@ -1768,6 +1779,34 @@ SELECT CAST(floor(m.dl / 64.0) AS BIGINT) AS dl_bucket,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM m JOIN dated USING (doc_id)
 GROUP BY dl_bucket, ts_bucket ORDER BY dl_bucket, ts_bucket
+""",
+    # per-bucket stats: n_chars == length(text) (the ' '-join
+    # round-trip invariant), bucket from the match aggregation's dl
+    "group_stats": f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM ids),
+m AS (
+  SELECT doc_id, max(dl) AS dl
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id
+),
+nc AS (
+  SELECT 'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+         CAST(length(text) AS BIGINT) AS v
+  FROM documents
+),
+j AS (
+  SELECT CAST(floor(m.dl / 64.0) AS BIGINT) AS bucket, nc.v
+  FROM m JOIN ids USING (doc_id) JOIN nc USING (conv_id)
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(v) AS BIGINT) AS min,
+       CAST(max(v) AS BIGINT) AS max,
+       CAST(sum(v) AS BIGINT) AS sum,
+       round(avg(v), 6) AS mean,
+       round(stddev_samp(v), 6) AS stddev
+FROM j GROUP BY bucket ORDER BY bucket
 """,
     # split/sample: the same md5-first-15-hex-digits unit uniform the
     # engine computes in codegen (operators/split.py) — 60 bits, exact

@@ -228,3 +228,57 @@ def pivot_facet_counts(
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("dl_bucket", "ts_bucket")
     )
+
+
+def group_stats(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    width: int = 64,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-bucket stats — Solr's ``stats.field=n_chars&stats.facet=…``:
+    the :func:`stats_field` summary computed PER dl-bucket of the
+    matching docs instead of once globally. Returns (bucket, n, min,
+    max, sum, mean, stddev) over n_chars, ordered by bucket.
+
+    Plan: same match aggregation as the flat facet (dl rides the
+    posting rows — max(dl) per doc), ONE co-located doc_id join to
+    doc_meta for the stats field, then a |buckets|-row grouped
+    aggregation (map-side combinable). Adding the group key to the
+    stats reduction changes output cardinality, not plan shape —
+    stats.facet at 100 TB costs what stats.field costs."""
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+    terms = sorted(set(query_terms(query, cfg)))
+    if not terms:
+        return spark.createDataFrame(
+            [],
+            "bucket long, n long, min long, max long, sum long, "
+            "mean double, stddev double",
+        )
+    matched = _suppress(
+        index.postings.where(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl")),
+        exclude_docs,
+    )
+    joined = matched.join(
+        index.doc_meta.select("doc_id", "n_chars"), "doc_id"
+    ).select(
+        F.floor(F.col("dl") / F.lit(float(width))).cast("long").alias("bucket"),
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    return (
+        joined.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("v").cast("long").alias("min"),
+            F.max("v").cast("long").alias("max"),
+            F.sum("v").cast("long").alias("sum"),
+            F.round(F.avg("v"), 6).alias("mean"),
+            F.round(F.stddev_samp("v"), 6).alias("stddev"),
+        )
+        .orderBy("bucket")
+    )

@@ -779,3 +779,23 @@ def test_hash_split_and_sample(spark):
         hash_split(docs, {"train": 1.5, "val": -0.5})
     with pytest.raises(ValueError):
         deterministic_sample(docs, 1.5)
+
+
+def test_group_stats(spark, tiny):
+    """Per-dl-bucket stats: cells consistent with the flat stats
+    summary (marginal n/sum), one row per bucket with matches."""
+    from solr_ocr_processor_spark.operators.facet import group_stats, stats_field
+
+    got = group_stats(spark, tiny, "big data", width=1).collect()
+    assert got and all(r["n"] > 0 and r["min"] <= r["max"] for r in got)
+    flat = stats_field(spark, tiny, "big data", field="n_chars").first()
+    assert sum(r["n"] for r in got) == flat["n"]
+    assert sum(r["sum"] for r in got) == flat["sum"]
+    assert min(r["min"] for r in got) == flat["min"]
+    assert max(r["max"] for r in got) == flat["max"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        group_stats(spark, tiny, "big data", width=0)
+    assert group_stats(spark, tiny, "").count() == 0
