@@ -216,6 +216,23 @@ def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
+PROX_SLOP = 2
+
+
+def _q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q4 (full grammar): sloppy phrase ``"table value"~2`` —
+    Lucene SloppyPhraseQuery's ordered-window slop over the positions
+    payload (greedy nearest-next chaining kernel, exact; see
+    operators/query.py::_proximity_counts), ranked like phrase_topk."""
+    from solr_ocr_processor_spark.operators.query import proximity_topk
+
+    idx = _index(spark, sf_dir)
+    top = proximity_topk(
+        spark, idx, PHRASE, slop=PROX_SLOP, k=10, bidx=_block_index(spark, sf_dir)
+    )
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
 def _q_boolean_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY Q4/A9: positive AND NOT negative — BM25 over positives,
     anti-joined against docs containing the negative term."""
@@ -407,6 +424,52 @@ def _q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller fractions (scaling-law subsets), partition-independent
     (operators/split.py::deterministic_sample)."""
     return deterministic_sample(_docs(spark, sf_dir).select("doc_id"), 0.10)
+
+
+MIX_RATES = {"en": 0.5, "und": 0.9, "fr": 1.0}
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain-mixture sampling: domains from the lang-ID map
+    stage, per-domain keep rates applied content-addressed (md5
+    uniform) — the pretraining mixture knob, map-only and fully
+    oracle-replayable (operators/split.py::mixture_sample)."""
+    from solr_ocr_processor_spark.operators.split import mixture_sample
+
+    d = _docs(spark, sf_dir)
+    dom = lang_id(d).select("doc_id", F.col("lang_pred").alias("dom"))
+    return mixture_sample(dom, MIX_RATES, "dom").select("doc_id", "dom")
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (budget 128, 8 content-
+    addressed buckets): the trainer-facing layout step — one hash
+    exchange + window cumsum + explode, documents may straddle pack
+    boundaries (operators/split.py::pack_sequences)."""
+    from solr_ocr_processor_spark.operators.split import pack_sequences
+
+    d = token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+    return pack_sequences(d, budget=128, n_buckets=8)
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over deterministically planted PII (the synthetic
+    corpus carries none, so the query composes inject + redact; the
+    oracle replays both): ordered regexp_replace chain with per-class
+    counts, map-only (functions/redact.py::redact_pii)."""
+    from solr_ocr_processor_spark.functions.redact import redact_pii
+
+    d = _docs(spark, sf_dir)
+    planted = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("contact qa.bot+1@corp.example.org "), "text"),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("call 555-867-5309 "), "text"))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("host 192.168.0.1 "), "text"))
+        .otherwise(F.col("text"))
+    )
+    return redact_pii(d.select("doc_id", planted.alias("text")))
 
 
 def _q_stats_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -761,6 +824,15 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (distinct-token
+    fraction, top-2/3-gram occupancy) — one tokenization, two
+    map-side-combinable aggregations, zero UDFs/joins."""
+    from solr_ocr_processor_spark.functions.textstats import repetition_profile
+
+    return repetition_profile(_docs(spark, sf_dir))
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction (decode stubbed; Arrow-batched
     mapInPandas plumbing real). Checksum excluded from the oracle
@@ -891,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conjunctive_topk": _q_conjunctive_topk,
         "phrase_match": _q_phrase_match,
         "phrase_topk": _q_phrase_topk,
+        "proximity_topk": _q_proximity_topk,
         "boolean_not_topk": _q_boolean_not_topk,
         "boolean_nested_topk": _q_boolean_nested_topk,
         "prefix_topk": _q_prefix_topk,
@@ -909,6 +982,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_stats": _q_group_stats,
         "doc_split": _q_doc_split,
         "doc_sample": _q_doc_sample,
+        "mixture_sample": _q_mixture_sample,
+        "pack_sequences": _q_pack_sequences,
+        "pii_redact": _q_pii_redact,
         "collapse_topk": _q_collapse_topk,
         "sort_topk": _q_sort_topk,
         "paged_topk": _q_paged_topk,
@@ -939,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
+        "text_repetition": _q_text_repetition,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_resize": _q_multimodal_resize,
@@ -1097,6 +1174,83 @@ ORDER BY si.sum_idf * (ph.phrase_tf * 2.2)
          ids.doc_id ASC
 LIMIT 10
 """
+
+
+# Sloppy phrase "table value"~2 — for a 2-term ordered-window slop the
+# greedy chain reduces to EXISTS(next pos within 1+slop), i.e. one
+# windowed position join with count(DISTINCT anchor).
+_PROX_TOPK = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tokp AS (
+  SELECT doc_id, conv_id, dl, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM ids
+),
+p0 AS (SELECT doc_id, pos FROM tokp WHERE term = '{_PHRASE_T[0]}'),
+p1 AS (SELECT doc_id, pos FROM tokp WHERE term = '{_PHRASE_T[1]}'),
+prox AS (
+  SELECT p0.doc_id, CAST(count(DISTINCT p0.pos) AS BIGINT) AS prox_tf
+  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id
+       AND p1.pos > p0.pos AND p1.pos <= p0.pos + 1 + 2
+  GROUP BY p0.doc_id
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokp
+  WHERE term IN {_PHRASE_T!r} GROUP BY term
+),
+sidf AS (
+  SELECT sum(ln(1 + (s.n_docs - df + 0.5) / (df + 0.5))) AS sum_idf
+  FROM dfs CROSS JOIN stats s
+)
+SELECT ids.doc_id, ids.conv_id,
+       round(
+         si.sum_idf
+         * (prox.prox_tf * 2.2)
+         / (prox.prox_tf + 1.2 * (0.25 + 0.75 * ids.dl / s.avgdl)),
+         6
+       ) AS score
+FROM prox
+JOIN ids USING (doc_id)
+CROSS JOIN stats s CROSS JOIN sidf si
+ORDER BY si.sum_idf * (prox.prox_tf * 2.2)
+         / (prox.prox_tf + 1.2 * (0.25 + 0.75 * ids.dl / s.avgdl)) DESC,
+         ids.doc_id ASC
+LIMIT 10
+"""
+
+
+def _pii_redact_sql() -> str:
+    """Chained-CTE twin of functions/redact.py::redact_pii over the
+    same planted PII — each stage counts on, then rewrites, the
+    previous stage's text, mirroring the engine's ordered chain."""
+    from solr_ocr_processor_spark.functions.redact import PII_PATTERNS
+
+    sql = """
+WITH s0 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN 'contact qa.bot+1@corp.example.org ' || text
+         WHEN doc_id % 4 = 1 THEN 'call 555-867-5309 ' || text
+         WHEN doc_id % 4 = 2 THEN 'host 192.168.0.1 ' || text
+         ELSE text END AS t0
+  FROM documents)"""
+    counts = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        prev = ", ".join(counts)
+        sql += f""",
+s{i + 1} AS (
+  SELECT doc_id{", " + prev if prev else ""},
+    CAST(len(regexp_extract_all(t{i}, '{pat}')) AS BIGINT) AS n_{name},
+    regexp_replace(t{i}, '{pat}', '{repl}', 'g') AS t{i + 1}
+  FROM s{i})"""
+        counts.append(f"n_{name}")
+    n = len(PII_PATTERNS)
+    return sql + f"""
+SELECT doc_id, t{n} AS redacted, {", ".join(counts)} FROM s{n}
+"""
+
+
+_PII_REDACT_SQL = _pii_redact_sql()
 
 
 # --- pipeline-operator oracles --------------------------------------------
@@ -1829,6 +1983,52 @@ SELECT doc_id FROM (
   FROM documents)
 WHERE u < 0.10
 """,
+    "mixture_sample": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+v AS (SELECT doc_id,
+  len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS v_en,
+  len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS v_fr,
+  len(list_filter(toks, x -> x IN ('el','los','y','que','una'))) AS v_es,
+  len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS v_de
+ FROM t),
+d AS (SELECT doc_id,
+  CASE WHEN greatest(v_en, v_fr, v_es, v_de) = 0 THEN 'und'
+       WHEN v_de = greatest(v_en, v_fr, v_es, v_de) THEN 'de'
+       WHEN v_en = greatest(v_en, v_fr, v_es, v_de) THEN 'en'
+       WHEN v_es = greatest(v_en, v_fr, v_es, v_de) THEN 'es'
+       ELSE 'fr' END AS dom
+ FROM v),
+r AS (SELECT doc_id, dom,
+        CASE dom WHEN 'en' THEN 0.5 WHEN 'und' THEN 0.9
+                 WHEN 'fr' THEN 1.0 ELSE 0.0 END AS rate,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          / 1152921504606846976.0 AS u
+      FROM d)
+SELECT doc_id, dom FROM r WHERE rate >= 1.0 OR u < rate
+""",
+    "pack_sequences": f"""
+WITH t AS (SELECT doc_id,
+                  CAST(len({_TOKS}) AS BIGINT) + 1 AS n
+           FROM documents),
+b AS (SELECT doc_id, n,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+             AS INT) AS bucket
+      FROM t),
+s AS (SELECT doc_id, n, bucket,
+        CAST(coalesce(sum(n) OVER (PARTITION BY bucket ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+      FROM b),
+e AS (SELECT doc_id, bucket, n, st,
+        unnest(generate_series(st // 128, (st + n - 1) // 128)) AS seq
+      FROM s)
+SELECT doc_id,
+       CAST(bucket AS BIGINT) * 1099511627776 + seq AS pack_id,
+       CAST(greatest(seq * 128 - st, 0) AS BIGINT) AS tok_start,
+       CAST(least((seq + 1) * 128 - st, n - 1) AS BIGINT) AS tok_end
+FROM e
+WHERE least((seq + 1) * 128 - st, n - 1) > greatest(seq * 128 - st, 0)
+""",
+    "pii_redact": _PII_REDACT_SQL,
     "stats_dl": f"""
 WITH {_DOCS},
 tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM ids),
@@ -2230,6 +2430,33 @@ SELECT doc_id,
             AS BIGINT) AS fp
 FROM p GROUP BY doc_id
 """,
+    "text_repetition": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g1 AS (SELECT doc_id, 1 AS n, unnest(toks) AS gram FROM t),
+p2 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS p
+       FROM t WHERE len(toks) >= 2),
+g2 AS (SELECT doc_id, 2 AS n, toks[p] || ' ' || toks[p + 1] AS gram FROM p2),
+p3 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS p
+       FROM t WHERE len(toks) >= 3),
+g3 AS (SELECT doc_id, 3 AS n,
+              toks[p] || ' ' || toks[p + 1] || ' ' || toks[p + 2] AS gram
+       FROM p3),
+u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+cnt AS (SELECT doc_id, n, gram, count(*) AS c FROM u GROUP BY doc_id, n, gram),
+per AS (SELECT doc_id,
+               sum(CASE WHEN n = 1 THEN c ELSE 0 END) AS tot1,
+               sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS d1,
+               max(CASE WHEN n = 2 THEN c END) AS m2,
+               sum(CASE WHEN n = 2 THEN c ELSE 0 END) AS tot2,
+               max(CASE WHEN n = 3 THEN c END) AS m3,
+               sum(CASE WHEN n = 3 THEN c ELSE 0 END) AS tot3
+        FROM cnt GROUP BY doc_id)
+SELECT doc_id,
+       round(d1 * 1.0 / greatest(tot1, 1), 6) AS distinct_frac,
+       round(coalesce(m2, 0) * 1.0 / greatest(tot2, 1), 6) AS top2gram_frac,
+       round(coalesce(m3, 0) * 1.0 / greatest(tot3, 1), 6) AS top3gram_frac
+FROM per
+""",
     "multimodal_features": f"""
 SELECT doc_id AS media_id,
        CAST({_MEDIA_NB} AS BIGINT) AS n_bytes,
@@ -2290,6 +2517,7 @@ ORDER BY df DESC, term ASC LIMIT 50
         "phrase_highlight_offsets": _PHRASE_HL_OFFSETS,
         "phrase_snippet_render": _PHRASE_SNIPPET,
         "phrase_topk": _PHRASE_TOPK,
+        "proximity_topk": _PROX_TOPK,
         "membership_check": f"""
 WITH {_CTE},
 present AS (

@@ -60,12 +60,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=("wand", "and", "phrase", "not", "bool", "prefix", "fuzzy",
-                 "wildcard", "mm", "sort", "collapse", "group", "filter",
-                 "boost"),
+        choices=("wand", "and", "phrase", "near", "not", "bool", "prefix",
+                 "fuzzy", "wildcard", "mm", "sort", "collapse", "group",
+                 "filter", "boost"),
         default="wand",
         help="wand: BM25 OR-of-terms via the pruned block index; "
         "and: every term required; phrase: exact positional phrase; "
+        "near: sloppy phrase — terms in order within --slop extra "
+        "positions (Lucene '\"a b\"~N'); "
         "not: positives AND NOT --neg terms; "
         "bool: nested boolean grammar, e.g. 'a AND (b OR c) NOT d'; "
         "prefix: dictionary expansion of 'pre*'; "
@@ -80,6 +82,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     q.add_argument("--mm", type=int, default=2,
                    help="minimum matching terms for --mode mm")
+    q.add_argument("--slop", type=int, default=2,
+                   help="ordered-window slack for --mode near")
     q.add_argument("--group-limit", type=int, default=2,
                    help="docs per group for --mode group")
     q.add_argument("--half-life", type=float, default=30.0,
@@ -341,6 +345,20 @@ def main(argv: list[str] | None = None) -> int:
                 # everywhere the rarest term has no block
                 out = phrase_topk(
                     spark, idx, args.q, k=fetch_k, exclude_docs=dead_df,
+                    bidx=lifecycle.load_block_index(spark, store),
+                )
+            elif args.mode == "near":
+                from solr_ocr_processor_spark.operators.query import (
+                    proximity_topk,
+                )
+
+                if args.slop < 0:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": f"negative slop {args.slop}"}))
+                    return BAD_REQUEST_EXIT
+                out = proximity_topk(
+                    spark, idx, args.q, slop=args.slop, k=fetch_k,
+                    exclude_docs=dead_df,
                     bidx=lifecycle.load_block_index(spark, store),
                 )
             elif args.mode == "bool":

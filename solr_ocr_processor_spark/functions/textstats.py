@@ -149,6 +149,74 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _gram_expr(toks_col: str, n: int):
+    """n-gram array over an ALREADY-projected toks column, as a column
+    expression (0-based Spark array indexing). Guarded: fewer than n
+    tokens -> empty array (``sequence(0, negative)`` would descend)."""
+    if n == 1:
+        return F.col(toks_col)
+    parts = ", ".join(f"{toks_col}[i + {j}]" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({toks_col}) >= {n} THEN "
+        f"transform(sequence(0, size({toks_col}) - {n}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
+    )
+
+
+def repetition_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, distinct_frac, top2gram_frac, top3gram_frac): Gopher-
+    style repetition quality signals (Rae et al. 2021, "Scaling
+    Language Models", table A1 — the "fraction in most common n-gram"
+    family), token-count flavored:
+
+    - distinct_frac   = |distinct tokens| / |tokens|  (low => loopy)
+    - top{n}gram_frac = occurrences of the single most frequent n-gram
+                        / total n-gram occurrences, n in {2, 3}
+
+    Plan shape (scale audit): one projection builds 1/2/3-gram arrays
+    from ONE tokenization, a narrow union of three explodes feeds ONE
+    (doc_id, n, gram) hash aggregation (map-side combinable — the same
+    shape as the posting build's tf aggregation), then a second tiny
+    (doc_id) aggregation folds the three metrics with conditional
+    aggregates. No UDFs, no joins; docs with zero tokens produce no
+    rows (same in the SQL twin).
+    """
+    d = docs.select("doc_id", _toks(text_col).alias("toks"))
+    frames = [
+        d.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(_gram_expr("toks", n)).alias("gram"),
+        )
+        for n in (1, 2, 3)
+    ]
+    u = frames[0].unionAll(frames[1]).unionAll(frames[2])
+    cnt = u.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per = cnt.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("c")).otherwise(0)).alias("tot1"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("d1"),
+        F.max(F.when(F.col("n") == 2, F.col("c"))).alias("m2"),
+        F.sum(F.when(F.col("n") == 2, F.col("c")).otherwise(0)).alias("tot2"),
+        F.max(F.when(F.col("n") == 3, F.col("c"))).alias("m3"),
+        F.sum(F.when(F.col("n") == 3, F.col("c")).otherwise(0)).alias("tot3"),
+    )
+    return per.select(
+        "doc_id",
+        F.round(F.col("d1") / F.greatest(F.col("tot1"), F.lit(1)), 6).alias(
+            "distinct_frac"
+        ),
+        F.round(
+            F.coalesce(F.col("m2"), F.lit(0)) / F.greatest(F.col("tot2"), F.lit(1)),
+            6,
+        ).alias("top2gram_frac"),
+        F.round(
+            F.coalesce(F.col("m3"), F.lit(0)) / F.greatest(F.col("tot3"), F.lit(1)),
+            6,
+        ).alias("top3gram_frac"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fp): order-independent content fingerprint — sum over
     token occurrences of the 40-bit md5 prefix of ``term:position``.

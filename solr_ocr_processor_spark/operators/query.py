@@ -387,6 +387,193 @@ def _phrase_counts(
     return sub.mapInPandas(_anchors, "doc_id long, phrase_tf long, dl long")
 
 
+def _proximity_counts(
+    index: Index, phrase_terms: list[str], slop: int, bidx=None, dfs=None
+) -> DataFrame:
+    """(doc_id, prox_tf, dl): sloppy-phrase occurrence count — Lucene's
+    ``"a b"~N`` surface (SloppyPhraseQuery; the reference forwards the
+    full Lucene grammar to Solr, app/process/solr.go:48-49).
+
+    Semantics (ordered-window, documented for the oracle): the phrase
+    [t0..tk-1] matches at anchor p0 iff strictly increasing positions
+    p0 < p1 < ... < pk-1 exist with span slack
+    ``p_{k-1} - p0 - (k-1) <= slop``; prox_tf counts matching anchors
+    p0. slop=0 degenerates to the exact phrase. (For two terms this is
+    exactly Lucene's no-reorder slop distance.)
+
+    Same distributed shape as :func:`_phrase_counts` — dictionary
+    filter + block-range prune + ONE doc-clustered shuffle — but the
+    kernel chains GREEDILY instead of key-intersecting: for each
+    candidate chain at term i, the next position is the nearest
+    posting of term i+1 after it (one ``np.searchsorted`` per term
+    over packed (doc, pos) keys). Greedy minimizes the chain's end
+    position, hence its span, so greedy-existence == any-chain
+    existence: the kernel is exact, k-1 vectorized binary searches
+    over the query terms' postings only.
+    """
+    import pandas as pd
+
+    terms = list(dict.fromkeys(phrase_terms))
+    k = len(phrase_terms)
+    num_partitions = int(
+        index.postings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    sub = index.postings.where(F.col("term").isin(terms)).select(
+        "term", "doc_id", "tf", "dl", "pos_bytes"
+    )
+    if bidx is not None:
+        # positions don't matter for the range prune: every term must
+        # still appear somewhere in the doc's 4096-doc range
+        if dfs is None:
+            dfs = {
+                r["term"]: r["df"]
+                for r in index.term_stats.where(F.col("term").isin(terms)).collect()
+            }
+        if min((dfs.get(t, 0) for t in terms), default=0) <= _PRUNE_MAX_RANGES:
+            cand = (
+                bidx.blocks.where(F.col("term").isin(terms))
+                .select("term", "range_id")
+                .distinct()
+                .groupBy("range_id")
+                .agg(F.count(F.lit(1)).alias("_nt"))
+                .where(F.col("_nt") == len(terms))
+                .select("range_id")
+            )
+            rs = int(bidx.cfg.range_size)
+            sub = (
+                sub.withColumn(
+                    "range_id", (F.col("doc_id") / F.lit(rs)).cast("long")
+                )
+                .join(F.broadcast(cand), "range_id")
+                .drop("range_id")
+            )
+    sub = sub.repartition(num_partitions, "doc_id")
+    max_slack = k - 1 + slop  # chain span bound: p_{k-1} - p0 <= this
+
+    def _chains(batches):
+        import numpy as np
+
+        from ..functions.codec import decode_positions
+
+        docs_by_term: dict[str, list[np.ndarray]] = {t: [] for t in terms}
+        pos_by_term: dict[str, list[np.ndarray]] = {t: [] for t in terms}
+        row_docs: list[np.ndarray] = []
+        row_dls: list[np.ndarray] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tfs_all = pdf["tf"].values.astype(np.int64)
+            pos_all = decode_positions(tfs_all, b"".join(pdf["pos_bytes"].values))
+            doc_rep = np.repeat(pdf["doc_id"].values.astype(np.int64), tfs_all)
+            term_rep = np.repeat(pdf["term"].values, tfs_all)
+            row_docs.append(pdf["doc_id"].values.astype(np.int64))
+            row_dls.append(pdf["dl"].values.astype(np.int64))
+            for t in terms:
+                m = term_rep == t
+                docs_by_term[t].append(doc_rep[m])
+                pos_by_term[t].append(pos_all[m])
+        for t in terms:
+            if not docs_by_term[t]:
+                return
+        uniq_docs = np.unique(
+            np.concatenate([np.concatenate(docs_by_term[t]) for t in terms])
+        )
+        # packed sorted (doc, pos) keys per term slot (dup terms reuse)
+        keys_of: dict[str, np.ndarray] = {}
+        for t in terms:
+            d = np.concatenate(docs_by_term[t])
+            p = np.concatenate(pos_by_term[t])
+            li = np.searchsorted(uniq_docs, d)
+            keys_of[t] = np.sort((li << np.int64(_ANCHOR_SHIFT)) | p)
+        cur = keys_of[phrase_terms[0]]
+        start = cur & np.int64((1 << _ANCHOR_SHIFT) - 1)
+        for t in phrase_terms[1:]:
+            nxt_keys = keys_of[t]
+            idx = np.searchsorted(nxt_keys, cur + 1)
+            ok = idx < nxt_keys.size
+            cand = nxt_keys[idx[ok]]
+            same = (cand >> np.int64(_ANCHOR_SHIFT)) == (
+                cur[ok] >> np.int64(_ANCHOR_SHIFT)
+            )
+            cur = cand[same]
+            start = start[ok][same]
+            if not cur.size:
+                return
+        span_ok = (
+            (cur & np.int64((1 << _ANCHOR_SHIFT) - 1)) - start
+        ) <= max_slack
+        cur = cur[span_ok]
+        if not cur.size:
+            return
+        docs = uniq_docs[cur >> np.int64(_ANCHOR_SHIFT)]
+        udoc, utf = np.unique(docs, return_counts=True)
+        rd = np.concatenate(row_docs)
+        rl = np.concatenate(row_dls)
+        order = np.argsort(rd, kind="stable")
+        rd, rl = rd[order], rl[order]
+        first = np.concatenate(([True], rd[1:] != rd[:-1]))
+        rd, rl = rd[first], rl[first]
+        dl_of = rl[np.searchsorted(rd, udoc)]
+        yield pd.DataFrame(
+            {"doc_id": udoc, "prox_tf": utf.astype(np.int64), "dl": dl_of}
+        )
+
+    return sub.mapInPandas(_chains, "doc_id long, prox_tf long, dl long")
+
+
+def proximity_topk(
+    spark: SparkSession,
+    index: Index,
+    phrase: str,
+    slop: int,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+    bidx=None,
+) -> DataFrame:
+    """Sloppy-phrase query ranked like :func:`phrase_topk`:
+    ``(Σ_t idf(t)) * tfnorm(prox_tf, dl, avgdl)``, ties doc_id asc."""
+    terms = [t for _, t, _, _ in tokenize_text(phrase, cfg)]
+    empty = spark.createDataFrame([], "doc_id long, conv_id string, score double")
+    if not terms:
+        return empty
+    crow = index.corpus.first()
+    n_docs, avgdl = int(crow["n_docs"]), float(crow["avgdl"])
+    dfs = {
+        r["term"]: r["df"]
+        for r in index.term_stats.where(F.col("term").isin(list(set(terms)))).collect()
+    }
+    if any(t not in dfs for t in terms):
+        return empty
+    import math
+
+    sum_idf = sum(
+        math.log1p((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in terms
+    )
+    k1, b = float(cfg.k1), float(cfg.b)
+    counts = _suppress(
+        _proximity_counts(index, terms, slop, bidx, dfs=dfs), exclude_docs
+    )
+    top = (
+        counts.withColumn(
+            "score",
+            F.lit(sum_idf)
+            * (
+                (F.col("prox_tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("prox_tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                )
+            ),
+        )
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return resolve_conv_ids(index, top)
+
+
 def phrase_match(
     spark: SparkSession,
     index: Index,

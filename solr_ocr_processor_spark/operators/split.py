@@ -93,3 +93,119 @@ def deterministic_sample(
         # rounds to exactly 1.0 in double, which `u < 1.0` would drop
         return docs
     return docs.where(unit_hash(F.col(id_col)) < F.lit(float(fraction)))
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    domain_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted domain-mixture sampling — the pretraining 'data
+    mixture' knob: keep each row with its domain's rate, content-
+    addressed (keep iff ``unit_hash(id) < rates[domain]``), so the
+    drawn mixture is reproducible, monotone in the rates, and
+    replayable by the oracle. Domains absent from ``rates`` drop
+    (rate 0); rate >= 1.0 keeps unconditionally (dodging the
+    ``u < 1.0`` double-rounding hazard, see deterministic_sample).
+
+    Map-only: a CASE ladder over the domain column plus one md5 — no
+    shuffle, no UDF; sampling 100 TB costs the scan."""
+    if not rates:
+        raise ValueError("rates must be non-empty")
+    for dom, r in rates.items():
+        if r < 0:
+            raise ValueError(f"negative rate for {dom!r}: {r}")
+    rate = F.lit(0.0)
+    for dom, r in rates.items():
+        rate = F.when(F.col(domain_col) == dom, F.lit(float(r))).otherwise(rate)
+    u = unit_hash(F.col(id_col))
+    return docs.where((rate >= 1.0) | (u < rate))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the trainer-facing layout
+    step: documents concatenate in id order (each contributing
+    ``n_tokens + 1`` slots, the +1 an EOS separator) and the token
+    stream chunks into fixed ``budget``-token sequences; emits one row
+    per (document, sequence) overlap with the doc-local token span
+    that lands in that sequence. This is the standard GPT-style
+    packing (documents may straddle pack boundaries), not bin-packing
+    — no placement decisions, hence fully declarative and exactly
+    SQL-replayable.
+
+    Scale shape: a single GLOBAL running sum would serialize on one
+    partition, so the stream is sharded into ``n_buckets``
+    content-addressed buckets (md5 of the id — deterministic, not
+    partitioning-dependent); each bucket packs independently
+    (sequences never cross buckets — at 100 TB each bucket is still
+    billions of tokens, and trainers shard anyway). The plan is ONE
+    hash exchange on bucket + a window cumulative sum + an explode;
+    no UDFs, no driver state.
+
+    Output: (doc_id, pack_id, tok_start, tok_end) — the [tok_start,
+    tok_end) slice of the doc's own tokens (EOS slot excluded from
+    spans) that fills pack ``pack_id``; pack_id = bucket * 2^40 +
+    seq-within-bucket.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, _HEX_DIGITS),
+        16,
+        10,
+    ).cast("long")
+    d = docs.select(
+        id_col,
+        F.pmod(h, F.lit(n_buckets)).cast("int").alias("bucket"),
+        (F.col(n_tokens_col) + 1).cast("long").alias("_n"),  # +1 EOS
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    d = d.withColumn(
+        "_start",
+        F.coalesce(
+            F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn("_end", F.col("_start") + F.col("_n"))
+    b = F.lit(int(budget))
+    d = d.select(
+        id_col,
+        "bucket",
+        "_start",
+        "_n",
+        F.floor(F.col("_start") / b).alias("_s0"),
+        F.floor((F.col("_end") - 1) / b).alias("_s1"),
+    )
+    e = d.select(
+        id_col,
+        "bucket",
+        "_start",
+        "_n",
+        F.explode(F.sequence("_s0", "_s1")).alias("_seq"),
+    )
+    tok_start = F.greatest(e["_seq"] * b - F.col("_start"), F.lit(0))
+    # span within the doc's own tokens: the final +1 EOS slot is not a
+    # token, so cap at _n - 1
+    tok_end = F.least((e["_seq"] + 1) * b - F.col("_start"), F.col("_n") - 1)
+    return (
+        e.select(
+            id_col,
+            (F.col("bucket").cast("long") * F.lit(1 << 40) + F.col("_seq")).alias(
+                "pack_id"
+            ),
+            tok_start.cast("long").alias("tok_start"),
+            tok_end.cast("long").alias("tok_end"),
+        )
+        # a doc whose only slot in this pack is its EOS separator
+        # contributes no token span — drop the empty row (same in SQL)
+        .where(F.col("tok_end") > F.col("tok_start"))
+    )

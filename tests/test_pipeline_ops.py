@@ -8,6 +8,7 @@ import hashlib
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from solr_ocr_processor_spark.operators.ann import (
     cosine_topk,
@@ -540,6 +541,98 @@ def test_text_profile_parity(spark, docs_tbl=None):
     q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
     lg = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
     assert got == {d: (q[d], lg[d]) for d in q}
+
+
+def test_repetition_profile_hand_computed(spark):
+    """Gopher-style repetition signals on hand-countable docs."""
+    from solr_ocr_processor_spark.functions.textstats import repetition_profile
+
+    rows = [
+        (0, "a b a b a b"),        # 6 toks, 2 distinct; 2-grams: a-b x3, b-a x2
+        (1, "x y z w"),            # all distinct, every 2-gram unique
+        (2, "q q q q"),            # total loop
+        (3, "solo"),               # 1 token: no 2/3-grams -> fracs 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["distinct_frac"], r["top2gram_frac"], r["top3gram_frac"])
+        for r in repetition_profile(docs).collect()
+    }
+    assert got[0] == (round(2 / 6, 6), round(3 / 5, 6), round(2 / 4, 6))
+    assert got[1] == (1.0, round(1 / 3, 6), 0.5)
+    assert got[2] == (0.25, 1.0, 1.0)
+    assert got[3] == (1.0, 0.0, 0.0)
+
+
+def test_redact_pii_chain_and_counts(spark):
+    from solr_ocr_processor_spark.functions.redact import redact_pii
+
+    rows = [
+        (0, "reach bob.smith+1@corp.example.org or 555-123-4567 now"),
+        (1, "ssn 123-45-6789 host 10.0.0.1"),
+        (2, "clean text no pii"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(docs).collect()}
+    assert got[0]["redacted"] == "reach <EMAIL> or <PHONE> now"
+    assert (got[0]["n_email"], got[0]["n_phone"]) == (1, 1)
+    assert got[1]["redacted"] == "ssn <SSN> host <IP>"
+    assert (got[1]["n_ssn"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 1, 0)
+    assert got[2]["redacted"] == "clean text no pii"
+    assert sum(got[2][f"n_{k}"] for k in ("email", "ipv4", "ssn", "phone")) == 0
+
+
+def test_mixture_sample_degenerate_and_uniform_rate(spark):
+    """rate 1.0 keeps all (even hairline hashes), rate 0 drops all;
+    a uniform mixture equals deterministic_sample at the same rate."""
+    from solr_ocr_processor_spark.operators.split import (
+        deterministic_sample,
+        mixture_sample,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("dom"),
+    )
+    kept = mixture_sample(docs, {"a": 1.0, "b": 0.0}, "dom").collect()
+    assert {r["dom"] for r in kept} == {"a"} and len(kept) == 100
+    uni = {r["doc_id"] for r in mixture_sample(docs, {"a": 0.4, "b": 0.4}, "dom").collect()}
+    ref = {r["doc_id"] for r in deterministic_sample(docs, 0.4).collect()}
+    assert uni == ref
+
+
+def test_pack_sequences_hand_layout(spark):
+    from solr_ocr_processor_spark.operators.split import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, 5), (1, 3), (2, 2), (3, 4)], "doc_id long, n_tokens long"
+    )
+    got = sorted(
+        (r["doc_id"], r["pack_id"], r["tok_start"], r["tok_end"])
+        for r in pack_sequences(docs, budget=6, n_buckets=1).collect()
+    )
+    assert got == [(0, 0, 0, 5), (1, 1, 0, 3), (2, 1, 0, 2), (3, 2, 0, 4)]
+
+
+def test_pack_sequences_every_token_placed_once(spark):
+    """Invariants on a random-ish corpus: per-doc placed spans tile
+    [0, n_tokens) exactly; per-pack occupancy <= budget."""
+    from solr_ocr_processor_spark.operators.split import pack_sequences
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(37)) + 1).alias("n_tokens"),
+    )
+    out = pack_sequences(docs, budget=48, n_buckets=4).toPandas()
+    n_of = {r["doc_id"]: r["n_tokens"] for r in docs.collect()}
+    per_doc = out.groupby("doc_id")
+    for doc_id, g in per_doc:
+        g = g.sort_values("tok_start")
+        assert g["tok_start"].iloc[0] == 0
+        assert g["tok_end"].iloc[-1] == n_of[doc_id]
+        assert (g["tok_end"].values[:-1] == g["tok_start"].values[1:]).all()
+    occ = (out["tok_end"] - out["tok_start"]).groupby(out["pack_id"]).sum()
+    assert (occ <= 48).all()
 
 
 def test_dup_clusters_induced_subgraph(spark):

@@ -71,6 +71,119 @@ def test_phrase_topk_ranks_by_tfnorm(spark, tiny):
     assert top[0]["score"] > top[1]["score"] > 0
 
 
+# --- sloppy phrase (proximity) ----------------------------------------------
+
+
+def test_proximity_slop_ladder_two_terms(spark, tiny):
+    """c0 doc tokens [big,data,is,big,data,big,data,pipelines]:
+    'big pipelines' greedy chains 0->7 (slack 6), 3->7 (slack 3),
+    5->7 (slack 1); anchors admitted as slop rises."""
+    from solr_ocr_processor_spark.operators.query import _proximity_counts
+
+    def tf_at(slop):
+        rows = _proximity_counts(tiny, ["big", "pipelines"], slop).collect()
+        return {r["doc_id"]: r["prox_tf"] for r in rows}
+
+    assert tf_at(0) == {}
+    assert list(tf_at(1).values()) == [1]
+    assert list(tf_at(3).values()) == [2]
+    assert list(tf_at(6).values()) == [3]
+
+
+def test_proximity_slop0_equals_exact_phrase(spark, tiny):
+    from solr_ocr_processor_spark.operators.query import (
+        _phrase_counts,
+        _proximity_counts,
+    )
+
+    exact = {
+        (r["doc_id"], r["phrase_tf"])
+        for r in _phrase_counts(tiny, ["big", "data"]).collect()
+    }
+    prox = {
+        (r["doc_id"], r["prox_tf"])
+        for r in _proximity_counts(tiny, ["big", "data"], 0).collect()
+    }
+    assert exact == prox
+
+
+def test_proximity_three_term_chain(spark, tiny):
+    """'big data pipelines' on c0: chains (0,1,7) slack 5, (3,4,7)
+    slack 2, (5,6,7) slack 0."""
+    from solr_ocr_processor_spark.operators.query import _proximity_counts
+
+    def tf_at(slop):
+        rows = _proximity_counts(
+            tiny, ["big", "data", "pipelines"], slop
+        ).collect()
+        return sum(r["prox_tf"] for r in rows)
+
+    assert tf_at(0) == 1
+    assert tf_at(2) == 2
+    assert tf_at(5) == 3
+
+
+def test_proximity_greedy_equals_bruteforce(spark):
+    """Greedy chaining == any-chain existence, on a seeded random
+    corpus vs a brute-force itertools reference."""
+    import itertools
+    import random
+
+    from solr_ocr_processor_spark.operators.query import _proximity_counts
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "x"]
+    convs = []
+    texts = []
+    for ci in range(12):
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(3, 20))]
+        texts.append(toks)
+        convs.append((f"c{ci:02d}", 0, "user", " ".join(toks), None, TS))
+    t = spark.createDataFrame(convs, TRANSCRIPT_SCHEMA)
+    idx = build_postings(t)
+
+    def brute(toks, terms, slop):
+        pos = {t_: [i for i, w in enumerate(toks) if w == t_] for t_ in set(terms)}
+        if any(not pos[t_] for t_ in terms):
+            return 0
+        n = 0
+        for p0 in pos[terms[0]]:
+            found = False
+            for chain in itertools.product(*[pos[t_] for t_ in terms[1:]]):
+                seq = [p0, *chain]
+                if all(b > a for a, b in zip(seq, seq[1:])) and (
+                    seq[-1] - seq[0] - (len(terms) - 1) <= slop
+                ):
+                    found = True
+                    break
+            if found:
+                n += 1
+        return n
+
+    for terms, slop in [(["a", "b"], 0), (["a", "b"], 2), (["a", "b", "c"], 3)]:
+        got = {
+            r["doc_id"]: r["prox_tf"]
+            for r in _proximity_counts(idx, terms, slop).collect()
+        }
+        # doc ids are dense by sorted conv_id == input order here
+        want = {
+            i: brute(toks, terms, slop)
+            for i, toks in enumerate(texts)
+            if brute(toks, terms, slop) > 0
+        }
+        assert got == want, (terms, slop)
+
+
+def test_proximity_topk_scores_and_ties(spark, tiny):
+    from solr_ocr_processor_spark.operators.query import proximity_topk
+
+    top = proximity_topk(spark, tiny, "big pipelines", slop=6, k=5).collect()
+    assert len(top) == 1 and top[0]["conv_id"] == "c0"
+    assert top[0]["score"] > 0
+    # unseen term short-circuits to empty
+    assert proximity_topk(spark, tiny, "big zzzz", slop=4).count() == 0
+
+
 # --- nested boolean grammar ------------------------------------------------
 
 

@@ -153,6 +153,17 @@ def test_cli_query_modes(spark, tmp_path, capsys):
     both = {r["conv_id"] for r in run("--q", "spark merge", "--k", "100", "--mode", "and")[1]}
     assert not ({r["conv_id"] for r in neg} & both)
 
+    # near (sloppy phrase): slop large enough behaves like AND-with-
+    # order, so its hit set sits between exact phrase and conjunctive;
+    # exact-phrase hits are always near hits at any slop
+    rc, near = run("--q", "spark merge", "--k", "100", "--mode", "near",
+                   "--slop", "8")
+    assert rc == 0
+    ph_all = run("--q", "spark merge", "--k", "100", "--mode", "phrase")[1]
+    assert {r["conv_id"] for r in ph_all} <= {r["conv_id"] for r in near}
+    assert {r["conv_id"] for r in near} <= both | {r["conv_id"] for r in ph_all}
+    assert run("--q", "spark merge", "--mode", "near", "--slop", "-1")[0] == 2
+
 
 def test_cli_check_is_cluster_free(spark, tmp_path, capsys, monkeypatch):
     """The check verb is a point lookup against the store's parquet
