@@ -233,6 +233,25 @@ def _q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
+RERANK_WINDOW, RERANK_WEIGHT = 40, 2.0
+
+
+def _q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ReRank query parser (``rq={!rerank reRankQuery=...
+    reRankDocs=40 reRankWeight=2}``): the flagship BM25 ranking's top
+    40 docs rescored as original + 2 * sloppy-phrase score of
+    ``"table value"~2`` — the positional pass touches only the window
+    (operators/query.py::rerank_topk)."""
+    from solr_ocr_processor_spark.operators.query import rerank_topk
+
+    idx = _index(spark, sf_dir)
+    top = rerank_topk(
+        spark, idx, FLAGSHIP_QUERY, PHRASE, slop=PROX_SLOP,
+        window=RERANK_WINDOW, weight=RERANK_WEIGHT, k=10,
+    )
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
 def _q_boolean_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY Q4/A9: positive AND NOT negative — BM25 over positives,
     anti-joined against docs containing the negative term."""
@@ -964,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "phrase_topk": _q_phrase_topk,
         "proximity_topk": _q_proximity_topk,
+        "rerank_topk": _q_rerank_topk,
         "boolean_not_topk": _q_boolean_not_topk,
         "boolean_nested_topk": _q_boolean_nested_topk,
         "prefix_topk": _q_prefix_topk,
@@ -1216,6 +1236,70 @@ CROSS JOIN stats s CROSS JOIN sidf si
 ORDER BY si.sum_idf * (prox.prox_tf * 2.2)
          / (prox.prox_tf + 1.2 * (0.25 + 0.75 * ids.dl / s.avgdl)) DESC,
          ids.doc_id ASC
+LIMIT 10
+"""
+
+
+# ReRank: BM25 top-40 window, rescored original + 2 * sloppy-phrase
+# score ("table value"~2); window docs the rerank query misses keep
+# their original score (LEFT JOIN + coalesce 0).
+_RERANK_TOPK = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+),
+win AS (SELECT doc_id, conv_id, raw FROM scored
+        ORDER BY raw DESC, doc_id ASC LIMIT 40),
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM ids
+),
+p0 AS (SELECT doc_id, pos FROM tokp WHERE term = '{_PHRASE_T[0]}'),
+p1 AS (SELECT doc_id, pos FROM tokp WHERE term = '{_PHRASE_T[1]}'),
+prox AS (
+  SELECT p0.doc_id, CAST(count(DISTINCT p0.pos) AS BIGINT) AS prox_tf
+  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id
+       AND p1.pos > p0.pos AND p1.pos <= p0.pos + 1 + 2
+  GROUP BY p0.doc_id
+),
+pdfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokp
+  WHERE term IN {_PHRASE_T!r} GROUP BY term
+),
+sidf AS (
+  SELECT sum(ln(1 + (s.n_docs - df + 0.5) / (df + 0.5))) AS sum_idf
+  FROM pdfs CROSS JOIN stats s
+),
+combined AS (
+  SELECT w.doc_id, w.conv_id,
+         w.raw + 2.0 * coalesce(
+           si.sum_idf * (prox.prox_tf * 2.2)
+           / (prox.prox_tf + 1.2 * (0.25 + 0.75 * ids.dl / s.avgdl)),
+           0.0
+         ) AS c
+  FROM win w
+  LEFT JOIN prox ON prox.doc_id = w.doc_id
+  JOIN ids ON ids.doc_id = w.doc_id
+  CROSS JOIN stats s CROSS JOIN sidf si
+)
+SELECT doc_id, conv_id, round(c, 6) AS score
+FROM combined
+ORDER BY c DESC, doc_id ASC
 LIMIT 10
 """
 
@@ -2518,6 +2602,7 @@ ORDER BY df DESC, term ASC LIMIT 50
         "phrase_snippet_render": _PHRASE_SNIPPET,
         "phrase_topk": _PHRASE_TOPK,
         "proximity_topk": _PROX_TOPK,
+        "rerank_topk": _RERANK_TOPK,
         "membership_check": f"""
 WITH {_CTE},
 present AS (

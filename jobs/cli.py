@@ -60,14 +60,16 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=("wand", "and", "phrase", "near", "not", "bool", "prefix",
-                 "fuzzy", "wildcard", "mm", "sort", "collapse", "group",
-                 "filter", "boost"),
+        choices=("wand", "and", "phrase", "near", "rerank", "not", "bool",
+                 "prefix", "fuzzy", "wildcard", "mm", "sort", "collapse",
+                 "group", "filter", "boost"),
         default="wand",
         help="wand: BM25 OR-of-terms via the pruned block index; "
         "and: every term required; phrase: exact positional phrase; "
         "near: sloppy phrase — terms in order within --slop extra "
         "positions (Lucene '\"a b\"~N'); "
+        "rerank: BM25 top --rwindow docs rescored original + "
+        "--rweight * sloppy-phrase score of --rq (Solr rq={!rerank}); "
         "not: positives AND NOT --neg terms; "
         "bool: nested boolean grammar, e.g. 'a AND (b OR c) NOT d'; "
         "prefix: dictionary expansion of 'pre*'; "
@@ -83,7 +85,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--mm", type=int, default=2,
                    help="minimum matching terms for --mode mm")
     q.add_argument("--slop", type=int, default=2,
-                   help="ordered-window slack for --mode near")
+                   help="ordered-window slack for --mode near/rerank")
+    q.add_argument("--rq", default="",
+                   help="rerank phrase for --mode rerank (Solr reRankQuery)")
+    q.add_argument("--rweight", type=float, default=2.0,
+                   help="rerank boost weight for --mode rerank (>= 0)")
+    q.add_argument("--rwindow", type=int, default=40,
+                   help="rerank window size for --mode rerank (reRankDocs)")
     q.add_argument("--group-limit", type=int, default=2,
                    help="docs per group for --mode group")
     q.add_argument("--half-life", type=float, default=30.0,
@@ -360,6 +368,23 @@ def main(argv: list[str] | None = None) -> int:
                     spark, idx, args.q, slop=args.slop, k=fetch_k,
                     exclude_docs=dead_df,
                     bidx=lifecycle.load_block_index(spark, store),
+                )
+            elif args.mode == "rerank":
+                from solr_ocr_processor_spark.operators.query import (
+                    rerank_topk,
+                )
+
+                if not args.rq or args.rweight < 0 or args.slop < 0:
+                    print(json.dumps({
+                        "error": "bad_request",
+                        "detail": "rerank needs --rq, --rweight >= 0 "
+                                  "and --slop >= 0",
+                    }))
+                    return BAD_REQUEST_EXIT
+                out = rerank_topk(
+                    spark, idx, args.q, args.rq, slop=args.slop,
+                    window=max(args.rwindow, fetch_k), weight=args.rweight,
+                    k=fetch_k, exclude_docs=dead_df,
                 )
             elif args.mode == "bool":
                 # parse errors are the 400 analog (Solr would reject

@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT, IndexConfig
 from ..functions.tokenizer import query_terms, tokenize_text
 from .build import Index
-from .score import _suppress, bm25_scores, bm25_scores_terms, resolve_conv_ids
+from .score import (
+    _suppress,
+    bm25_scores,
+    bm25_scores_terms,
+    bm25_topk,
+    resolve_conv_ids,
+)
 
 
 def conjunctive_topk(
@@ -388,7 +394,12 @@ def _phrase_counts(
 
 
 def _proximity_counts(
-    index: Index, phrase_terms: list[str], slop: int, bidx=None, dfs=None
+    index: Index,
+    phrase_terms: list[str],
+    slop: int,
+    bidx=None,
+    dfs=None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, prox_tf, dl): sloppy-phrase occurrence count — Lucene's
     ``"a b"~N`` surface (SloppyPhraseQuery; the reference forwards the
@@ -421,7 +432,15 @@ def _proximity_counts(
     sub = index.postings.where(F.col("term").isin(terms)).select(
         "term", "doc_id", "tf", "dl", "pos_bytes"
     )
-    if bidx is not None:
+    if candidates is not None:
+        # rerank-window restriction: decode positions ONLY for the
+        # window's candidate set (broadcast semi-join — the window
+        # never exceeds Solr's reRankDocs, so this side is tiny and
+        # subsumes the block-range prune)
+        sub = sub.join(
+            F.broadcast(candidates.select("doc_id").distinct()), "doc_id"
+        )
+    elif bidx is not None:
         # positions don't matter for the range prune: every term must
         # still appear somewhere in the doc's 4096-doc range
         if dfs is None:
@@ -572,6 +591,91 @@ def proximity_topk(
         .limit(k)
     )
     return resolve_conv_ids(index, top)
+
+
+def rerank_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    rerank_phrase: str,
+    slop: int = 0,
+    window: int = 40,
+    weight: float = 2.0,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+    bidx=None,
+) -> DataFrame:
+    """Solr's ReRank query parser (``rq={!rerank reRankQuery=...
+    reRankDocs=N reRankWeight=W}`` — the reference forwards the full
+    query string to Solr, app/process/solr.go:48-49): run the main
+    BM25 query, take its top ``window`` docs, and rescore ONLY that
+    window as ``original + W * rerank_score``, where rerank_score is
+    the sloppy-phrase score of ``rerank_phrase`` (0 for window docs
+    the rerank query misses — Solr's additive contract).
+
+    With ``weight >= 0`` and ``k <= window`` the window top-k IS the
+    global top-k (boosts only raise window docs, which already
+    dominate every non-window doc), so both are enforced.
+
+    Scale shape — the whole point of rerank at 100 TB: the expensive
+    positional pass never touches the corpus. The main query is the
+    ordinary TakeOrderedAndProject ranking; the proximity kernel runs
+    with ``candidates`` = the window's doc ids (broadcast semi-join on
+    the posting scan), so position payloads decode for at most
+    ``window`` docs regardless of corpus size.
+    """
+    if weight < 0:
+        raise ValueError(f"weight must be >= 0, got {weight}")
+    if k > window:
+        raise ValueError(f"k ({k}) must not exceed window ({window})")
+    cand = bm25_topk(spark, index, query, k=window, cfg=cfg,
+                     exclude_docs=exclude_docs)
+    terms = [t for _, t, _, _ in tokenize_text(rerank_phrase, cfg)]
+    boosted = cand.withColumn("_boost", F.lit(0.0))
+    if terms:
+        dfs = {
+            r["term"]: r["df"]
+            for r in index.term_stats.where(
+                F.col("term").isin(list(set(terms)))
+            ).collect()
+        }
+        if all(t in dfs for t in terms):
+            import math
+
+            crow = index.corpus.first()
+            n_docs, avgdl = int(crow["n_docs"]), float(crow["avgdl"])
+            sum_idf = sum(
+                math.log1p((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                for t in terms
+            )
+            k1, b = float(cfg.k1), float(cfg.b)
+            prox = _proximity_counts(
+                index, terms, slop, dfs=dfs, candidates=cand
+            ).withColumn(
+                "_boost",
+                F.lit(sum_idf)
+                * (F.col("prox_tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("prox_tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                ),
+            )
+            boosted = cand.join(
+                prox.select("doc_id", "_boost"), "doc_id", "left"
+            ).withColumn("_boost", F.coalesce(F.col("_boost"), F.lit(0.0)))
+    return (
+        boosted.select(
+            "doc_id",
+            "conv_id",
+            (F.col("score") + F.lit(float(weight)) * F.col("_boost")).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 def phrase_match(

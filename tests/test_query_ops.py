@@ -184,6 +184,63 @@ def test_proximity_topk_scores_and_ties(spark, tiny):
     assert proximity_topk(spark, tiny, "big zzzz", slop=4).count() == 0
 
 
+# --- rerank (Solr rq={!rerank}) ---------------------------------------------
+
+
+def test_rerank_weight_zero_preserves_bm25(spark, tiny):
+    from solr_ocr_processor_spark.operators.query import rerank_topk
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    base = bm25_topk(spark, tiny, "data big", k=4).collect()
+    rr = rerank_topk(
+        spark, tiny, "data big", "big data", slop=0, window=4, weight=0.0, k=4
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in rr] == [
+        (r["doc_id"], r["score"]) for r in base
+    ]
+
+
+def test_rerank_boosts_phrase_docs(spark, tiny):
+    from solr_ocr_processor_spark.operators.query import rerank_topk
+
+    # main query "data" matches c0, c1, c2; "big data" occurs only in
+    # c0 and c1 — a large weight must lift both above c2
+    rr = rerank_topk(
+        spark, tiny, "data", "big data", slop=0, window=3, weight=100.0, k=3
+    ).collect()
+    assert {r["conv_id"] for r in rr[:2]} == {"c0", "c1"}
+    assert rr[2]["conv_id"] == "c2"
+
+
+def test_rerank_absent_rerank_term_is_noop(spark, tiny):
+    from solr_ocr_processor_spark.operators.query import rerank_topk
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    base = bm25_topk(spark, tiny, "data", k=3).collect()
+    rr = rerank_topk(
+        spark, tiny, "data", "zzz unseen", window=3, weight=9.0, k=3
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in rr] == [
+        (r["doc_id"], r["score"]) for r in base
+    ]
+
+
+def test_rerank_window_and_validation(spark, tiny):
+    from solr_ocr_processor_spark.operators.query import rerank_topk
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    with pytest.raises(ValueError):
+        rerank_topk(spark, tiny, "data", "big data", weight=-1.0)
+    with pytest.raises(ValueError):
+        rerank_topk(spark, tiny, "data", "big data", window=5, k=6)
+    # window=1: only the bm25 winner is eligible, boost or not
+    one = rerank_topk(
+        spark, tiny, "data", "big data", window=1, weight=100.0, k=1
+    ).collect()
+    base = bm25_topk(spark, tiny, "data", k=1).collect()
+    assert one[0]["doc_id"] == base[0]["doc_id"]
+
+
 # --- nested boolean grammar ------------------------------------------------
 
 

@@ -164,6 +164,17 @@ def test_cli_query_modes(spark, tmp_path, capsys):
     assert {r["conv_id"] for r in near} <= both | {r["conv_id"] for r in ph_all}
     assert run("--q", "spark merge", "--mode", "near", "--slop", "-1")[0] == 2
 
+    # rerank: weight 0 must reproduce the plain BM25 ranking; missing
+    # --rq or a negative weight is a bad request
+    rc, rr = run("--q", "spark merge", "--k", "5", "--mode", "rerank",
+                 "--rq", "spark merge", "--rweight", "0")
+    base = run("--q", "spark merge", "--k", "5", "--mode", "wand")[1]
+    assert rc == 0
+    assert [r["conv_id"] for r in rr] == [r["conv_id"] for r in base]
+    assert run("--q", "spark merge", "--mode", "rerank")[0] == 2
+    assert run("--q", "spark merge", "--mode", "rerank", "--rq", "x",
+               "--rweight", "-1")[0] == 2
+
 
 def test_cli_check_is_cluster_free(spark, tmp_path, capsys, monkeypatch):
     """The check verb is a point lookup against the store's parquet
