@@ -545,6 +545,93 @@ def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SESSION windows per user (gap 8h) — the session half
+    of the streaming-window surface (streaming/ingest.sessionize_events;
+    the same plan serves readStream with watermark-bounded state). The
+    DuckDB twin replays sessions as the classic gaps-and-islands
+    rewrite, so Spark's session_window merge semantics are hash-checked
+    against the LAG formulation."""
+    from solr_ocr_processor_spark.streaming.ingest import sessionize_events
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_events(events, gap="8 hours").orderBy(
+        "user_id", "session_start"
+    )
+
+
+def _q_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /terms component: regex + mincount dictionary enumeration
+    (operators/terms.terms_enum) — a |vocab|-row codegen scan, never
+    the postings."""
+    from solr_ocr_processor_spark.operators.terms import terms_enum
+
+    idx = _index(spark, sf_dir)
+    return terms_enum(spark, idx, regex="s[a-z]*", mincount=2, limit=20)
+
+
+def _q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /tvrh TermVectors component: one document's term vector
+    with in-doc tf, corpus df, and the classic tf*ln(N/df) weight
+    (integer-scaled) — an O(|doc terms|) doc_id point read."""
+    from solr_ocr_processor_spark.operators.terms import term_vectors
+
+    idx = _index(spark, sf_dir)
+    return term_vectors(spark, idx, "c00000003")
+
+
+def _q_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr {!join} query parser: BM25 top-k admitted through a
+    dimension-table filter (source:src7 on the documents dimension) —
+    a pushed-down dim predicate, broadcast key set, left-semi join
+    into the scoring plan; idf stays global (operators/query.join_topk)."""
+    from solr_ocr_processor_spark.operators.query import join_topk
+
+    idx = _index(spark, sf_dir)
+    return join_topk(
+        spark, idx, FLAGSHIP_QUERY, _docs(spark, sf_dir), "source:src7", k=10
+    )
+
+
+def _q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 + exact-cosine top-50 fused by
+    Reciprocal Rank Fusion (operators/hybrid.rrf_fusion_topk) — the
+    score-free lexical+vector fusion of a production hybrid stack;
+    both legs are bounded index probes, fusion is a 50-row join."""
+    from solr_ocr_processor_spark.operators.hybrid import rrf_fusion_topk
+
+    idx = _index(spark, sf_dir)
+    return rrf_fusion_topk(
+        spark,
+        idx,
+        _embs(spark, sf_dir),
+        FLAGSHIP_QUERY,
+        _qvec(spark, sf_dir),
+        k=10,
+        window=50,
+    )
+
+
+def _q_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter stage: per-doc negative log-likelihood under
+    the corpus unigram LM (functions/lm.doc_nll) — integer-scaled
+    per-term log-probs make the doc aggregate an exact integer on
+    both engines; avg_nll is monotone in perplexity."""
+    from solr_ocr_processor_spark.functions.lm import doc_nll
+
+    return doc_nll(_docs(spark, sf_dir))
+
+
+def _q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup at 8-token window granularity
+    (operators/dedup.dup_span_profile): per doc, how many distinct
+    k-windows and how many occur verbatim in other documents — the
+    hashed-window form of suffix-array training-data dedup."""
+    from solr_ocr_processor_spark.operators.dedup import dup_span_profile
+
+    return dup_span_profile(_docs(spark, sf_dir), k=8)
+
+
 def _q_membership_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY Q1/A7: GET membership check — EXISTS semantics via
     left-semi-style lookup on the doc-meta table."""
@@ -1010,6 +1097,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paged_topk": _q_paged_topk,
         "filtered_topk": _q_filtered_topk,
         "events_windowed": _q_events_windowed,
+        "events_sessions": _q_events_sessions,
+        "terms_enum": _q_terms_enum,
+        "term_vectors": _q_term_vectors,
+        "join_topk": _q_join_topk,
+        "hybrid_rrf_topk": _q_hybrid_rrf_topk,
+        "lm_doc_nll": _q_lm_doc_nll,
+        "dup_span_profile": _q_dup_span_profile,
         "membership_check": _q_membership_check,
         "projection_limit": _q_projection_limit,
         "delete_by_query": _q_delete_by_query,
@@ -2222,6 +2316,201 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
 FROM events
 GROUP BY window_start, event_type
 ORDER BY window_start, event_type
+""",
+    # Session windows replayed as gaps-and-islands: Spark extends a
+    # session while the next event starts AT OR BEFORE current-end
+    # (= prev + gap), so the island breaks only when diff > gap
+    # (verified by tests/test_round3_surfaces.py boundary test).
+    "events_sessions": """
+WITH e AS (
+  SELECT user_id, ts, CAST(round(value * 1000000) AS BIGINT) AS v FROM events
+),
+g AS (
+  SELECT user_id, ts, v,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 8 HOUR THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+isl AS (
+  SELECT user_id, ts, v,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v) AS BIGINT) AS value_sum_scaled
+FROM isl
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+    "terms_enum": """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tfs AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM tfs GROUP BY term
+)
+SELECT term, df, cf FROM stats
+WHERE df >= 2 AND regexp_matches(term, '^(?:s[a-z]*)$')
+ORDER BY df DESC, term ASC LIMIT 20
+""",
+    "term_vectors": """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tfs AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfs GROUP BY term),
+v AS (SELECT term, CAST(tf AS BIGINT) AS tf FROM tfs WHERE doc_id = 3)
+SELECT v.term, v.tf, dfreq.df,
+       CAST(round(v.tf * ln(n.n_docs / dfreq.df) * 1000000) AS BIGINT)
+         AS tf_idf_scaled
+FROM v JOIN dfreq USING (term) CROSS JOIN n
+ORDER BY term
+""",
+    "join_topk": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+),
+keys AS (
+  SELECT DISTINCT 'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id
+  FROM documents WHERE source = 'src7'
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored JOIN keys USING (conv_id)
+ORDER BY raw DESC, doc_id ASC
+LIMIT 10
+""",
+    # RRF: both legs rank over their UNROUNDED scores with id
+    # tie-breaks — the same total order every top-k oracle in this file
+    # already relies on for which rows survive the cut.
+    "hybrid_rrf_topk": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+),
+lexall AS (
+  SELECT conv_id,
+         CAST(row_number() OVER (ORDER BY raw DESC, doc_id ASC)
+              AS BIGINT) AS lex_rank
+  FROM scored
+),
+lex AS (SELECT * FROM lexall WHERE lex_rank <= 50),
+q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = 0),
+sim AS (SELECT vec_id AS id,
+               list_cosine_similarity(list_transform(embedding, x -> x::DOUBLE),
+                                      q.qv) AS c
+        FROM embeddings CROSS JOIN q),
+vecall AS (
+  SELECT 'c' || lpad(CAST(id AS VARCHAR), 8, '0') AS conv_id,
+         CAST(row_number() OVER (ORDER BY c DESC, id ASC) AS BIGINT)
+           AS vec_rank
+  FROM sim
+),
+vec AS (SELECT * FROM vecall WHERE vec_rank <= 50),
+fused AS (
+  SELECT coalesce(lex.conv_id, vec.conv_id) AS conv_id, lex_rank, vec_rank,
+         round(coalesce(1.0 / (60 + lex_rank), 0)
+               + coalesce(1.0 / (60 + vec_rank), 0), 6) AS rrf_score
+  FROM lex FULL OUTER JOIN vec ON lex.conv_id = vec.conv_id
+)
+SELECT ids.doc_id, fused.conv_id, rrf_score, lex_rank, vec_rank
+FROM fused LEFT JOIN ids ON fused.conv_id = ids.conv_id
+ORDER BY rrf_score DESC, fused.conv_id ASC
+LIMIT 10
+""",
+    "lm_doc_nll": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+cf AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM cf),
+lp AS (
+  SELECT term, CAST(round(ln(c / tot.total) * 1000000) AS BIGINT) AS lps
+  FROM cf CROSS JOIN tot
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(-sum(lps) AS BIGINT) AS nll_scaled,
+         round(-sum(lps) / count(*) / 1000000.0, 4) AS avg_nll
+  FROM tok JOIN lp USING (term)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.n_tokens, 0) AS n_tokens,
+       coalesce(agg.nll_scaled, 0) AS nll_scaled,
+       agg.avg_nll
+FROM documents d LEFT JOIN agg USING (doc_id)
+""",
+    "dup_span_profile": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS whash
+  FROM t, UNNEST(CASE WHEN len(toks) >= 8
+                      THEN generate_series(1, len(toks) - 7)
+                      ELSE [] END) AS u(i)
+),
+dw AS (SELECT DISTINCT doc_id, whash FROM w),
+c AS (SELECT whash, count(*) AS n FROM dw GROUP BY whash),
+per AS (
+  SELECT dw.doc_id,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows
+  FROM dw JOIN c USING (whash)
+  GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_windows, 0) AS n_windows,
+       coalesce(per.n_dup_windows, 0) AS n_dup_windows,
+       CASE WHEN per.n_windows > 0
+            THEN round(per.n_dup_windows / CAST(per.n_windows AS DOUBLE), 6)
+       END AS dup_frac
+FROM documents d LEFT JOIN per USING (doc_id)
 """,
     "multimodal_resize": f"""
 SELECT doc_id AS media_id,

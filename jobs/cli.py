@@ -62,7 +62,7 @@ def main(argv: list[str] | None = None) -> int:
         "--mode",
         choices=("wand", "and", "phrase", "near", "rerank", "not", "bool",
                  "prefix", "fuzzy", "wildcard", "mm", "sort", "collapse",
-                 "group", "filter", "boost"),
+                 "group", "filter", "boost", "join"),
         default="wand",
         help="wand: BM25 OR-of-terms via the pruned block index; "
         "and: every term required; phrase: exact positional phrase; "
@@ -80,8 +80,15 @@ def main(argv: list[str] | None = None) -> int:
         "collapse: at most one hit per --width dl-bucket (Solr "
         "{!collapse}); group: top --k groups with --group-limit docs "
         "each (Solr group=true); filter: BM25 restricted by --fq; "
-        "boost: relevance decayed by doc recency (--half-life days)",
+        "boost: relevance decayed by doc recency (--half-life days); "
+        "join: BM25 admitted through a dimension-table filter — Solr "
+        "{!join}; needs --dim and --jq",
     )
+    q.add_argument("--dim", default="",
+                   help="dimension table (parquet path) for --mode join")
+    q.add_argument("--jq", default="",
+                   help="dimension filter for --mode join, Solr syntax "
+                   "'field:value' (fields: lang, source)")
     q.add_argument("--mm", type=int, default=2,
                    help="minimum matching terms for --mode mm")
     q.add_argument("--slop", type=int, default=2,
@@ -166,6 +173,20 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--q", required=True)
     sp.add_argument("--n", type=int, default=5)
     sp.add_argument("--max-edits", type=int, default=2)
+
+    te = sub.add_parser(
+        "terms", help="dictionary enumeration (Solr /terms component)"
+    )
+    te.add_argument("--store", required=True)
+    te.add_argument("--regex", default="", help="full-match term filter")
+    te.add_argument("--mincount", type=int, default=1)
+    te.add_argument("--n", type=int, default=50)
+
+    tv = sub.add_parser(
+        "tv", help="one document's term vector (Solr TermVectors component)"
+    )
+    tv.add_argument("--store", required=True)
+    tv.add_argument("--conv-id", required=True)
 
     ex = sub.add_parser(
         "export",
@@ -548,6 +569,31 @@ def main(argv: list[str] | None = None) -> int:
                     print(json.dumps({"error": "bad_request",
                                       "detail": str(e)[:200]}))
                     return BAD_REQUEST_EXIT
+            elif args.mode == "join":
+                from solr_ocr_processor_spark.operators.query import (
+                    JoinSyntaxError,
+                    join_topk,
+                )
+
+                if not args.dim or not args.jq:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": "join needs --dim and --jq"}))
+                    return BAD_REQUEST_EXIT
+                try:
+                    dim = spark.read.parquet(args.dim)
+                except Exception as e:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": str(e)[:200]}))
+                    return BAD_REQUEST_EXIT
+                try:
+                    out = join_topk(
+                        spark, idx, args.q, dim, args.jq, k=fetch_k,
+                        exclude_docs=dead_df,
+                    )
+                except JoinSyntaxError as e:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": str(e)[:200]}))
+                    return BAD_REQUEST_EXIT
             elif args.mode == "collapse":
                 from solr_ocr_processor_spark.operators.collapse import (
                     collapse_topk,
@@ -733,6 +779,51 @@ def main(argv: list[str] | None = None) -> int:
         ).collect():
             print(json.dumps({"term": r["term"], "dist": r["dist"],
                               "df": r["df"]}))
+        return 0
+    if args.cmd == "terms":
+        from solr_ocr_processor_spark.operators.terms import (
+            is_valid_terms_regex,
+            terms_enum,
+        )
+
+        if args.regex and not is_valid_terms_regex(args.regex):
+            print(json.dumps({"error": "bad_request",
+                              "detail": f"bad terms regex {args.regex!r}"}))
+            return BAD_REQUEST_EXIT
+        if args.mincount < 1 or args.n < 1:
+            print(json.dumps({"error": "bad_request",
+                              "detail": f"mincount {args.mincount} / "
+                              f"n {args.n} < 1"}))
+            return BAD_REQUEST_EXIT
+        idx = lifecycle.load_index(spark, store)
+        out = terms_enum(
+            spark, idx, regex=args.regex or None,
+            mincount=args.mincount, limit=args.n,
+        )
+        for r in out.collect():
+            print(json.dumps({"term": r["term"], "df": r["df"],
+                              "cf": r["cf"]}))
+        return 0
+    if args.cmd == "tv":
+        from solr_ocr_processor_spark.operators.terms import term_vectors
+
+        idx = lifecycle.load_index(spark, store)
+        dead_df = lifecycle.tombstoned_convs(spark, store)
+        present = idx.doc_meta.where(
+            idx.doc_meta["conv_id"] == args.conv_id
+        ).first()
+        dead = (
+            present is not None
+            and dead_df.where(dead_df["conv_id"] == args.conv_id).first()
+            is not None
+        )
+        if present is None or dead:  # unknown/deleted doc = GET-miss 404
+            print(json.dumps({"error": "not_found", "conv_id": args.conv_id}))
+            return NOT_FOUND_EXIT
+        for r in term_vectors(spark, idx, args.conv_id).collect():
+            print(json.dumps({"term": r["term"], "tf": r["tf"],
+                              "df": r["df"],
+                              "tf_idf_scaled": r["tf_idf_scaled"]}))
         return 0
     if args.cmd == "delete":
         lifecycle.delete_conv(spark, store, args.conv_id)

@@ -664,3 +664,78 @@ def _near_dup_broadcast(
             )
 
     return embs.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# exact substring (k-token window) duplication profile
+# ---------------------------------------------------------------------------
+
+
+def dup_span_profile(
+    docs: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Exact repeated-substring detection at k-token granularity — the
+    hashed-window form of suffix-array training-data dedup (find every
+    >= k-token span that appears verbatim in more than one document;
+    the family of "deduplicating training data" exact-substring
+    filters). Suffix automata don't distribute; fixed-k window hashes
+    are the standard cluster-scale reformulation: any duplicated span
+    of length >= k contains a duplicated k-window, so window-level
+    detection has full recall on >= k spans.
+
+    Per document: (doc_id, n_windows, n_dup_windows, dup_frac) where
+    n_windows counts DISTINCT k-token windows in the doc and a window
+    is "dup" when it occurs in >= 2 distinct documents. Docs shorter
+    than k tokens report zeros (NULL dup_frac).
+
+    Plan shape (all whole-stage codegen, zero UDFs):
+      1. map-only shingling: the token array is sliced and md5-hashed
+         per position with array expressions — no explode of raw
+         tokens, one 32-hex-char hash per window leaves the scan;
+      2. distinct (doc, window) — one shuffle, map-side combinable;
+      3. window df: groupBy(whash) — second shuffle; windows seen
+         twice join back (same whash partitioning reused by AQE);
+      4. per-doc rollup — third shuffle, |docs| rows out.
+    At 100 TB the window table is ~n_tokens rows of (long, 32-char)
+    — the same order as the posting build's tokenizer shuffle, and the
+    hot-window skew (boilerplate spans in millions of docs) is bounded
+    because step 3 only needs count >= 2, not the member list: partial
+    aggregation absorbs hot keys map-side.
+    """
+    tokenized = docs.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)").alias(
+            "toks"
+        ),
+    )
+    whashes = F.when(
+        F.size("toks") >= k,
+        F.expr(
+            f"transform(sequence(1, size(toks) - {k - 1}),"
+            f" i -> md5(array_join(slice(toks, i, {k}), ' ')))"
+        ),
+    ).otherwise(F.expr("array()"))
+    dw = tokenized.select("doc_id", F.explode(whashes).alias("whash")).distinct()
+    win_df = dw.groupBy("whash").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = win_df.where(F.col("n_docs") >= 2).select("whash")
+    per_doc = (
+        dw.join(dup.withColumn("is_dup", F.lit(1)), "whash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_dup_windows"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.round(F.col("n_dup_windows") / F.col("n_windows"), 6),
+            ).alias("dup_frac"),
+        )
+    )

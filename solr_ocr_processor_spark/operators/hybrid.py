@@ -1,0 +1,110 @@
+"""Hybrid lexical + vector retrieval: Reciprocal Rank Fusion.
+
+The retrieval stack a reference user migrating to this engine ends up
+running: BM25 over the inverted index (operators/score.py) for exact
+lexical match, ANN over the embedding column (operators/ann.py) for
+semantic recall, fused into one ranking. RRF (Cormack et al.; what
+Solr exposes via combining query stages and vector search ships as
+`knn` + rerank) is the standard score-free fusion:
+
+    rrf(d) = Σ_lists 1 / (c + rank_list(d)),   c = 60
+
+Rank-based fusion needs no score calibration between BM25 logits and
+cosines — which is why it is the default in production hybrid stacks.
+
+Spark-first shape: each leg is already a TakeOrderedAndProject top-n
+(n = fusion window, corpus-size-independent); ranking the two n-row
+lists is a window over n rows, the fusion itself a full-outer join of
+two n-row frames — driver-scale work after two index probes, the same
+"probe then fuse a bounded window" discipline as rerank_topk.
+
+Determinism: ranks are total orders ((score DESC, doc_id ASC) /
+(cos DESC, id ASC)); each fused score is 1/(c+r1) + 1/(c+r2) — a
+fixed-shape two-term IEEE sum both engines evaluate identically
+(no data-order dependence), rounded to 6dp like every score surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+import numpy as np
+
+from ..config import DEFAULT, IndexConfig
+from .ann import _dot_expr, _norm_expr
+from .build import Index
+from .score import bm25_topk
+
+RRF_C = 60  # the constant from the original RRF paper; Solr's default
+
+
+def rrf_fusion_topk(
+    spark: SparkSession,
+    index: Index,
+    embs: DataFrame,
+    query: str,
+    query_vec: list[float],
+    k: int = 10,
+    window: int = 50,
+    c: int = RRF_C,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Fuse BM25 top-``window`` and cosine top-``window`` by RRF and
+    return the top ``k``: (doc_id, conv_id, rrf_score, lex_rank,
+    vec_rank) — NULL rank when a doc appears in only one list.
+
+    Embedding ids join to lexical doc identity through the corpus key
+    rule (vec_id == source doc_id -> conv_id = 'c' || lpad(id, 8)),
+    the same dimension bridge as query.join_topk.
+    """
+    if k > window:
+        raise ValueError(f"k={k} must be <= fusion window={window}")
+    # Both legs rank over their UNROUNDED scores with id tie-breaks —
+    # the same total order every top-k surface in this engine cuts by
+    # (and the oracle replays). The rank window runs over the already
+    # TakeOrderedAndProject-cut `window` rows, never the corpus.
+    lex = bm25_topk(spark, index, query, k=window, cfg=cfg).select(
+        "conv_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    sim = embs.select(
+        F.col("vec_id").alias("id"),
+        (_dot_expr("embedding", query_vec) / (_norm_expr("embedding") * F.lit(qn))).alias(
+            "cos"
+        ),
+    )
+    vec = (
+        sim.orderBy(F.desc("cos"), F.asc("id"))
+        .limit(window)
+        .select(
+            F.concat(F.lit("c"), F.lpad(F.col("id").cast("string"), 8, "0")).alias(
+                "conv_id"
+            ),
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("id")))
+            .cast("long")
+            .alias("vec_rank"),
+        )
+    )
+    fused = lex.join(vec, "conv_id", "full_outer").select(
+        "conv_id",
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(c) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(c) + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    doc_ids = index.doc_meta.select("doc_id", "conv_id")
+    return (
+        fused.join(F.broadcast(doc_ids), "conv_id", "left")
+        .orderBy(F.desc("rrf_score"), F.asc("conv_id"))
+        .limit(k)
+        .select("doc_id", "conv_id", "rrf_score", "lex_rank", "vec_rank")
+    )

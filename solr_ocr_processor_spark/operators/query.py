@@ -842,3 +842,77 @@ def filtered_topk(
         .limit(k)
     )
     return resolve_conv_ids(index, top)
+
+
+class JoinSyntaxError(ValueError):
+    """Raised for malformed {!join} parameters (CLI maps it to exit 2,
+    the reference's 400-class: handler/handler.go error taxonomy)."""
+
+
+JOIN_DIM_FIELDS = ("lang", "source")  # documents-dimension attributes
+
+
+def join_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    dim: DataFrame,
+    dim_filter: str,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Solr join query parser — ``q=...&fq={!join from=doc_id
+    to=conv_id fromIndex=documents}lang:en``: rank by BM25 but admit
+    only documents whose join key appears in the *other* table's rows
+    matching ``dim_filter`` (an equality on one attribute, e.g.
+    ``lang:en`` / ``source:web``).
+
+    Solr executes this as a two-phase query: run the inner query on
+    the from-index, collect its join-key set, filter the outer query
+    by it. The Spark-first translation is exactly a **left-semi join
+    through the dimension**: the inner filter is a pushed-down
+    equality predicate on the dimension scan (row-group pruned), the
+    projected key set broadcasts (the filtered dimension side is
+    always the small side — that is *why* users join through a
+    dimension), and scoring statistics stay global (same Solr rule as
+    fq=: the join restricts the match set, never idf).
+
+    ``dim`` rows join on ``conv_id`` derived from the dimension's
+    doc_id by the transcripts key rule (sources/transcripts.py:
+    conv_id = 'c' || lpad(doc_id, 8, '0')).
+    """
+    import re
+
+    m = re.fullmatch(r"\s*(\w+)\s*:\s*([\w.-]+)\s*", dim_filter or "")
+    if not m:
+        raise JoinSyntaxError(
+            f"bad join filter {dim_filter!r}; expected field:value"
+        )
+    field, value = m.group(1), m.group(2)
+    if field not in JOIN_DIM_FIELDS:
+        raise JoinSyntaxError(
+            f"unknown join field {field!r}; one of {JOIN_DIM_FIELDS}"
+        )
+    terms = query_terms(query, cfg)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, conv_id string, score double")
+    keys = (
+        dim.where(F.col(field) == F.lit(value))
+        .select(
+            F.concat(
+                F.lit("c"), F.lpad(F.col("doc_id").cast("string"), 8, "0")
+            ).alias("conv_id")
+        )
+        .distinct()
+    )
+    allowed = index.doc_meta.join(F.broadcast(keys), "conv_id", "left_semi").select(
+        "doc_id"
+    )
+    scored = _suppress(bm25_scores(spark, index, query, cfg=cfg), exclude_docs)
+    top = (
+        scored.join(allowed, "doc_id", "left_semi")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return resolve_conv_ids(index, top)

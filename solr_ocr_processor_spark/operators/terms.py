@@ -1,0 +1,125 @@
+"""Dictionary and per-document term introspection: the Solr *terms
+component* (``/terms``) and *TermVectors component* (``/tvrh``)
+analogs.
+
+Lucene-surface parity: the reference's Solr core exposes both
+components on any stored index (queries are forwarded verbatim,
+app/process/solr.go:48-49,102-103); a user debugging analysis or
+building a spell/autocomplete layer hits them constantly. The engine
+already has the *suggester* shape (expand.suggest_terms: prefix +
+df-ranked); this module adds the rest of the /terms parameter surface
+— regex filtering and mincount — and the per-document view.
+
+Spark-first shapes:
+
+- :func:`terms_enum` scans the **dictionary** (term_stats, |vocab|
+  rows — Heaps' law keeps it orders of magnitude under the corpus at
+  any scale), never the postings. ``rlike`` runs in whole-stage
+  codegen over the narrow (term, df, cf) projection; ``mincount``
+  compiles to a pushable ``df >= n`` range predicate on the stored
+  dictionary. Output ordering (df DESC, term ASC) is a total order
+  => deterministic under reruns and the DuckDB oracle; the cap
+  lowers to TakeOrderedAndProject.
+
+- :func:`term_vectors` reads ONE document's posting rows: an equality
+  filter on doc_id (after the conv_id -> doc_id map lookup) prunes
+  the doc-bucketed posting files, then a broadcast join decorates
+  each term with its corpus df — the tv.df/tv.tf_idf response
+  fields. Cost is O(|doc terms|) regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import Index
+
+MAX_TERMS = 1000  # /terms terms.limit default ceiling
+
+
+def is_valid_terms_regex(pattern: str) -> bool:
+    """Reject regexes that differ between engines or fail to compile.
+
+    The oracle replays ``rlike`` as DuckDB ``regexp_matches``; both
+    are RE2-ish for the class below. Allow a conservative subset:
+    literals, character classes, anchors, ., *, +, ?, |, (), {n,m}.
+    """
+    if not pattern or len(pattern) > 200:
+        return False
+    if not re.fullmatch(r"[a-z0-9\[\]\-^$.*+?|(){},\\]*", pattern):
+        return False
+    try:
+        re.compile(pattern)
+    except re.error:
+        return False
+    return True
+
+
+def terms_enum(
+    spark: SparkSession,
+    index: Index,
+    regex: str | None = None,
+    mincount: int = 1,
+    limit: int = 50,
+) -> DataFrame:
+    """Solr /terms: enumerate dictionary terms with their document and
+    collection frequencies, optionally filtered by ``terms.regex`` and
+    ``terms.mincount``, ranked (df DESC, term ASC), top ``limit``.
+
+    Returns (term, df, cf)."""
+    out = index.term_stats.select(
+        "term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf")
+    )
+    if mincount > 1:
+        out = out.where(F.col("df") >= F.lit(int(mincount)))
+    if regex is not None:
+        if not is_valid_terms_regex(regex):
+            return spark.createDataFrame([], "term string, df long, cf long")
+        # rlike is unanchored in Spark, regexp_matches is unanchored in
+        # DuckDB — anchor explicitly so both sides see full-term match
+        # semantics (Solr's terms.regex is full-match).
+        out = out.where(F.col("term").rlike(f"^(?:{regex})$"))
+    return out.orderBy(F.desc("df"), F.asc("term")).limit(min(limit, MAX_TERMS))
+
+
+def term_vectors(
+    spark: SparkSession,
+    index: Index,
+    conv_id: str,
+) -> DataFrame:
+    """Solr /tvrh (TermVectors component): the per-document term
+    vector — every indexed term of one document with its in-doc tf
+    and corpus df, plus the classic tf·idf weight the component
+    reports. Returns (term, tf, df, tf_idf) ordered by term.
+
+    tf_idf uses the component's raw formula tf * ln(n_docs / df)
+    (Lucene classic similarity, natural log), integer-scaled by 1e6 at
+    the TERM level so the value is an exact integer on both engines
+    (same discipline as textstats.fingerprint; 1-ulp ln() drift could
+    flip a boundary rounding with probability ~1e-10 per term —
+    documented tolerance, same class as ann.py's sign note).
+    """
+    doc = index.doc_meta.where(F.col("conv_id") == conv_id).select("doc_id")
+    n_docs = index.corpus.select("n_docs").first()["n_docs"]
+    vec = (
+        index.postings.join(F.broadcast(doc), "doc_id")
+        .select("term", F.col("tf").cast("long").alias("tf"))
+    )
+    df_map = index.term_stats.select("term", F.col("df").cast("long").alias("df"))
+    return (
+        vec.join(F.broadcast(df_map), "term")
+        .select(
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6
+            )
+            .cast("long")
+            .alias("tf_idf_scaled"),
+        )
+        .orderBy("term")
+    )

@@ -392,3 +392,52 @@ def events_per_window(
             "max_value",
         )
     )
+
+
+def sessionize_events(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time SESSION windows per user over the generic event
+    stream — the other half of the streaming-window surface next to
+    :func:`events_per_window`'s tumbling buckets: a session is a burst
+    of one user's events where each consecutive gap is at most ``gap``
+    (boundary INCLUSIVE: Spark extends a session while next.ts <=
+    prev.ts + gap — pinned by the boundary test in
+    tests/test_round3_surfaces.py); Spark merges windows at (user_id)
+    key granularity with ``F.session_window``, whose state the
+    watermark bounds on streams.
+
+    The SAME plan serves batch (watermark no-ops), so session
+    semantics get a full DuckDB oracle: the twin is the classic
+    gaps-and-islands rewrite (island id = running count of
+    gap-exceeded steps via LAG, then one group per island) — equality
+    of the two formulations is exactly what the hash-check proves.
+
+    Output: (user_id, session_start epoch-s, n_events, value_sum_scaled)
+    with session_start = first event's ts. The value sum is
+    integer-scaled per EVENT before aggregation (round(value*1e6) as
+    BIGINT) so the session total is an exact order-independent
+    integer on both engines (lm.py discipline). n_sessions-per-user
+    and dwell derive downstream.
+    """
+    ev = events.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 1e6).cast("long").alias("v_scaled"),
+    )
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("v_scaled").cast("long").alias("value_sum_scaled"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("session_start"),
+            "n_events",
+            "value_sum_scaled",
+        )
+    )

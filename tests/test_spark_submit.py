@@ -687,3 +687,61 @@ def test_cli_export_verb(spark, tmp_path, capsys):
     assert run("--min-quality", "1.5")[0] == 2
     assert run("--lang", "xx")[0] == 2
     assert run("--decontaminate", "--ngram", "0")[0] == 2
+
+
+def test_cli_terms_tv_join(spark, tmp_path, capsys):
+    """Round-3 components: /terms enumeration, per-doc term vectors,
+    and the {!join} query mode against a dimension parquet."""
+    import datetime
+
+    from solr_ocr_processor_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    cli = _cli()
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("c00000000", 0, "user", "spark shuffle spark merge", None, ts),
+        ("c00000001", 0, "user", "spark window functions", None, ts),
+        ("c00000002", 0, "user", "sort merge join plans", None, ts),
+        ("c00000003", 0, "user", "window window sort spark", None, ts),
+    ]
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.parquet(src)
+    spark.createDataFrame(
+        [(0, "web", "en"), (1, "web", "en"), (2, "code", "en"), (3, "code", "de")],
+        "doc_id long, source string, lang string",
+    ).write.parquet(dim_path)
+    assert cli.main(["build", "--input", src, "--store", store, "--shards", "2"]) == 0
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main(list(args))
+        out = capsys.readouterr().out
+        return rc, [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+
+    # terms: regex + mincount
+    rc, te = run("terms", "--store", store, "--regex", "s[a-z]*", "--mincount", "2")
+    assert rc == 0
+    assert [(r["term"], r["df"], r["cf"]) for r in te] == [
+        ("spark", 3, 4), ("sort", 2, 2)]
+    assert run("terms", "--store", store, "--regex", "s[")[0] == 2
+    assert run("terms", "--store", store, "--mincount", "0")[0] == 2
+
+    # tv: known doc; 404 for unknown; 404 after delete
+    rc, tv = run("tv", "--store", store, "--conv-id", "c00000003")
+    assert rc == 0
+    got = {r["term"]: (r["tf"], r["df"]) for r in tv}
+    assert got["window"] == (2, 2) and got["spark"] == (1, 3)
+    assert run("tv", "--store", store, "--conv-id", "cNOPE")[0] == 4
+    assert run("delete", "--store", store, "--conv-id", "c00000002")[0] == 0
+    assert run("tv", "--store", store, "--conv-id", "c00000002")[0] == 4
+
+    # join mode: dimension filter admits only source=web convs
+    rc, j = run("query", "--store", store, "--q", "spark merge",
+                "--mode", "join", "--dim", dim_path, "--jq", "source:web")
+    assert rc == 0
+    assert {r["conv_id"] for r in j} == {"c00000000", "c00000001"}
+    assert run("query", "--store", store, "--q", "spark", "--mode", "join")[0] == 2
+    assert run("query", "--store", store, "--q", "spark", "--mode", "join",
+               "--dim", dim_path, "--jq", "bad = filter")[0] == 2
