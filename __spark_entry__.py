@@ -588,9 +588,10 @@ def _q_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solr_ocr_processor_spark.operators.query import join_topk
 
     idx = _index(spark, sf_dir)
-    return join_topk(
+    top = join_topk(
         spark, idx, FLAGSHIP_QUERY, _docs(spark, sf_dir), "source:src7", k=10
     )
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
 def _q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

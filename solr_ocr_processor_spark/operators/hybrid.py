@@ -101,10 +101,23 @@ def rrf_fusion_topk(
             6,
         ).alias("rrf_score"),
     )
-    doc_ids = index.doc_meta.select("doc_id", "conv_id")
+    # Cut to k and COLLECT the fused page (k rows of driver traffic —
+    # the CLI's already-collected-hit-list discipline), then resolve
+    # doc ids via an isin-pruned point read of doc_meta: the predicate
+    # pushes into the parquet scan, so resolution is a k-row probe.
+    # Broadcasting doc_meta here would ship the corpus-sized dimension
+    # to every executor; joining it lazily would re-execute both legs.
+    page = fused.orderBy(F.desc("rrf_score"), F.asc("conv_id")).limit(k).collect()
+    top_fused = spark.createDataFrame(
+        [(r["conv_id"], r["lex_rank"], r["vec_rank"], r["rrf_score"]) for r in page],
+        "conv_id string, lex_rank long, vec_rank long, rrf_score double",
+    )
+    keys = [r["conv_id"] for r in page]
+    doc_ids = index.doc_meta.where(F.col("conv_id").isin(keys)).select(
+        "doc_id", "conv_id"
+    )
     return (
-        fused.join(F.broadcast(doc_ids), "conv_id", "left")
+        top_fused.join(F.broadcast(doc_ids), "conv_id", "left")
         .orderBy(F.desc("rrf_score"), F.asc("conv_id"))
-        .limit(k)
         .select("doc_id", "conv_id", "rrf_score", "lex_rank", "vec_rank")
     )

@@ -894,6 +894,11 @@ def join_topk(
         raise JoinSyntaxError(
             f"unknown join field {field!r}; one of {JOIN_DIM_FIELDS}"
         )
+    if field not in dim.columns or "doc_id" not in dim.columns:
+        raise JoinSyntaxError(
+            f"dimension table lacks required column(s) {field!r}/'doc_id'; "
+            f"has {dim.columns}"
+        )
     terms = query_terms(query, cfg)
     if not terms:
         return spark.createDataFrame([], "doc_id long, conv_id string, score double")

@@ -43,13 +43,17 @@ MAX_TERMS = 1000  # /terms terms.limit default ceiling
 def is_valid_terms_regex(pattern: str) -> bool:
     """Reject regexes that differ between engines or fail to compile.
 
-    The oracle replays ``rlike`` as DuckDB ``regexp_matches``; both
-    are RE2-ish for the class below. Allow a conservative subset:
-    literals, character classes, anchors, ., *, +, ?, |, (), {n,m}.
-    """
+    The pattern executes under BOTH Java regex (Spark ``rlike``) and
+    RE2 (DuckDB ``regexp_matches``), whose dialects diverge outside a
+    common core — e.g. Java accepts backreferences RE2 rejects, and a
+    bare ``a{`` is a literal in Python/RE2 but a PatternSyntaxException
+    in Java. Allow only the conservative intersection: lowercase/digit
+    literals, character classes, anchors, ., *, +, ?, |, () — no
+    braces, no backslash escapes — and require it to compile. Within
+    this subset Java, RE2, and Python agree."""
     if not pattern or len(pattern) > 200:
         return False
-    if not re.fullmatch(r"[a-z0-9\[\]\-^$.*+?|(){},\\]*", pattern):
+    if not re.fullmatch(r"[a-z0-9\[\]\-^$.*+?|()]*", pattern):
         return False
     try:
         re.compile(pattern)

@@ -59,6 +59,20 @@ def test_terms_enum_bad_regex_empty(spark, tiny):
     assert terms_enum(spark, tiny, regex="s[").count() == 0
 
 
+def test_terms_regex_validator_rejects_dialect_divergence():
+    """Patterns that compile in Python but crash Java (`a{`) or that
+    Java accepts and RE2 rejects (backreferences) must be rejected
+    BEFORE reaching either engine."""
+    from solr_ocr_processor_spark.operators.terms import is_valid_terms_regex
+
+    assert not is_valid_terms_regex("a{")  # Java PatternSyntaxException
+    assert not is_valid_terms_regex("a{1,2}")  # braces excluded outright
+    assert not is_valid_terms_regex(r"(a)\1")  # backrefs: Java-only
+    assert not is_valid_terms_regex("")
+    assert is_valid_terms_regex("s[a-z]*")
+    assert is_valid_terms_regex("(sp|so)rk?")
+
+
 def test_term_vectors_values(spark, tiny):
     from solr_ocr_processor_spark.operators.terms import term_vectors
 
@@ -114,6 +128,12 @@ def test_join_topk_bad_filter(spark, tiny):
         join_topk(spark, tiny, "spark", dim, "nosuchfield:x")
     with pytest.raises(JoinSyntaxError):
         join_topk(spark, tiny, "spark", dim, "source = web")
+    # dimension missing the filtered column is a 400, not a traceback
+    with pytest.raises(JoinSyntaxError):
+        join_topk(spark, tiny, "spark", dim, "lang:en")
+    no_key = spark.createDataFrame([("web",)], "source string")
+    with pytest.raises(JoinSyntaxError):
+        join_topk(spark, tiny, "spark", no_key, "source:web")
 
 
 # ---------------------------------------------------------------------------
