@@ -623,6 +623,37 @@ def _q_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_nll(_docs(spark, sf_dir))
 
 
+def _q_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr stats.percentiles: exact interpolated dl quantiles over the
+    flagship query's match set (operators/facet.stats_percentiles) —
+    Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    (n-1)*p linear-interpolation definition."""
+    from solr_ocr_processor_spark.operators.facet import stats_percentiles
+
+    idx = _index(spark, sf_dir)
+    return stats_percentiles(spark, idx, FLAGSHIP_QUERY, field="dl")
+
+
+def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-bitmap decontamination (operators/pipeline.
+    bloom_contamination_flags): the eval split digests to a 2^16-bit
+    filter (driver traffic bounded by m bits, NOT eval size); corpus
+    probes are map-only codegen. The DuckDB twin recomputes the
+    set-bit set relationally, so the hash check covers the Bloom
+    semantics INCLUDING any false positives."""
+    from solr_ocr_processor_spark.operators.pipeline import (
+        bloom_contamination_flags,
+    )
+
+    s = hash_split(_docs(spark, sf_dir))
+    out = bloom_contamination_flags(
+        s.where("split = 'train'"), s.where("split = 'test'"), n=3
+    )
+    return out.select(
+        "doc_id", "n_bloom_hits", F.col("flagged").cast("int").alias("flagged")
+    )
+
+
 def _q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-level dedup at 8-token window granularity
     (operators/dedup.dup_span_profile): per doc, how many distinct
@@ -1105,6 +1136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "lm_doc_nll": _q_lm_doc_nll,
         "dup_span_profile": _q_dup_span_profile,
+        "stats_percentiles": _q_stats_percentiles,
+        "bloom_decontaminate": _q_bloom_decontaminate,
         "membership_check": _q_membership_check,
         "projection_limit": _q_projection_limit,
         "delete_by_query": _q_delete_by_query,
@@ -2483,6 +2516,60 @@ SELECT d.doc_id,
        coalesce(agg.nll_scaled, 0) AS nll_scaled,
        agg.avg_nll
 FROM documents d LEFT JOIN agg USING (doc_id)
+""",
+    "stats_percentiles": f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM ids),
+m AS (
+  SELECT doc_id, max(dl) AS v
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(v, 0.25), 6) AS p25,
+       round(quantile_cont(v, 0.50), 6) AS p50,
+       round(quantile_cont(v, 0.90), 6) AS p90,
+       round(quantile_cont(v, 0.99), 6) AS p99
+FROM m
+""",
+    # Bloom decontamination: the twin rebuilds the filter's set-bit set
+    # relationally (same md5 positions as pipeline._bloom_positions),
+    # so a shingle is bloom-positive iff all 4 positions are set bits —
+    # bit-for-bit the Spark bitmap probe, false positives included.
+    "bloom_decontaminate": """
+WITH spl AS (SELECT doc_id,
+                    CASE WHEN u < 0.90 THEN 'train'
+                         WHEN u < 0.95 THEN 'val'
+                         ELSE 'test' END AS split
+             FROM (SELECT doc_id,
+                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                            / 1152921504606846976.0 AS u
+                   FROM documents)),
+toked AS (SELECT d.doc_id, s.split, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents d JOIN spl s USING (doc_id)),
+posd AS (SELECT doc_id, split, generate_subscripts(toks, 1) AS p, toks FROM toked),
+shd AS (SELECT DISTINCT doc_id, split,
+               toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2] AS shingle
+        FROM posd WHERE p + 2 <= len(toks)),
+ebits AS (SELECT DISTINCT
+                 ('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT
+                   % 65536 AS pos
+          FROM (SELECT DISTINCT shingle FROM shd WHERE split = 'test'),
+               UNNEST(generate_series(0, 3)) AS t(i)),
+pp AS (SELECT doc_id, shingle,
+              ('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT
+                % 65536 AS pos
+       FROM shd, UNNEST(generate_series(0, 3)) AS t(i)
+       WHERE split = 'train'),
+sh_ok AS (SELECT doc_id, shingle, count(*) = count(b.pos) AS ok
+          FROM pp LEFT JOIN ebits b ON pp.pos = b.pos
+          GROUP BY doc_id, shingle),
+h2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+       FROM sh_ok WHERE ok GROUP BY doc_id)
+SELECT t.doc_id, coalesce(h2.n_bloom_hits, 0) AS n_bloom_hits,
+       CAST(coalesce(h2.n_bloom_hits, 0) > 0 AS INT) AS flagged
+FROM (SELECT doc_id FROM spl WHERE split = 'train') t
+LEFT JOIN h2 USING (doc_id)
 """,
     "dup_span_profile": """
 WITH t AS (

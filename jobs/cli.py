@@ -151,6 +151,10 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--q", required=True)
     st.add_argument("--field", choices=("dl", "n_turns", "n_chars"),
                     default="dl")
+    st.add_argument("--percentiles", default="",
+                    help="also report exact interpolated percentiles, "
+                    "comma-separated fractions e.g. '0.5,0.9,0.99' "
+                    "(Solr stats.percentiles)")
 
     m = sub.add_parser(
         "mlt", help="more-like-this: docs similar to a conversation"
@@ -203,6 +207,10 @@ def main(argv: list[str] | None = None) -> int:
                     "with the test split (GPT-3-style rule)")
     ex.add_argument("--ngram", type=int, default=3,
                     help="n-gram order for --decontaminate")
+    ex.add_argument("--bloom", action="store_true",
+                    help="run --decontaminate through a Bloom bitmap "
+                    "instead of the broadcast n-gram set (bounded "
+                    "driver traffic; may over-flag, never under-flags)")
 
     c = sub.add_parser("check", help="membership check")
     c.add_argument("--store", required=True)
@@ -303,8 +311,16 @@ def main(argv: list[str] | None = None) -> int:
             docs, pairs, min_quality=args.min_quality, lang=args.lang
         ).join(docs.select("doc_id", "conv_id"), "doc_id")
         if args.decontaminate:
+            if args.bloom:
+                from solr_ocr_processor_spark.operators.pipeline import (
+                    bloom_contamination_flags,
+                )
+
+                flagger, flag_col = bloom_contamination_flags, "flagged"
+            else:
+                flagger, flag_col = contamination_flags, "contaminated"
             # audit column over the export: train rows vs test shingles
-            flags = contamination_flags(
+            flags = flagger(
                 out.where("split = 'train'").join(
                     docs.select("doc_id", "text"), "doc_id"
                 ),
@@ -312,7 +328,7 @@ def main(argv: list[str] | None = None) -> int:
                     docs.select("doc_id", "text"), "doc_id"
                 ),
                 n=args.ngram,
-            ).select("doc_id", "contaminated")
+            ).select("doc_id", F.col(flag_col).alias("contaminated"))
             out = out.join(flags, "doc_id", "left").withColumn(
                 "contaminated", F.coalesce("contaminated", F.lit(False))
             )
@@ -716,6 +732,25 @@ def main(argv: list[str] | None = None) -> int:
 
         idx = lifecycle.load_index(spark, store)
         dead_df = lifecycle.tombstoned_convs(spark, store)
+        if args.percentiles:
+            from solr_ocr_processor_spark.operators.facet import (
+                stats_percentiles,
+            )
+
+            try:
+                ps = tuple(float(x) for x in args.percentiles.split(","))
+                prow = stats_percentiles(
+                    spark, idx, args.q, field=args.field,
+                    percentiles=ps, exclude_docs=dead_df,
+                ).first()
+            except ValueError as e:
+                print(json.dumps({"error": "bad_request",
+                                  "detail": str(e)[:200]}))
+                return BAD_REQUEST_EXIT
+            print(json.dumps({"field": args.field,
+                              **(prow.asDict() if prow is not None
+                                 else {"n": 0})}))
+            return 0
         row = stats_field(
             spark, idx, args.q, field=args.field, exclude_docs=dead_df
         ).first()

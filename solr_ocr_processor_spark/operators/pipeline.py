@@ -119,3 +119,115 @@ def contamination_flags(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+BLOOM_M = 1 << 16  # bits in the filter (1024 64-bit words)
+BLOOM_H = 4        # hash functions per key
+
+
+def _bloom_positions(col, h: int = BLOOM_H, m: int = BLOOM_M):
+    """The h md5-derived bit positions of a key — engine-portable
+    (Spark conv/md5 == DuckDB '0x'||substr(md5)): position_i =
+    int(md5(f"{i}:{key}")[:15 hex], 16) mod m."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(h - 1)),
+        lambda i: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(i.cast("string"), F.lit(":"), col)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m),
+        ),
+    )
+
+
+def bloom_contamination_flags(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    m: int = BLOOM_M,
+    h: int = BLOOM_H,
+) -> DataFrame:
+    """:func:`contamination_flags` with the eval side digested into a
+    **Bloom bitmap** instead of a broadcast shingle set — the variant a
+    pipeline needs when the reference key set is too big to broadcast
+    raw (dedup against a 10^10-document registry, seen-URL filtering):
+    driver and broadcast traffic are bounded by ``m`` BITS by
+    construction, independent of the eval corpus size, at the price of
+    a quantified false-positive rate (~(1-e^{-h·k/m})^h).
+
+    Build: eval shingles -> h md5-derived bit positions each ->
+    DISTINCT (at most m values cross the wire) -> an m-bit bitmap
+    packed into m/64 longs. Probe: map-only whole-stage codegen — each
+    corpus shingle recomputes its h positions and tests the bitmap
+    with element_at + bitwiseAND; a shingle is bloom-positive iff all
+    h bits are set. No join at all on the corpus side (the broadcast
+    n-gram variant still pays a broadcast-hash probe per shingle).
+
+    Fully oracle-replayable INCLUDING false positives: the bitmap's
+    set-bit set is pure md5 arithmetic, so the DuckDB twin recomputes
+    it relationally (position ∈ set-bits for all h) and must flag the
+    exact same docs — the FP behavior is part of the checked contract,
+    not noise. Returns (doc_id, n_bloom_hits, flagged) with
+    n_bloom_hits = DISTINCT bloom-positive shingles (>= the exact
+    variant's n_hits: Bloom has no false negatives).
+
+    At this sandbox's scale the bitmap embeds as a literal array
+    (m/64 = 1024 longs) inside the codegen probe; for a multi-GB
+    filter the same plan swaps the literal for a Spark broadcast
+    variable probed in an Arrow-batched kernel — the build side and
+    the contract are unchanged.
+    """
+    if n < 1:
+        raise ValueError(f"n-gram order must be >= 1, got {n}")
+    if m % 64 or m < 64:
+        raise ValueError(f"bloom bits m={m} must be a positive multiple of 64")
+    ev_pos = (
+        shingles(eval_docs, n, text_col)
+        .select(F.explode(_bloom_positions(F.col("shingle"), h, m)).alias("pos"))
+        .distinct()
+    )
+    # bounded by m values (<= 0.5 MB at the default m), NOT by |eval|
+    words = [0] * (m // 64)
+    for r in ev_pos.collect():
+        p = int(r["pos"])
+        words[p // 64] |= 1 << (p % 64)
+    # Spark LongType is signed; reinterpret the top bit
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bmap = F.array(*[F.lit(w) for w in words])
+    # per-bit masks as a 64-long literal (shiftleft needs a literal
+    # shift amount; an element_at lookup keeps the probe codegen)
+    pow2 = F.array(
+        *[
+            F.lit(b - (1 << 64) if (b := 1 << i) >= (1 << 63) else b)
+            for i in range(64)
+        ]
+    )
+    member = F.forall(
+        _bloom_positions(F.col("shingle"), h, m),
+        lambda p: (
+            F.element_at(bmap, (p / 64).cast("int") + 1).bitwiseAND(
+                F.element_at(pow2, (p % 64).cast("int") + 1)
+            )
+        )
+        != 0,
+    )
+    hits = (
+        shingles(docs, n, text_col)
+        .where(member)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bloom_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("flagged"),
+        )
+    )

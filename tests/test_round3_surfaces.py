@@ -357,3 +357,93 @@ def test_sessionize_streaming_availablenow(spark, tmp_path):
     # or a clean empty append — the assertion is the plan RUNS as a
     # stream. Batch-mode equality is covered above.
     assert isinstance(rows, list)
+
+
+# ---------------------------------------------------------------------------
+# stats.percentiles + bloom decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_stats_percentiles_hand_values(spark, tiny):
+    from solr_ocr_processor_spark.operators.facet import stats_percentiles
+
+    # query "spark": matches docs c0 (dl=4), c1 (dl=3), c3 (dl=4)
+    row = stats_percentiles(
+        spark, tiny, "spark", field="dl", percentiles=(0.5, 0.9)
+    ).first()
+    assert row["n"] == 3
+    # sorted v = [3, 4, 4]; p50: idx (3-1)*0.5 = 1 -> 4.0
+    assert row["p50"] == 4.0
+    # p90: idx 1.8 -> 4 + 0.8*(4-4) = 4.0
+    assert row["p90"] == 4.0
+
+
+def test_stats_percentiles_interpolation(spark, tiny):
+    from solr_ocr_processor_spark.operators.facet import stats_percentiles
+
+    # query "spark merge": matches c0(4), c1(3), c2(4), c3(4)
+    row = stats_percentiles(
+        spark, tiny, "spark merge", field="dl", percentiles=(0.25,)
+    ).first()
+    # sorted [3,4,4,4]; idx (4-1)*0.25 = 0.75 -> 3 + 0.75*(4-3) = 3.75
+    assert row["n"] == 4 and row["p25"] == 3.75
+
+
+def test_stats_percentiles_validation(spark, tiny):
+    import pytest as _pytest
+
+    from solr_ocr_processor_spark.operators.facet import stats_percentiles
+
+    with _pytest.raises(ValueError):
+        stats_percentiles(spark, tiny, "spark", field="nope")
+    with _pytest.raises(ValueError):
+        stats_percentiles(spark, tiny, "spark", percentiles=(1.5,))
+    # zero-match query still yields one n=0 row (stats_field contract);
+    # an unanalyzable (empty) query yields zero rows
+    row = stats_percentiles(spark, tiny, "zzzz absent").first()
+    assert row["n"] == 0 and row["p25"] is None
+    assert stats_percentiles(spark, tiny, "").count() == 0
+
+
+def test_bloom_no_false_negatives(spark):
+    from solr_ocr_processor_spark.operators.pipeline import (
+        bloom_contamination_flags,
+        contamination_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "one two three four five six"),
+            (2, "unique words here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "gamma delta epsilon zeta something else")],
+        "doc_id long, text string",
+    )
+    ex = {r["doc_id"]: r["n_hits"] for r in contamination_flags(docs, ev, n=3).collect()}
+    bl = {
+        r["doc_id"]: r["n_bloom_hits"]
+        for r in bloom_contamination_flags(docs, ev, n=3).collect()
+    }
+    # Bloom may over-flag (false positives) but NEVER under-flag
+    assert set(bl) == set(ex)
+    assert all(bl[k] >= ex[k] for k in ex)
+    # on this tiny key set the filter is far under capacity: exact match
+    assert bl == ex
+
+
+def test_bloom_m_validation(spark):
+    import pytest as _pytest
+
+    from solr_ocr_processor_spark.operators.pipeline import (
+        bloom_contamination_flags,
+    )
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bloom_contamination_flags(docs, docs, n=3, m=100)
+    with _pytest.raises(ValueError):
+        bloom_contamination_flags(docs, docs, n=0)

@@ -745,3 +745,45 @@ def test_cli_terms_tv_join(spark, tmp_path, capsys):
     assert run("query", "--store", store, "--q", "spark", "--mode", "join")[0] == 2
     assert run("query", "--store", store, "--q", "spark", "--mode", "join",
                "--dim", dim_path, "--jq", "bad = filter")[0] == 2
+
+
+def test_cli_stats_percentiles_and_bloom_export(spark, tmp_path, capsys):
+    """stats --percentiles (exact interpolated quantiles) and
+    export --decontaminate --bloom (bitmap-digested eval side)."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=12, max_turns=6, seed=5).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store, "--shards", "2"]) == 0
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main(list(args))
+        out = capsys.readouterr().out
+        return rc, [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+
+    rc, rows = run("stats", "--store", store, "--q", "spark",
+                   "--percentiles", "0.5,0.9")
+    assert rc == 0 and rows
+    r = rows[0]
+    assert r["field"] == "dl" and r["n"] >= 1
+    assert r["p50"] is not None and r["p90"] >= r["p50"]
+    assert run("stats", "--store", store, "--q", "spark",
+               "--percentiles", "1.5")[0] == 2
+    assert run("stats", "--store", store, "--q", "spark",
+               "--percentiles", "abc")[0] == 2
+
+    # bloom export emits the same schema as the exact variant, and on a
+    # small corpus (filter far under capacity) the same flags
+    rc, ex = run("export", "--input", src, "--min-quality", "0",
+                 "--decontaminate")
+    rc2, bl = run("export", "--input", src, "--min-quality", "0",
+                  "--decontaminate", "--bloom")
+    assert rc == 0 and rc2 == 0 and len(ex) == len(bl)
+    assert all("contaminated" in r for r in bl)
+    ex_map = {r["conv_id"]: bool(r["contaminated"]) for r in ex}
+    bl_map = {r["conv_id"]: bool(r["contaminated"]) for r in bl}
+    # no false negatives: every exact-contaminated row stays flagged
+    assert all(bl_map[c] for c, v in ex_map.items() if v)
