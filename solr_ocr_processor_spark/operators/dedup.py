@@ -693,14 +693,19 @@ def dup_span_profile(
          per position with array expressions — no explode of raw
          tokens, one 32-hex-char hash per window leaves the scan;
       2. distinct (doc, window) — one shuffle, map-side combinable;
-      3. window df: groupBy(whash) — second shuffle; windows seen
-         twice join back (same whash partitioning reused by AQE);
+      3. window df: count() OVER (PARTITION BY whash) — second
+         shuffle. A window count, NOT a groupBy + join-back: the
+         join-back formulation re-scans and re-shingles the whole
+         corpus for the dup-set side (two Scan+Generate subtrees in
+         the .explain audit); the window reuses the single pass;
       4. per-doc rollup — third shuffle, |docs| rows out.
     At 100 TB the window table is ~n_tokens rows of (long, 32-char)
-    — the same order as the posting build's tokenizer shuffle, and the
-    hot-window skew (boilerplate spans in millions of docs) is bounded
-    because step 3 only needs count >= 2, not the member list: partial
-    aggregation absorbs hot keys map-side.
+    — the same order as the posting build's tokenizer shuffle. Hot
+    windows (boilerplate spans in millions of docs) concentrate in
+    single whash partitions at step 3; if a key outgrows a partition,
+    the two-level rewrite (hash-agg count per whash, broadcast the
+    tiny >=2 set) trades the extra corpus scan back for skew immunity
+    — at this granularity AQE's skew handling covers the gap first.
     """
     tokenized = docs.select(
         "doc_id",
@@ -716,15 +721,21 @@ def dup_span_profile(
         ),
     ).otherwise(F.expr("array()"))
     dw = tokenized.select("doc_id", F.explode(whashes).alias("whash")).distinct()
-    win_df = dw.groupBy("whash").agg(F.count(F.lit(1)).alias("n_docs"))
-    dup = win_df.where(F.col("n_docs") >= 2).select("whash")
-    per_doc = (
-        dw.join(dup.withColumn("is_dup", F.lit(1)), "whash", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_windows"),
-            F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_dup_windows"),
-        )
+    # window-count instead of groupBy-then-self-join: the count over
+    # (PARTITION BY whash) reuses the SAME pass, so the corpus is
+    # scanned and shingled ONCE (a groupBy + join-back formulation
+    # re-reads and re-hashes the whole corpus for the dup set — the
+    # .explain audit showed two full Scan+Generate subtrees).
+    from pyspark.sql import Window
+
+    counted = dw.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("whash"))
+    )
+    per_doc = counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum((F.col("n_docs") >= 2).cast("int")).cast("long").alias(
+            "n_dup_windows"
+        ),
     )
     return (
         docs.select("doc_id")
