@@ -962,6 +962,16 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword piece counting (functions/textstats.
+    token_count_bpe): the GPT-2 pre-tokenizer split rule as an
+    engine-portable regex — the piece count a pipeline budgets
+    packing/mixtures by, next to the word count."""
+    from solr_ocr_processor_spark.functions.textstats import token_count_bpe
+
+    return token_count_bpe(_docs(spark, sf_dir))
+
+
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (distinct-token
     fraction, top-2/3-gram occupancy) — one tokenization, two
@@ -1160,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "text_token_count": _q_text_token_count,
+        "text_token_bpe": _q_text_token_bpe,
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
@@ -2847,6 +2858,26 @@ SELECT id, round(c, 6) AS cos FROM s ORDER BY c DESC, id ASC LIMIT 10
 SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents
+""",
+    # BPE-ish pieces: the same pattern literal runs under Java regex
+    # (Spark) and RE2 (DuckDB); the quote is SQL-doubled here.
+    "text_token_bpe": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_extract_all(lower(text),
+             '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9\\s'']+|\\s+|'''''),
+           p -> trim(p) != '') AS pieces,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(pieces) AS BIGINT) AS n_pieces,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CASE WHEN len(toks) > 0
+            THEN round(len(pieces) / CAST(len(toks) AS DOUBLE), 6)
+       END AS pieces_per_token
+FROM t
 """,
     "text_quality": f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),

@@ -95,24 +95,29 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # driver artifact showed 1.4-2x per-query noise vs an idle box).
         time.sleep(float(os.environ.get("SPARK_GRAFT_SETTLE_SEC", "3")))
 
-        # Per-query best-of-N: the FIRST execution of a plan also pays
-        # one-time costs (codegen compile, scan listing, Python-worker
-        # import for mapInPandas plans) that a warm service would not;
-        # min-of-N is the standard single-box noise control and is what
-        # BASELINE.md's idle-box numbers effectively measured. N=3:
-        # this VM's host-contention windows depress individual runs
-        # 1.5-3x (BASELINE.md §3 box-noise disclosure); the headline
-        # metric sums the per-query minima, so extra tries cost driver
-        # wall time but never inflate the metric.
+        # Per-query best-of-N, INTERLEAVED: the FIRST execution of a
+        # plan also pays one-time costs (codegen compile, scan listing,
+        # Python-worker import for mapInPandas plans) that a warm
+        # service would not; min-of-N is the standard single-box noise
+        # control. The tries are round-robin over the WHOLE suite (run
+        # the full query list N times, take per-query minima across
+        # passes) rather than N consecutive runs of each query: this
+        # VM's host-contention windows last minutes (measured: the same
+        # code swung rerank_topk 4.4 s -> 22.9 s between two suite
+        # runs), so consecutive tries all land inside one window while
+        # interleaved passes sample the box at suite-length spacing —
+        # a window inflates one pass's slice and the other passes
+        # recover it. Same total work, bounded worst case.
         tries = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_TRIES", "3")))
         timings: dict[str, float] = {}
-        for name, fn in entry.queries().items():
-            best = float("inf")
-            for _ in range(tries):
+        for _ in range(tries):
+            for name, fn in entry.queries().items():
                 q0 = time.perf_counter()
                 fn(spark, sf_dir).collect()
-                best = min(best, time.perf_counter() - q0)
-            timings[name] = round(best, 3)
+                dt = time.perf_counter() - q0
+                if dt < timings.get(name, float("inf")):
+                    timings[name] = dt
+        timings = {k: round(v, 3) for k, v in timings.items()}
 
         return {
             "build_sec": round(build_sec, 3),

@@ -230,3 +230,45 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         10,
     ).cast("long")
     return d.groupBy("doc_id").agg(F.sum(th).cast("long").alias("fp"))
+
+
+# GPT-2-style pre-tokenizer split, ASCII form: contractions, letter
+# runs, 1-3 digit groups (the cl100k digit rule), punctuation runs,
+# residual whitespace. Uses only the Java-RE2 dialect intersection
+# (non-capturing groups, classes, bounded repeats on classes) so Spark
+# rlike/regexp_extract_all and DuckDB regexp_extract_all tokenize
+# identically; both engines use Perl leftmost-first alternation.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9\s']+|\s+|'"
+
+
+def token_count_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_pieces, n_tokens, pieces_per_token): BPE-ish subword
+    piece count next to the word count — the number a training
+    pipeline actually budgets by (sequence packing, mixture weights,
+    per-token pricing are all in TOKENIZER pieces, not words). A real
+    pipeline asks its BPE vocab; the *operator shape* — one regex
+    split per doc, map-only, corpus-scan cost — is identical, and the
+    GPT-2 pre-tokenizer split rule used here is the standard public
+    approximation (pieces >= words; punctuation and digit groups split
+    out; contractions split).
+
+    Engine-portable: the same ``BPE_RE`` runs under Spark (Java regex)
+    and the DuckDB oracle (RE2); whitespace-only matches are dropped
+    on both sides (GPT-2 folds the leading space into the following
+    piece, so residual \\s+ runs are separators, not pieces)."""
+    # column-native construction (no F.expr): the pattern contains a
+    # quote and backslash class, which SQL-string parsing would mangle
+    pieces = F.filter(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_RE), F.lit(0)),
+        lambda p: F.trim(p) != "",
+    )
+    toks = _toks(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.when(
+            F.size(toks) > 0,
+            F.round(F.size(pieces) / F.size(toks), 6),
+        ).alias("pieces_per_token"),
+    )

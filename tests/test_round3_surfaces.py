@@ -447,3 +447,23 @@ def test_bloom_m_validation(spark):
         bloom_contamination_flags(docs, docs, n=3, m=100)
     with _pytest.raises(ValueError):
         bloom_contamination_flags(docs, docs, n=0)
+
+
+def test_token_count_bpe_hand_values(spark):
+    from solr_ocr_processor_spark.functions.textstats import token_count_bpe
+
+    docs = spark.createDataFrame(
+        [
+            (0, "it's over 9000 tokens, isn't it?  yes"),
+            (1, ""),
+            (2, "plain words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_count_bpe(docs).collect()}
+    # hand split: it|'s| over| 900|0| tokens|,| isn|'t| it|?|yes = 12
+    assert got[0]["n_pieces"] == 12 and got[0]["n_tokens"] == 9
+    assert got[0]["pieces_per_token"] == round(12 / 9, 6)
+    assert got[1]["n_pieces"] == 0 and got[1]["pieces_per_token"] is None
+    # plain lowercase words: pieces == words
+    assert got[2]["n_pieces"] == got[2]["n_tokens"] == 3
