@@ -936,6 +936,17 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized ANN (operators/ann.int8_topk): candidates ranked
+    by quantized cosine over the 4x-compressed table — INTEGER dot
+    products, so candidate order is exact arithmetic on both engines —
+    then an exact float rerank of the k*refine winners. The storage
+    path a 10^9-vector corpus actually scans."""
+    from solr_ocr_processor_spark.operators.ann import int8_topk
+
+    return int8_topk(_embs(spark, sf_dir), _qvec(spark, sf_dir), k=10, refine=4)
+
+
 def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-pruned embedding near-dup (the sub-quadratic scale path for
     dedup_embedding_cosine, 8x8 banding = ~3% random-pair candidates):
@@ -1168,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_int8_topk": _q_ann_int8_topk,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "text_token_count": _q_text_token_count,
         "text_token_bpe": _q_text_token_bpe,
@@ -2844,6 +2856,37 @@ s AS (
   FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
 )
 SELECT id, round(cs, 6) AS cos FROM s ORDER BY cs DESC, id ASC LIMIT 10
+""",
+    # int8 quantized ANN: quantization, integer-dot candidate ranking,
+    # candidate cut, and float rerank all replayed — the round() is the
+    # only lossy step and both engines round the same doubles.
+    "ann_int8_topk": """
+WITH qz AS (
+  SELECT vec_id AS id,
+         CASE WHEN m > 0
+              THEN list_transform(v, x -> CAST(round(x * 127 / m) AS INT))
+              ELSE list_transform(v, x -> 0) END AS qvec
+  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
+        FROM embeddings)
+),
+qn AS (SELECT id, qvec,
+              sqrt(list_sum(list_transform(qvec, x -> CAST(x AS BIGINT) * x))::DOUBLE)
+                AS qnorm
+       FROM qz),
+qq AS (SELECT qvec AS qqv, qnorm AS qqn FROM qn WHERE id = 0),
+sc AS (SELECT id, CASE WHEN qnorm > 0 AND qq.qqn > 0
+                       THEN list_dot_product(qn.qvec, qq.qqv) / (qnorm * qq.qqn)
+                       ELSE 0.0 END AS qcos
+       FROM qn CROSS JOIN qq),
+cand AS (SELECT id FROM sc ORDER BY qcos DESC, id ASC LIMIT 40),
+qv AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+       FROM embeddings WHERE vec_id = 0),
+ex AS (SELECT e.vec_id AS id,
+              list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE),
+                                     qv.qv) AS c
+       FROM embeddings e JOIN cand ON e.vec_id = cand.id CROSS JOIN qv)
+SELECT id, round(c, 6) AS cos FROM ex ORDER BY c DESC, id ASC LIMIT 10
 """,
     "ann_cosine_topk": """
 WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv

@@ -567,3 +567,115 @@ def ivf_topk(
     cand_ids = assign.where(F.col("list_id").isin(probe_lists)).select("id")
     cand = embs.join(cand_ids, embs[id_col] == cand_ids["id"], "left_semi")
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the 4x-compression storage path
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the standard
+    vector-store compression (FAISS SQ8 / Lucene int8 HNSW): each
+    float32 coordinate maps to round(v * 127 / max|v|), stored with
+    its scale. 4x less at rest and 4x less scan I/O at 10^9+ vectors
+    — at 100 TB the quantized table is the stored search artifact and
+    the float table is the rerank side, read only for top-k winners.
+
+    Returns (id, qvec array<int> in [-127, 127], scale double,
+    qnorm double = sqrt(Σ q_i²)). Zero vectors quantize to all-zero
+    with scale 0. Pure column expressions on both engines: the
+    round() is the only lossy step and both engines round the same
+    IEEE doubles, so the quantized table is bit-identical to the
+    DuckDB replay."""
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    qvec = F.when(maxabs > 0, F.transform(
+        v,
+        lambda x: F.round(x.cast("double") * 127.0 / maxabs).cast("int"),
+    )).otherwise(F.transform(v, lambda x: F.lit(0)))
+    out = embs.select(
+        F.col(id_col).alias("id"),
+        qvec.alias("qvec"),
+        F.when(maxabs > 0, maxabs / 127.0).otherwise(F.lit(0.0)).alias("scale"),
+    )
+    qnorm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("qvec"), lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+    )
+    return out.withColumn("qnorm", qnorm)
+
+
+def int8_topk(
+    embs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by quantized cosine with exact float rerank — the
+    compressed-scan ANN: candidates come from the int8 table
+    (integer dot products — EXACT arithmetic, so candidate ranking is
+    fully deterministic and oracle-replayable, unlike float-sum
+    order), the top k*refine candidates re-score against the float
+    vectors, and the final page is exact cosine.
+
+    Quantized cosine = Σ(qq·qv) / (|qq|·|qv|): the per-vector scales
+    cancel, so the candidate score needs ONLY the stored int8 rows.
+    Integer dots cannot overflow (|q| <= 127, dim <= 2^15 fits long).
+
+    Output (id, cos) — exact cosine of the reranked winners, matching
+    :func:`cosine_topk`'s contract on the candidate set. Candidate
+    cut: (qcos DESC, id ASC), a TakeOrderedAndProject over the
+    quantized scan; rerank touches k*refine float rows (isin-pruned
+    point reads of the float table)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    maxabs = float(np.max(np.abs(q))) if q.size else 0.0
+    # half-AWAY-FROM-ZERO rounding, matching Spark/DuckDB round() —
+    # np.round is banker's (half-to-even) and would diverge on ties
+    scaled = q * 127.0 / maxabs if maxabs > 0 else np.zeros_like(q)
+    qq = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+    qq_norm = float(np.sqrt(float(np.dot(qq, qq))))
+    quant = quantize_embeddings(embs, id_col, vec_col)
+    qq_arr = F.array(*[F.lit(int(x)) for x in qq])
+    idot = F.aggregate(
+        F.zip_with(F.col("qvec"), qq_arr, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = quant.select(
+        "id",
+        F.when(
+            (F.col("qnorm") > 0) & (F.lit(qq_norm) > 0),
+            idot.cast("double") / (F.col("qnorm") * F.lit(qq_norm)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("qcos"),
+    )
+    cand = scored.orderBy(F.desc("qcos"), F.asc("id")).limit(k * refine)
+    ids = [r["id"] for r in cand.select("id").collect()]
+    qn = float(np.linalg.norm(q))
+    # zero query / zero vector: cosine is undefined — report 0 instead
+    # of dividing by zero (ANSI mode raises)
+    denom = _norm_expr(vec_col) * F.lit(qn)
+    exact = (
+        embs.where(F.col(id_col).isin(ids))
+        .select(
+            F.col(id_col).alias("id"),
+            F.when(denom > 0, _dot_expr(vec_col, query_vec) / denom)
+            .otherwise(F.lit(0.0))
+            .alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("id"))
+        .limit(k)
+        .select("id", F.round("cos", 6).alias("cos"))
+    )
+    return exact

@@ -467,3 +467,60 @@ def test_token_count_bpe_hand_values(spark):
     assert got[1]["n_pieces"] == 0 and got[1]["pieces_per_token"] is None
     # plain lowercase words: pieces == words
     assert got[2]["n_pieces"] == got[2]["n_tokens"] == 3
+
+
+# ---------------------------------------------------------------------------
+# int8 quantized ANN
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_embeddings_bounds_and_ties(spark):
+    from solr_ocr_processor_spark.operators.ann import quantize_embeddings
+
+    half = 0.5 / 127  # scales exactly to 0.5 -> away-from-zero tie
+    embs = spark.createDataFrame(
+        [(0, [1.0, half, -half]), (1, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["id"]: r for r in quantize_embeddings(embs).collect()}
+    # float32 storage perturbs `half` slightly off the exact .5 tie,
+    # so assert the quantized magnitude bound rather than the tie value
+    q0 = got[0]["qvec"]
+    assert q0[0] == 127 and abs(q0[1]) <= 1 and abs(q0[2]) <= 1
+    assert all(-127 <= x <= 127 for x in q0)
+    assert got[1]["qvec"] == [0, 0, 0] and got[1]["scale"] == 0.0
+    assert got[1]["qnorm"] == 0.0
+
+
+def test_int8_topk_matches_brute_top1(spark):
+    import numpy as np
+
+    from solr_ocr_processor_spark.operators.ann import cosine_topk, int8_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 16).astype("float32")
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [float(x) for x in vecs[3]]
+    brute = cosine_topk(embs, qv, k=5).collect()
+    quant = int8_topk(embs, qv, k=5, refine=4).collect()
+    # the quantized path reranks exactly, so the self-match leads and
+    # the reported cosines are the exact ones
+    assert quant[0]["id"] == brute[0]["id"] == 3
+    assert quant[0]["cos"] == brute[0]["cos"]
+    # int8 at dim 16 is high-fidelity: top-5 should agree on this data
+    assert [r["id"] for r in quant] == [r["id"] for r in brute]
+
+
+def test_int8_topk_zero_query(spark):
+    from solr_ocr_processor_spark.operators.ann import int8_topk
+
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = int8_topk(embs, [0.0, 0.0], k=2).collect()
+    # zero query: all quantized cosines 0, exact rerank gives NaN-free 0s
+    assert len(out) == 2
