@@ -1112,6 +1112,96 @@ def _q_ocr_xml_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", xml_codepoint_escape(s).alias("escaped"))
 
 
+def _q_cursor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``cursorMark`` deep paging: page TWO of the flagship
+    ranking fetched with a keyset cursor — the previous page's last
+    (score, doc_id) becomes a codegen predicate, so per-partition
+    heaps stay k-sized at ANY page depth (operators/score.py
+    bm25_cursor_page). Same rows as ``start=10`` (total order makes
+    them equal) via a plan whose cost does NOT grow with depth."""
+    from solr_ocr_processor_spark.operators.score import bm25_cursor_page
+
+    idx = _index(spark, sf_dir)
+    page1 = bm25_cursor_page(spark, idx, FLAGSHIP_QUERY, k=10).collect()
+    last = page1[-1]
+    top = bm25_cursor_page(
+        spark, idx, FLAGSHIP_QUERY, k=10, cursor=(last["score"], last["doc_id"])
+    )
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``{!significantTerms}``: terms over-represented in docs
+    containing 'spark' vs the whole corpus, ranked by integer-scaled
+    fg/bg document-frequency lift (operators/terms.py)."""
+    from solr_ocr_processor_spark.operators.terms import significant_terms
+
+    idx = _index(spark, sf_dir)
+    return significant_terms(spark, idx, "spark", min_fg_df=2, limit=20)
+
+
+def _q_facet_query_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``facet.query``: a count per arbitrary sub-query — term
+    facets read off the dictionary, dl-range facets from ONE
+    conditional aggregation (operators/facet.py)."""
+    from solr_ocr_processor_spark.operators.facet import facet_query_counts
+
+    idx = _index(spark, sf_dir)
+    return facet_query_counts(spark, idx)
+
+
+def _q_json_facet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr JSON Facet API nested terms facet: top langs, each with
+    top sources + exact count/sum metrics, all rolled up from ONE
+    (lang, source) aggregation (operators/facet.py)."""
+    from solr_ocr_processor_spark.operators.facet import json_facet_nested
+
+    return json_facet_nested(spark, _docs(spark, sf_dir))
+
+
+def _q_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``{!graph maxDepth=2}``: BFS layering (node, depth) from a
+    two-doc seed set over the deterministic synthetic edge relation —
+    bounded-depth frontier expansion as iterative hash joins
+    (operators/graph.py)."""
+    from solr_ocr_processor_spark.operators.graph import graph_expand, synth_edges
+
+    idx = _index(spark, sf_dir)
+    edges = synth_edges(idx.doc_meta.select("doc_id"))
+    seeds = spark.createDataFrame([(0,), (17,)], "node long")
+    return graph_expand(spark, edges, seeds, max_depth=2)
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup profile: per-doc kept/total turn
+    counts after keeping only each exact paragraph's first corpus-wide
+    occurrence (operators/dedup.py)."""
+    from solr_ocr_processor_spark.operators.dedup import paragraph_dedup_profile
+
+    t = derive_transcripts(spark, sf_dir, TW)
+    return paragraph_dedup_profile(ordered_turns(t))
+
+
+def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (C4/RefinedWeb source balancing): keep
+    at most 20 docs per source, selected by the content-addressed
+    unit hash; returns the (domain, n_docs, n_kept) profile
+    (operators/split.py)."""
+    from solr_ocr_processor_spark.operators.split import domain_cap
+
+    return domain_cap(_docs(spark, sf_dir), cap=20)
+
+
+def _q_export_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``/export`` handler: the FULL (uncapped) match set of the
+    flagship query within a dl range, total-ordered by docValues via a
+    range-partitioned exchange (operators/query.py)."""
+    from solr_ocr_processor_spark.operators.query import export_sorted
+
+    idx = _index(spark, sf_dir)
+    return export_sorted(spark, idx, FLAGSHIP_QUERY, fq="dl:[32 TO 160]")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -1196,6 +1286,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_hocr_bbox": _q_ocr_hocr_bbox,
         "ocr_response_fixup": _q_ocr_response_fixup,
         "ocr_xml_escape": _q_ocr_xml_escape,
+        "cursor_topk": _q_cursor_topk,
+        "significant_terms": _q_significant_terms,
+        "facet_query_counts": _q_facet_query_counts,
+        "json_facet_nested": _q_json_facet_nested,
+        "graph_expand": _q_graph_expand,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "domain_cap": _q_domain_cap,
+        "export_sorted": _q_export_sorted,
     }
 
 
@@ -3109,6 +3207,141 @@ SELECT tm.conv_id, tm.turn_idx,
 FROM turnmap tm
 GROUP BY tm.conv_id, tm.turn_idx
 HAVING max(CASE WHEN tm.word IN {FLAGSHIP_TERMS!r} THEN 1 ELSE 0 END) = 1
+""",
+        # cursorMark page two == offset page two under the total order
+        # (score DESC, doc_id ASC) — the oracle replays it as OFFSET.
+        "cursor_topk": _BM25.replace("LIMIT 10", "LIMIT 10 OFFSET 10"),
+        "significant_terms": f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM ids),
+td AS (SELECT DISTINCT doc_id, term FROM tok),
+fgd AS (SELECT doc_id FROM td WHERE term = 'spark'),
+fg AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS fg_df
+  FROM td JOIN fgd USING (doc_id)
+  WHERE term <> 'spark'
+  GROUP BY term HAVING count(*) >= 2
+),
+bg AS (SELECT term, CAST(count(*) AS BIGINT) AS bg_df FROM td GROUP BY term)
+SELECT term, fg_df, bg_df,
+       CAST(floor(fg_df * 1000000 / bg_df) AS BIGINT) AS sig_scaled
+FROM fg JOIN bg USING (term)
+ORDER BY sig_scaled DESC, term ASC LIMIT 20
+""",
+        "facet_query_counts": f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM ids),
+td AS (SELECT DISTINCT doc_id, term FROM tok),
+termf AS (
+  SELECT 'q:' || term AS facet, CAST(count(*) AS BIGINT) AS n_docs
+  FROM td WHERE term IN ('spark', 'window', 'merge') GROUP BY term
+),
+rangef AS (
+  SELECT 'dl:[0 TO 64)' AS facet,
+         CAST(sum(CASE WHEN dl >= 0 AND dl < 64 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs
+  FROM ids
+  UNION ALL
+  SELECT 'dl:[64 TO 192)',
+         CAST(sum(CASE WHEN dl >= 64 AND dl < 192 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM ids
+)
+SELECT facet, n_docs FROM (
+  SELECT * FROM termf UNION ALL SELECT * FROM rangef
+) ORDER BY facet
+""",
+        "json_facet_nested": """
+WITH fine AS (
+  SELECT lang AS o_key, source AS i_key,
+         CAST(count(*) AS BIGINT) AS inner_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_metric
+  FROM documents GROUP BY lang, source
+),
+outer_tot AS (
+  SELECT o_key, CAST(sum(inner_docs) AS BIGINT) AS outer_docs,
+         row_number() OVER (ORDER BY sum(inner_docs) DESC, o_key ASC) AS orank
+  FROM fine GROUP BY o_key
+),
+ranked AS (
+  SELECT f.o_key, o.outer_docs, f.i_key, f.inner_docs, f.sum_metric,
+         row_number() OVER (
+           PARTITION BY f.o_key ORDER BY f.inner_docs DESC, f.i_key ASC
+         ) AS irank
+  FROM fine f JOIN outer_tot o USING (o_key) WHERE o.orank <= 3
+)
+SELECT o_key AS lang, outer_docs, i_key AS source, inner_docs, sum_metric
+FROM ranked WHERE irank <= 2
+ORDER BY outer_docs DESC, lang, inner_docs DESC, source
+""",
+        # same synthetic edge derivation as operators/graph.synth_edges
+        # (fanout 2, stride 7), BFS layers as chained join + anti CTEs
+        "graph_expand": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS src FROM documents),
+edges AS (
+  SELECT src,
+         CAST((src * 31 + j * 7 + 1) % (SELECT n FROM nn) AS BIGINT) AS dst
+  FROM nodes CROSS JOIN (SELECT unnest([0, 1]) AS j)
+  WHERE (src * 31 + j * 7 + 1) % (SELECT n FROM nn) <> src
+),
+d0 AS (SELECT CAST(node AS BIGINT) AS node
+       FROM (VALUES (0), (17)) AS s(node)),
+d1 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN d0 ON e.src = d0.node
+  WHERE e.dst NOT IN (SELECT node FROM d0)
+),
+d2 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN d1 ON e.src = d1.node
+  WHERE e.dst NOT IN (SELECT node FROM d0)
+    AND e.dst NOT IN (SELECT node FROM d1)
+)
+SELECT node, CAST(0 AS INTEGER) AS depth FROM d0
+UNION ALL SELECT node, 1 FROM d1
+UNION ALL SELECT node, 2 FROM d2
+ORDER BY depth, node
+""",
+        "paragraph_dedup": f"""
+WITH {_CTE},
+{_TURNS},
+flagged AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN row_number() OVER (
+                PARTITION BY md5(text) ORDER BY conv_id, turn_idx
+              ) = 1 THEN 1 ELSE 0 END AS first_occ
+  FROM turns
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(first_occ) AS BIGINT) AS kept_turns
+FROM flagged GROUP BY conv_id ORDER BY conv_id
+""",
+        "domain_cap": """
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                      / 1152921504606846976.0 ASC,
+                    doc_id ASC
+         ) AS rnk
+  FROM documents
+)
+SELECT source AS domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rnk <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM ranked GROUP BY source ORDER BY domain
+""",
+        "export_sorted": f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+matched AS (
+  SELECT doc_id, conv_id, max(dl) AS dl
+  FROM tok WHERE term IN ('spark', 'window', 'merge')
+  GROUP BY doc_id, conv_id
+)
+SELECT doc_id, conv_id, CAST(dl AS BIGINT) AS dl
+FROM matched WHERE dl >= 32 AND dl <= 160
+ORDER BY dl DESC, doc_id ASC
 """,
         **_PIPELINE_ORACLES,
     }

@@ -750,3 +750,47 @@ def dup_span_profile(
             ).alias("dup_frac"),
         )
     )
+
+
+def paragraph_dedup_profile(turns: DataFrame) -> DataFrame:
+    """CCNet-style PARAGRAPH-level deduplication over the corpus: a
+    turn (the transcript analog of a paragraph) is kept iff it is the
+    FIRST corpus-wide occurrence of its exact text, first = smallest
+    (conv_id, turn_idx) — boilerplate lines repeated across thousands
+    of documents (headers, disclaimers, navigation) survive exactly
+    once. Returns the per-document profile (conv_id, n_turns,
+    kept_turns) ordered by conv_id.
+
+    This is sub-document dedup — the level exact/MinHash doc dedup
+    cannot reach (a page that is 80% boilerplate + 20% unique is not a
+    near-dup of any other page, but 80% of its lines are corpus
+    duplicates). CCNet runs exactly this pass before language ID.
+
+    Scale shape: ONE shuffle keyed on md5(text) (the paragraph hash —
+    64-bit-plus space, collisions negligible and oracle-replayed
+    identically since the SQL twin partitions on the same md5), then a
+    row_number window inside each hash group and a conv_id re-shuffle
+    for the per-doc rollup. Hash groups are tiny (a paragraph's
+    duplicate set), so the window never sees skew beyond the hottest
+    boilerplate line; a pathological 10^8-copy paragraph still only
+    needs its MINIMUM (conv_id, turn_idx), which AQE-splittable
+    min-aggregation could replace the window with — kept as the window
+    form because the window also yields the kept/dropped row set that
+    the export composition filters on.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+        F.asc("conv_id"), F.asc("turn_idx")
+    )
+    flagged = turns.select("conv_id", "turn_idx", "text").withColumn(
+        "first_occ", (F.row_number().over(w) == 1).cast("int")
+    )
+    return (
+        flagged.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("first_occ").cast("long").alias("kept_turns"),
+        )
+        .orderBy("conv_id")
+    )

@@ -345,3 +345,126 @@ def stats_percentiles(
             for i, p in enumerate(ps)
         ],
     )
+
+
+def facet_query_counts(
+    spark: SparkSession,
+    index: Index,
+    term_queries: tuple = ("spark", "window", "merge"),
+    dl_ranges: tuple = ((0, 64), (64, 192)),
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Solr ``facet.query`` — a count per ARBITRARY sub-query, returned
+    next to the main response. Facets here are term queries (doc count
+    containing the term) and dl range queries ([lo, hi) token-length
+    buckets). Returns (facet, n_docs) ordered by facet ASC.
+
+    Plan shape: term facets are |terms| rows read straight off the
+    DICTIONARY (term_stats.df is by construction the count of matching
+    docs — zero posting I/O when no tombstones exist); range facets are
+    ONE conditional aggregation over doc lengths (every ``sum(when)``
+    computed in the same scan, map-side partial combine → a 1-row
+    exchange), unpivoted driver-free with ``stack``. With tombstones,
+    term facets fall back to an anti-joined postings count — df rows
+    per term, still dictionary-pruned.
+    """
+    if exclude_docs is None:
+        term_cnt = (
+            index.term_stats.where(F.col("term").isin(list(term_queries)))
+            .select(
+                F.concat(F.lit("q:"), F.col("term")).alias("facet"),
+                F.col("df").cast("long").alias("n_docs"),
+            )
+        )
+    else:
+        term_cnt = (
+            index.postings.where(F.col("term").isin(list(term_queries)))
+            .join(exclude_docs.select("doc_id").distinct(), "doc_id", "left_anti")
+            .groupBy(F.concat(F.lit("q:"), F.col("term")).alias("facet"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        )
+    dl = index.doc_meta.select(F.col("dl").cast("long").alias("dl"))
+    if exclude_docs is not None:
+        dl = index.doc_meta.join(
+            exclude_docs.select("doc_id").distinct(), "doc_id", "left_anti"
+        ).select(F.col("dl").cast("long").alias("dl"))
+    range_aggs = [
+        F.sum(
+            F.when((F.col("dl") >= lo) & (F.col("dl") < hi), 1).otherwise(0)
+        ).cast("long").alias(f"r{i}")
+        for i, (lo, hi) in enumerate(dl_ranges)
+    ]
+    stack_args = ", ".join(
+        f"'dl:[{lo} TO {hi})', r{i}" for i, (lo, hi) in enumerate(dl_ranges)
+    )
+    range_cnt = dl.agg(*range_aggs).select(
+        F.expr(
+            f"stack({len(dl_ranges)}, {stack_args}) AS (facet, n_docs)"
+        )
+    )
+    return term_cnt.unionByName(range_cnt).orderBy("facet")
+
+
+def json_facet_nested(
+    spark: SparkSession,
+    doc_attrs: DataFrame,
+    outer: str = "lang",
+    inner: str = "source",
+    metric: str = "n_chars",
+    k_outer: int = 3,
+    k_inner: int = 2,
+) -> DataFrame:
+    """Solr JSON Facet API — a nested ``terms`` facet: top ``k_outer``
+    buckets of ``outer`` (by doc count, ties value ASC), each carrying
+    its top ``k_inner`` sub-buckets of ``inner`` with per-sub-bucket
+    count and the metric's exact integer sum (sum+count in place of
+    ``avg`` keeps the contract exact on both engines; avg = sum/cnt is
+    client arithmetic).
+
+    Returns (outer, outer_docs, inner, inner_docs, sum_metric) ordered
+    by the bucket ranks.
+
+    Plan shape (scale-first): ONE hash aggregation at (outer, inner)
+    granularity — the finest the response needs — then outer totals by
+    RE-AGGREGATING those |outer|x|inner| rows (never rescanning the
+    corpus), rank both levels with window functions over the tiny agg
+    result. Cardinality-bounded end to end: after the first partial
+    combine nothing bigger than the bucket lattice moves. This is the
+    classic rollup-from-finest-grain shape — at 100 TB the single
+    corpus-wide shuffle at (outer, inner) keys is the whole cost, and
+    AQE skew-split handles a hot language bucket because the partial
+    aggregation has already collapsed rows to one per (outer, inner,
+    map-partition).
+    """
+    fine = doc_attrs.groupBy(
+        F.col(outer).alias("outer"), F.col(inner).alias("inner")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("inner_docs"),
+        F.sum(F.col(metric).cast("long")).cast("long").alias("sum_metric"),
+    )
+    outer_tot = fine.groupBy("outer").agg(
+        F.sum("inner_docs").cast("long").alias("outer_docs")
+    )
+    from pyspark.sql import Window
+
+    w_out = Window.orderBy(F.desc("outer_docs"), F.asc("outer"))
+    top_outer = (
+        outer_tot.withColumn("orank", F.row_number().over(w_out))
+        .where(F.col("orank") <= k_outer)
+    )
+    w_in = Window.partitionBy("outer").orderBy(
+        F.desc("inner_docs"), F.asc("inner")
+    )
+    return (
+        fine.join(F.broadcast(top_outer), "outer")
+        .withColumn("irank", F.row_number().over(w_in))
+        .where(F.col("irank") <= k_inner)
+        .select(
+            F.col("outer").alias(outer),
+            "outer_docs",
+            F.col("inner").alias(inner),
+            "inner_docs",
+            "sum_metric",
+        )
+        .orderBy(F.desc("outer_docs"), F.asc(outer), F.desc("inner_docs"), F.asc(inner))
+    )

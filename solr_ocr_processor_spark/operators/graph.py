@@ -1,0 +1,101 @@
+"""Graph traversal over an edge relation — the Solr ``{!graph}``
+query parser analog (GraphQueryParserPlugin: ``{!graph from=f to=t
+maxDepth=d}seed_query``).
+
+Lucene-surface parity: the reference forwards query strings verbatim
+to a stored Solr core (app/process/solr.go:48-49), and GraphQuery is
+part of that core's parser registry — "find every doc reachable from
+the seed set by following from-field -> to-field links, up to
+maxDepth hops" (collection lineage, reply chains, citation hops).
+
+Spark-first shape — bounded-depth BFS as ITERATIVE HASH JOINS, the
+Pregel-lite pattern every distributed graph engine lowers to when the
+depth is a small constant:
+
+- the frontier starts as the seed set and each hop is
+  ``frontier JOIN edges ON frontier.id = edges.src -> edges.dst``,
+  unioned into the visited set with a dedup;
+- each hop is one shuffle keyed on the join key. ``maxDepth`` hops =
+  ``maxDepth`` shuffles, NOT an unbounded fixpoint loop — Solr's own
+  GraphQuery bounds depth the same way (and its default,
+  maxDepth=-1 full closure, is the connected-components op the engine
+  already has: operators/dedup.py dup_clusters);
+- the visited set is deduped per hop so a diamond (two paths to one
+  node) costs one row, keeping frontier growth bounded by reachable
+  |V|, never by path count (which is exponential);
+- edges are re-used across hops: persist them once; a frontier that
+  stays small (the common seed-expansion regime) broadcasts, so hops
+  become shuffle-FREE map-side joins against the bucketed edge table.
+
+The driver-facing query pairs this with a deterministic synthetic
+edge relation over doc ids (:func:`synth_edges` — same discipline as
+operators/multimodal.synth_media: the sandbox's tables carry no FK
+edges, so the graph is derived reproducibly from ids and the oracle
+replays the identical derivation relationally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def synth_edges(docs: DataFrame, fanout: int = 2, stride: int = 7) -> DataFrame:
+    """Deterministic edge relation over a doc-id table: node i links to
+    ``(i * 31 + j * stride + 1) % n`` for j in [0, fanout) — a sparse
+    pseudo-random digraph that is pure column arithmetic (exactly
+    replayable in SQL). Returns (src, dst), self-loops dropped.
+
+    ``docs`` must expose ``doc_id``; n is taken as ``max(doc_id) + 1``
+    (dense ids are a build invariant — plans/materialize.py)."""
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    j = F.explode(F.sequence(F.lit(0), F.lit(fanout - 1))).alias("j")
+    edges = (
+        docs.select(F.col("doc_id").alias("src"))
+        .select("src", j)
+        .select(
+            "src",
+            F.pmod(
+                F.col("src") * F.lit(31) + F.col("j") * F.lit(stride) + F.lit(1),
+                F.lit(int(n)),
+            ).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    return edges
+
+
+def graph_expand(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 2,
+) -> DataFrame:
+    """All nodes reachable from ``seeds`` in at most ``max_depth`` hops
+    (seeds themselves included at depth 0). Returns (node, depth) with
+    depth = LENGTH OF THE SHORTEST PATH from the seed set, ordered by
+    (depth, node) — the deterministic BFS layering.
+
+    ``seeds``: a DataFrame with a ``node`` column; ``edges``: (src,
+    dst). Each hop joins the CURRENT frontier (nodes first reached at
+    depth d) against edges and anti-joins everything already visited,
+    so a node is emitted exactly once at its minimal depth. Work per
+    hop is |frontier ⋈ edges| — the textbook BFS bound — and the
+    visited set is carried as a DataFrame union whose dedup rides the
+    same shuffle as the next hop's join."""
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0 (use dup_clusters for closure)")
+    visited = seeds.select(F.col("node").cast("long").alias("node")).distinct(
+    ).withColumn("depth", F.lit(0))
+    frontier = visited.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited.orderBy("depth", "node")

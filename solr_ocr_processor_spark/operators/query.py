@@ -921,3 +921,57 @@ def join_topk(
         .limit(k)
     )
     return resolve_conv_ids(index, top)
+
+
+def export_sorted(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    fq: str | None = "dl:[32 TO 160]",
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Solr ``/export`` handler: stream the ENTIRE result set (no
+    ``rows=`` cap) sorted by docValues — the bulk-extract surface used
+    to feed downstream systems, where top-k is wrong because every
+    match must come out. Matching = ANY query term (Solr q OR
+    semantics) AND the optional ``fq`` range; sort = (dl DESC, doc_id
+    ASC); projection = docValues-only (dl, doc_id, conv_id), never
+    stored text — exactly /export's contract (it refuses non-docValues
+    fields).
+
+    Scale shape: the dictionary ``isin`` prunes postings to the query
+    terms, ONE doc_id aggregation dedupes multi-term matches, the fq
+    range filters before anything wide, and the total-order sort is
+    Spark's range-partitioned exchange (sampling pass + in-partition
+    sort) — the one operator family whose OUTPUT is allowed to be
+    corpus-sized, so the plan's job is only to keep everything before
+    the final exchange narrow. conv_id resolves via the doc_meta join
+    AFTER the match set is final (late materialization), and /export's
+    cursor-batched delivery maps to partition-ordered iteration
+    (``toLocalIterator``) rather than a driver collect."""
+    terms = sorted(set(query_terms(query, cfg)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, conv_id string, dl long")
+    matched = (
+        index.postings.where(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.max("dl").cast("long").alias("dl"))
+    )
+    if fq is not None:
+        field, lo, hi = parse_range_filter(fq)
+        if field != "dl":
+            raise ValueError(f"/export fq field {field!r} is not a docValues field")
+        if lo is not None:
+            matched = matched.where(F.col("dl") >= lo)
+        if hi is not None:
+            matched = matched.where(F.col("dl") <= hi)
+    if exclude_docs is not None:
+        matched = matched.join(
+            exclude_docs.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+    return (
+        matched.join(index.doc_meta.select("doc_id", "conv_id"), "doc_id")
+        .select("doc_id", "conv_id", "dl")
+        .orderBy(F.desc("dl"), F.asc("doc_id"))
+    )

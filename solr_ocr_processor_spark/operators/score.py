@@ -213,6 +213,47 @@ def bm25_topk(
     return resolve_conv_ids(index, top)
 
 
+def bm25_cursor_page(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    k: int = 10,
+    cursor: tuple[float, int] | None = None,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Solr ``cursorMark`` deep paging: the page AFTER ``cursor`` =
+    (score, doc_id) of the previous page's last row, under the total
+    order (score DESC, doc_id ASC). ``cursor=None`` is ``cursorMark=*``
+    (page one).
+
+    Keyset pagination is the scale-correct deep-paging surface: Solr's
+    own docs deprecate ``start=`` beyond shallow pages because every
+    offset page makes per-shard heaps hold ``start+k`` rows and ships
+    them to the coordinator. Here the cursor becomes a plain column
+    predicate — ``score < s OR (score = s AND doc_id > d)`` — evaluated
+    inside whole-stage codegen BEFORE the top-k, so per-partition heaps
+    stay k-sized and driver traffic stays k rows at ANY depth: page
+    10^6 of a 10^9-doc ranking costs the same as page one. The same
+    predicate is the block-skip bound a WAND scorer can use (blocks
+    with max_score < s can't contribute).
+
+    Exactness: the cursor score is compared against scores produced by
+    the IDENTICAL deterministic plan that produced it (bit-determinism
+    of bm25_scores is the round-2 invariant), so float equality in the
+    tie arm is exact, not approximate.
+    """
+    scored = _suppress(bm25_scores(spark, index, query, cfg), exclude_docs)
+    if cursor is not None:
+        s, d = float(cursor[0]), int(cursor[1])
+        scored = scored.where(
+            (F.col("score") < F.lit(s))
+            | ((F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d)))
+        )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return resolve_conv_ids(index, top)
+
+
 def highlights(
     spark: SparkSession,
     index: Index,

@@ -209,3 +209,50 @@ def pack_sequences(
         # contributes no token span — drop the empty row (same in SQL)
         .where(F.col("tok_end") > F.col("tok_start"))
     )
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int = 20,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap — the web-pipeline rule "keep at most
+    ``cap`` documents from any one domain" (C4/RefinedWeb-style
+    source balancing, which prevents a single crawled host from
+    dominating the training mixture).
+
+    Selection WITHIN a domain is by :func:`unit_hash` of the doc id
+    (content-addressed uniform order — an unbiased reproducible sample
+    of the domain, not "first N by crawl order"), ties broken by id.
+    Returns the per-domain profile (domain, n_docs, n_kept) ordered by
+    domain; the kept set itself is the ``rank <= cap`` frontier of the
+    same window, exposed via ``keep`` when ``profile=False`` callers
+    need rows (corpus_export composes the filter inline).
+
+    Scale shape: ONE window over the domain key. A hot domain (the
+    skew case — one host with 10^8 pages) makes that domain's
+    partition the straggler; the mitigation is the standard two-phase
+    cap: pre-filter ``unit_hash < (cap * safety) / est_domain_count``
+    using the map-side count sketch, then rank only the survivors.
+    The pre-filter is an optimization, not a semantic change, so the
+    single-window form stays the reference implementation here.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        unit_hash(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    ranked = docs.select(domain_col, id_col).withColumn(
+        "rnk", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("rnk") <= cap, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("domain")
+    )

@@ -89,6 +89,61 @@ def terms_enum(
     return out.orderBy(F.desc("df"), F.asc("term")).limit(min(limit, MAX_TERMS))
 
 
+def significant_terms(
+    spark: SparkSession,
+    index: Index,
+    seed_term: str,
+    min_fg_df: int = 2,
+    limit: int = 20,
+) -> DataFrame:
+    """Solr ``{!significantTerms}`` (SignificantTermsQParserPlugin):
+    terms over-represented in a *foreground* doc set (docs matching
+    ``seed_term``) relative to the whole-corpus *background*.
+
+    Returns (term, fg_df, bg_df, sig_scaled) ranked by significance
+    DESC, term ASC, top ``limit``. Significance here is the foreground
+    /background document-frequency lift, integer-scaled so the ranking
+    is exact arithmetic on both engines::
+
+        sig_scaled = floor(fg_df * 1_000_000 / bg_df)
+
+    (fg_N is constant across terms, so dividing by it cannot change
+    the order; dropping it keeps the score integral.)
+
+    Spark-first shape: ONE semi-join of the postings against the seed
+    term's doc list (broadcast when the seed is selective — df rows,
+    not corpus rows), then a term-keyed count aggregated map-side, and
+    a broadcast join of the |vocab|-sized dictionary for bg_df. No
+    corpus-wide shuffle: the foreground postings subset is the only
+    thing that moves, and it is bounded by the seed's cf. The seed's
+    own term is excluded (it is trivially 100% of the foreground).
+    """
+    # postings hold ONE row per (term, doc_id) (build.py invariant), so
+    # document frequency is a plain count — no distinct aggregate.
+    fg_docs = index.postings.where(F.col("term") == seed_term).select("doc_id")
+    fg = (
+        index.postings.join(F.broadcast(fg_docs), "doc_id")
+        .where(F.col("term") != seed_term)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
+        .where(F.col("fg_df") >= F.lit(int(min_fg_df)))
+    )
+    bg = index.term_stats.select("term", F.col("df").cast("long").alias("bg_df"))
+    return (
+        fg.join(bg, "term")
+        .select(
+            "term",
+            "fg_df",
+            "bg_df",
+            F.floor(F.col("fg_df") * F.lit(1_000_000) / F.col("bg_df"))
+            .cast("long")
+            .alias("sig_scaled"),
+        )
+        .orderBy(F.desc("sig_scaled"), F.asc("term"))
+        .limit(limit)
+    )
+
+
 def term_vectors(
     spark: SparkSession,
     index: Index,
