@@ -226,9 +226,10 @@ def domain_cap(
     (content-addressed uniform order — an unbiased reproducible sample
     of the domain, not "first N by crawl order"), ties broken by id.
     Returns the per-domain profile (domain, n_docs, n_kept) ordered by
-    domain; the kept set itself is the ``rank <= cap`` frontier of the
-    same window, exposed via ``keep`` when ``profile=False`` callers
-    need rows (corpus_export composes the filter inline).
+    domain; a caller that needs the kept ROWS composes the same window
+    inline and filters ``rnk <= cap`` (the corpus_export pattern for
+    gates — the profile is the audit view, the filter is the pipeline
+    stage).
 
     Scale shape: ONE window over the domain key. A hot domain (the
     skew case — one host with 10^8 pages) makes that domain's
