@@ -1202,6 +1202,117 @@ def _q_export_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_sorted(spark, idx, FLAGSHIP_QUERY, fq="dl:[32 TO 160]")
 
 
+_child_index_cache: dict[tuple[int, str], "Index"] = {}
+
+
+def _child_index(spark: SparkSession, sf_dir: str):
+    """Turn-level (block-join child) index — built once per sf via the
+    UNCHANGED build path over turns re-keyed as single-turn convs
+    (operators/nested.py), persisted like the main index."""
+    key = (id(spark), sf_dir)
+    if key not in _child_index_cache:
+        from solr_ocr_processor_spark.operators.nested import build_child_index
+
+        t = derive_transcripts(spark, sf_dir, TW)
+        cidx = build_child_index(t)
+        for df in (cidx.postings, cidx.doc_meta, cidx.corpus):
+            df.persist()
+        cidx.postings.count()
+        cidx.corpus.count()
+        cidx.mat.release_intermediates()
+        _child_index_cache[key] = cidx
+    return _child_index_cache[key]
+
+
+def _q_parent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``{!parent score=max}`` block-join: parents (conversations)
+    ranked by the max turn-level BM25 score of their children
+    (operators/nested.py)."""
+    from solr_ocr_processor_spark.operators.nested import parent_topk
+
+    cidx = _child_index(spark, sf_dir)
+    top = parent_topk(spark, cidx, FLAGSHIP_QUERY, k=10, mode="max")
+    return top.select(
+        "conv_id", F.round("score", 6).alias("score"), "n_child_hits"
+    )
+
+
+def _q_child_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``{!child of=...}`` / expand component: every turn of the
+    flagship query's top-5 parents, via a broadcast of the k winners
+    (operators/nested.py)."""
+    from solr_ocr_processor_spark.operators.nested import child_expand
+
+    idx = _index(spark, sf_dir)
+    out = child_expand(spark, idx, FLAGSHIP_QUERY, k=5)
+    return out.select(
+        "conv_id",
+        "ordinal",
+        "role",
+        F.round("parent_score", 6).alias("parent_score"),
+    )
+
+
+#: QueryElevationComponent pins for the flagship query (elevate.xml
+#: analog) — editorial, deterministic, present at every sf.
+ELEVATED = ("c00000011", "c00000003")
+
+
+def _q_elevation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr QueryElevationComponent: pinned conv_ids first (in list
+    order, score 0.0 when injected without a match), organic BM25
+    order after, elevated docs removed from it
+    (operators/query.py::elevation_topk)."""
+    from solr_ocr_processor_spark.operators.query import elevation_topk
+
+    idx = _index(spark, sf_dir)
+    out = elevation_topk(spark, idx, FLAGSHIP_QUERY, list(ELEVATED), k=10)
+    return out.select(
+        "rank", "conv_id", F.round("score", 6).alias("score"), "elevated"
+    )
+
+
+def _q_atomic_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr atomic update / Iceberg MERGE INTO: field-level set/inc
+    modifiers + upsert of an unseen doc, merged in one plan whose base
+    side never shuffles (operators/lifecycle.py::atomic_update).
+    set lang='xx' where doc_id%7==2; inc n_chars by 1000 where
+    doc_id%5==0 (both can hit the same doc); insert conv c99999999."""
+    from solr_ocr_processor_spark.operators.lifecycle import atomic_update
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    conv = F.concat(F.lit("c"), F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+    base = docs.select(
+        conv.alias("conv_id"), "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    upd = docs.where((F.col("doc_id") % 7 == 2) | (F.col("doc_id") % 5 == 0)).select(
+        conv.alias("conv_id"),
+        F.when(F.col("doc_id") % 7 == 2, F.lit("xx")).alias("set_lang"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(1000).cast("long")).alias(
+            "inc_n_chars"
+        ),
+    )
+    new = spark.createDataFrame(
+        [("c99999999", "zz", 7)], "conv_id string, set_lang string, inc_n_chars long"
+    )
+    return atomic_update(base, upd.unionByName(new), key="conv_id")
+
+
+#: C4-style editorial token blocklist (the pipeline gate's list input).
+BLOCKLIST = ("vector", "gpu")
+
+
+def _q_blocklist_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb bad-word gate as a per-source audit profile: a doc
+    drops when ANY token is blocklisted; ONE narrow arrays_overlap
+    projection + a source-keyed count
+    (operators/pipeline.py::blocklist_profile)."""
+    from solr_ocr_processor_spark.operators.pipeline import blocklist_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return blocklist_profile(docs, BLOCKLIST)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -1294,6 +1405,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "domain_cap": _q_domain_cap,
         "export_sorted": _q_export_sorted,
+        "parent_topk": _q_parent_topk,
+        "child_expand": _q_child_expand,
+        "elevation_topk": _q_elevation_topk,
+        "atomic_update": _q_atomic_update,
+        "blocklist_profile": _q_blocklist_profile,
     }
 
 
@@ -3110,6 +3226,146 @@ FROM m
 }
 
 
+# Turn-level (block-join child) BM25: children are the non-empty turns
+# themselves, so dl / df / avgdl are per-turn; parent score = max child.
+_PARENT_TOPK = f"""
+WITH {_CTE},
+chd AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts WHERE length(trim(text)) > 0
+),
+ch AS (SELECT conv_id, turn_idx, toks, CAST(len(toks) AS BIGINT) AS dl FROM chd),
+stats AS (SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM ch),
+tok AS (SELECT conv_id, turn_idx, dl, unnest(toks) AS term FROM ch),
+tf AS (
+  SELECT conv_id, turn_idx, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY conv_id, turn_idx, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.conv_id, tf.turn_idx
+),
+parents AS (
+  SELECT conv_id, max(raw) AS raw, CAST(count(*) AS INT) AS n_child_hits
+  FROM scored GROUP BY conv_id
+)
+SELECT conv_id, round(raw, 6) AS score, n_child_hits
+FROM parents ORDER BY raw DESC, conv_id ASC LIMIT 10
+"""
+
+# {!child of=...}: all dense-ordinal turns of the doc-level top-5.
+_CHILD_EXPAND = f"""
+WITH {_CTE},
+{_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+),
+top5 AS (SELECT conv_id, raw FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 5),
+t AS (
+  SELECT conv_id, role,
+         CAST(row_number() OVER (
+           PARTITION BY conv_id ORDER BY turn_idx, ts) - 1 AS INT) AS ordinal
+  FROM transcripts WHERE length(trim(text)) > 0
+)
+SELECT t.conv_id, t.ordinal, t.role, round(p.raw, 6) AS parent_score
+FROM t JOIN top5 p USING (conv_id)
+"""
+
+# QueryElevationComponent: pins rank 1..e in list order (score 0.0 when
+# injected without a match), organic fills e+1..k with pins removed.
+_ELEVATION = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+),
+ev(conv_id, rank) AS (VALUES ('c00000011', 1), ('c00000003', 2)),
+organic AS (
+  SELECT CAST(row_number() OVER (ORDER BY raw DESC, doc_id ASC) + 2 AS INT)
+           AS rank,
+         conv_id, raw
+  FROM (
+    SELECT s.doc_id, s.conv_id, s.raw
+    FROM scored s ANTI JOIN ev USING (conv_id)
+    ORDER BY s.raw DESC, s.doc_id ASC LIMIT 8
+  )
+),
+pinned AS (
+  SELECT ev.rank, ev.conv_id, coalesce(s.raw, 0.0) AS raw
+  FROM ev LEFT JOIN scored s USING (conv_id)
+)
+SELECT rank, conv_id, round(raw, 6) AS score, TRUE AS elevated FROM pinned
+UNION ALL
+SELECT rank, conv_id, round(raw, 6) AS score, FALSE AS elevated FROM organic
+ORDER BY rank
+"""
+
+# Atomic update (set/inc/upsert) — the MERGE INTO truth table.
+_ATOMIC_UPDATE = """
+WITH base AS (
+  SELECT 'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+         lang, CAST(n_chars AS BIGINT) AS n_chars, doc_id
+  FROM documents
+)
+SELECT conv_id,
+       CASE WHEN doc_id % 7 = 2 THEN 'xx' ELSE lang END AS lang,
+       n_chars + CASE WHEN doc_id % 5 = 0 THEN 1000 ELSE 0 END AS n_chars
+FROM base
+UNION ALL
+SELECT 'c99999999', 'zz', CAST(7 AS BIGINT)
+"""
+
+_BLOCKLIST_PROFILE = """
+WITH flags AS (
+  SELECT source,
+         CASE WHEN len(list_intersect(
+             regexp_extract_all(lower(text), '[a-z0-9]+'),
+             ['vector', 'gpu'])) > 0 THEN 1 ELSE 0 END AS hit
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(hit) AS BIGINT) AS n_dropped,
+       CAST(count(*) - sum(hit) AS BIGINT) AS n_kept
+FROM flags GROUP BY source ORDER BY source
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_materialize": f"""
@@ -3343,5 +3599,10 @@ SELECT doc_id, conv_id, CAST(dl AS BIGINT) AS dl
 FROM matched WHERE dl >= 32 AND dl <= 160
 ORDER BY dl DESC, doc_id ASC
 """,
+        "parent_topk": _PARENT_TOPK,
+        "child_expand": _CHILD_EXPAND,
+        "elevation_topk": _ELEVATION,
+        "atomic_update": _ATOMIC_UPDATE,
+        "blocklist_profile": _BLOCKLIST_PROFILE,
         **_PIPELINE_ORACLES,
     }

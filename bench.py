@@ -69,6 +69,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
             entry._index_cache.clear()
             entry._bidx_cache.clear()
             entry._ann_cache.clear()
+            entry._child_index_cache.clear()
             if i:
                 spark.catalog.clearCache()
             t0 = time.perf_counter()
@@ -88,6 +89,12 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         t1 = time.perf_counter()
         entry._ann_store(spark, sf_dir)
         ann_build_sec = time.perf_counter() - t1
+        # The block-join child index (turn-level docs) is likewise a
+        # build-side artifact — charge it to its own leg, not to the
+        # first parent_topk query try.
+        t2 = time.perf_counter()
+        entry._child_index(spark, sf_dir)
+        child_build_sec = time.perf_counter() - t2
 
         # Post-build settle: the build leg leaves the JVM mid-GC and the
         # OS page cache churning; timing queries immediately after
@@ -122,6 +129,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         return {
             "build_sec": round(build_sec, 3),
             "ann_build_sec": round(ann_build_sec, 3),
+            "child_build_sec": round(child_build_sec, 3),
             "n_turns": n_turns,
             "turns_per_sec": round(n_turns / build_sec, 1) if build_sec else 0.0,
             "queries": timings,
@@ -284,7 +292,12 @@ def main() -> None:
         return
 
     r = run_suite(CPUS, SF_DIR)
-    total = r["build_sec"] + r["ann_build_sec"] + sum(r["queries"].values())
+    total = (
+        r["build_sec"]
+        + r["ann_build_sec"]
+        + r["child_build_sec"]
+        + sum(r["queries"].values())
+    )
     print(
         json.dumps(
             {
@@ -295,6 +308,7 @@ def main() -> None:
                 "sf": _sf_of(SF_DIR),
                 "build_sec": r["build_sec"],
                 "ann_build_sec": r["ann_build_sec"],
+                "child_build_sec": r["child_build_sec"],
                 "n_turns": r["n_turns"],
                 "turns_per_sec": r["turns_per_sec"],
                 "cpus": CPUS,

@@ -468,3 +468,77 @@ def build_metrics(spark: SparkSession, store: IndexStore) -> DataFrame:
         "turns_per_sec",
         F.when(F.col("wall_sec") > 0, F.col("n_turns") / F.col("wall_sec")),
     )
+
+
+def atomic_update(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str = "conv_id",
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """Solr atomic update (``{"set": ..., "inc": ...}`` field
+    modifiers) / Iceberg ``MERGE INTO`` analog, as one declarative
+    plan.
+
+    A stock Solr core accepts partial-document updates: ``set``
+    replaces a field, ``inc`` adds to a numeric field, and an unknown
+    id inserts a fresh doc (upsert). The reference's users mutate the
+    index through exactly this surface (the Go app itself only
+    POSTs/DELETEs whole items, app/process/solr.go:139-168, so field
+    updates are the stored core's own capability).
+
+    ``updates`` carries the key plus ``set_<col>`` and/or ``inc_<col>``
+    columns; any base column without a modifier passes through. Rows
+    whose key is absent from ``base`` become inserts: ``set`` values
+    land as-is, ``inc`` starts from 0 (Solr's rule), everything else
+    stays NULL (a sparse upserted doc).
+
+    Plan shape — the base table NEVER shuffles:
+    - update leg: base LEFT-joins the (broadcast) update batch and
+      applies the modifiers as pure column math;
+    - insert detection: a broadcast LEFT-SEMI join projects the <=
+      |updates| keys already present, and the insert rows come from a
+      tiny anti-join of the update batch against that k-row frame.
+    With ``broadcast_updates=False`` (a bulk backfill rather than a
+    trickle) both legs degrade to one shuffle-on-key join each — the
+    same exchange an Iceberg MERGE INTO would plan.
+    """
+    set_cols = {c[4:]: c for c in updates.columns if c.startswith("set_")}
+    inc_cols = {c[4:]: c for c in updates.columns if c.startswith("inc_")}
+    unknown = (set_cols.keys() | inc_cols.keys()) - set(base.columns)
+    if unknown:
+        raise ValueError(f"modifiers target unknown columns: {sorted(unknown)}")
+    upd = F.broadcast(updates) if broadcast_updates else updates
+
+    def _modified(c: str):
+        expr = F.col(c)
+        if c in set_cols:
+            expr = F.coalesce(F.col(set_cols[c]), expr)
+        if c in inc_cols:
+            expr = F.when(
+                F.col(inc_cols[c]).isNotNull(),
+                F.coalesce(expr, F.lit(0)) + F.col(inc_cols[c]),
+            ).otherwise(expr)
+        return expr.alias(c)
+
+    updated = base.join(upd, key, "left").select(
+        F.col(key), *[_modified(c) for c in base.columns if c != key]
+    )
+
+    present = base.select(key).join(upd.select(key), key, "left_semi")
+
+    def _inserted(field):
+        c = field.name
+        if c in set_cols:
+            expr = F.col(set_cols[c]).cast(field.dataType)
+        elif c in inc_cols:
+            expr = F.col(inc_cols[c]).cast(field.dataType)
+        else:
+            expr = F.lit(None).cast(field.dataType)
+        return expr.alias(c)
+
+    inserts = updates.join(F.broadcast(present), key, "left_anti").select(
+        F.col(key),
+        *[_inserted(f) for f in base.schema.fields if f.name != key],
+    )
+    return updated.unionByName(inserts)

@@ -231,3 +231,38 @@ def bloom_contamination_flags(
             (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("flagged"),
         )
     )
+
+
+def blocklist_profile(docs: DataFrame, blocklist: tuple[str, ...]) -> DataFrame:
+    """C4-style token-blocklist gate ("bad words" filtering), as a
+    per-source audit profile.
+
+    C4 drops any page containing a blocklisted word; RefinedWeb and
+    FineWeb keep the same gate with curated lists. Here: a doc is
+    dropped when ANY of its tokens (the engine's standard [a-z0-9]+
+    tokenization of lower(text)) appears in the list. Returns
+    (source, n_docs, n_dropped, n_kept) ordered by source — the audit
+    view; the pipeline filter is the same ``hit`` predicate inline
+    (the domain_cap pattern for gates).
+
+    Scale shape: the list is editorial (10^2-10^4 entries) — it lives
+    in the plan as a literal array (or a broadcast join above ~10^4),
+    so the gate is ONE narrow projection over the corpus scan:
+    arrays_overlap(tokens, lit(list)) per doc, then a partial+final
+    count per source. No shuffle wider than the (tiny) source-keyed
+    aggregation; nothing row-at-a-time in Python.
+    """
+    toks = F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    hit = F.arrays_overlap(toks, F.array(*[F.lit(w) for w in blocklist]))
+    return (
+        docs.select("source", hit.alias("hit"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("hit").cast("long")).cast("long").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum(F.col("hit").cast("long")))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )

@@ -975,3 +975,71 @@ def export_sorted(
         .select("doc_id", "conv_id", "dl")
         .orderBy(F.desc("dl"), F.asc("doc_id"))
     )
+
+
+def elevation_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    elevated: list[str],
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Solr QueryElevationComponent (``elevate.xml`` + ``enableElevation``):
+    pin the listed conv_ids at the top of the result IN LIST ORDER,
+    then fill to k with the organic BM25 order, elevated docs removed
+    from it. Elevated docs are returned even when they don't match the
+    query at all (the component injects them; their score is 0.0 then),
+    which is the editorial-override behavior the reference's users get
+    from a stock Solr core.
+
+    Returns (rank, conv_id, score, elevated) — rank 1..e are the pins,
+    e+1..k the organic tail ordered (score DESC, conv_id ASC).
+
+    Scale shape: the elevation map is editorial data (tens of rows) —
+    it broadcasts everywhere it appears. The organic leg is the
+    standard top-k (TakeOrderedAndProject) over-fetched by |elevated|
+    so removing pinned winners can't leave the page short; the pinned
+    leg probes doc_meta and the score frame with the tiny side
+    broadcast. The only rows ranked with a window function are the
+    <= k + |elevated| survivors — never the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    e = len(elevated)
+    ev = F.broadcast(
+        spark.createDataFrame(
+            [(c, i + 1) for i, c in enumerate(elevated)],
+            "conv_id string, rank int",
+        )
+    )
+    # Organic leg: top-(k) after removing pins, ranked e+1..k.
+    organic = (
+        bm25_topk(spark, index, query, k=k + e, cfg=cfg)
+        .join(ev.select("conv_id"), "conv_id", "left_anti")
+        .limit(k - e if k > e else 0)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("conv_id"))
+    organic = organic.select(
+        (F.row_number().over(w) + F.lit(e)).alias("rank"),
+        "conv_id",
+        "score",
+        F.lit(False).alias("elevated"),
+    )
+    # Pinned leg: real score when the doc matches, 0.0 when injected.
+    # The score frame is corpus-matched-set-sized, so a direct left
+    # join from the e-row pin frame would sort-merge it; instead a
+    # broadcast SEMI join (pin keys are the tiny build side) cuts it
+    # to <= e rows first, and the final left join broadcasts that.
+    pin_docs = index.doc_meta.select("doc_id", "conv_id").join(ev, "conv_id")
+    scores = bm25_scores(spark, index, query, cfg)
+    pin_scores = scores.join(
+        F.broadcast(pin_docs.select("doc_id")), "doc_id", "left_semi"
+    )
+    pinned = pin_docs.join(F.broadcast(pin_scores), "doc_id", "left").select(
+        "rank",
+        "conv_id",
+        F.coalesce("score", F.lit(0.0)).alias("score"),
+        F.lit(True).alias("elevated"),
+    )
+    return pinned.unionByName(organic).orderBy("rank")

@@ -1,0 +1,250 @@
+"""Round-3 late surfaces: block-join nested docs ({!parent}/{!child}),
+query elevation, atomic update (MERGE), and the C4 token-blocklist
+gate. Hand-computed expectations on purpose-built mini-corpora."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_ocr_processor_spark.operators.build import build_postings
+from solr_ocr_processor_spark.operators.nested import (
+    build_child_index,
+    child_expand,
+    parent_topk,
+)
+from solr_ocr_processor_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+TS = datetime.datetime(2026, 1, 1)
+
+ROWS = [
+    # conv A: two turns, 'spark' concentrated in turn 1
+    ("convA", 0, "user", "spark spark spark merge", None, TS),
+    ("convA", 1, "assistant", "sort join plans", None, TS),
+    # conv B: one long diluted turn
+    ("convB", 0, "user", "spark window sort join merge filter scan agg", None, TS),
+    # conv C: no query terms
+    ("convC", 0, "user", "rows columns tables", None, TS),
+    # conv D: empty turn must not become a child doc
+    ("convD", 0, "user", "   ", None, TS),
+    ("convD", 1, "assistant", "spark merge", None, TS),
+]
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    t = spark.createDataFrame(ROWS, TRANSCRIPT_SCHEMA)
+    idx = build_postings(t)
+    idx.postings.persist().count()
+    return idx
+
+
+@pytest.fixture(scope="module")
+def child_idx(spark):
+    t = spark.createDataFrame(ROWS, TRANSCRIPT_SCHEMA)
+    cidx = build_child_index(t)
+    cidx.postings.persist().count()
+    return cidx
+
+
+# ---------------------------------------------------------------------------
+# {!parent} block join
+# ---------------------------------------------------------------------------
+
+
+def test_child_index_units_are_nonempty_turns(child_idx):
+    # 5 non-empty turns total (A has 2, B 1, C 1, D 1-after-skip)
+    assert child_idx.corpus.first()["n_docs"] == 5
+    metas = {r["conv_id"] for r in child_idx.doc_meta.collect()}
+    assert metas == {
+        "convA#000000",
+        "convA#000001",
+        "convB#000000",
+        "convC#000000",
+        "convD#000001",
+    }
+
+
+def test_parent_max_equals_best_child(spark, tiny, child_idx):
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    # per-child scores straight from the child index's own scorer
+    kids = bm25_topk(spark, child_idx, "spark merge", k=100).collect()
+    best: dict[str, float] = {}
+    hits: dict[str, int] = {}
+    for r in kids:
+        p = r["conv_id"].split("#")[0]
+        best[p] = max(best.get(p, float("-inf")), r["score"])
+        hits[p] = hits.get(p, 0) + 1
+    got = parent_topk(spark, child_idx, "spark merge", k=10, mode="max").collect()
+    assert [r["conv_id"] for r in got] == sorted(
+        best, key=lambda p: (-best[p], p)
+    )
+    for r in got:
+        assert r["score"] == pytest.approx(best[r["conv_id"]], abs=1e-12)
+        assert r["n_child_hits"] == hits[r["conv_id"]]
+    # convC matches nothing; convD's empty turn contributed no child
+    assert "convC" not in {r["conv_id"] for r in got}
+
+
+def test_parent_modes_sum_avg_min(spark, child_idx):
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    kids = bm25_topk(spark, child_idx, "spark merge", k=100).collect()
+    per: dict[str, list[float]] = {}
+    for r in kids:
+        per.setdefault(r["conv_id"].split("#")[0], []).append(r["score"])
+    for mode, fn in (
+        ("sum", sum),
+        ("min", min),
+        ("avg", lambda v: sum(v) / len(v)),
+    ):
+        got = parent_topk(spark, child_idx, "spark merge", k=10, mode=mode).collect()
+        for r in got:
+            assert r["score"] == pytest.approx(fn(per[r["conv_id"]]), rel=1e-12)
+    with pytest.raises(ValueError):
+        parent_topk(spark, child_idx, "spark", mode="total")
+
+
+def test_dilution_ranks_concentrated_turn_first(spark, child_idx):
+    # convA's 4-token turn has tf(spark)=3; convB's 8-token turn tf=1 —
+    # turn-level BM25 must put A first even though doc-level dl is close.
+    got = parent_topk(spark, child_idx, "spark", k=2, mode="max").collect()
+    assert got[0]["conv_id"] == "convA"
+
+
+# ---------------------------------------------------------------------------
+# {!child} expand
+# ---------------------------------------------------------------------------
+
+
+def test_child_expand_returns_all_turns_of_winners(spark, tiny):
+    out = child_expand(spark, tiny, "spark merge", k=2).collect()
+    by_conv: dict[str, set[int]] = {}
+    for r in out:
+        by_conv.setdefault(r["conv_id"], set()).add(r["ordinal"])
+    # top-2 parents by doc-level BM25 both come back with every turn
+    assert len(by_conv) == 2
+    for conv, ords in by_conv.items():
+        if conv == "convA":
+            assert ords == {0, 1}
+        else:
+            assert ords == {0}
+    # parent_score is constant per conv
+    for conv in by_conv:
+        scores = {r["parent_score"] for r in out if r["conv_id"] == conv}
+        assert len(scores) == 1
+
+
+# ---------------------------------------------------------------------------
+# query elevation
+# ---------------------------------------------------------------------------
+
+
+def test_elevation_pins_in_order_then_organic(spark, tiny):
+    from solr_ocr_processor_spark.operators.query import elevation_topk
+
+    got = elevation_topk(
+        spark, tiny, "spark merge", ["convC", "convB"], k=4
+    ).collect()
+    assert [r["rank"] for r in got] == [1, 2, 3, 4]
+    assert got[0]["conv_id"] == "convC" and got[0]["elevated"]
+    assert got[1]["conv_id"] == "convB" and got[1]["elevated"]
+    # convC never matches the query -> injected with score 0.0
+    assert got[0]["score"] == 0.0
+    # convB does match -> keeps its real (positive) score
+    assert got[1]["score"] > 0.0
+    # organic tail excludes the pins and stays score-ordered
+    tail = [r for r in got if not r["elevated"]]
+    assert {r["conv_id"] for r in tail}.isdisjoint({"convB", "convC"})
+    assert [r["score"] for r in tail] == sorted(
+        (r["score"] for r in tail), reverse=True
+    )
+
+
+def test_elevation_without_pins_is_plain_bm25(spark, tiny):
+    from solr_ocr_processor_spark.operators.query import elevation_topk
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    got = elevation_topk(spark, tiny, "spark merge", [], k=3).collect()
+    want = bm25_topk(spark, tiny, "spark merge", k=3).collect()
+    assert [r["conv_id"] for r in got] == [r["conv_id"] for r in want]
+    assert all(not r["elevated"] for r in got)
+
+
+# ---------------------------------------------------------------------------
+# atomic update (MERGE INTO)
+# ---------------------------------------------------------------------------
+
+
+def test_atomic_update_set_inc_upsert(spark):
+    from solr_ocr_processor_spark.operators.lifecycle import atomic_update
+
+    base = spark.createDataFrame(
+        [("a", "en", 10), ("b", "de", 20), ("c", "fr", 30)],
+        "conv_id string, lang string, views long",
+    )
+    updates = spark.createDataFrame(
+        [
+            ("a", "xx", None),   # set only
+            ("b", None, 5),      # inc only
+            ("c", "yy", 7),      # both on one row
+            ("d", None, 3),      # upsert: inc starts from 0
+            ("e", "zz", None),   # upsert: set only, views stays NULL
+        ],
+        "conv_id string, set_lang string, inc_views long",
+    )
+    got = {r["conv_id"]: r for r in atomic_update(base, updates).collect()}
+    assert (got["a"]["lang"], got["a"]["views"]) == ("xx", 10)
+    assert (got["b"]["lang"], got["b"]["views"]) == ("de", 25)
+    assert (got["c"]["lang"], got["c"]["views"]) == ("yy", 37)
+    assert (got["d"]["lang"], got["d"]["views"]) == (None, 3)
+    assert (got["e"]["lang"], got["e"]["views"]) == ("zz", None)
+    assert len(got) == 5
+
+
+def test_atomic_update_untouched_rows_pass_through(spark):
+    from solr_ocr_processor_spark.operators.lifecycle import atomic_update
+
+    base = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "conv_id string, views long"
+    )
+    updates = spark.createDataFrame([("a", 10)], "conv_id string, inc_views long")
+    got = {r["conv_id"]: r["views"] for r in atomic_update(base, updates).collect()}
+    assert got == {"a": 11, "b": 2}
+
+
+def test_atomic_update_rejects_unknown_target(spark):
+    from solr_ocr_processor_spark.operators.lifecycle import atomic_update
+
+    base = spark.createDataFrame([("a", 1)], "conv_id string, views long")
+    updates = spark.createDataFrame([("a", 1)], "conv_id string, inc_clicks long")
+    with pytest.raises(ValueError, match="clicks"):
+        atomic_update(base, updates)
+
+
+# ---------------------------------------------------------------------------
+# blocklist gate
+# ---------------------------------------------------------------------------
+
+
+def test_blocklist_profile_counts(spark):
+    from solr_ocr_processor_spark.operators.pipeline import blocklist_profile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "clean words only", "s1"),
+            (1, "has a GPU inside", "s1"),     # case-insensitive hit
+            (2, "gpuless but vector here", "s2"),  # 'gpuless' != 'gpu'; 'vector' hits
+            (3, "nothing bad", "s2"),
+            (4, "vector vector vector", "s2"),  # multiple hits count once
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_dropped"], r["n_kept"])
+        for r in blocklist_profile(docs, ("vector", "gpu")).collect()
+    }
+    assert got == {"s1": (2, 1, 1), "s2": (3, 2, 1)}
