@@ -1313,6 +1313,35 @@ def _q_blocklist_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_profile(docs, BLOCKLIST)
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus incremental near-dedup: NEW batch (doc_id%5==0)
+    against the EXISTING corpus (rest) — asymmetric MinHash LSH
+    band-bucket join + exact shingle verify
+    (operators/dedup.py::incremental_minhash_dedup)."""
+    from solr_ocr_processor_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = _docs(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return incremental_minhash_dedup(new, corpus, n=3, tau=0.3)
+
+
+def _q_ltr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr LTR plugin, linear model over [bm25, matched-frac,
+    dl/avgdl] rescoring the BM25 top-50 window
+    (operators/query.py::ltr_topk)."""
+    from solr_ocr_processor_spark.operators.query import ltr_topk
+
+    idx = _index(spark, sf_dir)
+    top = ltr_topk(spark, idx, FLAGSHIP_QUERY, k=10, rerank_docs=50)
+    return top.select(
+        "doc_id",
+        "conv_id",
+        F.round("bm25", 6).alias("bm25"),
+        F.round("ltr_score", 6).alias("ltr_score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -1410,6 +1439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elevation_topk": _q_elevation_topk,
         "atomic_update": _q_atomic_update,
         "blocklist_profile": _q_blocklist_profile,
+        "incremental_dedup": _q_incremental_dedup,
+        "ltr_topk": _q_ltr_topk,
     }
 
 
@@ -3350,6 +3381,58 @@ UNION ALL
 SELECT 'c99999999', 'zz', CAST(7 AS BIGINT)
 """
 
+# Asymmetric (new-batch vs corpus) exact jaccard — the incremental
+# dedup's verification truth; LSH recall is the same 1-(1-s^4)^32 as
+# the self-join (misses vanish above ~0.75 similarity).
+_INCREMENTAL_DEDUP = f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS p, toks FROM docs),
+sh AS (SELECT DISTINCT doc_id, toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2] AS shingle
+       FROM pos WHERE p + 2 <= len(toks)),
+card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_id, b.doc_id AS dup_of, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+          GROUP BY 1, 2),
+j AS (SELECT inter.doc_id, inter.dup_of, i::DOUBLE / (c1.c + c2.c - i) AS jac
+      FROM inter
+      JOIN card c1 ON inter.doc_id = c1.doc_id
+      JOIN card c2 ON inter.dup_of = c2.doc_id)
+SELECT doc_id, dup_of, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.3
+"""
+
+# LTR linear model over the BM25 top-50 window.
+_LTR_TOPK = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id, max(tf.dl) AS dl,
+         CAST(count(*) AS INT) AS n_matched,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+),
+cands AS (SELECT * FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 50),
+m AS (
+  SELECT c.doc_id, c.conv_id, c.raw,
+         1.0 * c.raw + 0.5 * (c.n_matched / 3.0)
+           + (-0.25) * (c.dl / s.avgdl) AS ltr
+  FROM cands c CROSS JOIN stats s
+)
+SELECT doc_id, conv_id, round(raw, 6) AS bm25, round(ltr, 6) AS ltr_score
+FROM m ORDER BY ltr DESC, doc_id ASC LIMIT 10
+"""
+
 _BLOCKLIST_PROFILE = """
 WITH flags AS (
   SELECT source,
@@ -3604,5 +3687,7 @@ ORDER BY dl DESC, doc_id ASC
         "elevation_topk": _ELEVATION,
         "atomic_update": _ATOMIC_UPDATE,
         "blocklist_profile": _BLOCKLIST_PROFILE,
+        "incremental_dedup": _INCREMENTAL_DEDUP,
+        "ltr_topk": _LTR_TOPK,
         **_PIPELINE_ORACLES,
     }

@@ -328,16 +328,7 @@ def minhash_lsh_pairs(
     # signature builder. No collect_list array column (Arrow list
     # transfer ~10x a flat column) and no shingle STRINGS ever cross
     # into Python — only fixed-width digests.
-    num_partitions = int(
-        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
-    hashed = sh.select(
-        "doc_id", F.unhex(F.md5(F.col("shingle").cast("binary"))).alias("hb")
-    )
-    stream = hashed.repartition(num_partitions, "doc_id").sortWithinPartitions(
-        "doc_id"
-    )
-    sig = stream.mapInPandas(_minhash_bands(num_bands, rows_per_band), _SIG_SCHEMA)
+    sig = _minhash_signatures(docs, n, num_bands, rows_per_band, text_col)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
@@ -367,6 +358,98 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", F.col("i") / (F.col("c1") + F.col("c2") - F.col("i")))
         .where(F.col("jaccard") >= tau)
         .select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+
+def _minhash_signatures(
+    docs: DataFrame, n: int, num_bands: int, rows_per_band: int, text_col: str
+) -> DataFrame:
+    """(doc_id, band, bucket) LSH signatures — the shared write-side of
+    :func:`minhash_lsh_pairs` (self-join dedup) and
+    :func:`incremental_minhash_dedup` (new-batch-vs-corpus dedup).
+    JVM-side shingle md5 (codegen) + ONE doc_id-clustered shuffle into
+    the streaming band builder; see :func:`_minhash_bands`."""
+    sh = shingles(docs, n, text_col)
+    num_partitions = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    hashed = sh.select(
+        "doc_id", F.unhex(F.md5(F.col("shingle").cast("binary"))).alias("hb")
+    )
+    stream = hashed.repartition(num_partitions, "doc_id").sortWithinPartitions(
+        "doc_id"
+    )
+    return stream.mapInPandas(
+        _minhash_bands(num_bands, rows_per_band), _SIG_SCHEMA
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    n: int = 3,
+    tau: float = 0.3,
+    num_bands: int = 32,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus (incremental) near-dedup: which NEW docs duplicate
+    the EXISTING corpus — the shape every rolling ingestion needs
+    (dedup crawl dump N against dumps 1..N-1) and the reference's own
+    usage pattern (items are POSTed incrementally into an already-
+    populated Solr core, app/handler/indexer.go:27-41, where the
+    GET-before-POST check is exactly a membership probe of new against
+    existing).
+
+    Asymmetric LSH: signatures for both sides from the SAME builder as
+    the self-join dedup, candidates from a (band, bucket) equi-join of
+    new x corpus only — never corpus x corpus, so the quadratic term
+    of a naive union-then-self-join disappears. Candidates are exact-
+    verified by shingle intersection (no false positives survive).
+    Returns (doc_id, dup_of, jaccard): one row per verified (new,
+    corpus) pair with jaccard >= tau.
+
+    Scale shape: the corpus side's signatures and shingle sets are
+    write-once artifacts in production — persist them bucket-
+    partitioned at ingest (the ann_store discipline) and each new
+    batch joins against the stored tables, so per-batch cost is
+    O(new-batch) + the pruned bucket probes, independent of corpus
+    size except through bucket occupancy.
+    """
+    sig_new = _minhash_signatures(new_docs, n, num_bands, rows_per_band, text_col)
+    sig_old = _minhash_signatures(
+        corpus_docs, n, num_bands, rows_per_band, text_col
+    )
+    a, b = sig_new.alias("a"), sig_old.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("dup_of"))
+        .distinct()
+    )
+    sh_new = shingles(new_docs, n, text_col)
+    sh_old = shingles(corpus_docs, n, text_col)
+    card_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c1"))
+    card_old = sh_old.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c2"))
+    inter = (
+        cand.join(sh_new, "doc_id")
+        .join(
+            sh_old.select(F.col("doc_id").alias("dup_of"), "shingle"),
+            ["dup_of", "shingle"],
+        )
+        .groupBy("doc_id", "dup_of")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(card_new, "doc_id")
+        .join(card_old.select(F.col("doc_id").alias("dup_of"), "c2"), "dup_of")
+        .withColumn("jaccard", F.col("i") / (F.col("c1") + F.col("c2") - F.col("i")))
+        .where(F.col("jaccard") >= tau)
+        .select("doc_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

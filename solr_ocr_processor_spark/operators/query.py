@@ -1043,3 +1043,57 @@ def elevation_topk(
         F.lit(True).alias("elevated"),
     )
     return pinned.unionByName(organic).orderBy("rank")
+
+
+def ltr_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    k: int = 10,
+    rerank_docs: int = 50,
+    weights: tuple[float, float, float] = (1.0, 0.5, -0.25),
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Solr LTR plugin (``{!ltr model=...}``), linear model: generate
+    candidates with the base ranker, extract a per-candidate feature
+    vector, rescore with fixed weights, return top-k by model score.
+
+    Features (the standard LTR starter set, all already in the
+    scorer's single aggregation — no extra scan):
+      f1 = BM25 score, f2 = matched-term fraction, f3 = dl / avgdl.
+    model = w1*f1 + w2*f2 + w3*f3.
+
+    Scale shape: candidate generation is the usual
+    TakeOrderedAndProject top-N; features ride along on the SAME
+    aggregated rows (with_match_count/with_dl fold into the scorer's
+    groupBy), so rescoring is pure column math over N rows and the
+    final top-k is another N-row heap. The model never touches the
+    corpus — exactly Solr's reRankDocs window contract.
+    """
+    terms = sorted(set(query_terms(query, cfg)))
+    if not terms:
+        return spark.createDataFrame(
+            [], "doc_id long, conv_id string, bm25 double, ltr_score double"
+        )
+    scored = bm25_scores_terms(
+        spark, index, terms, cfg, with_match_count=True, with_dl=True
+    )
+    cands = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(rerank_docs)
+    avgdl = float(index.corpus.first()["avgdl"])
+    w1, w2, w3 = (float(w) for w in weights)
+    model = (
+        F.lit(w1) * F.col("score")
+        + F.lit(w2) * (F.col("n_matched") / F.lit(float(len(terms))))
+        + F.lit(w3) * (F.col("dl") / F.lit(avgdl))
+    )
+    top = (
+        cands.withColumn("ltr_score", model)
+        .orderBy(F.desc("ltr_score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.col("score").alias("bm25"), "ltr_score")
+    )
+    return (
+        top.join(F.broadcast(index.doc_meta.select("doc_id", "conv_id")), "doc_id")
+        .select("doc_id", "conv_id", "bm25", "ltr_score")
+        .orderBy(F.desc("ltr_score"), F.asc("doc_id"))
+    )

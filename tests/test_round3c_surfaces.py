@@ -248,3 +248,114 @@ def test_blocklist_profile_counts(spark):
         for r in blocklist_profile(docs, ("vector", "gpu")).collect()
     }
     assert got == {"s1": (2, 1, 1), "s2": (3, 2, 1)}
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-corpus) dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_new_vs_corpus_only(spark):
+    from solr_ocr_processor_spark.operators.dedup import incremental_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [
+            (100, base),
+            (101, "completely different words in this corpus document here"),
+            # near-dup INSIDE the corpus: must never be reported
+            (102, base + " ok"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (0, base + " yes"),   # near-dup of 100 and 102
+            (1, "unrelated new content with no overlap whatsoever today"),
+        ],
+        "doc_id long, text string",
+    )
+    got = incremental_minhash_dedup(new, corpus, n=3, tau=0.3).collect()
+    pairs = {(r["doc_id"], r["dup_of"]) for r in got}
+    assert (0, 100) in pairs and (0, 102) in pairs
+    # asymmetric: only (new, corpus) pairs, nothing corpus x corpus
+    assert all(d in (0, 1) and o in (100, 101, 102) for d, o in pairs)
+    assert not any(d == 1 for d, _ in pairs)
+    for r in got:
+        assert 0.3 <= r["jaccard"] <= 1.0
+
+
+def test_incremental_dedup_matches_exact_jaccard(spark):
+    """LSH + verify == brute-force jaccard on a high-similarity corpus."""
+    from solr_ocr_processor_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        shingles,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = [(i, " ".join(words[: 7 + (i % 3)])) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new = docs.where("doc_id < 3")
+    corpus = docs.where("doc_id >= 3")
+    got = {
+        (r["doc_id"], r["dup_of"]): r["jaccard"]
+        for r in incremental_minhash_dedup(new, corpus, tau=0.3).collect()
+    }
+    # brute force
+    sh = {
+        r["doc_id"]: set()
+        for r in docs.select("doc_id").collect()
+    }
+    for r in shingles(docs).collect():
+        sh[r["doc_id"]].add(r["shingle"])
+    for d in range(3):
+        for o in range(3, 10):
+            i = len(sh[d] & sh[o])
+            u = len(sh[d] | sh[o])
+            jac = i / u if u else 0.0
+            if jac >= 0.3:
+                assert got[(d, o)] == pytest.approx(jac, abs=1e-6)
+            else:
+                assert (d, o) not in got
+
+
+# ---------------------------------------------------------------------------
+# LTR linear rerank
+# ---------------------------------------------------------------------------
+
+
+def test_ltr_model_scores_and_order(spark, tiny):
+    from solr_ocr_processor_spark.operators.query import ltr_topk
+    from solr_ocr_processor_spark.operators.score import bm25_scores_terms
+
+    w = (1.0, 0.5, -0.25)
+    got = ltr_topk(spark, tiny, "spark merge", k=10, rerank_docs=50, weights=w).collect()
+    assert got, "expected matches"
+    avgdl = float(tiny.corpus.first()["avgdl"])
+    feats = {
+        r["doc_id"]: (r["score"], r["n_matched"], r["dl"])
+        for r in bm25_scores_terms(
+            spark, tiny, ["merge", "spark"], with_match_count=True, with_dl=True
+        ).collect()
+    }
+    for r in got:
+        s, n, dl = feats[r["doc_id"]]
+        want = w[0] * s + w[1] * (n / 2.0) + w[2] * (dl / avgdl)
+        assert r["ltr_score"] == pytest.approx(want, rel=1e-12)
+        assert r["bm25"] == pytest.approx(s, rel=1e-12)
+    assert [r["ltr_score"] for r in got] == sorted(
+        (r["ltr_score"] for r in got), reverse=True
+    )
+
+
+def test_ltr_negative_dl_weight_prefers_short_docs(spark, tiny):
+    """With bm25 weight zeroed and a negative dl weight, shorter
+    matching docs must outrank longer ones."""
+    from solr_ocr_processor_spark.operators.query import ltr_topk
+
+    got = ltr_topk(
+        spark, tiny, "spark", k=10, rerank_docs=50, weights=(0.0, 0.0, -1.0)
+    ).collect()
+    meta = {r["doc_id"]: r["dl"] for r in tiny.doc_meta.collect()}
+    dls = [meta[r["doc_id"]] for r in got]
+    assert dls == sorted(dls)
