@@ -1342,6 +1342,56 @@ def _q_ltr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: facet.interval request: arbitrary CLOSED dl intervals, deliberately
+#: overlapping (a doc may count in two — the semantics facet.range
+#: can't express).
+INTERVALS = ((0, 39), (32, 63), (60, 10_000))
+
+
+def _q_facet_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet.interval: matched-doc counts per arbitrary
+    (overlapping) dl interval, ONE conditional-sum aggregation
+    (operators/facet.py::interval_facet_counts)."""
+    from solr_ocr_processor_spark.operators.facet import interval_facet_counts
+
+    idx = _index(spark, sf_dir)
+    return interval_facet_counts(spark, idx, FLAGSHIP_QUERY, intervals=INTERVALS)
+
+
+#: /get id list — the last id never exists (Solr omits absent ids).
+RTG_IDS = ("c00000003", "c00000011", "c00000404", "c99999999")
+
+
+def _q_realtime_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /get (realtime get): stored doc-values for an explicit id
+    list, no searcher (operators/query.py::realtime_get)."""
+    from solr_ocr_processor_spark.operators.query import realtime_get
+
+    idx = _index(spark, sf_dir)
+    return realtime_get(spark, idx, list(RTG_IDS))
+
+
+def _q_spellcheck_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr spellcheck.collate: each word of a misspelled query
+    corrects to its top dictionary suggestion, the collated query runs
+    as normal BM25 (operators/expand.py::spellcheck_collate). 'spak
+    windw merge' collates to the flagship query's terms."""
+    from solr_ocr_processor_spark.operators.expand import spellcheck_collate
+
+    idx = _index(spark, sf_dir)
+    top = spellcheck_collate(spark, idx, "spak windw merge", k=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation profile: per-source log2 token-length histogram
+    (operators/pipeline.py::length_histogram)."""
+    from solr_ocr_processor_spark.operators.pipeline import length_histogram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return length_histogram(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -1441,6 +1491,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_profile": _q_blocklist_profile,
         "incremental_dedup": _q_incremental_dedup,
         "ltr_topk": _q_ltr_topk,
+        "facet_interval": _q_facet_interval,
+        "realtime_get": _q_realtime_get,
+        "spellcheck_collate": _q_spellcheck_collate,
+        "length_histogram": _q_length_histogram,
     }
 
 
@@ -3433,6 +3487,106 @@ SELECT doc_id, conv_id, round(raw, 6) AS bm25, round(ltr, 6) AS ltr_score
 FROM m ORDER BY ltr DESC, doc_id ASC LIMIT 10
 """
 
+# facet.interval: overlapping closed intervals, one conditional agg.
+_FACET_INTERVAL = f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM ids),
+matched AS (
+  SELECT doc_id, max(dl) AS dl FROM tok
+  WHERE term IN {FLAGSHIP_TERMS!r} GROUP BY doc_id
+),
+w AS (
+  SELECT
+    sum(CASE WHEN dl BETWEEN 0 AND 39 THEN 1 ELSE 0 END) AS c0,
+    sum(CASE WHEN dl BETWEEN 32 AND 63 THEN 1 ELSE 0 END) AS c1,
+    sum(CASE WHEN dl BETWEEN 60 AND 10000 THEN 1 ELSE 0 END) AS c2
+  FROM matched
+)
+SELECT 0 AS ival, CAST(0 AS BIGINT) AS lo, CAST(39 AS BIGINT) AS hi,
+       CAST(c0 AS BIGINT) AS n_docs FROM w
+UNION ALL
+SELECT 1, CAST(32 AS BIGINT), CAST(63 AS BIGINT), CAST(c1 AS BIGINT) FROM w
+UNION ALL
+SELECT 2, CAST(60 AS BIGINT), CAST(10000 AS BIGINT), CAST(c2 AS BIGINT) FROM w
+ORDER BY ival
+"""
+
+# /get: stored doc-values for an explicit id list; absent ids omitted.
+_REALTIME_GET = f"""
+WITH {_CTE},
+{_TURNS},
+agg AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(length(text)) + count(*) - 1 AS BIGINT) AS n_chars
+  FROM turns GROUP BY conv_id
+),
+ids2 AS (
+  SELECT CAST(row_number() OVER (ORDER BY conv_id) - 1 AS BIGINT) AS doc_id,
+         conv_id, n_turns, n_chars
+  FROM agg
+),
+dls AS (
+  SELECT 'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS dl
+  FROM documents
+)
+SELECT i.doc_id, i.conv_id, d.dl, i.n_turns, i.n_chars
+FROM ids2 i JOIN dls d USING (conv_id)
+WHERE i.conv_id IN ('c00000003', 'c00000011', 'c00000404', 'c99999999')
+ORDER BY i.conv_id
+"""
+
+# spellcheck.collate: per-word top correction (dist ASC, df DESC,
+# term ASC over the same length band), then plain BM25 on the
+# collated terms.
+_SPELLCHECK_COLLATE = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tokall AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tfs AS (SELECT term, doc_id FROM tokall GROUP BY term, doc_id),
+vocab AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+c0 AS (SELECT term FROM vocab
+       WHERE length(term) BETWEEN length('spak') - 2 AND length('spak') + 2
+         AND levenshtein(term, 'spak') <= 2
+       ORDER BY levenshtein(term, 'spak'), df DESC, term LIMIT 1),
+c1 AS (SELECT term FROM vocab
+       WHERE length(term) BETWEEN length('windw') - 2 AND length('windw') + 2
+         AND levenshtein(term, 'windw') <= 2
+       ORDER BY levenshtein(term, 'windw'), df DESC, term LIMIT 1),
+c2 AS (SELECT term FROM vocab
+       WHERE length(term) BETWEEN length('merge') - 2 AND length('merge') + 2
+         AND levenshtein(term, 'merge') <= 2
+       ORDER BY levenshtein(term, 'merge'), df DESC, term LIMIT 1),
+qt AS (SELECT term FROM c0 UNION SELECT term FROM c1 UNION SELECT term FROM c2),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tokall WHERE term IN (SELECT term FROM qt)
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
+"""
+
+_LENGTH_HISTOGRAM = """
+SELECT source,
+       CAST(floor(log2(greatest(
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1))) AS INT)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 _BLOCKLIST_PROFILE = """
 WITH flags AS (
   SELECT source,
@@ -3689,5 +3843,9 @@ ORDER BY dl DESC, doc_id ASC
         "blocklist_profile": _BLOCKLIST_PROFILE,
         "incremental_dedup": _INCREMENTAL_DEDUP,
         "ltr_topk": _LTR_TOPK,
+        "facet_interval": _FACET_INTERVAL,
+        "realtime_get": _REALTIME_GET,
+        "spellcheck_collate": _SPELLCHECK_COLLATE,
+        "length_histogram": _LENGTH_HISTOGRAM,
         **_PIPELINE_ORACLES,
     }

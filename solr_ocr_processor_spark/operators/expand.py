@@ -374,3 +374,44 @@ def spellcheck_terms(
         .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
         .limit(n)
     )
+
+
+def spellcheck_collate(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    k: int = 10,
+    max_edits: int = 2,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Solr ``spellcheck.collate``: correct EACH query word to its top
+    dictionary suggestion (dist ASC, df DESC, term ASC — the
+    spellcheck_terms order), then run the corrected query and return
+    its BM25 top-k. A word already in the dictionary corrects to
+    itself (distance 0 sorts first), so well-spelled queries pass
+    through unchanged — exactly the collation Solr builds and
+    re-queries when ``spellcheck.collateExtendedResults`` asks for
+    hits.
+
+    Plan: one |vocab|-bounded suggestion probe per query word (each a
+    TakeOrderedAndProject over the dictionary, same as
+    spellcheck_terms) collected as ONE row each — word count is
+    request-sized, so this is a k-row collect, not corpus work — then
+    the standard scorer on the collated terms.
+    """
+    words = [w for w in (_normalize_single(w, cfg) for w in query.split()) if w]
+    collated: list[str] = []
+    for w in words:
+        row = spellcheck_terms(spark, index, w, n=1, max_edits=max_edits, cfg=cfg).first()
+        if row is not None:
+            collated.append(row["term"])
+    if not collated:
+        return spark.createDataFrame([], "doc_id long, conv_id string, score double")
+    from .score import bm25_scores_terms, resolve_conv_ids
+
+    top = (
+        bm25_scores_terms(spark, index, sorted(set(collated)), cfg)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return resolve_conv_ids(index, top)

@@ -468,3 +468,55 @@ def json_facet_nested(
         )
         .orderBy(F.desc("outer_docs"), F.asc(outer), F.desc("inner_docs"), F.asc(inner))
     )
+
+
+def interval_facet_counts(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    intervals: tuple[tuple[int, int], ...] = ((0, 39), (32, 63), (60, 10_000)),
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Solr ``facet.interval``: counts of the matched docs falling in
+    each ARBITRARY (possibly overlapping) closed dl interval — the
+    component that facet.range (fixed gap, disjoint) and facet.query
+    (arbitrary predicates, one count each) bracket. A doc inside two
+    overlapping intervals counts in both, exactly Solr's contract.
+    Returns (ival, lo, hi, n_docs) ordered by the interval's position
+    in the request.
+
+    Plan: the matched set is the usual dictionary-pruned posting scan
+    + per-doc dedup; then ONE aggregation computes every interval as a
+    conditional sum (no explode, no per-interval scan — N intervals
+    are N codegen'd sum(when) columns over one pass), unpivoted to
+    rows with a literal stack. Interval count is a request property
+    (tens), so the stack is plan-size, not data-size.
+    """
+    terms = sorted(set(query_terms(query, cfg)))
+    if not terms:
+        return spark.createDataFrame(
+            [], "ival int, lo long, hi long, n_docs long"
+        )
+    matched = _suppress(
+        index.postings.where(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl")),
+        exclude_docs,
+    )
+    aggs = [
+        F.sum(
+            F.when((F.col("dl") >= lo) & (F.col("dl") <= hi), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"_c{i}")
+        for i, (lo, hi) in enumerate(intervals)
+    ]
+    wide = matched.agg(*aggs)
+    stack = ", ".join(
+        f"{i}, CAST({lo} AS BIGINT), CAST({hi} AS BIGINT), _c{i}"
+        for i, (lo, hi) in enumerate(intervals)
+    )
+    return wide.selectExpr(
+        f"stack({len(intervals)}, {stack}) AS (ival, lo, hi, n_docs)"
+    ).orderBy("ival")

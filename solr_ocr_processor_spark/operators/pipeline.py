@@ -266,3 +266,28 @@ def blocklist_profile(docs: DataFrame, blocklist: tuple[str, ...]) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """Token-length distribution per source, log2-bucketed — the
+    curation dashboard every corpus build starts from (length cutoffs
+    are the first Gopher/C4 gate, and the histogram is how their
+    thresholds get picked). Returns (source, bucket, n_docs) with
+    ``bucket = floor(log2(max(n_tokens, 1)))`` — bucket b covers
+    [2^b, 2^(b+1)) tokens; empty docs land in bucket 0 with the
+    1-token docs.
+
+    Plan: ONE narrow projection (tokenize + size + log2 — all codegen)
+    and one (source, bucket)-keyed partial+final count; output is
+    sources x ~20 buckets, metadata-sized. log2 on integers is exact
+    at bucket boundaries (powers of two are IEEE-exact), so the
+    bucketing is engine-portable.
+    """
+    n = F.size(F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+    bucket = F.floor(F.log2(F.greatest(n, F.lit(1)))).cast("int")
+    return (
+        docs.select("source", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "bucket")
+    )

@@ -1097,3 +1097,35 @@ def ltr_topk(
         .select("doc_id", "conv_id", "bm25", "ltr_score")
         .orderBy(F.desc("ltr_score"), F.asc("doc_id"))
     )
+
+
+def realtime_get(
+    spark: SparkSession,
+    index: Index,
+    conv_ids: list[str],
+) -> DataFrame:
+    """Solr ``/get`` (realtime get): fetch the stored doc-values of an
+    explicit id list, bypassing the ranked searcher entirely — the
+    read the reference's own GET-membership check rides on
+    (app/process/solr.go:100-124), widened from exists to full stored
+    fields. Returns (doc_id, conv_id, dl, n_turns, n_chars) for the
+    ids that exist, conv_id ASC; absent ids yield no row (Solr omits
+    them from the response).
+
+    Plan: an isin literal filter over doc_meta — file/row-group
+    pruning on the stored table's sorted conv_id layout, no scoring,
+    no shuffle. The offline-variant discipline (check_offline's
+    pyarrow point lookup) applies when no session is up; this is the
+    in-plan version for composed queries.
+    """
+    return (
+        index.doc_meta.where(F.col("conv_id").isin(list(conv_ids)))
+        .select(
+            "doc_id",
+            "conv_id",
+            F.col("dl").cast("long").alias("dl"),
+            F.col("n_turns").cast("long").alias("n_turns"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("conv_id")
+    )

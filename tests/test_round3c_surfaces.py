@@ -359,3 +359,71 @@ def test_ltr_negative_dl_weight_prefers_short_docs(spark, tiny):
     meta = {r["doc_id"]: r["dl"] for r in tiny.doc_meta.collect()}
     dls = [meta[r["doc_id"]] for r in got]
     assert dls == sorted(dls)
+
+
+# ---------------------------------------------------------------------------
+# facet.interval / realtime get / spellcheck.collate / length histogram
+# ---------------------------------------------------------------------------
+
+
+def test_interval_facet_overlapping_counts(spark, tiny):
+    from solr_ocr_processor_spark.operators.facet import interval_facet_counts
+
+    # matched docs for 'spark': A(dl=7), B(dl=8), D(dl=2)
+    got = {
+        r["ival"]: (r["lo"], r["hi"], r["n_docs"])
+        for r in interval_facet_counts(
+            spark, tiny, "spark", intervals=((0, 7), (7, 8), (0, 100))
+        ).collect()
+    }
+    assert got[0] == (0, 7, 2)     # A and D
+    assert got[1] == (7, 8, 2)     # A and B — overlap with ival 0 on A
+    assert got[2] == (0, 100, 3)   # everything matched
+
+
+def test_realtime_get_returns_stored_fields_and_omits_absent(spark, tiny):
+    from solr_ocr_processor_spark.operators.query import realtime_get
+
+    got = realtime_get(spark, tiny, ["convA", "convD", "nope"]).collect()
+    assert [r["conv_id"] for r in got] == ["convA", "convD"]
+    a = got[0]
+    assert a["dl"] == 7 and a["n_turns"] == 2
+    d = got[1]
+    assert d["dl"] == 2 and d["n_turns"] == 1  # empty turn dropped
+
+
+def test_spellcheck_collate_equals_corrected_query(spark, tiny):
+    from solr_ocr_processor_spark.operators.expand import spellcheck_collate
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    got = spellcheck_collate(spark, tiny, "sparc merg", k=5).collect()
+    want = bm25_topk(spark, tiny, "spark merge", k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_spellcheck_collate_identity_on_wellspelled(spark, tiny):
+    from solr_ocr_processor_spark.operators.expand import spellcheck_collate
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    got = spellcheck_collate(spark, tiny, "spark merge", k=5).collect()
+    want = bm25_topk(spark, tiny, "spark merge", k=5).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+
+
+def test_length_histogram_buckets(spark):
+    from solr_ocr_processor_spark.operators.pipeline import length_histogram
+
+    docs = spark.createDataFrame(
+        [
+            (0, "one", "s"),                  # 1 token  -> bucket 0
+            (1, "a b", "s"),                  # 2 tokens -> bucket 1
+            (2, "a b c d", "s"),              # 4 tokens -> bucket 2
+            (3, "a b c d e f g", "s"),        # 7 tokens -> bucket 2
+            (4, "", "s"),                     # 0 tokens -> bucket 0
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["bucket"]: r["n_docs"] for r in length_histogram(docs).collect()}
+    assert got == {0: 2, 1: 1, 2: 2}
