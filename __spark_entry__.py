@@ -3343,7 +3343,7 @@ parents AS (
   FROM scored GROUP BY conv_id
 )
 SELECT conv_id, round(raw, 6) AS score, n_child_hits
-FROM parents ORDER BY raw DESC, conv_id ASC LIMIT 10
+FROM parents ORDER BY round(raw, 6) DESC, conv_id ASC LIMIT 10
 """
 
 # {!child of=...}: all dense-ordinal turns of the doc-level top-5.

@@ -491,7 +491,10 @@ def atomic_update(
     columns; any base column without a modifier passes through. Rows
     whose key is absent from ``base`` become inserts: ``set`` values
     land as-is, ``inc`` starts from 0 (Solr's rule), everything else
-    stays NULL (a sparse upserted doc).
+    stays NULL (a sparse upserted doc). The update batch must be
+    key-unique — the same precondition SQL MERGE INTO enforces (it
+    errors on multiple source matches); a duplicated key here would
+    fan out the joined base row instead.
 
     Plan shape — the base table NEVER shuffles:
     - update leg: base LEFT-joins the (broadcast) update batch and

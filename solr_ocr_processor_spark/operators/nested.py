@@ -58,11 +58,13 @@ CHILD_SEP = "#"
 def child_transcripts(transcripts: DataFrame) -> DataFrame:
     """Re-key each turn as a single-turn conversation (a *child doc*).
 
-    ``conv_id -> conv_id#<ordinal lpad 6>``, ``turn_idx -> 0``. Empty /
+    ``conv_id -> conv_id#<ordinal lpad 10>``, ``turn_idx -> 0``. Empty /
     whitespace-only turns are dropped here with the same predicate the
     materializer uses, so child ordinals equal the parent's dense
     ordinals (reference rule: skip-then-number,
-    app/handler/indexer.go:98-148).
+    app/handler/indexer.go:98-148). Pad width 10 covers the full int32
+    turn_idx domain — Spark's lpad TRUNCATES beyond the width, which
+    would silently collide two ordinals into one child key.
     """
     return (
         transcripts.where(F.length(F.trim(F.col("text"))) > 0)
@@ -70,7 +72,7 @@ def child_transcripts(transcripts: DataFrame) -> DataFrame:
             F.concat(
                 F.col("conv_id"),
                 F.lit(CHILD_SEP),
-                F.lpad(F.col("turn_idx").cast("string"), 6, "0"),
+                F.lpad(F.col("turn_idx").cast("string"), 10, "0"),
             ).alias("conv_id"),
             F.lit(0).cast("int").alias("turn_idx"),
             "role",
@@ -137,8 +139,16 @@ def parent_topk(
         score_agg.alias("score"),
         F.count(F.lit(1)).cast("int").alias("n_child_hits"),
     )
+    # Rank by the 6-dp-ROUNDED score, ties by parent id: turn-level
+    # scoring produces wide exact-tie plateaus (fixed-width turns give
+    # many children identical (tf, dl)), and the top-k boundary
+    # regularly lands inside one. Engines that sum floats in parallel
+    # (DuckDB's aggregate; Spark without the sorted fold) order such a
+    # plateau by last-ulp noise, run-dependently — collapsing the key
+    # to 6 dp before ranking makes the boundary pick identical on
+    # every engine and every run, while raw scores stay in the output.
     return (
-        parents.orderBy(F.desc("score"), F.asc("parent_id"))
+        parents.orderBy(F.desc(F.round(F.col("score"), 6)), F.asc("parent_id"))
         .limit(k)
         .select(F.col("parent_id").alias("conv_id"), "score", "n_child_hits")
     )

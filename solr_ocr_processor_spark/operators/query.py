@@ -1042,7 +1042,9 @@ def elevation_topk(
         F.coalesce("score", F.lit(0.0)).alias("score"),
         F.lit(True).alias("elevated"),
     )
-    return pinned.unionByName(organic).orderBy("rank")
+    # a pin list longer than the page still returns only k rows
+    # (Solr serves the first k elevated ids in that case)
+    return pinned.unionByName(organic).where(F.col("rank") <= k).orderBy("rank")
 
 
 def ltr_topk(

@@ -59,11 +59,11 @@ def test_child_index_units_are_nonempty_turns(child_idx):
     assert child_idx.corpus.first()["n_docs"] == 5
     metas = {r["conv_id"] for r in child_idx.doc_meta.collect()}
     assert metas == {
-        "convA#000000",
-        "convA#000001",
-        "convB#000000",
-        "convC#000000",
-        "convD#000001",
+        "convA#0000000000",
+        "convA#0000000001",
+        "convB#0000000000",
+        "convC#0000000000",
+        "convD#0000000001",
     }
 
 
@@ -427,3 +427,12 @@ def test_length_histogram_buckets(spark):
     )
     got = {r["bucket"]: r["n_docs"] for r in length_histogram(docs).collect()}
     assert got == {0: 2, 1: 1, 2: 2}
+
+
+def test_elevation_pin_list_longer_than_page(spark, tiny):
+    from solr_ocr_processor_spark.operators.query import elevation_topk
+
+    got = elevation_topk(
+        spark, tiny, "spark", ["convC", "convB", "convA"], k=2
+    ).collect()
+    assert [(r["rank"], r["conv_id"]) for r in got] == [(1, "convC"), (2, "convB")]
