@@ -1392,6 +1392,38 @@ def _q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_histogram(docs)
 
 
+#: query-time synonym map (SynonymGraphFilter analog). 'combine' is
+#: absent from the corpus — the dead-member path must contribute 0.
+SYNONYMS = {"merge": ("join", "combine")}
+
+
+def _q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SynonymQuery semantics at query time: each term + its
+    synonyms score as ONE pseudo-term (tf = sum of members, df = max
+    of members) (operators/expand.py::synonym_topk)."""
+    from solr_ocr_processor_spark.operators.expand import synonym_topk
+
+    idx = _index(spark, sf_dir)
+    top = synonym_topk(spark, idx, "merge window", SYNONYMS, k=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _q_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edismax bq= additive boost query: main match set keeps its BM25,
+    docs also matching the boost query add its weighted score
+    (operators/query.py::bq_topk)."""
+    from solr_ocr_processor_spark.operators.query import bq_topk
+
+    idx = _index(spark, sf_dir)
+    top = bq_topk(spark, idx, FLAGSHIP_QUERY, bq="fast", bq_weight=0.5, k=10)
+    return top.select(
+        "doc_id",
+        "conv_id",
+        F.round("score", 6).alias("score"),
+        F.round("boosted", 6).alias("boosted"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -1495,6 +1527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "realtime_get": _q_realtime_get,
         "spellcheck_collate": _q_spellcheck_collate,
         "length_histogram": _q_length_histogram,
+        "synonym_topk": _q_synonym_topk,
+        "bq_topk": _q_bq_topk,
     }
 
 
@@ -3587,6 +3621,77 @@ SELECT source,
 FROM documents GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+# SynonymQuery: group tf = sum of members, group df = max of members.
+_SYNONYM_TOPK = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tokall AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+gmap(grp, term) AS (VALUES ('merge', 'merge'), ('merge', 'join'),
+                           ('merge', 'combine'), ('window', 'window')),
+tf0 AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tokall WHERE term IN ('merge', 'join', 'combine', 'window')
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfm AS (SELECT term, count(*) AS df FROM tf0 GROUP BY term),
+gdf AS (SELECT g.grp, max(d.df) AS df FROM gmap g JOIN dfm d USING (term)
+        GROUP BY g.grp),
+merged AS (
+  SELECT t.doc_id, t.conv_id, t.dl, g.grp, sum(t.tf) AS tf
+  FROM tf0 t JOIN gmap g USING (term)
+  GROUP BY t.doc_id, t.conv_id, t.dl, g.grp
+),
+scored AS (
+  SELECT m.doc_id, m.conv_id,
+         sum(
+           ln(1 + (s.n_docs - gdf.df + 0.5) / (gdf.df + 0.5))
+           * (m.tf * 2.2) / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / s.avgdl))
+         ) AS raw
+  FROM merged m JOIN gdf USING (grp) CROSS JOIN stats s
+  GROUP BY m.doc_id, m.conv_id
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
+"""
+
+# bq=: additive boost-query leg left-joined onto the main match set.
+_BQ_TOPK = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tokall AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tfm AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tokall WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfm AS (SELECT term, count(*) AS df FROM tfm GROUP BY term),
+main AS (
+  SELECT tfm.doc_id, tfm.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfm.df + 0.5) / (dfm.df + 0.5))
+           * (tfm.tf * 2.2) / (tfm.tf + 1.2 * (0.25 + 0.75 * tfm.dl / s.avgdl))
+         ) AS raw
+  FROM tfm JOIN dfm USING (term) CROSS JOIN stats s
+  GROUP BY tfm.doc_id, tfm.conv_id
+),
+tfb AS (
+  SELECT doc_id, dl, CAST(count(*) AS INT) AS tf
+  FROM tokall WHERE term = 'fast' GROUP BY doc_id, dl
+),
+dfb AS (SELECT count(*) AS df FROM tfb),
+bq AS (
+  SELECT tfb.doc_id,
+         ln(1 + (s.n_docs - dfb.df + 0.5) / (dfb.df + 0.5))
+         * (tfb.tf * 2.2) / (tfb.tf + 1.2 * (0.25 + 0.75 * tfb.dl / s.avgdl))
+           AS bq_raw
+  FROM tfb CROSS JOIN dfb CROSS JOIN stats s
+)
+SELECT m.doc_id, m.conv_id, round(m.raw, 6) AS score,
+       round(m.raw + 0.5 * coalesce(b.bq_raw, 0.0), 6) AS boosted
+FROM main m LEFT JOIN bq b USING (doc_id)
+ORDER BY m.raw + 0.5 * coalesce(b.bq_raw, 0.0) DESC, m.doc_id ASC LIMIT 10
+"""
+
 _BLOCKLIST_PROFILE = """
 WITH flags AS (
   SELECT source,
@@ -3847,5 +3952,7 @@ ORDER BY dl DESC, doc_id ASC
         "realtime_get": _REALTIME_GET,
         "spellcheck_collate": _SPELLCHECK_COLLATE,
         "length_histogram": _LENGTH_HISTOGRAM,
+        "synonym_topk": _SYNONYM_TOPK,
+        "bq_topk": _BQ_TOPK,
         **_PIPELINE_ORACLES,
     }

@@ -415,3 +415,76 @@ def spellcheck_collate(
         .limit(k)
     )
     return resolve_conv_ids(index, top)
+
+
+def synonym_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    synonyms: dict[str, tuple[str, ...]],
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Query-time synonym expansion with Lucene ``SynonymQuery``
+    semantics — the SynonymGraphFilter analysis chain a stock Solr
+    core applies at query time.
+
+    Each query term heads a synonym GROUP (itself + its mapped
+    synonyms). Lucene scores the group as ONE pseudo-term: per doc
+    ``tf = sum of member tfs`` and ``df = max of member dfs`` — NOT
+    per-member BM25 summed (that would double-count a concept that
+    happens to have many surface forms). Members absent from the
+    dictionary contribute nothing. Returns the usual (doc_id,
+    conv_id, score) top-k, ties doc_id ASC.
+
+    Plan shape: the member->group map is request-sized and broadcasts;
+    postings are dictionary-filtered to ALL member terms in one isin
+    scan; ONE (doc, group) aggregation merges member postings (tf sum;
+    dl is per-doc constant so max is exact); group df comes from the
+    same broadcast idf frame (max over members, computed on the tiny
+    side); the per-doc fold and top-k are the standard scorer's.
+    """
+    base = sorted(set(query_terms(query, cfg)))
+    if not base:
+        return spark.createDataFrame([], "doc_id long, conv_id string, score double")
+    rows = []
+    for anchor in base:
+        for member in {anchor, *synonyms.get(anchor, ())}:
+            rows.append((anchor, member))
+    gmap = F.broadcast(
+        spark.createDataFrame(sorted(set(rows)), "grp string, term string")
+    )
+    crow = index.corpus.first()
+    n_docs, avgdl = crow["n_docs"], float(crow["avgdl"])
+    members = sorted({m for _, m in rows})
+    # group df = max member df (SynonymQuery's docFreq), on the tiny side
+    gidf = (
+        index.term_stats.join(gmap, "term")
+        .groupBy("grp")
+        .agg(F.max("df").alias("df"))
+        .withColumn(
+            "idf",
+            F.log1p(
+                (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+    )
+    k1, b = float(cfg.k1), float(cfg.b)
+    merged = (
+        index.postings.where(F.col("term").isin(members))
+        .join(gmap, "term")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("tf").alias("tf"), F.max("dl").alias("dl"))
+        .join(F.broadcast(gidf.select("grp", "idf")), "grp")
+    )
+    from .score import bm25_term_score, resolve_conv_ids, sorted_term_fold
+
+    scored = (
+        merged.withColumn("term_score", bm25_term_score(k1, b, avgdl))
+        .withColumnRenamed("grp", "term")
+        .groupBy("doc_id")
+        .agg(sorted_term_fold().alias("score"))
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return resolve_conv_ids(index, top)

@@ -1131,3 +1131,59 @@ def realtime_get(
         )
         .orderBy("conv_id")
     )
+
+
+def bq_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    bq: str,
+    bq_weight: float = 1.0,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """edismax ``bq=`` (additive boost query): the main query defines
+    the MATCH SET (OR semantics, unchanged rank inputs); docs that
+    also match the boost query gain its BM25 contribution times
+    ``bq_weight`` — Lucene's optional SHOULD clause appended to the
+    main BooleanQuery, restricted (as edismax does) to docs already
+    matching the main query. Contrast boosted_topk (multiplicative
+    function boost over a docValues field): bq boosts by CONTENT
+    match, not by metadata.
+
+    Returns (doc_id, conv_id, score, boosted): ``score`` the main
+    BM25, ``boosted = score + bq_weight * bq_score``, ordered by
+    boosted DESC, doc_id ASC.
+
+    Plan: two dictionary-pruned scorer legs (main + boost) joined
+    LEFT on doc_id — the boost leg is another match-set-sized frame,
+    not a corpus scan; the order lowers to TakeOrderedAndProject. The
+    boosted sum is two doubles in a fixed order (main + weighted
+    boost), engine-portable.
+    """
+    if not query_terms(query, cfg):
+        return spark.createDataFrame(
+            [], "doc_id long, conv_id string, score double, boosted double"
+        )
+    main = bm25_scores(spark, index, query, cfg)
+    boost = bm25_scores(spark, index, bq, cfg).withColumnRenamed(
+        "score", "bq_score"
+    )
+    top = (
+        main.join(boost, "doc_id", "left")
+        .select(
+            "doc_id",
+            "score",
+            (
+                F.col("score")
+                + F.lit(float(bq_weight)) * F.coalesce("bq_score", F.lit(0.0))
+            ).alias("boosted"),
+        )
+        .orderBy(F.desc("boosted"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return (
+        top.join(F.broadcast(index.doc_meta.select("doc_id", "conv_id")), "doc_id")
+        .select("doc_id", "conv_id", "score", "boosted")
+        .orderBy(F.desc("boosted"), F.asc("doc_id"))
+    )

@@ -436,3 +436,72 @@ def test_elevation_pin_list_longer_than_page(spark, tiny):
         spark, tiny, "spark", ["convC", "convB", "convA"], k=2
     ).collect()
     assert [(r["rank"], r["conv_id"]) for r in got] == [(1, "convC"), (2, "convB")]
+
+
+# ---------------------------------------------------------------------------
+# synonym expansion / boost query
+# ---------------------------------------------------------------------------
+
+
+def test_synonym_group_semantics(spark, tiny):
+    """SynonymQuery: group tf = sum of members, df = max of members."""
+    import math
+
+    from solr_ocr_processor_spark.operators.expand import synonym_topk
+
+    got = {r["conv_id"]: r["score"] for r in
+           synonym_topk(spark, tiny, "merge", {"merge": ("join",)}, k=10).collect()}
+    crow = tiny.corpus.first()
+    n_docs, avgdl = crow["n_docs"], float(crow["avgdl"])
+    stats = {r["term"]: r["df"] for r in tiny.term_stats.collect()}
+    gdf = max(stats["merge"], stats["join"])
+    idf = math.log1p((n_docs - gdf + 0.5) / (gdf + 0.5))
+
+    def score(tf, dl):
+        return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    # convA: merge tf 1 + join tf 1 = 2, dl 7; convB: 1+1=2, dl 8;
+    # convD: merge only, tf 1, dl 2
+    assert got["convA"] == pytest.approx(score(2, 7), rel=1e-12)
+    assert got["convB"] == pytest.approx(score(2, 8), rel=1e-12)
+    assert got["convD"] == pytest.approx(score(1, 2), rel=1e-12)
+    assert "convC" not in got
+
+
+def test_synonym_empty_map_is_plain_bm25(spark, tiny):
+    from solr_ocr_processor_spark.operators.expand import synonym_topk
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    got = synonym_topk(spark, tiny, "spark merge", {}, k=5).collect()
+    want = bm25_topk(spark, tiny, "spark merge", k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_synonym_absent_member_contributes_nothing(spark, tiny):
+    from solr_ocr_processor_spark.operators.expand import synonym_topk
+
+    base = synonym_topk(spark, tiny, "spark", {}, k=10).collect()
+    with_dead = synonym_topk(
+        spark, tiny, "spark", {"spark": ("zzzznope",)}, k=10
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in base] == [
+        (r["doc_id"], r["score"]) for r in with_dead
+    ]
+
+
+def test_bq_adds_weighted_boost_leg(spark, tiny):
+    from solr_ocr_processor_spark.operators.query import bq_topk
+    from solr_ocr_processor_spark.operators.score import bm25_scores
+
+    got = bq_topk(spark, tiny, "spark", bq="sort", bq_weight=0.5, k=10).collect()
+    main = {r["doc_id"]: r["score"] for r in bm25_scores(spark, tiny, "spark").collect()}
+    boost = {r["doc_id"]: r["score"] for r in bm25_scores(spark, tiny, "sort").collect()}
+    assert {r["doc_id"] for r in got} == set(main)  # match set = main query only
+    for r in got:
+        want = main[r["doc_id"]] + 0.5 * boost.get(r["doc_id"], 0.0)
+        assert r["boosted"] == pytest.approx(want, rel=1e-12)
+        assert r["score"] == pytest.approx(main[r["doc_id"]], rel=1e-12)
+    bs = [r["boosted"] for r in got]
+    assert bs == sorted(bs, reverse=True)
