@@ -1424,6 +1424,16 @@ def _q_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule gate (word count / mean token length /
+    alpha fraction / duplicate lines) as a per-source audit profile
+    (operators/pipeline.py::gopher_rules_profile)."""
+    from solr_ocr_processor_spark.operators.pipeline import gopher_rules_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_rules_profile(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -1529,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": _q_length_histogram,
         "synonym_topk": _q_synonym_topk,
         "bq_topk": _q_bq_topk,
+        "gopher_rules": _q_gopher_rules,
     }
 
 
@@ -3692,6 +3703,40 @@ FROM main m LEFT JOIN bq b USING (doc_id)
 ORDER BY m.raw + 0.5 * coalesce(b.bq_raw, 0.0) DESC, m.doc_id ASC LIMIT 10
 """
 
+# Gopher rules: every ratio is an exact-integer division, so the rule
+# booleans replay bit-for-bit.
+_GOPHER_RULES = """
+WITH f AS (
+  SELECT source,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         str_split(text, chr(10)) AS lines
+  FROM documents
+),
+r AS (
+  SELECT source,
+         NOT (len(toks) BETWEEN 50 AND 100000) AS f_wc,
+         NOT (list_sum(list_transform(toks, x -> length(x)))
+              / greatest(len(toks), 1) BETWEEN 3.0 AND 10.0) AS f_ml,
+         (len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+          / CAST(greatest(len(toks), 1) AS DOUBLE)) < 0.80 AS f_al,
+         (1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE))
+           > 0.30 AS f_dl
+  FROM f
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN NOT f_wc AND NOT f_ml AND NOT f_al AND NOT f_dl
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_word_count,
+       CAST(sum(CASE WHEN f_ml THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_mean_len,
+       CAST(sum(CASE WHEN f_al THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+       CAST(sum(CASE WHEN f_dl THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_dup_lines
+FROM r GROUP BY source ORDER BY source
+"""
+
 _BLOCKLIST_PROFILE = """
 WITH flags AS (
   SELECT source,
@@ -3954,5 +3999,6 @@ ORDER BY dl DESC, doc_id ASC
         "length_histogram": _LENGTH_HISTOGRAM,
         "synonym_topk": _SYNONYM_TOPK,
         "bq_topk": _BQ_TOPK,
+        "gopher_rules": _GOPHER_RULES,
         **_PIPELINE_ORACLES,
     }

@@ -291,3 +291,71 @@ def length_histogram(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("source", "bucket")
     )
+
+
+def gopher_rules_profile(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    mean_len_lo: float = 3.0,
+    mean_len_hi: float = 10.0,
+    min_alpha_frac: float = 0.80,
+    max_dup_line_frac: float = 0.30,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, table A1 — the filter
+    set RefinedWeb/FineWeb inherit), as a per-source audit profile.
+
+    Per doc, over the engine's standard [a-z0-9]+ tokens:
+      word count in [min_words, max_words]; mean token length in
+      [mean_len_lo, mean_len_hi]; fraction of tokens containing an
+      alphabetic char >= min_alpha_frac; duplicate-line fraction
+      (1 - distinct/total newline-split lines) <= max_dup_line_frac.
+    ``keep`` = all rules pass. Returns (source, n_docs, n_kept,
+    n_fail_word_count, n_fail_mean_len, n_fail_alpha, n_fail_dup_lines)
+    ordered by source; fail counts are per-rule (a doc can fail
+    several).
+
+    Plan: ONE narrow projection computes every rule with array
+    expressions (size / aggregate / filter / array_distinct — all
+    JVM-side, no explode, no Python), then a source-keyed
+    partial+final count. All ratios are exact-integer divisions, so
+    rule booleans are engine-portable bit-for-bit.
+    """
+    toks = F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    n = F.size(toks)
+    n1 = F.greatest(n, F.lit(1))
+    mean_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)) / n1
+    )
+    alpha_frac = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) / n1
+    lines = F.split(F.col("text"), "\n")
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines)
+    f_wc = ~n.between(min_words, max_words)
+    f_ml = ~mean_len.between(mean_len_lo, mean_len_hi)
+    f_al = alpha_frac < min_alpha_frac
+    f_dl = dup_frac > max_dup_line_frac
+    flagged = docs.select(
+        "source",
+        f_wc.alias("f_wc"),
+        f_ml.alias("f_ml"),
+        f_al.alias("f_al"),
+        f_dl.alias("f_dl"),
+    )
+    cnt = lambda c: F.sum(F.col(c).cast("long")).cast("long")  # noqa: E731
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (~F.col("f_wc") & ~F.col("f_ml") & ~F.col("f_al") & ~F.col("f_dl"))
+                .cast("long")
+            )
+            .cast("long")
+            .alias("n_kept"),
+            cnt("f_wc").alias("n_fail_word_count"),
+            cnt("f_ml").alias("n_fail_mean_len"),
+            cnt("f_al").alias("n_fail_alpha"),
+            cnt("f_dl").alias("n_fail_dup_lines"),
+        )
+        .orderBy("source")
+    )

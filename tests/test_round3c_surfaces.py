@@ -505,3 +505,43 @@ def test_bq_adds_weighted_boost_leg(spark, tiny):
         assert r["score"] == pytest.approx(main[r["doc_id"]], rel=1e-12)
     bs = [r["boosted"] for r in got]
     assert bs == sorted(bs, reverse=True)
+
+
+def test_gopher_rules_per_rule_flags(spark):
+    from solr_ocr_processor_spark.operators.pipeline import gopher_rules_profile
+
+    long_ok = " ".join(["word"] * 60)                 # passes everything
+    too_short = "only three words"                    # fails word count
+    numeric = " ".join(["12345"] * 60)                # fails alpha frac
+    longwords = " ".join(["extraordinarily"] * 60)    # fails mean len (15 > 10)
+    dup_lines = "\n".join(["same line of words"] * 10)  # fails dup lines + wc
+    docs = spark.createDataFrame(
+        [
+            (0, long_ok, "s1"),
+            (1, too_short, "s1"),
+            (2, numeric, "s2"),
+            (3, longwords, "s2"),
+            (4, dup_lines, "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r.asDict() for r in gopher_rules_profile(docs).collect()}
+    assert got["s1"]["n_docs"] == 2 and got["s1"]["n_kept"] == 1
+    assert got["s1"]["n_fail_word_count"] == 1
+    s2 = got["s2"]
+    assert s2["n_kept"] == 0
+    assert s2["n_fail_alpha"] == 1
+    assert s2["n_fail_mean_len"] == 1
+    assert s2["n_fail_dup_lines"] == 1
+
+
+def test_gopher_rules_multi_fail_counts_each(spark):
+    from solr_ocr_processor_spark.operators.pipeline import gopher_rules_profile
+
+    # 10 numeric words: fails word count AND alpha — both tallies tick
+    docs = spark.createDataFrame(
+        [(0, " ".join(["9"] * 10), "s")], "doc_id long, text string, source string"
+    )
+    r = gopher_rules_profile(docs).collect()[0]
+    assert r["n_fail_word_count"] == 1 and r["n_fail_alpha"] == 1
+    assert r["n_kept"] == 0
