@@ -1434,6 +1434,20 @@ def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules_profile(docs)
 
 
+def _q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT (prompt, completion) assembly: every assistant turn paired
+    with its previous up-to-3 turns as a role-tagged prompt, via a
+    bounded window — no quadratic prefix
+    (operators/pipeline.py::sft_pairs)."""
+    from solr_ocr_processor_spark.operators.pipeline import sft_pairs
+
+    idx = _index(spark, sf_dir)
+    return sft_pairs(
+        idx.mat.turns.select("conv_id", "ordinal", "role", "text"),
+        context_turns=3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -1540,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_topk": _q_synonym_topk,
         "bq_topk": _q_bq_topk,
         "gopher_rules": _q_gopher_rules,
+        "sft_pairs": _q_sft_pairs,
     }
 
 
@@ -3737,6 +3752,29 @@ SELECT source,
 FROM r GROUP BY source ORDER BY source
 """
 
+# SFT pair assembly: bounded window context, role-tagged prompt lines.
+_SFT_PAIRS = f"""
+WITH {_CTE},
+t AS (
+  SELECT conv_id, role, text,
+         CAST(row_number() OVER (
+           PARTITION BY conv_id ORDER BY turn_idx, ts) - 1 AS INT) AS ordinal
+  FROM transcripts WHERE length(trim(text)) > 0
+),
+p AS (
+  SELECT conv_id, ordinal, role, text,
+         list(role || ': ' || text) OVER (
+           PARTITION BY conv_id ORDER BY ordinal
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx
+  FROM t
+)
+SELECT conv_id, ordinal,
+       coalesce(array_to_string(ctx, chr(10)), '') AS prompt,
+       text AS completion
+FROM p WHERE role = 'assistant'
+ORDER BY conv_id, ordinal
+"""
+
 _BLOCKLIST_PROFILE = """
 WITH flags AS (
   SELECT source,
@@ -4000,5 +4038,6 @@ ORDER BY dl DESC, doc_id ASC
         "synonym_topk": _SYNONYM_TOPK,
         "bq_topk": _BQ_TOPK,
         "gopher_rules": _GOPHER_RULES,
+        "sft_pairs": _SFT_PAIRS,
         **_PIPELINE_ORACLES,
     }

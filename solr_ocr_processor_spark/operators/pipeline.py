@@ -359,3 +359,41 @@ def gopher_rules_profile(
         )
         .orderBy("source")
     )
+
+
+def sft_pairs(turns: DataFrame, context_turns: int = 3) -> DataFrame:
+    """Supervised-fine-tuning pair assembly over conversation turns —
+    the op a transcripts corpus exists to feed: for every assistant
+    turn, ``completion`` is that turn's text and ``prompt`` is the
+    previous up-to-``context_turns`` turns rendered as ``role: text``
+    lines joined with newlines.
+
+    Input needs (conv_id, ordinal, role, text). Returns (conv_id,
+    ordinal, prompt, completion) ordered by (conv_id, ordinal); an
+    assistant turn with NO prior context (ordinal 0) yields an empty
+    prompt (kept — dropping it is a downstream gate's choice).
+
+    Scale shape: ONE hash partition by conv_id feeds a bounded
+    ``rowsBetween(-K, -1)`` window — the prompt is assembled from at
+    most K rows, so there is NO quadratic running-prefix concat (the
+    naive unbounded-preceding formulation re-materializes the whole
+    conversation per turn; at 10^4-turn convs that's the difference
+    between O(n·K) and O(n²) bytes). The window's collect preserves
+    frame order under the ordinal sort, so prompts are deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("ordinal")
+        .rowsBetween(-context_turns, -1)
+    )
+    line = F.concat_ws(": ", F.col("role"), F.col("text"))
+    return (
+        turns.withColumn(
+            "prompt", F.array_join(F.collect_list(line).over(w), "\n")
+        )
+        .where(F.col("role") == "assistant")
+        .select("conv_id", "ordinal", "prompt", F.col("text").alias("completion"))
+        .orderBy("conv_id", "ordinal")
+    )

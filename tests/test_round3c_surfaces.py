@@ -545,3 +545,32 @@ def test_gopher_rules_multi_fail_counts_each(spark):
     r = gopher_rules_profile(docs).collect()[0]
     assert r["n_fail_word_count"] == 1 and r["n_fail_alpha"] == 1
     assert r["n_kept"] == 0
+
+
+def test_sft_pairs_bounded_context(spark):
+    from solr_ocr_processor_spark.operators.pipeline import sft_pairs
+
+    turns = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "q one"),
+            ("c1", 1, "assistant", "a one"),
+            ("c1", 2, "user", "q two"),
+            ("c1", 3, "assistant", "a two"),
+            ("c1", 4, "user", "q three"),
+            ("c1", 5, "assistant", "a three"),
+            ("c2", 0, "assistant", "opener"),
+        ],
+        "conv_id string, ordinal int, role string, text string",
+    )
+    got = {(r["conv_id"], r["ordinal"]): r for r in sft_pairs(turns, 3).collect()}
+    assert got[("c1", 1)]["prompt"] == "user: q one"
+    assert got[("c1", 1)]["completion"] == "a one"
+    assert got[("c1", 3)]["prompt"] == "user: q one\nassistant: a one\nuser: q two"
+    # window caps at 3 prior turns — ordinal 0/1 fall out of frame
+    assert got[("c1", 5)]["prompt"] == (
+        "user: q two\nassistant: a two\nuser: q three"
+    )
+    # assistant-first conv: empty prompt, still emitted
+    assert got[("c2", 0)]["prompt"] == ""
+    # user turns never become completions
+    assert all(k[1] % 2 == 1 or k[0] == "c2" for k in got)
