@@ -62,7 +62,8 @@ def main(argv: list[str] | None = None) -> int:
         "--mode",
         choices=("wand", "and", "phrase", "near", "rerank", "not", "bool",
                  "prefix", "fuzzy", "wildcard", "mm", "sort", "collapse",
-                 "group", "filter", "boost", "join"),
+                 "group", "filter", "boost", "join", "synonym", "bq",
+                 "elevate"),
         default="wand",
         help="wand: BM25 OR-of-terms via the pruned block index; "
         "and: every term required; phrase: exact positional phrase; "
@@ -82,8 +83,22 @@ def main(argv: list[str] | None = None) -> int:
         "each (Solr group=true); filter: BM25 restricted by --fq; "
         "boost: relevance decayed by doc recency (--half-life days); "
         "join: BM25 admitted through a dimension-table filter — Solr "
-        "{!join}; needs --dim and --jq",
+        "{!join}; needs --dim and --jq; "
+        "synonym: query-time SynonymQuery expansion via --syn; "
+        "bq: additive boost query (--bq-q, --bweight — edismax bq=); "
+        "elevate: --pin conv ids first in list order, organic after "
+        "(QueryElevationComponent)",
     )
+    q.add_argument("--syn", default="",
+                   help="synonym map for --mode synonym: "
+                   "'term:syn1,syn2;term2:syn3' (group tf=sum, df=max)")
+    q.add_argument("--bq-q", default="",
+                   help="boost query terms for --mode bq")
+    q.add_argument("--bweight", type=float, default=1.0,
+                   help="boost weight for --mode bq (>= 0)")
+    q.add_argument("--pin", default="",
+                   help="comma-separated conv ids to elevate for "
+                   "--mode elevate, in rank order")
     q.add_argument("--dim", default="",
                    help="dimension table (parquet path) for --mode join")
     q.add_argument("--jq", default="",
@@ -628,6 +643,66 @@ def main(argv: list[str] | None = None) -> int:
                                       "doc_id": r["doc_id"],
                                       "conv_id": r["conv_id"],
                                       "score": r["score"]}))
+                return 0
+            elif args.mode == "synonym":
+                from solr_ocr_processor_spark.operators.expand import (
+                    synonym_topk,
+                )
+
+                syn: dict[str, tuple[str, ...]] = {}
+                ok = True
+                for grp in filter(None, args.syn.split(";")):
+                    head, sep, rest = grp.partition(":")
+                    members = tuple(
+                        t.strip() for t in rest.split(",") if t.strip()
+                    )
+                    if not head.strip() or not sep or not members:
+                        ok = False
+                        break
+                    syn[head.strip()] = members
+                if not ok:
+                    print(json.dumps({
+                        "error": "bad_request",
+                        "detail": f"bad --syn {args.syn!r}: expected "
+                                  "'term:syn1,syn2;term2:syn3'",
+                    }))
+                    return BAD_REQUEST_EXIT
+                out = synonym_topk(
+                    spark, idx, args.q, syn, k=fetch_k, exclude_docs=dead_df
+                )
+            elif args.mode == "bq":
+                from solr_ocr_processor_spark.operators.query import bq_topk
+
+                if not args.bq_q or args.bweight < 0:
+                    print(json.dumps({
+                        "error": "bad_request",
+                        "detail": "bq needs --bq-q and --bweight >= 0",
+                    }))
+                    return BAD_REQUEST_EXIT
+                out = bq_topk(
+                    spark, idx, args.q, args.bq_q, bq_weight=args.bweight,
+                    k=fetch_k, exclude_docs=dead_df,
+                )
+                for r in out.collect()[args.start:]:
+                    print(json.dumps({"doc_id": r["doc_id"],
+                                      "conv_id": r["conv_id"],
+                                      "score": r["score"],
+                                      "boosted": r["boosted"]}))
+                return 0
+            elif args.mode == "elevate":
+                from solr_ocr_processor_spark.operators.query import (
+                    elevation_topk,
+                )
+
+                pins = [c.strip() for c in args.pin.split(",") if c.strip()]
+                out = elevation_topk(
+                    spark, idx, args.q, pins, k=fetch_k, exclude_docs=dead_df
+                )
+                for r in out.collect()[args.start:]:
+                    print(json.dumps({"rank": r["rank"],
+                                      "conv_id": r["conv_id"],
+                                      "score": r["score"],
+                                      "elevated": r["elevated"]}))
                 return 0
             else:
                 out = boolean_not_topk(

@@ -424,6 +424,7 @@ def synonym_topk(
     synonyms: dict[str, tuple[str, ...]],
     k: int = 10,
     cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Query-time synonym expansion with Lucene ``SynonymQuery``
     semantics — the SynonymGraphFilter analysis chain a stock Solr
@@ -486,5 +487,6 @@ def synonym_topk(
         .groupBy("doc_id")
         .agg(sorted_term_fold().alias("score"))
     )
+    scored = _suppress(scored, exclude_docs)
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     return resolve_conv_ids(index, top)

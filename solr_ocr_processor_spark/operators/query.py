@@ -984,6 +984,7 @@ def elevation_topk(
     elevated: list[str],
     k: int = 10,
     cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Solr QueryElevationComponent (``elevate.xml`` + ``enableElevation``):
     pin the listed conv_ids at the top of the result IN LIST ORDER,
@@ -1014,8 +1015,10 @@ def elevation_topk(
         )
     )
     # Organic leg: top-(k) after removing pins, ranked e+1..k.
+    # Tombstones anti-join inside bm25_topk's plan (exclude_docs).
     organic = (
-        bm25_topk(spark, index, query, k=k + e, cfg=cfg)
+        bm25_topk(spark, index, query, k=k + e, cfg=cfg,
+                  exclude_docs=exclude_docs)
         .join(ev.select("conv_id"), "conv_id", "left_anti")
         .limit(k - e if k > e else 0)
     )
@@ -1031,7 +1034,12 @@ def elevation_topk(
     # join from the e-row pin frame would sort-merge it; instead a
     # broadcast SEMI join (pin keys are the tiny build side) cuts it
     # to <= e rows first, and the final left join broadcasts that.
-    pin_docs = index.doc_meta.select("doc_id", "conv_id").join(ev, "conv_id")
+    # A deleted doc cannot be elevated (Solr: the elevate component
+    # only pins docs the searcher can still see).
+    pin_docs = _suppress(
+        index.doc_meta.select("doc_id", "conv_id").join(ev, "conv_id"),
+        exclude_docs,
+    )
     scores = bm25_scores(spark, index, query, cfg)
     pin_scores = scores.join(
         F.broadcast(pin_docs.select("doc_id")), "doc_id", "left_semi"
@@ -1141,6 +1149,7 @@ def bq_topk(
     bq_weight: float = 1.0,
     k: int = 10,
     cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """edismax ``bq=`` (additive boost query): the main query defines
     the MATCH SET (OR semantics, unchanged rank inputs); docs that
@@ -1165,7 +1174,7 @@ def bq_topk(
         return spark.createDataFrame(
             [], "doc_id long, conv_id string, score double, boosted double"
         )
-    main = bm25_scores(spark, index, query, cfg)
+    main = _suppress(bm25_scores(spark, index, query, cfg), exclude_docs)
     boost = bm25_scores(spark, index, bq, cfg).withColumnRenamed(
         "score", "bq_score"
     )

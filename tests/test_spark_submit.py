@@ -787,3 +787,61 @@ def test_cli_stats_percentiles_and_bloom_export(spark, tmp_path, capsys):
     bl_map = {r["conv_id"]: bool(r["contaminated"]) for r in bl}
     # no false negatives: every exact-contaminated row stays flagged
     assert all(bl_map[c] for c, v in ex_map.items() if v)
+
+
+def test_cli_synonym_bq_elevate_modes(spark, tmp_path, capsys):
+    """Round-3-late query modes: synonym expansion, additive boost
+    query, and elevation pins — all store-backed, tombstone-aware."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=12, max_turns=6, seed=5).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store, "--shards", "2"]) == 0
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main(["query", "--store", store, *args])
+        out = capsys.readouterr().out
+        rows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+        return rc, rows
+
+    # synonym: empty map == plain BM25 (exhaustive scorer ranks match wand's)
+    rc, syn0 = run("--q", "spark merge", "--k", "5", "--mode", "synonym")
+    base = run("--q", "spark merge", "--k", "5")[1]
+    assert rc == 0
+    assert [r["conv_id"] for r in syn0] == [r["conv_id"] for r in base]
+    # a real synonym group widens (or keeps) the match set
+    rc, syn1 = run("--q", "merge", "--k", "100", "--mode", "synonym",
+                   "--syn", "merge:join")
+    only = run("--q", "merge", "--k", "100", "--mode", "synonym")[1]
+    assert rc == 0
+    assert {r["conv_id"] for r in only} <= {r["conv_id"] for r in syn1}
+    # malformed map is a bad request
+    assert run("--q", "merge", "--mode", "synonym", "--syn", "nocolon")[0] == 2
+
+    # bq: weight 0 reproduces the plain ranking; boosted >= score
+    rc, bq0 = run("--q", "spark merge", "--k", "5", "--mode", "bq",
+                  "--bq-q", "join", "--bweight", "0")
+    assert rc == 0
+    assert [r["conv_id"] for r in bq0] == [r["conv_id"] for r in base]
+    rc, bq1 = run("--q", "spark merge", "--k", "5", "--mode", "bq",
+                  "--bq-q", "join", "--bweight", "2")
+    assert rc == 0 and all(r["boosted"] >= r["score"] for r in bq1)
+    assert run("--q", "spark", "--mode", "bq")[0] == 2
+    assert run("--q", "spark", "--mode", "bq", "--bq-q", "x",
+               "--bweight", "-1")[0] == 2
+
+    # elevate: pinned conv first with rank 1, even if it never matches
+    pin = "s000003"
+    rc, el = run("--q", "spark merge", "--k", "5", "--mode", "elevate",
+                 "--pin", pin)
+    assert rc == 0 and el[0]["conv_id"] == pin and el[0]["rank"] == 1
+    assert el[0]["elevated"] and not el[1]["elevated"]
+    # a tombstoned doc cannot be elevated
+    assert cli.main(["delete", "--store", store, "--conv-id", pin]) == 0
+    capsys.readouterr()
+    rc, el2 = run("--q", "spark merge", "--k", "5", "--mode", "elevate",
+                  "--pin", pin)
+    assert rc == 0 and all(r["conv_id"] != pin for r in el2)
