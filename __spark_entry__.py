@@ -1448,6 +1448,28 @@ def _q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr debug=true / Lucene Explanation: per-term BM25 breakdown
+    (tf, df, idf, tf_norm, term_score) for the flagship query's top-3
+    docs (operators/score.py::explain_scores)."""
+    from solr_ocr_processor_spark.operators.score import explain_scores
+
+    idx = _index(spark, sf_dir)
+    ex = explain_scores(spark, idx, FLAGSHIP_QUERY, k=3)
+    return ex.select(
+        "doc_id",
+        "conv_id",
+        "term",
+        "tf",
+        "dl",
+        "df",
+        F.round("idf", 6).alias("idf"),
+        F.round("tf_norm", 6).alias("tf_norm"),
+        F.round("term_score", 6).alias("term_score"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -1555,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_topk": _q_bq_topk,
         "gopher_rules": _q_gopher_rules,
         "sft_pairs": _q_sft_pairs,
+        "score_explain": _q_score_explain,
     }
 
 
@@ -3775,6 +3798,37 @@ FROM p WHERE role = 'assistant'
 ORDER BY conv_id, ordinal
 """
 
+# debug=true: per-term BM25 Explanation rows for the top-3 docs.
+_SCORE_EXPLAIN = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+parts AS (
+  SELECT tf.doc_id, tf.conv_id, tf.term, tf.tf, tf.dl,
+         CAST(dfreq.df AS BIGINT) AS df,
+         ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS idf,
+         (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) AS tf_norm
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+),
+totals AS (
+  SELECT doc_id, sum(idf * tf_norm) AS raw FROM parts GROUP BY doc_id
+),
+top3 AS (SELECT doc_id, raw FROM totals ORDER BY raw DESC, doc_id ASC LIMIT 3)
+SELECT p.doc_id, p.conv_id, p.term, p.tf, CAST(p.dl AS BIGINT) AS dl, p.df,
+       round(p.idf, 6) AS idf, round(p.tf_norm, 6) AS tf_norm,
+       round(p.idf * p.tf_norm, 6) AS term_score,
+       round(t.raw, 6) AS score
+FROM parts p JOIN top3 t USING (doc_id)
+ORDER BY t.raw DESC, p.doc_id ASC, p.term ASC
+"""
+
 _BLOCKLIST_PROFILE = """
 WITH flags AS (
   SELECT source,
@@ -4039,5 +4093,6 @@ ORDER BY dl DESC, doc_id ASC
         "bq_topk": _BQ_TOPK,
         "gopher_rules": _GOPHER_RULES,
         "sft_pairs": _SFT_PAIRS,
+        "score_explain": _SCORE_EXPLAIN,
         **_PIPELINE_ORACLES,
     }

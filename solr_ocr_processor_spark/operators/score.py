@@ -617,3 +617,57 @@ def _render_turn_spans(
     return joined.select(
         "doc_id", "conv_id", "score", "turn_idx", snippet.alias("snippet")
     ).orderBy("doc_id", "turn_idx")
+
+
+def explain_scores(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    k: int = 3,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Solr ``debug=true`` / Lucene ``Explanation``: the per-term BM25
+    breakdown for the query's top-k docs — how relevance debugging
+    actually happens against a stock core. One row per (doc, matched
+    term): (doc_id, conv_id, term, tf, dl, df, idf, tf_norm,
+    term_score, score) where ``term_score = idf * tf_norm`` and
+    ``score`` is the doc's total (the sum of its term_score rows),
+    ordered (score DESC, doc_id ASC, term ASC).
+
+    Plan: the top-k winners come from the standard scorer; the
+    breakdown joins the k-row winner frame (broadcast) back against
+    the dictionary-pruned postings — the explanation pass touches only
+    the query terms' postings of k docs, never re-scores the corpus.
+    """
+    terms = sorted(set(query_terms(query, cfg)))
+    empty_schema = (
+        "doc_id long, conv_id string, term string, tf int, dl long, "
+        "df long, idf double, tf_norm double, term_score double, score double"
+    )
+    if not terms:
+        return spark.createDataFrame([], empty_schema)
+    qidf, _, avgdl = _query_idf(spark, index, terms)
+    top = bm25_topk(spark, index, query, k=k, cfg=cfg)
+    k1, b = float(cfg.k1), float(cfg.b)
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        index.postings.where(F.col("term").isin(terms))
+        .join(F.broadcast(top), "doc_id")
+        .join(F.broadcast(qidf), "term")
+        .select(
+            "doc_id",
+            "conv_id",
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("dl").cast("long").alias("dl"),
+            F.col("df").cast("long").alias("df"),
+            "idf",
+            tf_norm.alias("tf_norm"),
+            (F.col("idf") * tf_norm).alias("term_score"),
+            "score",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("term"))
+    )

@@ -574,3 +574,26 @@ def test_sft_pairs_bounded_context(spark):
     assert got[("c2", 0)]["prompt"] == ""
     # user turns never become completions
     assert all(k[1] % 2 == 1 or k[0] == "c2" for k in got)
+
+
+def test_score_explain_reconstructs_total(spark, tiny):
+    from solr_ocr_processor_spark.operators.score import bm25_topk, explain_scores
+
+    rows = explain_scores(spark, tiny, "spark merge", k=3).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    top = bm25_topk(spark, tiny, "spark merge", k=3).collect()
+    assert set(by_doc) == {r["doc_id"] for r in top}
+    for t in top:
+        parts = by_doc[t["doc_id"]]
+        # per-term components multiply/sum back to the doc total
+        assert sum(p["term_score"] for p in parts) == pytest.approx(
+            t["score"], rel=1e-9
+        )
+        for p in parts:
+            assert p["term_score"] == pytest.approx(
+                p["idf"] * p["tf_norm"], rel=1e-12
+            )
+            assert p["score"] == pytest.approx(t["score"], rel=1e-12)
