@@ -531,6 +531,18 @@ def _q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
+def _q_frange_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``{!frange l=0.9 u=1.1}div(dl,avgdl)``: flagship BM25
+    restricted to near-average-length docs — the range gates a
+    *computed function* of doc values (operators/query.frange_topk);
+    scoring stats stay global, same fq discipline as filtered_topk."""
+    from solr_ocr_processor_spark.operators.query import frange_topk
+
+    idx = _index(spark, sf_dir)
+    top = frange_topk(spark, idx, FLAGSHIP_QUERY, "div(dl, avgdl)", 0.9, 1.1, k=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
 def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window rollup over the events table — the
     streaming module's monitoring aggregation run in batch mode (the
@@ -1470,6 +1482,81 @@ def _q_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {
+        "documents": _docs(spark, sf_dir),
+        "embeddings": spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+    }
+
+
+_STREAM_ROLLUP_EXPR = (
+    'sort(having(rollup(search(documents, q="n_chars:[100 TO *]", '
+    'fl="source,lang,n_chars", sort="source asc"), over="source,lang", '
+    "count(*), sum(n_chars), avg(n_chars)), gteq(count_all, 2)), "
+    'by="source asc, lang asc")'
+)
+
+_STREAM_HASHJOIN_EXPR = (
+    'top(n=20, hashJoin(search(documents, q="lang:en", '
+    'fl="doc_id,source,n_chars", sort="doc_id asc"), '
+    'hashed=rollup(search(documents, q="*:*", fl="source", sort="source asc"), '
+    'over="source", count(*)), on="source"), '
+    'sort="n_chars desc, doc_id asc")'
+)
+
+_STREAM_COMPLEMENT_EXPR = (
+    'sort(complement(search(documents, q="lang:en", fl="doc_id,source", '
+    'sort="doc_id asc"), search(embeddings, q="label:3", fl="vec_id", '
+    'sort="vec_id asc"), on="doc_id=vec_id"), by="doc_id asc")'
+)
+
+# Shared-dialect SELECT: runs verbatim on Spark SQL and DuckDB (the
+# oracle IS this string).
+_SQL_HANDLER_STMT = """
+SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE lang <> 'en' GROUP BY source, lang
+ORDER BY n_docs DESC, source ASC, lang ASC LIMIT 20
+"""
+
+
+def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /stream handler (SURVEY §2.5.1): rollup over a sorted
+    search, post-aggregate having — compiled to groupBy/agg with
+    map-side partial aggregation (the expression's sort hint is not
+    needed by Spark and is not executed as a global sort)."""
+    from solr_ocr_processor_spark.operators.stream_expr import compile_stream
+
+    df = compile_stream(_STREAM_ROLLUP_EXPR, _stream_tables(spark, sf_dir))
+    return df.withColumn("avg_n_chars", F.round("avg_n_chars", 6))
+
+
+def _q_stream_hashjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /stream hashJoin: the hashed= side compiles to an explicit
+    broadcast join (the user's fits-in-memory assertion), top(n=...)
+    lowers to TakeOrderedAndProject."""
+    from solr_ocr_processor_spark.operators.stream_expr import compile_stream
+
+    return compile_stream(_STREAM_HASHJOIN_EXPR, _stream_tables(spark, sf_dir))
+
+
+def _q_stream_complement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /stream complement(): tuples of the left stream whose key
+    has no match in the right — a left-anti join, so the right side's
+    payload is never materialized."""
+    from solr_ocr_processor_spark.operators.stream_expr import compile_stream
+
+    return compile_stream(_STREAM_COMPLEMENT_EXPR, _stream_tables(spark, sf_dir))
+
+
+def _q_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /sql handler: read-only SELECT over the collections; Solr
+    lowers SQL to streaming expressions, this engine lowers it to
+    Catalyst (the dialect-shared statement doubles as the oracle)."""
+    from solr_ocr_processor_spark.operators.stream_expr import sql_handler
+
+    return sql_handler(spark, _stream_tables(spark, sf_dir), _SQL_HANDLER_STMT)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -1507,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_topk": _q_sort_topk,
         "paged_topk": _q_paged_topk,
         "filtered_topk": _q_filtered_topk,
+        "frange_topk": _q_frange_topk,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
         "terms_enum": _q_terms_enum,
@@ -1578,6 +1666,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "sft_pairs": _q_sft_pairs,
         "score_explain": _q_score_explain,
+        "stream_rollup": _q_stream_rollup,
+        "stream_hashjoin": _q_stream_hashjoin,
+        "stream_complement": _q_stream_complement,
+        "sql_select": _q_sql_select,
     }
 
 
@@ -2738,6 +2830,33 @@ scored AS (
          ) AS raw
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
   WHERE tf.dl BETWEEN 40 AND 120
+  GROUP BY tf.doc_id, tf.conv_id
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored
+ORDER BY raw DESC, doc_id ASC
+LIMIT 10
+""",
+    # {!frange}: same global-stats BM25, match set gated on the computed
+    # dl/avgdl ratio (both engines evaluate the identical double division)
+    "frange_topk": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  WHERE tf.dl / s.avgdl BETWEEN 0.9 AND 1.1
   GROUP BY tf.doc_id, tf.conv_id
 )
 SELECT doc_id, conv_id, round(raw, 6) AS score
@@ -4094,5 +4213,27 @@ ORDER BY dl DESC, doc_id ASC
         "gopher_rules": _GOPHER_RULES,
         "sft_pairs": _SFT_PAIRS,
         "score_explain": _SCORE_EXPLAIN,
+        "stream_rollup": """
+SELECT source, lang, count(*) AS count_all,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       round(avg(n_chars), 6) AS avg_n_chars
+FROM documents WHERE n_chars >= 100
+GROUP BY source, lang HAVING count(*) >= 2
+ORDER BY source, lang
+""",
+        "stream_hashjoin": """
+WITH pc AS (SELECT source, count(*) AS count_all FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, d.n_chars, pc.count_all
+FROM documents d JOIN pc USING (source)
+WHERE d.lang = 'en'
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 20
+""",
+        "stream_complement": """
+SELECT doc_id, source FROM documents
+WHERE lang = 'en'
+  AND doc_id NOT IN (SELECT vec_id FROM embeddings WHERE label = 3)
+ORDER BY doc_id
+""",
+        "sql_select": _SQL_HANDLER_STMT,
         **_PIPELINE_ORACLES,
     }

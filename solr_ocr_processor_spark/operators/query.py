@@ -844,6 +844,55 @@ def filtered_topk(
     return resolve_conv_ids(index, top)
 
 
+def frange_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    func: str,
+    lower: float | None = None,
+    upper: float | None = None,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Solr's ``{!frange l=.. u=..}func(...)`` query parser: BM25 top-k
+    restricted to docs whose *computed function value* falls in
+    [lower, upper] — e.g. ``frange_topk(..., "div(dl, avgdl)", 0.9,
+    1.1)`` keeps only near-average-length docs. The reference delegates
+    this parser to Solr with the rest of the query string
+    (app/process/solr.go:48-49).
+
+    The function expression reuses the streaming-expression evaluator
+    (add/sub/mult/div over columns, JVM-side, codegen), evaluated over
+    doc_meta with the 1-row corpus stats table cross-broadcast in so
+    ``avgdl`` / ``n_docs`` / ``total_tokens`` are usable as scalars.
+    Same fq discipline as filtered_topk: the range restricts the MATCH
+    SET only — idf/avgdl in the scores stay global, so a doc's score is
+    filter-invariant and only the competition changes.
+    """
+    from .stream_expr import eval_column, parse as parse_stream_expr
+
+    terms = query_terms(query, cfg)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, conv_id string, score double")
+    meta = index.doc_meta.crossJoin(F.broadcast(index.corpus))
+    expr = parse_stream_expr(func) if "(" in func else func
+    val = eval_column(expr, meta).cast("double")
+    cond = F.lit(True)
+    if lower is not None:
+        cond = cond & (val >= F.lit(float(lower)))
+    if upper is not None:
+        cond = cond & (val <= F.lit(float(upper)))
+    allowed = meta.where(cond).select("doc_id")
+    scored = _suppress(bm25_scores(spark, index, query, cfg=cfg), exclude_docs)
+    top = (
+        scored.join(allowed, "doc_id", "left_semi")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return resolve_conv_ids(index, top)
+
+
 class JoinSyntaxError(ValueError):
     """Raised for malformed {!join} parameters (CLI maps it to exit 2,
     the reference's 400-class: handler/handler.go error taxonomy)."""

@@ -1,0 +1,219 @@
+"""Round-3 late surfaces (batch d): Solr streaming expressions
+(/stream) compiled to DataFrame plans, and the /sql handler.
+Hand-computed expectations on a purpose-built mini-collection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_ocr_processor_spark.operators.stream_expr import (
+    Node,
+    StreamExprError,
+    compile_stream,
+    parse,
+    q_filter,
+    sql_handler,
+)
+
+DOCS = [
+    # (doc_id, src, lang, n)
+    (0, "a", "en", 10),
+    (1, "a", "en", 20),
+    (2, "a", "de", 30),
+    (3, "b", "en", 40),
+    (4, "b", "de", 50),
+    (5, "b", "de", 50),
+]
+TAGS = [(0, 7), (2, 7), (3, 9)]  # (ref_id, label)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, src string, lang string, n long")
+    tags = spark.createDataFrame(TAGS, "ref_id long, label int")
+    return {"docs": docs, "tags": tags}
+
+
+# --- parser ---------------------------------------------------------------
+
+
+def test_parse_nested_kwarg_stream():
+    n = parse('hashJoin(search(a, q="x:1"), hashed=rollup(search(b), over="k", count(*)), on="k")')
+    assert n.name == "hashJoin"
+    assert isinstance(n.kwargs["hashed"], Node)
+    assert n.kwargs["hashed"].name == "rollup"
+    assert n.args[0].kwargs["q"] == "x:1"
+
+
+def test_parse_evaluator_alias():
+    n = parse('select(search(a), doc_id, mult(n, 2) as n2)')
+    assert n.args[2].name == "mult" and n.args[2].out_alias == "n2"
+
+
+def test_parse_quoted_commas_and_errors():
+    n = parse('top(n=3, search(a), sort="n desc, doc_id asc")')
+    assert n.kwargs["sort"] == "n desc, doc_id asc"
+    with pytest.raises(StreamExprError):
+        parse("rollup(search(a)")  # unterminated
+    with pytest.raises(StreamExprError):
+        parse('search(a) trailing')
+
+
+# --- q= filter ------------------------------------------------------------
+
+
+def test_q_filter_typed_and_range(tables):
+    d = tables["docs"]
+    assert q_filter(d, "lang:de AND n:[30 TO 50]").count() == 3
+    assert q_filter(d, "n:[* TO 20]").count() == 2
+    assert q_filter(d, "*:*").count() == 6
+    with pytest.raises(StreamExprError):
+        q_filter(d, "nope:1")
+
+
+# --- compile: each streaming function -------------------------------------
+
+
+def test_rollup_having(tables):
+    out = compile_stream(
+        'having(rollup(search(docs, fl="src,n"), over="src", count(*), '
+        "sum(n), avg(n), min(n), max(n)), gt(sum_n, 100))",
+        tables,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["src"], r["count_all"], r["sum_n"], r["min_n"], r["max_n"]) == (
+        "b", 3, 140, 40, 50,
+    )
+
+
+def test_select_evaluators(tables):
+    out = (
+        compile_stream(
+            'select(search(docs, q="doc_id:1", fl="doc_id,n"), doc_id, '
+            "add(mult(n, 2), 1) as m, div(n, 4) as q, sub(n, 5) as s)",
+            tables,
+        )
+        .collect()[0]
+    )
+    assert (out["m"], out["q"], out["s"]) == (41, 5.0, 15)
+
+
+def test_inner_and_left_join(tables):
+    inner = compile_stream(
+        'innerJoin(search(docs, fl="doc_id,src"), search(tags, fl="ref_id,label"), '
+        'on="doc_id=ref_id")',
+        tables,
+    )
+    assert inner.count() == 3 and set(inner.columns) == {"doc_id", "src", "ref_id", "label"}
+    left = compile_stream(
+        'leftOuterJoin(search(docs, fl="doc_id,src"), search(tags, fl="ref_id,label"), '
+        'on="doc_id=ref_id")',
+        tables,
+    )
+    assert left.count() == 6
+    assert left.where(F.col("label").isNull()).count() == 3
+
+
+def test_hashjoin_broadcasts(tables):
+    df = compile_stream(
+        'hashJoin(search(docs, fl="doc_id,src"), '
+        'hashed=rollup(search(docs, fl="src,n"), over="src", count(*)), on="src")',
+        tables,
+    )
+    assert "BroadcastHashJoin" in df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    ) or "BroadcastHashJoin" in df._jdf.queryExecution().executedPlan().toString()
+    # same-name key dropped once
+    assert df.columns.count("src") == 1
+    assert df.count() == 6
+
+
+def test_intersect_complement(tables):
+    semi = compile_stream(
+        'intersect(search(docs, fl="doc_id,lang"), search(tags, fl="ref_id"), '
+        'on="doc_id=ref_id")',
+        tables,
+    )
+    assert sorted(r.doc_id for r in semi.collect()) == [0, 2, 3]
+    anti = compile_stream(
+        'complement(search(docs, fl="doc_id,lang"), search(tags, fl="ref_id"), '
+        'on="doc_id=ref_id")',
+        tables,
+    )
+    assert sorted(r.doc_id for r in anti.collect()) == [1, 4, 5]
+
+
+def test_merge_unique_top_sort_parallel(tables):
+    out = compile_stream(
+        'top(n=2, unique(merge(search(docs, q="lang:en", fl="src,n"), '
+        'search(docs, q="lang:de", fl="src,n"), on="n asc"), over="src", '
+        'sort="n asc"), sort="n desc")',
+        tables,
+    ).collect()
+    # unique picks min-n row per src: a->10, b->40; top 2 by n desc
+    assert [(r.src, r.n) for r in out] == [("b", 40), ("a", 10)]
+    wrapped = compile_stream('parallel(search(docs, fl="doc_id"), workers=4)', tables)
+    assert wrapped.count() == 6
+
+
+def test_compile_errors(tables):
+    for bad in [
+        'search(missing, q="*:*")',
+        'rollup(search(docs), over="src")',  # no metric
+        'unique(search(docs), over="src")',  # no sort
+        'frobnicate(search(docs))',
+        'search(docs, fl="doc_id", sort="n sideways")',
+    ]:
+        with pytest.raises(StreamExprError):
+            compile_stream(bad, tables)
+
+
+# --- /sql handler ----------------------------------------------------------
+
+
+def test_sql_handler_select(spark, tables):
+    out = sql_handler(
+        spark,
+        tables,
+        "SELECT src, count(*) AS c FROM docs GROUP BY src ORDER BY src",
+    ).collect()
+    assert [(r.src, r.c) for r in out] == [("a", 3), ("b", 3)]
+
+
+def test_frange_filters_matchset_not_scores(spark):
+    """{!frange}: surviving docs keep their unfiltered scores (stats
+    stay global); docs outside the function range are excluded."""
+    import datetime
+
+    from solr_ocr_processor_spark.operators.build import build_postings
+    from solr_ocr_processor_spark.operators.query import frange_topk
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+    from solr_ocr_processor_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("cA", 0, "user", "spark merge spark", None, ts),          # dl=3
+        ("cB", 0, "user", "spark merge join sort filter scan agg window", None, ts),  # dl=8
+        ("cC", 0, "user", "spark", None, ts),                      # dl=1
+    ]
+    idx = build_postings(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA))
+    # avgdl = 4; div(dl, avgdl) in [0.5, 1.0] keeps dl in [2, 4] -> only cA
+    got = frange_topk(spark, idx, "spark merge", "div(dl, avgdl)", 0.5, 1.0, k=10).collect()
+    assert [r.conv_id for r in got] == ["cA"]
+    full = {r.conv_id: r.score for r in bm25_topk(spark, idx, "spark merge", k=10).collect()}
+    assert got[0].score == pytest.approx(full["cA"], abs=1e-12)
+    # open lower bound keeps everything
+    assert frange_topk(spark, idx, "spark", "div(dl, avgdl)", None, 2.5, k=10).count() == 3
+
+
+def test_sql_handler_read_only(spark, tables):
+    for bad in [
+        "DROP TABLE docs",
+        "SELECT 1; SELECT 2",
+        "SELECT * FROM docs WHERE 1=1; DELETE FROM docs",
+        "INSERT INTO docs VALUES (9,'c','en',1)",
+    ]:
+        with pytest.raises(StreamExprError):
+            sql_handler(spark, tables, bad)
