@@ -1548,6 +1548,21 @@ def _q_stream_complement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_stream(_STREAM_COMPLEMENT_EXPR, _stream_tables(spark, sf_dir))
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): embedding-cluster-then-prune
+    semantic dedup — 16 md5-rank clusters, within-cluster cosine >=
+    0.38 marks the higher id a duplicate of its smallest qualifying
+    lower id (operators/dedup.semantic_dedup). The oracle replays
+    centroid choice, assignment, and the per-cluster pair sweep."""
+    from solr_ocr_processor_spark.operators.dedup import semantic_dedup
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(embs, tau=0.38, n_clusters=16, seed=17)
+    return out.select(
+        "dup_id", "keep_id", "list_id", F.round("cos", 6).alias("cos")
+    ).orderBy("dup_id")
+
+
 def _q_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr /sql handler: read-only SELECT over the collections; Solr
     lowers SQL to streaming expressions, this engine lowers it to
@@ -1670,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hashjoin": _q_stream_hashjoin,
         "stream_complement": _q_stream_complement,
         "sql_select": _q_sql_select,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -4235,5 +4251,40 @@ WHERE lang = 'en'
 ORDER BY doc_id
 """,
         "sql_select": _SQL_HANDLER_STMT,
+        "semantic_dedup": """
+WITH cent AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cvec,
+         CAST(row_number() OVER (ORDER BY md5('17:' || vec_id)) - 1 AS INT) AS list_id
+  FROM embeddings
+  ORDER BY md5('17:' || vec_id) LIMIT 16
+),
+ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+scored AS (
+  SELECT ev.vec_id, c.list_id, list_cosine_similarity(ev.v, c.cvec) AS cs
+  FROM ev CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, list_id ASC) AS rn
+    FROM scored) t WHERE rn = 1
+),
+pairs AS (
+  SELECT a_hi.vec_id AS dup_id, a_lo.vec_id AS keep_id, a_hi.list_id,
+         list_cosine_similarity(e_hi.v, e_lo.v) AS cos
+  FROM assign a_hi
+  JOIN assign a_lo ON a_lo.list_id = a_hi.list_id AND a_lo.vec_id < a_hi.vec_id
+  JOIN ev e_hi ON e_hi.vec_id = a_hi.vec_id
+  JOIN ev e_lo ON e_lo.vec_id = a_lo.vec_id
+  WHERE list_cosine_similarity(e_hi.v, e_lo.v) >= 0.38
+),
+first AS (
+  SELECT dup_id, keep_id, list_id, cos,
+         row_number() OVER (PARTITION BY dup_id ORDER BY keep_id ASC) AS rn
+  FROM pairs
+)
+SELECT dup_id, keep_id, list_id, round(cos, 6) AS cos
+FROM first WHERE rn = 1 ORDER BY dup_id
+""",
         **_PIPELINE_ORACLES,
     }

@@ -877,3 +877,79 @@ def paragraph_dedup_profile(turns: DataFrame) -> DataFrame:
         )
         .orderBy("conv_id")
     )
+
+
+def semantic_dedup(
+    embs: DataFrame,
+    tau: float = 0.45,
+    n_clusters: int = 16,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then mark within-cluster semantic duplicates —
+    the scale trick is that the quadratic pair search runs per
+    cluster, never across the corpus, at the documented cost of
+    missing pairs that straddle a cluster boundary.
+
+    Returns (dup_id, keep_id, list_id, cos): a row is a duplicate iff
+    a LOWER-id row of the same cluster has cosine >= tau with it;
+    keep_id is the smallest such lower id (a deterministic greedy
+    low-id-first sweep — the paper keeps the point least similar to
+    the centroid; min-id is the engine's order-free equivalent and is
+    what the DuckDB oracle replays).
+
+    Plan: md5-rank seed centroids (operators/ann.ivf_centroids — no
+    corpus collect) -> one mapInPandas assignment pass -> ONE shuffle
+    clustering rows by list_id -> per-cluster normalized GEMM inside
+    applyInPandas (numpy/BLAS tile). Cluster sizes bound the tile: at
+    100 TB raise n_clusters so tiles stay ~block-sized, or sub-block a
+    hot cluster with the embedding_near_dup pair kernel.
+    """
+    from .ann import ivf_assign, ivf_centroids
+
+    C = ivf_centroids(embs, n_clusters, seed=seed, id_col=id_col, vec_col=vec_col)
+    assign = ivf_assign(embs, C, id_col, vec_col)
+    e = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    clustered = e.join(assign, "id")
+
+    schema = T.StructType(
+        [
+            T.StructField("dup_id", T.LongType(), False),
+            T.StructField("keep_id", T.LongType(), False),
+            T.StructField("list_id", T.IntegerType(), False),
+            T.StructField("cos", T.DoubleType(), False),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"dup_id": [], "keep_id": [], "list_id": [], "cos": []}
+        ).astype(
+            {"dup_id": "int64", "keep_id": "int64", "list_id": "int32", "cos": "float64"}
+        )
+        if len(pdf) < 2:
+            return empty
+        order = np.argsort(pdf["id"].values, kind="stable")
+        ids = pdf["id"].values[order].astype(np.int64)
+        M = np.vstack(pdf["vec"].values[order]).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        S = M @ M.T
+        lo, hi = np.nonzero(np.triu(S >= tau, k=1))  # lo < hi by id order
+        if not len(lo):
+            return empty
+        # smallest qualifying lower id per dup: first hit in id-sorted
+        # scan order (np.unique keeps the first occurrence index)
+        dup, first = np.unique(hi, return_index=True)
+        keep = lo[first]
+        return pd.DataFrame(
+            {
+                "dup_id": ids[dup],
+                "keep_id": ids[keep],
+                "list_id": np.full(len(dup), pdf["list_id"].iat[0], dtype="int32"),
+                "cos": S[keep, dup],
+            }
+        )
+
+    return clustered.groupBy("list_id").applyInPandas(kernel, schema)

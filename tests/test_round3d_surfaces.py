@@ -170,6 +170,28 @@ def test_compile_errors(tables):
             compile_stream(bad, tables)
 
 
+def test_semantic_dedup_groups_and_keep_rule(spark):
+    """SemDeDup: scaled copies of one direction (cos=1) always land in
+    the same cluster, so they are flagged against the smallest lower
+    id; orthogonal directions are never pairs at tau=0.9."""
+    from solr_ocr_processor_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (5, [2.0, 0.0, 0.0, 0.0]),   # same direction as 1
+        (9, [0.5, 0.0, 0.0, 0.0]),   # same direction as 1
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (6, [0.0, 3.0, 0.0, 0.0]),   # same direction as 2
+        (3, [0.0, 0.0, 1.0, 0.0]),   # singleton
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.dup_id: (r.keep_id, round(r.cos, 6))
+        for r in semantic_dedup(embs, tau=0.9, n_clusters=2, seed=17).collect()
+    }
+    assert got == {5: (1, 1.0), 9: (1, 1.0), 6: (2, 1.0)}
+
+
 # --- /sql handler ----------------------------------------------------------
 
 
