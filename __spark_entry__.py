@@ -1548,6 +1548,28 @@ def _q_stream_complement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_stream(_STREAM_COMPLEMENT_EXPR, _stream_tables(spark, sf_dir))
 
 
+def _q_term_boost_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene caret boosts — ``spark^2 window merge^0.5``: each term's
+    BM25 contribution scaled by its boost before the deterministic
+    sorted-term fold (operators/query.term_boost_topk)."""
+    from solr_ocr_processor_spark.operators.query import term_boost_topk
+
+    idx = _index(spark, sf_dir)
+    top = term_boost_topk(spark, idx, "spark^2 window merge^0.5", k=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _q_pf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edismax ``pf=`` phrase boost: disjunctive BM25 over the phrase
+    terms plus 0.5x the Lucene phrase clause score for docs containing
+    the exact phrase (operators/query.pf_topk)."""
+    from solr_ocr_processor_spark.operators.query import pf_topk
+
+    idx = _index(spark, sf_dir)
+    top = pf_topk(spark, idx, PHRASE, pf_weight=0.5, k=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): embedding-cluster-then-prune
     semantic dedup — 16 md5-rank clusters, within-cluster cosine >=
@@ -1686,6 +1708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_complement": _q_stream_complement,
         "sql_select": _q_sql_select,
         "semantic_dedup": _q_semantic_dedup,
+        "term_boost_topk": _q_term_boost_topk,
+        "pf_topk": _q_pf_topk,
     }
 
 
@@ -1840,6 +1864,77 @@ LIMIT 10
 # Sloppy phrase "table value"~2 — for a 2-term ordered-window slop the
 # greedy chain reduces to EXISTS(next pos within 1+slop), i.e. one
 # windowed position join with count(DISTINCT anchor).
+# Caret boosts: per-term BM25 contribution scaled before the sum;
+# (idf * tfnorm) * w matches the engine's multiplication order.
+_TERM_BOOST_TOPK = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN ('spark', 'window', 'merge')
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           (ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+            * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
+           * CASE tf.term WHEN 'spark' THEN 2.0 WHEN 'merge' THEN 0.5 ELSE 1.0 END
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score
+FROM scored
+ORDER BY raw DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+# edismax pf: disjunctive BM25 over the phrase's terms + 0.5x the
+# Lucene phrase clause score where the exact phrase occurs.
+_PF_TOPK = f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+{_PHRASE_ANCHORS},
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tokp WHERE term IN {_PHRASE_T!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokp
+          WHERE term IN {_PHRASE_T!r} GROUP BY term),
+base AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+),
+sidf AS (
+  SELECT sum(ln(1 + (s.n_docs - df + 0.5) / (df + 0.5))) AS sum_idf
+  FROM dfreq CROSS JOIN stats s
+),
+psc AS (
+  SELECT ph.doc_id,
+         si.sum_idf * (ph.phrase_tf * 2.2)
+         / (ph.phrase_tf + 1.2 * (0.25 + 0.75 * ids.dl / s.avgdl)) AS p
+  FROM ph JOIN ids USING (doc_id) CROSS JOIN stats s CROSS JOIN sidf si
+),
+fin AS (
+  SELECT b.doc_id, b.conv_id, b.raw + 0.5 * coalesce(psc.p, 0) AS sc
+  FROM base b LEFT JOIN psc USING (doc_id)
+)
+SELECT doc_id, conv_id, round(sc, 6) AS score
+FROM fin ORDER BY sc DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 _PROX_TOPK = f"""
 WITH {_DOCS},
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
@@ -4251,6 +4346,8 @@ WHERE lang = 'en'
 ORDER BY doc_id
 """,
         "sql_select": _SQL_HANDLER_STMT,
+        "term_boost_topk": _TERM_BOOST_TOPK,
+        "pf_topk": _PF_TOPK,
         "semantic_dedup": """
 WITH cent AS (
   SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cvec,

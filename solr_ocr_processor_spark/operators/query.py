@@ -844,6 +844,133 @@ def filtered_topk(
     return resolve_conv_ids(index, top)
 
 
+def pf_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    pf_weight: float = 1.0,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+    bidx=None,
+) -> DataFrame:
+    """edismax phrase-field boost (``pf=``): rank by
+    ``bm25(q) + pf_weight * phrase_score(q-as-phrase)`` — docs where
+    the query terms also occur AS A PHRASE get the extra Lucene-style
+    phrase clause score (Σ idf × tfnorm over phrase_tf), everyone else
+    keeps the plain disjunctive BM25. This is Solr's main relevance
+    lever for multi-word queries and the reference hands such params
+    straight to Solr (app/process/solr.go:48-49).
+
+    Plan: the disjunctive leg is the standard dictionary-broadcast
+    scoring; the phrase leg reuses the positional anchor intersection
+    (_phrase_counts, block-range pruned when a block index is passed);
+    the two meet in a doc_id LEFT join where the phrase side holds
+    only phrase-matching docs — far smaller than the match set, never
+    corpus-wide.
+    """
+    terms = [t for _, t, _, _ in tokenize_text(query, cfg)]
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, conv_id string, score double")
+    base = _suppress(bm25_scores(spark, index, query, cfg=cfg), exclude_docs)
+    crow = index.corpus.first()
+    n_docs, avgdl = int(crow["n_docs"]), float(crow["avgdl"])
+    dfs = {
+        r["term"]: r["df"]
+        for r in index.term_stats.where(
+            F.col("term").isin(list(set(terms)))
+        ).collect()
+    }
+    scored = base
+    if all(t in dfs for t in terms):
+        import math
+
+        sum_idf = sum(
+            math.log1p((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in terms
+        )
+        k1, b = float(cfg.k1), float(cfg.b)
+        pscore = _phrase_counts(index, terms, bidx, dfs=dfs).select(
+            "doc_id",
+            (
+                F.lit(sum_idf)
+                * (F.col("phrase_tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("phrase_tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                )
+            ).alias("pscore"),
+        )
+        scored = base.join(pscore, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.col("score")
+                + F.lit(float(pf_weight)) * F.coalesce(F.col("pscore"), F.lit(0.0))
+            ).alias("score"),
+        )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return resolve_conv_ids(index, top)
+
+
+def term_boost_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Lucene per-term boost syntax — ``spark^2 window merge^0.5``:
+    each term's BM25 contribution is multiplied by its caret weight
+    (default 1.0). The reference forwards such query strings verbatim
+    to Solr (app/process/solr.go:48-49), where the boost scales the
+    clause score exactly this way.
+
+    Duplicate normalized terms ADD their boosts (Lucene: duplicate
+    SHOULD clauses each contribute, which for the same term equals one
+    clause at the summed weight). The weight rides the same broadcast
+    dictionary join as idf; the fold stays the sorted-term
+    deterministic sum, so scores are bit-stable across partitionings.
+    """
+    weights: dict[str, float] = {}
+    for tok in query.split():
+        word, caret, w = tok.partition("^")
+        try:
+            wt = float(w) if caret else 1.0
+        except ValueError as e:
+            raise ValueError(f"bad boost in {tok!r}") from e
+        for t in query_terms(word, cfg):
+            weights[t] = weights.get(t, 0.0) + wt
+    terms = sorted(weights)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, conv_id string, score double")
+    from .score import _query_idf, bm25_term_score, sorted_term_fold
+
+    qidf, _, avgdl = _query_idf(spark, index, terms)
+    wdf = spark.createDataFrame(
+        [(t, float(weights[t])) for t in terms], "term string, w double"
+    )
+    per_term = (
+        index.postings.where(F.col("term").isin(terms))
+        .join(F.broadcast(qidf.join(wdf, "term")), "term")
+        .select("term", "doc_id", "tf", "dl", "idf", "w")
+    )
+    scored = (
+        per_term.withColumn(
+            "term_score",
+            bm25_term_score(float(cfg.k1), float(cfg.b), avgdl) * F.col("w"),
+        )
+        .groupBy("doc_id")
+        .agg(sorted_term_fold().alias("score"))
+    )
+    top = (
+        _suppress(scored, exclude_docs)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return resolve_conv_ids(index, top)
+
+
 def frange_topk(
     spark: SparkSession,
     index: Index,

@@ -170,6 +170,56 @@ def test_compile_errors(tables):
             compile_stream(bad, tables)
 
 
+@pytest.fixture(scope="module")
+def boost_idx(spark):
+    import datetime
+
+    from solr_ocr_processor_spark.operators.build import build_postings
+    from solr_ocr_processor_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("cA", 0, "user", "spark spark merge other words here", None, ts),
+        ("cB", 0, "user", "merge merge spark other words here", None, ts),
+        ("cC", 0, "user", "table value prefix words", None, ts),
+        ("cD", 0, "user", "value table prefix words", None, ts),  # terms, no phrase
+    ]
+    return build_postings(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA))
+
+
+def test_term_boost_scales_and_reduces_to_bm25(spark, boost_idx):
+    from solr_ocr_processor_spark.operators.query import term_boost_topk
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    plain = {r.conv_id: r.score for r in bm25_topk(spark, boost_idx, "spark merge", k=10).collect()}
+    unit = {r.conv_id: r.score for r in term_boost_topk(spark, boost_idx, "spark^1 merge", k=10).collect()}
+    for c in plain:
+        assert unit[c] == pytest.approx(plain[c], abs=1e-12)
+    # boosting 'merge' flips the cA/cB order (symmetric corpus)
+    boosted = [r.conv_id for r in term_boost_topk(spark, boost_idx, "spark merge^3", k=10).collect()]
+    assert boosted.index("cB") < boosted.index("cA")
+    # duplicate term sums boosts: spark^1 spark^2 == spark^3
+    a = {r.conv_id: r.score for r in term_boost_topk(spark, boost_idx, "spark^1 spark^2", k=10).collect()}
+    b = {r.conv_id: r.score for r in term_boost_topk(spark, boost_idx, "spark^3", k=10).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        term_boost_topk(spark, boost_idx, "spark^fast", k=10)
+
+
+def test_pf_boosts_phrase_docs_only(spark, boost_idx):
+    from solr_ocr_processor_spark.operators.query import pf_topk
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    plain = {r.conv_id: r.score for r in bm25_topk(spark, boost_idx, "table value", k=10).collect()}
+    pf = {r.conv_id: r.score for r in pf_topk(spark, boost_idx, "table value", pf_weight=0.5, k=10).collect()}
+    assert pf["cC"] > plain["cC"]                      # phrase doc boosted
+    assert pf["cD"] == pytest.approx(plain["cD"], abs=1e-12)  # terms-only doc unchanged
+    # weight 0 reduces to plain BM25
+    pf0 = {r.conv_id: r.score for r in pf_topk(spark, boost_idx, "table value", pf_weight=0.0, k=10).collect()}
+    for c in plain:
+        assert pf0[c] == pytest.approx(plain[c], abs=1e-12)
+
+
 def test_semantic_dedup_groups_and_keep_rule(spark):
     """SemDeDup: scaled copies of one direction (cos=1) always land in
     the same cluster, so they are flagged against the smallest lower
