@@ -901,18 +901,43 @@ def semantic_dedup(
     what the DuckDB oracle replays).
 
     Plan: md5-rank seed centroids (operators/ann.ivf_centroids — no
-    corpus collect) -> one mapInPandas assignment pass -> ONE shuffle
-    clustering rows by list_id -> per-cluster normalized GEMM inside
-    applyInPandas (numpy/BLAS tile). Cluster sizes bound the tile: at
-    100 TB raise n_clusters so tiles stay ~block-sized, or sub-block a
-    hot cluster with the embedding_near_dup pair kernel.
+    corpus collect) -> ONE mapInPandas pass that carries the vector
+    along with its assignment (same argmax rule as ivf_assign; no
+    corpus-vs-assignment join — at toy scale AQE would broadcast that
+    join away, at corpus scale it would be a full sort-merge
+    exchange) -> ONE shuffle clustering rows by list_id -> per-cluster
+    normalized GEMM inside applyInPandas (numpy/BLAS tile). Cluster
+    sizes bound the tile: at 100 TB raise n_clusters so tiles stay
+    ~block-sized, or sub-block a hot cluster with the
+    embedding_near_dup pair kernel.
     """
-    from .ann import ivf_assign, ivf_centroids
+    from .ann import ivf_centroids
 
     C = ivf_centroids(embs, n_clusters, seed=seed, id_col=id_col, vec_col=vec_col)
-    assign = ivf_assign(embs, C, id_col, vec_col)
-    e = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    clustered = e.join(assign, "id")
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("list_id", T.IntegerType(), False),
+            T.StructField("vec", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
+    def assign_gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].values).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].values.astype(np.int64),
+                    "list_id": np.argmax(Vn @ C.T, axis=1).astype(np.int32),
+                    "vec": list(V),
+                }
+            )
+
+    clustered = embs.select(id_col, vec_col).mapInPandas(assign_gen, assign_schema)
 
     schema = T.StructType(
         [
