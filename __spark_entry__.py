@@ -310,6 +310,22 @@ def _q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
+REGEXP_Q = "sp[a-z]*k"  # anchored: spark-like dictionary terms
+
+
+def _q_regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY Q4 (rewrite surface): Lucene RegexpQuery ``/re/`` —
+    implicitly anchored dictionary expansion under the dialect-shared
+    regex subset (same language to Spark rlike and DuckDB
+    regexp_matches), top-50 cap by (df DESC, term ASC), disjunctive
+    BM25 (operators/expand.py::regexp_topk)."""
+    from solr_ocr_processor_spark.operators.expand import regexp_topk
+
+    idx = _index(spark, sf_dir)
+    top = regexp_topk(spark, idx, REGEXP_Q, k=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
 MM = 2  # flagship minimum-should-match threshold (of 3 terms)
 
 
@@ -1611,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_topk": _q_prefix_topk,
         "fuzzy_topk": _q_fuzzy_topk,
         "wildcard_topk": _q_wildcard_topk,
+        "regexp_topk": _q_regexp_topk,
         "mm_topk": _q_mm_topk,
         "group_topk": _q_group_topk,
         "boosted_topk": _q_boosted_topk,
@@ -2697,6 +2714,7 @@ _PIPELINE_ORACLES = {
     "prefix_topk": _PREFIX_TOPK_SQL,
     "fuzzy_topk": _FUZZY_TOPK_SQL,
     "wildcard_topk": _expansion_bm25_sql("term LIKE 's_a%'"),
+    "regexp_topk": _expansion_bm25_sql("regexp_matches(term, '^(?:sp[a-z]*k)$')"),
     "mm_topk": _MM_SQL,
     "group_topk": _GROUP_SQL,
     "boosted_topk": _BOOSTED_SQL,

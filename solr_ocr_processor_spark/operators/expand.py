@@ -150,6 +150,63 @@ def expand_wildcard(
     return [r["term"] for r in rows]
 
 
+def expand_regexp(
+    spark: SparkSession,
+    index: Index,
+    regex: str,
+    max_expansions: int = MAX_EXPANSIONS,
+    cfg: IndexConfig = DEFAULT,
+) -> list[str]:
+    """Dictionary terms matching a Lucene ``/regexp/`` query, top
+    ``max_expansions`` by (df DESC, term ASC). Lucene regexps are
+    implicitly ANCHORED (the automaton must consume the whole term),
+    so the pattern is wrapped ``^(?:re)$`` before the dictionary scan.
+
+    The pattern must pass the dialect-shared subset check used by the
+    /terms component (operators/terms.is_valid_terms_regex): the same
+    string then means the same language to Spark's Java-regex
+    ``rlike`` codegen and the DuckDB oracle's RE2 ``regexp_matches``.
+    A leading literal run (trimmed by one char if a quantifier
+    follows, since ``spa?`` makes the 'a' optional) is added as a
+    ``startswith`` conjunct so the term-sorted parquet dictionary
+    still prunes row groups — the FST-anchoring trick Lucene itself
+    uses for regexp queries."""
+    from .terms import is_valid_terms_regex
+
+    if not is_valid_terms_regex(regex):
+        raise ValueError(f"unsupported regexp {regex!r}")
+    cond = F.col("term").rlike(f"^(?:{regex})$")
+    m = re.match(r"[a-z0-9]*", regex)
+    lit = m.group(0) if m else ""
+    if regex[len(lit) : len(lit) + 1] in ("?", "*", "+", "{"):
+        lit = lit[:-1]
+    if lit:
+        cond = F.col("term").startswith(lit) & cond
+    rows = (
+        index.term_stats.where(cond)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def regexp_topk(
+    spark: SparkSession,
+    index: Index,
+    regex: str,
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k for a Lucene ``/regexp/`` query — anchored dictionary
+    expansion + disjunctive BM25 (module docstring). Returns (doc_id,
+    conv_id, score), score DESC, ties doc_id ASC."""
+    terms = expand_regexp(spark, index, regex, max_expansions, cfg)
+    return _expansion_topk(spark, index, terms, k, cfg, exclude_docs)
+
+
 def expand_fuzzy(
     spark: SparkSession,
     index: Index,

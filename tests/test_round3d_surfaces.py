@@ -206,6 +206,22 @@ def test_term_boost_scales_and_reduces_to_bm25(spark, boost_idx):
         term_boost_topk(spark, boost_idx, "spark^fast", k=10)
 
 
+def test_regexp_expansion_anchored_and_pruned(spark, boost_idx):
+    from solr_ocr_processor_spark.operators.expand import expand_regexp, regexp_topk
+
+    # anchored: 'ord' must NOT match 'words' (substring) — only full terms
+    assert expand_regexp(spark, boost_idx, "ord[a-z]*") == []
+    assert expand_regexp(spark, boost_idx, "wor[a-z]+") == ["words"]
+    # optional quantifier after the literal run: 'spa?rk' must match 'spark'
+    assert expand_regexp(spark, boost_idx, "spa?rk") == ["spark"]
+    # alternation, df-desc order
+    got = expand_regexp(spark, boost_idx, "(spark|merge|table)")
+    assert got[:2] == ["merge", "spark"] and "table" in got
+    with pytest.raises(ValueError):
+        expand_regexp(spark, boost_idx, "spark\\d")  # escapes outside subset
+    assert regexp_topk(spark, boost_idx, "zzz[0-9]+", k=5).count() == 0
+
+
 def test_pf_boosts_phrase_docs_only(spark, boost_idx):
     from solr_ocr_processor_spark.operators.query import pf_topk
     from solr_ocr_processor_spark.operators.score import bm25_topk
