@@ -61,9 +61,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument(
         "--mode",
         choices=("wand", "and", "phrase", "near", "rerank", "not", "bool",
-                 "prefix", "fuzzy", "wildcard", "mm", "sort", "collapse",
-                 "group", "filter", "boost", "join", "synonym", "bq",
-                 "elevate"),
+                 "prefix", "fuzzy", "wildcard", "regexp", "mm", "sort",
+                 "collapse", "group", "filter", "frange", "boost", "join",
+                 "synonym", "bq", "elevate", "termboost", "pf"),
         default="wand",
         help="wand: BM25 OR-of-terms via the pruned block index; "
         "and: every term required; phrase: exact positional phrase; "
@@ -87,7 +87,11 @@ def main(argv: list[str] | None = None) -> int:
         "synonym: query-time SynonymQuery expansion via --syn; "
         "bq: additive boost query (--bq-q, --bweight — edismax bq=); "
         "elevate: --pin conv ids first in list order, organic after "
-        "(QueryElevationComponent)",
+        "(QueryElevationComponent); "
+        "regexp: anchored Lucene /re/ dictionary rewrite; "
+        "termboost: caret per-term boosts 'spark^2 merge^0.5'; "
+        "pf: edismax phrase-field boost (--pf-weight); "
+        "frange: {!frange} --func value in [--lower, --upper]",
     )
     q.add_argument("--syn", default="",
                    help="synonym map for --mode synonym: "
@@ -118,6 +122,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="docs per group for --mode group")
     q.add_argument("--half-life", type=float, default=30.0,
                    help="recency decay half-life in days for --mode boost")
+    q.add_argument("--pf-weight", type=float, default=1.0,
+                   help="phrase clause weight for --mode pf (>= 0)")
+    q.add_argument("--func", default="div(dl, avgdl)",
+                   help="function expression for --mode frange "
+                   "(add/sub/mult/div over dl, n_turns, n_chars, avgdl)")
+    q.add_argument("--lower", type=float, default=None,
+                   help="frange lower bound (l=)")
+    q.add_argument("--upper", type=float, default=None,
+                   help="frange upper bound (u=)")
     q.add_argument("--width", type=int, default=64,
                    help="dl-bucket width for --mode collapse")
     q.add_argument("--fq", default="",
@@ -510,6 +523,60 @@ def main(argv: list[str] | None = None) -> int:
                 out = wildcard_topk(
                     spark, idx, args.q, k=fetch_k, exclude_docs=dead_df
                 )
+            elif args.mode == "regexp":
+                from solr_ocr_processor_spark.operators.expand import regexp_topk
+
+                try:
+                    out = regexp_topk(
+                        spark, idx, args.q, k=fetch_k, exclude_docs=dead_df
+                    )
+                except ValueError as e:  # outside the dialect-shared subset
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": str(e)[:200]}))
+                    return BAD_REQUEST_EXIT
+            elif args.mode == "termboost":
+                from solr_ocr_processor_spark.operators.query import term_boost_topk
+
+                try:
+                    out = term_boost_topk(
+                        spark, idx, args.q, k=fetch_k, exclude_docs=dead_df
+                    )
+                except ValueError as e:  # malformed caret weight
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": str(e)[:200]}))
+                    return BAD_REQUEST_EXIT
+            elif args.mode == "pf":
+                from solr_ocr_processor_spark.operators.query import pf_topk
+
+                if args.pf_weight < 0:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": f"pf-weight {args.pf_weight} "
+                                      "must be >= 0"}))
+                    return BAD_REQUEST_EXIT
+                out = pf_topk(
+                    spark, idx, args.q, pf_weight=args.pf_weight,
+                    k=fetch_k, exclude_docs=dead_df,
+                )
+            elif args.mode == "frange":
+                from solr_ocr_processor_spark.operators.query import frange_topk
+                from solr_ocr_processor_spark.operators.stream_expr import (
+                    StreamExprError,
+                )
+
+                if args.lower is None and args.upper is None:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": "frange needs --lower "
+                                      "and/or --upper"}))
+                    return BAD_REQUEST_EXIT
+                try:
+                    out = frange_topk(
+                        spark, idx, args.q, args.func, args.lower,
+                        args.upper, k=fetch_k, exclude_docs=dead_df,
+                    )
+                except StreamExprError as e:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": str(e)[:200]}))
+                    return BAD_REQUEST_EXIT
             elif args.mode == "mm":
                 from solr_ocr_processor_spark.operators.query import mm_topk
 

@@ -845,3 +845,63 @@ def test_cli_synonym_bq_elevate_modes(spark, tmp_path, capsys):
     rc, el2 = run("--q", "spark merge", "--k", "5", "--mode", "elevate",
                   "--pin", pin)
     assert rc == 0 and all(r["conv_id"] != pin for r in el2)
+
+
+def test_cli_round3d_modes(spark, tmp_path, capsys):
+    """regexp/termboost/pf/frange query modes: result equivalences,
+    400 analogs for malformed input, tombstone suppression in-plan."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=12, max_turns=6, seed=7).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store, "--shards", "2"]) == 0
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main(["query", "--store", store, *args])
+        out = capsys.readouterr().out
+        rows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+        return rc, rows
+
+    rc, plain = run("--q", "spark", "--k", "100")
+    assert rc == 0 and plain
+
+    # regexp: anchored 'spark'-only pattern hits exactly the term's docs
+    rc, rx = run("--q", "spar[a-z]", "--mode", "regexp", "--k", "100")
+    assert rc == 0
+    assert {r["conv_id"] for r in rx} == {r["conv_id"] for r in plain}
+    assert run("--q", "spark\\d", "--mode", "regexp")[0] == 2  # outside subset
+
+    # termboost: ^1 is scoring-identical to the plain query
+    rc, tb = run("--q", "spark^1", "--mode", "termboost", "--k", "100")
+    assert rc == 0
+    assert [(r["conv_id"], r["score"]) for r in tb] == [
+        (r["conv_id"], r["score"]) for r in plain
+    ]
+    assert run("--q", "spark^fast", "--mode", "termboost")[0] == 2
+
+    # pf weight 0 reduces to plain BM25 over the same terms
+    rc, pf0 = run("--q", "spark", "--mode", "pf", "--pf-weight", "0")
+    assert rc == 0 and [r["conv_id"] for r in pf0] == [r["conv_id"] for r in plain[:10]]
+    assert run("--q", "spark", "--mode", "pf", "--pf-weight", "-1")[0] == 2
+
+    # frange: a wide-open ratio range admits every plain hit
+    rc, fr = run("--q", "spark", "--mode", "frange", "--lower", "0",
+                 "--upper", "1000", "--k", "100")
+    assert rc == 0 and {r["conv_id"] for r in fr} == {r["conv_id"] for r in plain}
+    assert run("--q", "spark", "--mode", "frange")[0] == 2          # no bounds
+    assert run("--q", "spark", "--mode", "frange", "--lower", "0",
+               "--func", "bogus(")[0] == 2                           # bad func
+
+    # tombstones suppress in-plan for all four modes
+    victim = plain[0]["conv_id"]
+    assert cli.main(["delete", "--store", store, "--conv-id", victim]) == 0
+    for extra in (["--mode", "regexp", "--q", "spar[a-z]"],
+                  ["--mode", "termboost", "--q", "spark^2"],
+                  ["--mode", "pf", "--q", "spark"],
+                  ["--mode", "frange", "--q", "spark", "--lower", "0",
+                   "--upper", "1000"]):
+        rc, rows = run("--k", "100", *extra)
+        assert rc == 0 and victim not in {r["conv_id"] for r in rows}
