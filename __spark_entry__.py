@@ -1586,6 +1586,17 @@ def _q_pf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
+def _q_stats_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``stats.cardinality``: distinct dl values over docs
+    matching any flagship term — exact distinct as the oracle spine
+    (operators/facet.stats_cardinality); the HLL++ sketch path
+    (approx=True) is the 10^12-doc variant, error-bounded in pytest."""
+    from solr_ocr_processor_spark.operators.facet import stats_cardinality
+
+    idx = _index(spark, sf_dir)
+    return stats_cardinality(spark, idx, FLAGSHIP_QUERY, field="dl")
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): embedding-cluster-then-prune
     semantic dedup — 16 md5-rank clusters, within-cluster cosine >=
@@ -1725,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_complement": _q_stream_complement,
         "sql_select": _q_sql_select,
         "semantic_dedup": _q_semantic_dedup,
+        "stats_cardinality": _q_stats_cardinality,
         "term_boost_topk": _q_term_boost_topk,
         "pf_topk": _q_pf_topk,
     }
@@ -2867,6 +2879,18 @@ FROM e
 WHERE least((seq + 1) * 128 - st, n - 1) > greatest(seq * 128 - st, 0)
 """,
     "pii_redact": _PII_REDACT_SQL,
+    "stats_cardinality": f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM ids),
+m AS (
+  SELECT doc_id, max(dl) AS v
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT v) AS BIGINT) AS cardinality
+FROM m
+""",
     "stats_dl": f"""
 WITH {_DOCS},
 tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM ids),

@@ -174,6 +174,58 @@ def stats_field(
     )
 
 
+def stats_cardinality(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    field: str = "dl",
+    approx: bool = False,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Stats-component cardinality — Solr's ``stats.cardinality``
+    param: distinct values of a numeric doc field over the docs
+    matching ANY query term, one row (n_docs, cardinality).
+
+    Solr computes this with HyperLogLog. Spark's HLL++ is
+    ``approx_count_distinct`` (``approx=True``) — the path to use at
+    10^12 docs, where it is a fixed-size sketch with map-side
+    combine. The default is the EXACT distinct (two-phase hash
+    aggregate), which is the engine's oracle spine: HLL estimates
+    differ per implementation, so exact is what the DuckDB twin
+    checks, and pytest bounds the sketch's relative error against it
+    (Solr exposes the same accuracy/memory dial).
+    """
+    allowed = ("dl", "n_turns", "n_chars")
+    if field not in allowed:
+        raise ValueError(f"cardinality field {field!r} not in {allowed}")
+    terms = sorted(set(query_terms(query, cfg)))
+    if not terms:
+        return spark.createDataFrame([], "n_docs long, cardinality long")
+    if field == "dl":
+        matched = (
+            index.postings.where(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg(F.max("dl").cast("long").alias("v"))
+        )
+    else:
+        matched = (
+            index.postings.where(F.col("term").isin(terms))
+            .select("doc_id")
+            .distinct()
+            .join(index.doc_meta.select("doc_id", field), "doc_id")
+            .withColumn("v", F.col(field).cast("long"))
+        )
+    matched = _suppress(matched, exclude_docs)
+    card = (
+        F.approx_count_distinct("v") if approx else F.count_distinct(F.col("v"))
+    )
+    return matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        card.cast("long").alias("cardinality"),
+    )
+
+
 def pivot_facet_counts(
     spark: SparkSession,
     index: Index,

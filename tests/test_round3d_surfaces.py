@@ -236,6 +236,24 @@ def test_pf_boosts_phrase_docs_only(spark, boost_idx):
         assert pf0[c] == pytest.approx(plain[c], abs=1e-12)
 
 
+def test_stats_cardinality_exact_vs_hll(spark, boost_idx):
+    from solr_ocr_processor_spark.operators.facet import stats_cardinality
+
+    exact = stats_cardinality(spark, boost_idx, "words", field="dl").collect()[0]
+    # corpus: 4 docs contain 'words'? cA/cB/cC/cD all have 'words'; dl
+    # values 6,6,4,4 -> 2 distinct
+    assert (exact.n_docs, exact.cardinality) == (4, 2)
+    approx = stats_cardinality(
+        spark, boost_idx, "words", field="dl", approx=True
+    ).collect()[0]
+    # HLL++ default rsd = 5%: at tiny cardinalities the sketch is exact
+    assert abs(approx.cardinality - exact.cardinality) <= max(
+        1, 0.05 * exact.cardinality
+    )
+    with pytest.raises(ValueError):
+        stats_cardinality(spark, boost_idx, "words", field="score")
+
+
 def test_semantic_dedup_groups_and_keep_rule(spark):
     """SemDeDup: scaled copies of one direction (cos=1) always land in
     the same cluster, so they are flagged against the smallest lower
