@@ -60,21 +60,22 @@ def varint_slices(vals: np.ndarray, group_sizes: np.ndarray) -> list[bytes]:
     buf, nbytes = _varint_encode_with_lengths(vals)
     if group_sizes.size == 0:
         return []
-    starts = np.zeros(group_sizes.size, dtype=np.int64)
-    np.cumsum(group_sizes[:-1], out=starts[1:])
-    if nbytes.size:
-        # A zero-size group whose start falls at len(nbytes) (trailing
-        # empty groups) is out of range for reduceat — clip, then zero
-        # every empty group's length (the same fixup also corrects
-        # mid-stream empty groups, where reduceat yields a 1-element
-        # slice instead of an empty one).
-        glen = np.add.reduceat(nbytes, np.minimum(starts, nbytes.size - 1))
-        glen[group_sizes == 0] = 0
-    else:
-        glen = np.zeros(group_sizes.size, dtype=np.int64)
-    offs = np.zeros(group_sizes.size + 1, dtype=np.int64)
-    np.cumsum(glen, out=offs[1:])
-    return [buf[offs[i]: offs[i + 1]] for i in range(group_sizes.size)]
+    # Byte offset of every group boundary, computed directly from the
+    # cumulative byte lengths indexed at the value boundaries. Exact
+    # for zero-size groups in any position (leading / mid / trailing),
+    # unlike a reduceat-with-clipping formulation, which truncates the
+    # final non-empty group when a trailing empty group's clipped start
+    # lands inside it.
+    voffs = np.zeros(group_sizes.size + 1, dtype=np.int64)
+    np.cumsum(group_sizes, out=voffs[1:])
+    if voffs[-1] != nbytes.size:
+        raise ValueError(
+            f"group_sizes sum to {voffs[-1]} but {nbytes.size} values given"
+        )
+    cum = np.zeros(nbytes.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=cum[1:])
+    boffs = cum[voffs]
+    return [buf[boffs[i]: boffs[i + 1]] for i in range(group_sizes.size)]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
