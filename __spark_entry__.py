@@ -27,7 +27,11 @@ from solr_ocr_processor_spark.functions.textstats import (
     quality_score,
     token_count,
 )
-from solr_ocr_processor_spark.operators.ann import cosine_topk, lsh_near_dup
+from solr_ocr_processor_spark.operators.ann import (
+    cosine_topk,
+    knn_filtered_topk,
+    lsh_near_dup,
+)
 from solr_ocr_processor_spark.operators.ann_store import (
     AnnStore,
     build_ann_store,
@@ -692,6 +696,15 @@ def _q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_profile(_docs(spark, sf_dir), k=8)
 
 
+def _q_dup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup REMOVE step (operators/dedup.span_trim):
+    every cross-doc-duplicated >= 8-token span cut out of every doc;
+    (doc_id, n_tokens, n_removed, kept_text) for all docs."""
+    from solr_ocr_processor_spark.operators.dedup import span_trim
+
+    return span_trim(_docs(spark, sf_dir), k=8)
+
+
 def _q_membership_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY Q1/A7: GET membership check — EXISTS semantics via
     left-semi-style lookup on the doc-meta table."""
@@ -940,6 +953,22 @@ def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for the vec_id=0 query vector."""
     return cosine_topk(_embs(spark, sf_dir), _qvec(spark, sf_dir), k=10)
+
+
+def _q_knn_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr 9 {!knn f=embedding topK=10} with two fq pre-filters:
+    label:2 on the vector table itself (a pushed parquet scan filter)
+    and lang:en living on documents (broadcast LEFT SEMI join of the
+    passing doc ids). Pre-filter semantics: top-k is taken over the
+    survivors, so all 10 hits satisfy both filters."""
+    allowed = _docs(spark, sf_dir).where("lang = 'en'").select("doc_id")
+    return knn_filtered_topk(
+        _embs(spark, sf_dir),
+        _qvec(spark, sf_dir),
+        k=10,
+        predicate=F.col("label") == 2,
+        allowed_ids=allowed,
+    )
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1668,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "lm_doc_nll": _q_lm_doc_nll,
         "dup_span_profile": _q_dup_span_profile,
+        "dup_span_trim": _q_dup_span_trim,
         "stats_percentiles": _q_stats_percentiles,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "membership_check": _q_membership_check,
@@ -1688,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_near_pairs,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "knn_filtered_topk": _q_knn_filtered_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_int8_topk": _q_ann_int8_topk,
@@ -3248,6 +3279,38 @@ SELECT t.doc_id, coalesce(h2.n_bloom_hits, 0) AS n_bloom_hits,
 FROM (SELECT doc_id FROM spl WHERE split = 'train') t
 LEFT JOIN h2 USING (doc_id)
 """,
+    "dup_span_trim": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, i, md5(array_to_string(toks[i:i+7], ' ')) AS whash
+  FROM t, UNNEST(CASE WHEN len(toks) >= 8
+                      THEN generate_series(1, len(toks) - 7)
+                      ELSE [] END) AS u(i)
+),
+nd AS (SELECT whash, count(DISTINCT doc_id) AS n_docs FROM w GROUP BY whash),
+dup AS (SELECT DISTINCT w.doc_id, w.i + g.o AS pos
+        FROM w JOIN nd USING (whash), UNNEST(generate_series(0, 7)) AS g(o)
+        WHERE nd.n_docs >= 2),
+tok AS (SELECT doc_id, u.pos AS pos, toks[u.pos] AS tok
+        FROM t, UNNEST(generate_series(1, len(toks))) AS u(pos)),
+kept AS (SELECT tok.doc_id,
+                string_agg(tok.tok, ' ' ORDER BY tok.pos) AS kept_text,
+                count(*) AS n_kept
+         FROM tok LEFT JOIN dup ON tok.doc_id = dup.doc_id AND tok.pos = dup.pos
+         WHERE dup.pos IS NULL GROUP BY tok.doc_id),
+tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(tot.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(tot.n_tokens, 0) - coalesce(kept.n_kept, 0) AS BIGINT)
+         AS n_removed,
+       coalesce(kept.kept_text, '') AS kept_text
+FROM documents d
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN kept ON d.doc_id = kept.doc_id
+""",
     "dup_span_profile": """
 WITH t AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -3549,6 +3612,17 @@ s AS (SELECT vec_id AS id,
              list_cosine_similarity(list_transform(embedding, x -> x::DOUBLE), q.qv)
                AS c
       FROM embeddings CROSS JOIN q)
+SELECT id, round(c, 6) AS cos FROM s ORDER BY c DESC, id ASC LIMIT 10
+""",
+    "knn_filtered_topk": """
+WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+           FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id AS id,
+             list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE),
+                                    q.qv) AS c
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label = 2
+        AND e.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en'))
 SELECT id, round(c, 6) AS cos FROM s ORDER BY c DESC, id ASC LIMIT 10
 """,
     "text_token_count": f"""

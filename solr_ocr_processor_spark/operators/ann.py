@@ -75,6 +75,51 @@ def cosine_topk(
     )
 
 
+def knn_filtered_topk(
+    embs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    predicate=None,
+    allowed_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Solr 9 ``{!knn f=... topK=k}`` combined with ``fq=`` filters —
+    PRE-filter semantics (Lucene's filtered vector search: the filter
+    restricts the candidate set *before* top-k, so the result always
+    holds k matching docs; post-filtering a plain knn would under-fill
+    whenever filter selectivity < k/n).
+
+    Two filter shapes, composable:
+
+    - ``predicate``: a Column predicate over the embedding table's own
+      metadata columns (Solr ``fq=label:2``). Plain ``where`` — at
+      scale it reaches the parquet/Iceberg scan as a pushed filter
+      (PushedFilters in the plan), so non-matching row groups are
+      never read.
+    - ``allowed_ids``: a one-column (``doc_id``) DataFrame of ids that
+      pass filters living on ANOTHER table (Solr fq on a stored field
+      of the main index). Applied as a broadcast LEFT SEMI join —
+      the filter side of an fq is small relative to a 10^9-vector
+      corpus, and a semi join never widens rows.
+
+    The survivor set then goes through the exact :func:`cosine_topk`
+    kernel (codegen column expressions, TakeOrderedAndProject). At
+    selective filters this IS the optimal plan — a pruned scan of
+    survivors beats probing an ANN structure and re-checking the
+    filter per candidate (the same reason Lucene switches to exact
+    search when the filter matches < topK·beamWidth docs)."""
+    src = embs
+    if predicate is not None:
+        src = src.where(predicate)
+    if allowed_ids is not None:
+        ids = allowed_ids.toDF("__allow_id")
+        src = src.join(
+            F.broadcast(ids), F.col(id_col) == F.col("__allow_id"), "left_semi"
+        )
+    return cosine_topk(src, query_vec, k, id_col, vec_col)
+
+
 # ---------------------------------------------------------------------------
 # random-hyperplane LSH
 # ---------------------------------------------------------------------------

@@ -835,6 +835,120 @@ def dup_span_profile(
     )
 
 
+def span_trim(
+    docs: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Exact substring dedup, REMOVE step — the other half of
+    :func:`dup_span_profile` (which only measures): rewrite each
+    document with every cross-document-duplicated >= k-token span cut
+    out. The "deduplicating training data" exact-substring filter as
+    an actual corpus transformation: a token is removed iff it is
+    covered by some k-token window that occurs verbatim in >= 2
+    distinct documents.
+
+    Variant note: this trims ALL occurrences of a duplicated span (the
+    strict variant), not all-but-one — deterministic, order-free, and
+    the common production choice (text that repeats verbatim across
+    documents is boilerplate; no occurrence is privileged). A keep-one
+    policy would need a global canonical pick per span family, i.e.
+    exactly the :func:`dup_clusters` machinery at window granularity.
+
+    Output: (doc_id, n_tokens, n_removed, kept_text) for EVERY doc —
+    untouched docs report n_removed=0 and their full token-normalized
+    text; docs shorter than k tokens are never trimmed. kept_text is
+    the space-join of surviving tokens in original order (token-space
+    rewrite, same normalization as the window hashes).
+
+    Plan shape (zero UDFs, three token-level shuffles — same order as
+    the posting build):
+      1. map-only window hashing with positions (array expressions,
+         one md5 per window);
+      2. ONE shuffle on whash computes cross-doc support with two
+         stacked window functions sharing the partitioning (first-
+         occurrence-per-doc flag, then sum over the whash partition) —
+         no groupBy + join-back, the corpus is shingled once;
+      3. duplicated window starts explode to covered token ids
+         (distinct (doc, pos) — bounded by token count);
+      4. posexploded tokens LEFT ANTI join covered on (doc, pos) —
+         co-partitioned key, one shuffle — then per-doc ordered
+         reassembly (sort_array over collected (pos, tok) structs).
+    Hot boilerplate windows concentrate in single whash partitions at
+    step 2; AQE skew split covers it (the flag+sum pair is
+    associative), and the explode at step 3 emits at most k rows per
+    duplicated window regardless of its document count.
+    """
+    if k < 1:
+        raise ValueError(f"window size must be >= 1, got {k}")
+    tokenized = docs.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)").alias(
+            "toks"
+        ),
+    )
+    wstructs = F.when(
+        F.size("toks") >= k,
+        F.expr(
+            f"transform(sequence(1, size(toks) - {k - 1}),"
+            f" i -> struct(i as i, md5(array_join(slice(toks, i, {k}), ' ')) as whash))"
+        ),
+    ).otherwise(F.expr("array()"))
+    pos = tokenized.select(
+        "doc_id", F.explode(wstructs).alias("w")
+    ).select("doc_id", F.col("w.i").alias("i"), F.col("w.whash").alias("whash"))
+
+    from pyspark.sql import Window
+
+    # cross-doc support per whash without a join-back: flag the first
+    # occurrence of each (whash, doc), then sum flags over the whash
+    # partition — both windows share one shuffle on whash.
+    first_per_doc = F.row_number().over(
+        Window.partitionBy("whash", "doc_id").orderBy("i")
+    )
+    supported = pos.withColumn(
+        "first_occ", (first_per_doc == 1).cast("int")
+    ).withColumn(
+        "n_docs", F.sum("first_occ").over(Window.partitionBy("whash"))
+    )
+    covered = (
+        supported.where(F.col("n_docs") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {k - 1})")).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = tokenized.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = (
+        toks.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"),
+                " ",
+            ).alias("kept_text"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+    )
+    totals = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+
+
 def paragraph_dedup_profile(turns: DataFrame) -> DataFrame:
     """CCNet-style PARAGRAPH-level deduplication over the corpus: a
     turn (the transcript analog of a paragraph) is kept iff it is the
