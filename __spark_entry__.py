@@ -1626,6 +1626,36 @@ def _q_stats_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_cardinality(spark, idx, FLAGSHIP_QUERY, field="dl")
 
 
+def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (arXiv:2302.03169): hashed
+    unigram+bigram bag models (4096 md5 buckets, add-1 smoothing),
+    target sample = source 'src1'; per-doc log p_tgt/p_raw importance
+    weight for every doc (operators/pipeline.dsir_importance)."""
+    from solr_ocr_processor_spark.operators.pipeline import dsir_importance
+
+    return dsir_importance(_docs(spark, sf_dir), target_source="src1")
+
+
+def _q_group_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``group=true&group.facet=true``: per date bucket, the
+    number of result GROUPS (dl-bucket grouping key) containing a doc
+    matching any flagship term (operators/facet.group_facet_counts)."""
+    from solr_ocr_processor_spark.operators.facet import group_facet_counts
+
+    idx = _index(spark, sf_dir)
+    return group_facet_counts(spark, idx, FLAGSHIP_QUERY, width=64, gap_minutes=10)
+
+
+def _q_luke_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``/admin/luke`` analog: one-row index summary (numDocs,
+    numTerms, posting rows, token total, avgdl, hottest-term df, dl
+    extremes) from dictionary/doc_meta/corpus only — no posting scan
+    (operators/terms.luke_report)."""
+    from solr_ocr_processor_spark.operators.terms import luke_report
+
+    return luke_report(spark, _index(spark, sf_dir))
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): embedding-cluster-then-prune
     semantic dedup — 16 md5-rank clusters, within-cluster cosine >=
@@ -1768,6 +1798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_select": _q_sql_select,
         "semantic_dedup": _q_semantic_dedup,
         "stats_cardinality": _q_stats_cardinality,
+        "dsir_importance": _q_dsir_importance,
+        "group_facet_counts": _q_group_facet_counts,
+        "luke_report": _q_luke_report,
         "term_boost_topk": _q_term_boost_topk,
         "pf_topk": _q_pf_topk,
     }
@@ -2789,6 +2822,86 @@ FROM dated GROUP BY bucket_start ORDER BY bucket_start
 """,
     # pivot facet: dl rides the match aggregation; last_ts replays
     # from the turnizer arithmetic like date_facet_counts
+    "dsir_importance": """
+WITH t AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, source, toks[i] AS f
+  FROM t, UNNEST(generate_series(1, len(toks))) u(i)
+  UNION ALL
+  SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS f
+  FROM t, UNNEST(CASE WHEN len(toks) >= 2
+                      THEN generate_series(1, len(toks) - 1)
+                      ELSE [] END) u(i)
+),
+fb AS (SELECT doc_id, source,
+              ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS bucket
+       FROM f),
+rm AS (SELECT bucket, count(*) AS rc FROM fb GROUP BY bucket),
+tm AS (SELECT bucket, count(*) AS tc FROM fb WHERE source = 'src1'
+       GROUP BY bucket),
+tot AS (SELECT (SELECT count(*) FROM fb) AS tr,
+               (SELECT count(*) FROM fb WHERE source = 'src1') AS tt),
+lr AS (SELECT rm.bucket,
+              ln((coalesce(tm.tc, 0) + 1.0)
+                 / (CAST(tot.tt AS DOUBLE) + 4096.0))
+            - ln((rm.rc + 1.0) / (CAST(tot.tr AS DOUBLE) + 4096.0)) AS lr
+       FROM rm LEFT JOIN tm USING (bucket), tot),
+s AS (SELECT fb.doc_id, round(sum(lr.lr), 6) AS dsir_logratio,
+             count(*) AS n_feats
+      FROM fb JOIN lr USING (bucket) GROUP BY fb.doc_id)
+SELECT d.doc_id,
+       coalesce(s.dsir_logratio, 0.0) AS dsir_logratio,
+       CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats
+FROM documents d LEFT JOIN s USING (doc_id)
+""",
+    "group_facet_counts": f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM ids),
+m AS (
+  SELECT doc_id, max(dl) AS dl
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id
+),
+nw AS (
+  SELECT 'c' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+         len(str_split(text, ' ')) AS n_words
+  FROM documents
+),
+dated AS (
+  SELECT ids.doc_id,
+         CAST(epoch(TIMESTAMP '2026-01-01 00:00:00'
+              + INTERVAL 1 MINUTE
+                * CAST(ceil(n_words / {TW}.0) - 1 AS INT)) AS BIGINT) AS ep
+  FROM ids JOIN nw USING (conv_id)
+)
+SELECT CAST(ep // 600 * 600 AS BIGINT) AS ts_bucket,
+       CAST(count(DISTINCT CAST(floor(m.dl / 64.0) AS BIGINT)) AS BIGINT)
+         AS n_groups
+FROM m JOIN dated USING (doc_id)
+GROUP BY ts_bucket ORDER BY ts_bucket
+""",
+    "luke_report": """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+tfs AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+ts AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tfs GROUP BY term),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs)
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM ts) AS BIGINT) AS n_terms,
+       CAST((SELECT coalesce(sum(df), 0) FROM ts) AS BIGINT) AS n_postings,
+       CAST((SELECT coalesce(sum(cf), 0) FROM ts) AS BIGINT) AS total_tokens,
+       round(CAST((SELECT coalesce(sum(cf), 0) FROM ts) AS DOUBLE)
+             / (SELECT count(*) FROM documents), 6) AS avgdl,
+       CAST((SELECT coalesce(max(df), 0) FROM ts) AS BIGINT) AS max_df,
+       CAST((SELECT coalesce(max(dl), 0) FROM dl) AS BIGINT) AS max_dl,
+       CAST((SELECT coalesce(min(dl), 0) FROM dl) AS BIGINT) AS min_dl
+""",
     "pivot_facet_counts": f"""
 WITH {_DOCS},
 tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM ids),

@@ -282,6 +282,62 @@ def pivot_facet_counts(
     )
 
 
+def group_facet_counts(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    width: int = 64,
+    gap_minutes: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Grouped faceting — Solr's ``group=true&group.facet=true``: the
+    facet histogram counts GROUPS, not documents. For each facet
+    bucket (the date bucket the range facet uses), report how many
+    result GROUPS (the dl-bucket key :func:`~..operators.collapse.
+    group_topk` groups by) contain at least one matching doc in that
+    bucket. Returns (ts_bucket epoch-seconds, n_groups) ordered by
+    bucket — Solr's "facet counts as seen through the grouped result
+    set".
+
+    Plan: identical match set + doc_meta date join as
+    :func:`pivot_facet_counts`, then ``countDistinct(group)`` per
+    facet value — Spark plans that as a two-phase aggregate (partial
+    distinct map-side on (ts_bucket, dl_bucket), final count), so the
+    exchange carries at most |bucket-pairs| rows, never the match set.
+    """
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+    if gap_minutes <= 0:
+        raise ValueError(f"gap_minutes must be positive, got {gap_minutes}")
+    if "last_ts" not in index.doc_meta.columns:
+        raise ValueError("store has no last_ts doc-values column")
+    gap_s = int(gap_minutes) * 60
+    terms = sorted(set(query_terms(query, cfg)))
+    if not terms:
+        return spark.createDataFrame([], "ts_bucket long, n_groups long")
+    matched = _suppress(
+        index.postings.where(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl")),
+        exclude_docs,
+    )
+    dated = matched.join(
+        index.doc_meta.select("doc_id", "last_ts"), "doc_id"
+    ).where(F.col("last_ts").isNotNull())
+    return (
+        dated.select(
+            (
+                F.floor(F.unix_timestamp("last_ts") / F.lit(gap_s)) * F.lit(gap_s)
+            ).cast("long").alias("ts_bucket"),
+            F.floor(F.col("dl") / F.lit(float(width))).cast("long").alias("grp"),
+        )
+        .groupBy("ts_bucket")
+        .agg(F.count_distinct(F.col("grp")).cast("long").alias("n_groups"))
+        .orderBy("ts_bucket")
+    )
+
+
 def group_stats(
     spark: SparkSession,
     index: Index,

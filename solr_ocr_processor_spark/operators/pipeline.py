@@ -397,3 +397,110 @@ def sft_pairs(turns: DataFrame, context_turns: int = 3) -> DataFrame:
         .select("conv_id", "ordinal", "prompt", F.col("text").alias("completion"))
         .orderBy("conv_id", "ordinal")
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_source: str = "src1",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw document by how much more
+    likely its hashed n-gram features are under a TARGET (in-domain)
+    unigram bag model than under the RAW corpus model. Selection is
+    then top-k / Gumbel resampling by this weight; the deterministic
+    log-importance-weight is the engine-portable core, so that is what
+    this operator emits for every doc.
+
+    Features: unigrams + bigrams of the standard ``[a-z0-9]+`` token
+    stream, hashed into ``n_buckets`` buckets (md5 -> 60-bit int ->
+    ``% n_buckets``). Models: add-``alpha`` smoothed bucket frequency
+    models; the target sample is the docs with ``source ==
+    target_source`` (a deterministic in-domain seed — in production a
+    curated sample table plugs in here unchanged).
+
+        weight(d) = sum_f  c_d(f) * [ log p_tgt(bucket(f))
+                                      - log p_raw(bucket(f)) ]
+
+    Output: (doc_id, dsir_logratio double rounded 6dp, n_feats long)
+    for EVERY doc; feature-less docs report (0.0, 0).
+
+    Scale shape (the reason DSIR is THE importance-sampling method
+    that runs at web scale): both models are ``n_buckets``-row count
+    vectors — the two aggregations are map-side partial combines whose
+    outputs are metadata-sized regardless of corpus size; their
+    log-ratio table broadcast-joins into the per-doc feature stream
+    (hash computed JVM-side in whole-stage codegen, no Python), and
+    the only corpus-scale exchange is the final doc_id-keyed sum.
+    Nothing is ever collected to the driver.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    toks = F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    tokenized = docs.select("doc_id", "source", toks.alias("toks"))
+    grams = F.concat(
+        F.col("toks"),
+        F.expr(
+            "CASE WHEN size(toks) >= 2 THEN"
+            " transform(sequence(1, size(toks) - 1),"
+            "           i -> concat(toks[i - 1], ' ', toks[i]))"
+            " ELSE array() END"
+        ),
+    )
+    feats = tokenized.select(
+        "doc_id",
+        "source",
+        F.explode(grams).alias("f"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("f").cast("binary")), 1, 15), 16, 10)
+            .cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    raw = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("rc")
+    )
+    tgt = (
+        feats.where(F.col("source") == target_source)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+    )
+    # two scalars (exact ints, metadata-scale)
+    tr = raw.agg(F.sum("rc")).first()[0] or 0
+    tt = (
+        tgt.agg(F.sum("tc")).first()[0] or 0
+        if tr
+        else 0
+    )
+    denom_t = float(tt) + alpha * n_buckets
+    denom_r = float(tr) + alpha * n_buckets
+    lr_tbl = raw.join(tgt, "bucket", "left").select(
+        "bucket",
+        (
+            F.log((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(alpha)) / F.lit(denom_t))
+            - F.log((F.col("rc") + F.lit(alpha)) / F.lit(denom_r))
+        ).alias("lr"),
+    )
+    scored = (
+        feats.join(F.broadcast(lr_tbl), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("lr"), 6).alias("dsir_logratio"),
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dsir_logratio", F.lit(0.0)).alias("dsir_logratio"),
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        )
+    )

@@ -182,3 +182,52 @@ def term_vectors(
         )
         .orderBy("term")
     )
+
+
+def luke_report(spark: SparkSession, index: Index) -> DataFrame:
+    """Index introspection summary — the Solr ``/admin/luke`` analog
+    (numDocs / numTerms / per-field stats on a stored core; the
+    reference's Solr admin surface exposes it for every collection it
+    manages). One row:
+
+    (n_docs, n_terms, n_postings, total_tokens, avgdl 6dp,
+     max_df, max_dl, min_dl)
+
+    - ``n_postings`` = sum(df) — the posting-list row count, Luke's
+      "term instance" denominator for index-size accounting;
+    - ``total_tokens`` = sum(cf) == corpus.total_tokens (asserted
+      equal by construction: build.py computes both from tf);
+    - ``max_df`` — the hottest dictionary entry (stopword ceiling);
+    - dl extremes come from doc_meta (0 for token-less docs).
+
+    Plan: three single-row aggregates — dictionary (|vocab| rows),
+    doc_meta (|docs| rows, narrow dl column), corpus (already 1 row)
+    — cross-joined; every input is metadata-scale next to postings,
+    and nothing touches posting rows at all.
+    """
+    dict_agg = index.term_stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias("n_postings"),
+        F.coalesce(F.max("df"), F.lit(0)).cast("long").alias("max_df"),
+    )
+    dl_agg = index.doc_meta.agg(
+        F.coalesce(F.max("dl"), F.lit(0)).cast("long").alias("max_dl"),
+        F.coalesce(F.min("dl"), F.lit(0)).cast("long").alias("min_dl"),
+    )
+    return (
+        index.corpus.select(
+            "n_docs", "total_tokens", F.round("avgdl", 6).alias("avgdl")
+        )
+        .crossJoin(dict_agg)
+        .crossJoin(dl_agg)
+        .select(
+            "n_docs",
+            "n_terms",
+            "n_postings",
+            "total_tokens",
+            "avgdl",
+            "max_df",
+            "max_dl",
+            "min_dl",
+        )
+    )

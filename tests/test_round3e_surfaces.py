@@ -1,0 +1,143 @@
+"""Round-3 late surfaces (batch e): DSIR importance weights,
+group.facet (count groups not docs), /admin/luke index summary.
+Hand-computed expectations on purpose-built mini-collections."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_ocr_processor_spark.operators.pipeline import dsir_importance
+
+DOCS = [
+    # (doc_id, text, lang, source): tgt docs are 'alpha beta' prose,
+    # src2 doc 4 repeats the target phrasing, doc 5 is off-domain.
+    (0, "alpha beta alpha beta gamma", "en", "tgt"),
+    (1, "alpha beta delta alpha beta", "en", "tgt"),
+    (2, "alpha beta epsilon beta", "en", "tgt"),
+    (3, "alpha beta alpha zeta", "en", "src2"),
+    (4, "alpha beta alpha beta gamma", "en", "src2"),
+    (5, "zeta eta theta iota kappa", "en", "src2"),
+    (6, "", "en", "src2"),
+]
+
+
+@pytest.fixture(scope="module")
+def dsir(spark):
+    docs = spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, source string"
+    )
+    out = dsir_importance(docs, target_source="tgt", n_buckets=64, alpha=1.0)
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_dsir_every_doc_reported_and_featureless_zero(dsir):
+    assert sorted(dsir) == [0, 1, 2, 3, 4, 5, 6]
+    assert dsir[6].dsir_logratio == 0.0
+    assert dsir[6].n_feats == 0
+
+
+def test_dsir_feature_count_is_unigrams_plus_bigrams(dsir):
+    # n tokens -> n unigrams + (n-1) bigrams
+    assert dsir[0].n_feats == 5 + 4
+    assert dsir[5].n_feats == 5 + 4
+
+
+def test_dsir_in_domain_scores_above_off_domain(dsir):
+    # doc 4 repeats target phrasing verbatim; doc 5 shares nothing
+    # with the target sample -> strictly lower importance weight.
+    assert dsir[4].dsir_logratio > dsir[5].dsir_logratio
+    # every tgt-like doc beats the off-domain doc
+    for d in (0, 1, 2, 3):
+        assert dsir[d].dsir_logratio > dsir[5].dsir_logratio
+
+
+def test_dsir_weight_matches_hand_model(spark):
+    # 2 docs, 1 bucket: with B=1 every feature collides -> the
+    # log-ratio per feature is log((ct+1)/(tt+1)) - log((cr+1)/(tr+1))
+    # with ct=cr=total target / raw feature counts; weight = n_feats*lr.
+    docs = spark.createDataFrame(
+        [(0, "a b", "x", "tgt"), (1, "c d", "y", "raw")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {
+        r.doc_id: r.dsir_logratio
+        for r in dsir_importance(
+            docs, target_source="tgt", n_buckets=1, alpha=1.0
+        ).collect()
+    }
+    # per-feature lr: target model has tt=3 feats (a, b, 'a b'),
+    # raw tr=6; single bucket: tc=3, rc=6.
+    lr = math.log((3 + 1) / (3 + 1)) - math.log((6 + 1) / (6 + 1))
+    assert out[0] == pytest.approx(round(3 * lr, 6), abs=1e-9)
+    assert out[1] == pytest.approx(round(3 * lr, 6), abs=1e-9)
+
+
+def test_dsir_rejects_bad_params(spark):
+    docs = spark.createDataFrame(
+        [(0, "a", "x", "s")], "doc_id long, text string, lang string, source string"
+    )
+    with pytest.raises(ValueError):
+        dsir_importance(docs, n_buckets=0)
+    with pytest.raises(ValueError):
+        dsir_importance(docs, alpha=0.0)
+
+
+# --- group.facet + luke ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mini_idx(spark):
+    from solr_ocr_processor_spark.operators.build import build_postings
+    from solr_ocr_processor_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0)
+    t1 = datetime.datetime(2026, 1, 1, 0, 15)  # next 10-min bucket
+    long_pad = " ".join(["pad"] * 70)  # pushes dl into bucket 1 (>=64)
+    rows = [
+        ("cA", 0, "user", "spark rocks", None, t0),            # grp 0, ts0
+        ("cB", 0, "user", f"spark {long_pad}", None, t0),       # grp 1, ts0
+        ("cC", 0, "user", "spark again", None, t1),            # grp 0, ts1
+        ("cD", 0, "user", "nothing relevant", None, t1),       # no match
+    ]
+    return build_postings(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA))
+
+
+def test_group_facet_counts_counts_groups_not_docs(spark, mini_idx):
+    from solr_ocr_processor_spark.operators.facet import group_facet_counts
+
+    out = group_facet_counts(spark, mini_idx, "spark", width=64, gap_minutes=10)
+    rows = {r.ts_bucket: r.n_groups for r in out.collect()}
+    # ts0 holds matching docs in dl-groups {0, 1} -> 2 groups;
+    # ts1 holds one matching doc in group 0 -> 1 group (cD no match).
+    assert sorted(rows.values()) == [1, 2]
+    b0, b1 = sorted(rows)
+    assert rows[b0] == 2 and rows[b1] == 1
+    assert b1 - b0 == 600
+
+
+def test_group_facet_counts_validates(spark, mini_idx):
+    from solr_ocr_processor_spark.operators.facet import group_facet_counts
+
+    with pytest.raises(ValueError):
+        group_facet_counts(spark, mini_idx, "spark", width=0)
+    assert group_facet_counts(spark, mini_idx, "").count() == 0
+
+
+def test_luke_report_matches_index_tables(spark, mini_idx):
+    from solr_ocr_processor_spark.operators.terms import luke_report
+
+    r = luke_report(spark, mini_idx).first()
+    assert r.n_docs == 4
+    assert r.n_terms == mini_idx.term_stats.count()
+    assert r.n_postings == mini_idx.postings.count()
+    assert r.total_tokens == mini_idx.postings.agg(F.sum("tf")).first()[0]
+    assert r.avgdl == pytest.approx(
+        round(r.total_tokens / r.n_docs, 6), abs=1e-9
+    )
+    # 'spark' appears in 3 docs and is the hottest entry alongside pad
+    assert r.max_df == mini_idx.term_stats.agg(F.max("df")).first()[0]
+    assert r.max_dl >= 71 and r.min_dl == 2
