@@ -1636,6 +1636,16 @@ def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance(_docs(spark, sf_dir), target_source="src1")
 
 
+def _q_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet LM-quality routing: head/middle/tail terciles by integer
+    per-mille per-token NLL, discrete value thresholds (ties share the
+    cut's bucket), empty docs routed explicitly
+    (operators/pipeline.ccnet_lm_buckets)."""
+    from solr_ocr_processor_spark.operators.pipeline import ccnet_lm_buckets
+
+    return ccnet_lm_buckets(_docs(spark, sf_dir))
+
+
 def _q_group_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr ``group=true&group.facet=true``: per date bucket, the
     number of result GROUPS (dl-bucket grouping key) containing a doc
@@ -1799,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "stats_cardinality": _q_stats_cardinality,
         "dsir_importance": _q_dsir_importance,
+        "lm_ppl_buckets": _q_lm_ppl_buckets,
         "group_facet_counts": _q_group_facet_counts,
         "luke_report": _q_luke_report,
         "term_boost_topk": _q_term_boost_topk,
@@ -2856,6 +2867,49 @@ SELECT d.doc_id,
        coalesce(s.dsir_logratio, 0.0) AS dsir_logratio,
        CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats
 FROM documents d LEFT JOIN s USING (doc_id)
+""",
+    "lm_ppl_buckets": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+cf AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM cf),
+lp AS (
+  SELECT term, CAST(round(ln(c / tot.total) * 1000000) AS BIGINT) AS lps
+  FROM cf CROSS JOIN tot
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(-sum(lps) AS BIGINT) AS nll_scaled
+  FROM tok JOIN lp USING (term)
+  GROUP BY doc_id
+),
+sc AS (
+  SELECT d.doc_id,
+         coalesce(agg.n_tokens, 0) AS n_tokens,
+         CASE WHEN coalesce(agg.n_tokens, 0) > 0
+              THEN CAST((agg.nll_scaled * 1000) // agg.n_tokens AS BIGINT)
+         END AS avg_key
+  FROM documents d LEFT JOIN agg USING (doc_id)
+),
+keys AS (SELECT avg_key, count(*) AS c FROM sc
+         WHERE avg_key IS NOT NULL GROUP BY avg_key),
+cum AS (SELECT avg_key, sum(c) OVER (ORDER BY avg_key) AS cum,
+               sum(c) OVER () AS n
+        FROM keys),
+cuts AS (SELECT min(CASE WHEN cum * 3 >= n THEN avg_key END) AS t1,
+                min(CASE WHEN cum * 3 >= 2 * n THEN avg_key END) AS t2
+         FROM cum)
+SELECT sc.doc_id, sc.n_tokens,
+       CAST(coalesce(sc.avg_key, 0) AS BIGINT) AS avg_key,
+       CASE WHEN sc.avg_key IS NULL THEN 'empty'
+            WHEN sc.avg_key <= cuts.t1 THEN 'head'
+            WHEN sc.avg_key <= cuts.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc CROSS JOIN cuts
 """,
     "group_facet_counts": f"""
 WITH {_DOCS},

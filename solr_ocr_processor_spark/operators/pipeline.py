@@ -504,3 +504,71 @@ def dsir_importance(
             F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
         )
     )
+
+
+def ccnet_lm_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet's LM-quality routing stage: split the corpus into
+    head / middle / tail terciles by per-token language-model
+    negative log-likelihood (CCNet trains KenLM on Wikipedia and
+    keeps the "head" third as highest-quality; the operator shape is
+    the same with the engine's unigram LM, functions/lm.py).
+
+    Bucketing is by VALUE threshold, not by global rank: the integer
+    per-mille NLL key ``avg_key = floor(nll_scaled * 1000 /
+    n_tokens)`` (exact integer arithmetic on both engines — no float
+    ordering seam) gets discrete tercile cut values
+
+        t1 = min key with 3 * cum_count >= n
+        t2 = min key with 3 * cum_count >= 2n
+
+    and every doc is routed by comparison: head (most fluent,
+    key <= t1), middle (<= t2), tail, or empty (no tokens). Ties at a
+    cut value share its bucket — quantile_disc semantics, so buckets
+    are only approximately n/3 under heavy ties, exactly like
+    thresholding on a trained corpus's quantiles in CCNet itself.
+
+    Output: (doc_id, n_tokens, avg_key, bucket) for every doc.
+
+    Scale shape: per-doc scores come from :func:`~..functions.lm.
+    doc_nll` (broadcast LM, one doc-keyed agg); the threshold pass
+    aggregates to |distinct keys| rows (thousands — per-mille NLL
+    values, NOT docs) before its one metadata-scale ordered window,
+    and the 1-row (t1, t2) frame broadcast-joins back for a map-only
+    assignment. No corpus-wide window, no driver collect.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.lm import doc_nll
+
+    scores = doc_nll(docs).select(
+        "doc_id",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor(F.col("nll_scaled") * 1000 / F.col("n_tokens")),
+        ).cast("long").alias("avg_key"),
+    )
+    keys = (
+        scores.where(F.col("avg_key").isNotNull())
+        .groupBy("avg_key")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = keys.withColumn(
+        "cum", F.sum("c").over(Window.orderBy("avg_key"))
+    ).withColumn("n", F.sum("c").over(Window.partitionBy()))
+    cuts = cum.agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("avg_key"))).alias("t1"),
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("avg_key"))).alias(
+            "t2"
+        ),
+    )
+    return scores.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("avg_key", F.lit(0)).cast("long").alias("avg_key"),
+        F.when(F.col("avg_key").isNull(), F.lit("empty"))
+        .when(F.col("avg_key") <= F.col("t1"), F.lit("head"))
+        .when(F.col("avg_key") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -141,3 +141,45 @@ def test_luke_report_matches_index_tables(spark, mini_idx):
     # 'spark' appears in 3 docs and is the hottest entry alongside pad
     assert r.max_df == mini_idx.term_stats.agg(F.max("df")).first()[0]
     assert r.max_dl >= 71 and r.min_dl == 2
+
+
+# ---------------------------------------------------------------------------
+# CCNet LM-quality routing (head/middle/tail terciles)
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_order_and_empty(spark):
+    from solr_ocr_processor_spark.operators.pipeline import ccnet_lm_buckets
+
+    # common-token doc is most fluent (head), rare-token doc least
+    # fluent (tail); empty doc routed explicitly.
+    docs = spark.createDataFrame(
+        [
+            (0, "common common common common common common"),
+            (1, "common common rare1 rare2"),
+            (2, "rare3 rare4 rare5 rare6"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ccnet_lm_buckets(docs).collect()}
+    assert got[0].bucket == "head"
+    assert got[1].bucket == "middle"
+    assert got[2].bucket == "tail"
+    assert got[3].bucket == "empty"
+    assert got[3].n_tokens == 0 and got[3].avg_key == 0
+    # avg_key monotone with fluency
+    assert got[0].avg_key < got[1].avg_key < got[2].avg_key
+
+
+def test_ccnet_buckets_ties_share_cut_bucket(spark):
+    from solr_ocr_processor_spark.operators.pipeline import ccnet_lm_buckets
+
+    # every doc identical -> one distinct key -> t1 == t2 == key:
+    # all docs land in head (quantile_disc tie semantics).
+    docs = spark.createDataFrame(
+        [(i, "same same same") for i in range(6)],
+        "doc_id long, text string",
+    )
+    got = ccnet_lm_buckets(docs).collect()
+    assert {r.bucket for r in got} == {"head"}
