@@ -1593,6 +1593,52 @@ def _q_stream_complement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_stream(_STREAM_COMPLEMENT_EXPR, _stream_tables(spark, sf_dir))
 
 
+_STREAM_FACET_EXPR = (
+    'facet(documents, q="n_chars:[50 TO *]", buckets="source,lang", '
+    'bucketSorts="count_all desc, source asc, lang asc", bucketSizeLimit=10, '
+    "count(*), sum(n_chars), avg(n_chars))"
+)
+
+_STREAM_STATS_EXPR = (
+    'stats(documents, q="lang:en", count(*), sum(n_chars), '
+    "min(n_chars), max(n_chars), avg(n_chars))"
+)
+
+_STREAM_FETCH_EXPR = (
+    'sort(fetch(embeddings, search(documents, q="lang:de", '
+    'fl="doc_id,source", sort="doc_id asc"), on="doc_id=vec_id", '
+    'fl="label"), by="doc_id asc")'
+)
+
+
+def _q_stream_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /stream facet(): bucketed aggregates pushed to the facet
+    engine — lowered to groupBy/agg (map-side partial combine) with
+    bucketSorts+bucketSizeLimit as TakeOrderedAndProject."""
+    from solr_ocr_processor_spark.operators.stream_expr import compile_stream
+
+    df = compile_stream(_STREAM_FACET_EXPR, _stream_tables(spark, sf_dir))
+    return df.withColumn("avg_n_chars", F.round("avg_n_chars", 6))
+
+
+def _q_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /stream stats(): one global aggregate row — a partial-agg
+    all-to-one reduction, no row shuffle."""
+    from solr_ocr_processor_spark.operators.stream_expr import compile_stream
+
+    df = compile_stream(_STREAM_STATS_EXPR, _stream_tables(spark, sf_dir))
+    return df.withColumn("avg_n_chars", F.round("avg_n_chars", 6))
+
+
+def _q_stream_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /stream fetch(): decorate stream tuples with fields
+    point-fetched from a collection — a broadcast left join of the
+    (key, fl) projection of the collection."""
+    from solr_ocr_processor_spark.operators.stream_expr import compile_stream
+
+    return compile_stream(_STREAM_FETCH_EXPR, _stream_tables(spark, sf_dir))
+
+
 def _q_term_boost_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene caret boosts — ``spark^2 window merge^0.5``: each term's
     BM25 contribution scaled by its boost before the deterministic
@@ -1805,6 +1851,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup": _q_stream_rollup,
         "stream_hashjoin": _q_stream_hashjoin,
         "stream_complement": _q_stream_complement,
+        "stream_facet": _q_stream_facet,
+        "stream_stats": _q_stream_stats,
+        "stream_fetch": _q_stream_fetch,
         "sql_select": _q_sql_select,
         "semantic_dedup": _q_semantic_dedup,
         "stats_cardinality": _q_stats_cardinality,
@@ -4627,6 +4676,29 @@ SELECT doc_id, source FROM documents
 WHERE lang = 'en'
   AND doc_id NOT IN (SELECT vec_id FROM embeddings WHERE label = 3)
 ORDER BY doc_id
+""",
+        "stream_facet": """
+SELECT source, lang, count(*) AS count_all,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       round(avg(n_chars), 6) AS avg_n_chars
+FROM documents WHERE n_chars >= 50
+GROUP BY source, lang
+ORDER BY count_all DESC, source, lang
+LIMIT 10
+""",
+        "stream_stats": """
+SELECT count(*) AS count_all,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_n_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_n_chars,
+       round(avg(n_chars), 6) AS avg_n_chars
+FROM documents WHERE lang = 'en'
+""",
+        "stream_fetch": """
+SELECT d.doc_id, d.source, e.label
+FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE d.lang = 'de'
+ORDER BY d.doc_id
 """,
         "sql_select": _SQL_HANDLER_STMT,
         "term_boost_topk": _TERM_BOOST_TOPK,

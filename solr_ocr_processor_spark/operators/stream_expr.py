@@ -455,6 +455,74 @@ def _compile(node: Node, tables: dict[str, DataFrame]) -> DataFrame:
         # a Spark plan already runs data-parallel on every executor
         # core, so the wrapper is a no-op pass-through.
         return _stream_arg(node, tables)
+    if n == "facet":
+        # facet(collection, q=..., buckets="a,b", bucketSorts="...",
+        # bucketSizeLimit=N, metric...) — Solr pushes this into the
+        # JSON facet engine; here it IS the aggregate: groupBy + agg
+        # (map-side partial combine) + TakeOrderedAndProject for the
+        # bucketSizeLimit head. bucketSorts references the sanitized
+        # metric names (count_all, sum_x — same documented deviation
+        # as rollup's _metric).
+        if not node.args or not isinstance(node.args[0], str):
+            raise StreamExprError("facet wants a collection name")
+        coll = node.args[0]
+        if coll not in tables:
+            raise StreamExprError(f"unknown collection {coll!r}; have {sorted(tables)}")
+        buckets = node.kwargs.get("buckets")
+        if not buckets:
+            raise StreamExprError("facet wants buckets=")
+        df = q_filter(tables[coll], node.kwargs.get("q", "*:*"))
+        keys = [b.strip() for b in buckets.split(",")]
+        metrics = [_metric(a) for a in node.args[1:] if isinstance(a, Node)]
+        if not metrics:
+            raise StreamExprError("facet wants at least one metric")
+        out = df.groupBy(*keys).agg(*metrics)
+        sorts = node.kwargs.get("bucketSorts")
+        if sorts:
+            out = out.orderBy(*_sort_cols(sorts))
+        lim = node.kwargs.get("bucketSizeLimit")
+        if lim:
+            out = out.limit(int(lim))
+        return out
+    if n == "stats":
+        # stats(collection, q=..., metric...) — one global aggregate
+        # row; Spark's partial agg makes it a single all-to-one-row
+        # reduction, no groupBy shuffle of row data.
+        if not node.args or not isinstance(node.args[0], str):
+            raise StreamExprError("stats wants a collection name")
+        coll = node.args[0]
+        if coll not in tables:
+            raise StreamExprError(f"unknown collection {coll!r}; have {sorted(tables)}")
+        df = q_filter(tables[coll], node.kwargs.get("q", "*:*"))
+        metrics = [_metric(a) for a in node.args[1:] if isinstance(a, Node)]
+        if not metrics:
+            raise StreamExprError("stats wants at least one metric")
+        return df.agg(*metrics)
+    if n == "fetch":
+        # fetch(collection, <stream>, fl="a,b", on="streamF=collF") —
+        # decorate each stream tuple with fields fetched by key from
+        # the collection. Solr batches point-lookups; Spark-side the
+        # right relation projects to (key, fl...) only and broadcasts
+        # (fetch's implied assertion is that per-batch lookups are
+        # cheap, i.e. the projected dim is small next to the stream).
+        if not node.args or not isinstance(node.args[0], str):
+            raise StreamExprError("fetch wants a collection name")
+        coll = node.args[0]
+        if coll not in tables:
+            raise StreamExprError(f"unknown collection {coll!r}; have {sorted(tables)}")
+        stream = _stream_arg(node, tables, 1)
+        on = node.kwargs.get("on")
+        fl = node.kwargs.get("fl")
+        if not on or not fl:
+            raise StreamExprError("fetch wants on= and fl=")
+        pairs = _on_pairs(on)
+        if len(pairs) != 1:
+            raise StreamExprError("fetch wants a single on= key")
+        lf, rf = pairs[0]
+        fields = [c.strip() for c in fl.split(",")]
+        right = tables[coll].select(rf, *fields)
+        joined = stream.join(F.broadcast(right), stream[lf] == right[rf], "left")
+        return joined.drop(right[rf])
     raise StreamExprError(f"unknown streaming function {n!r}")
 
 

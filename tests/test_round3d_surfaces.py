@@ -323,3 +323,53 @@ def test_sql_handler_read_only(spark, tables):
     ]:
         with pytest.raises(StreamExprError):
             sql_handler(spark, tables, bad)
+
+
+def test_facet_buckets_sort_limit(tables):
+    out = compile_stream(
+        'facet(docs, q="n:[20 TO *]", buckets="src,lang", '
+        'bucketSorts="count_all desc, src asc, lang asc", '
+        "bucketSizeLimit=2, count(*), sum(n), avg(n))",
+        tables,
+    ).collect()
+    # qualifying rows: (a,de,30) (b,en,40) (b,de,50) (b,de,50)
+    assert [(r.src, r.lang, r.count_all, r.sum_n, r.avg_n) for r in out] == [
+        ("b", "de", 2, 100, 50.0),
+        ("a", "de", 1, 30, 30.0),
+    ]
+
+
+def test_stats_single_row(tables):
+    out = compile_stream(
+        'stats(docs, q="lang:de", count(*), min(n), max(n), avg(n))', tables
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.count_all, r.min_n, r.max_n) == (3, 30, 50)
+    assert abs(r.avg_n - 130 / 3) < 1e-9
+
+
+def test_fetch_decorates_left_outer_and_broadcasts(tables):
+    df = compile_stream(
+        'fetch(tags, search(docs, q="lang:en", fl="doc_id,src"), '
+        'on="doc_id=ref_id", fl="label")',
+        tables,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {r.doc_id: r.label for r in df.collect()}
+    # every stream tuple survives; unmatched keys get NULL label
+    assert got == {0: 7, 1: None, 3: 9}
+    assert "ref_id" not in df.columns
+
+
+def test_facet_stats_fetch_errors(tables):
+    for bad in (
+        'facet(docs, buckets="src")',          # no metric
+        'facet(docs, count(*))',               # no buckets
+        'stats(nope, count(*))',               # unknown collection
+        'fetch(tags, search(docs, fl="doc_id"), fl="label")',   # no on=
+        'fetch(tags, search(docs, fl="doc_id"), on="doc_id=ref_id,src=label", fl="label")',
+    ):
+        with pytest.raises(StreamExprError):
+            compile_stream(bad, tables)
