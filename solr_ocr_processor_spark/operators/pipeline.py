@@ -534,7 +534,12 @@ def ccnet_lm_buckets(docs: DataFrame) -> DataFrame:
     aggregates to |distinct keys| rows (thousands — per-mille NLL
     values, NOT docs) before its one metadata-scale ordered window,
     and the 1-row (t1, t2) frame broadcast-joins back for a map-only
-    assignment. No corpus-wide window, no driver collect.
+    assignment. No corpus-wide window, no driver collect. The scores
+    frame is persisted because BOTH the cut derivation and the final
+    assignment consume it — without the pin Catalyst re-plans the
+    full tokenize + LM lineage (two more corpus scans) under the
+    cuts side of the join; the pinned frame is 3 numeric columns per
+    doc, the cheapest of the two-pass options at corpus scale.
     """
     from pyspark.sql.window import Window
 
@@ -547,7 +552,7 @@ def ccnet_lm_buckets(docs: DataFrame) -> DataFrame:
             F.col("n_tokens") > 0,
             F.floor(F.col("nll_scaled") * 1000 / F.col("n_tokens")),
         ).cast("long").alias("avg_key"),
-    )
+    ).persist()
     keys = (
         scores.where(F.col("avg_key").isNotNull())
         .groupBy("avg_key")
