@@ -655,6 +655,17 @@ def _q_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_nll(_docs(spark, sf_dir))
 
 
+def _q_lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-shape perplexity: per-doc NLL under a self-trained
+    bigram LM with stupid backoff (functions/lm.doc_bigram_nll).
+    First token scores by unigram, later tokens by the conditional
+    bigram; the bigram join is the one deliberately non-broadcast
+    join in the LM family (|bigram vocab| is not a broadcast dim)."""
+    from solr_ocr_processor_spark.functions.lm import doc_bigram_nll
+
+    return doc_bigram_nll(_docs(spark, sf_dir))
+
+
 def _q_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr stats.percentiles: exact interpolated dl quantiles over the
     flagship query's match set (operators/facet.stats_percentiles) —
@@ -1782,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_topk": _q_join_topk,
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "lm_doc_nll": _q_lm_doc_nll,
+        "lm_bigram_nll": _q_lm_bigram_nll,
         "dup_span_profile": _q_dup_span_profile,
         "dup_span_trim": _q_dup_span_trim,
         "stats_percentiles": _q_stats_percentiles,
@@ -3439,6 +3451,56 @@ SELECT d.doc_id,
        coalesce(agg.n_tokens, 0) AS n_tokens,
        coalesce(agg.nll_scaled, 0) AS nll_scaled,
        agg.avg_nll
+FROM documents d LEFT JOIN agg USING (doc_id)
+""",
+    "lm_bigram_nll": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term,
+               generate_subscripts(toks, 1) AS pos
+        FROM t),
+cf AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM cf),
+uni AS (
+  SELECT term, c, CAST(round(ln(c / tot.total) * 1000000) AS BIGINT) AS lps
+  FROM cf CROSS JOIN tot
+),
+ev AS (
+  SELECT doc_id, term AS w2, pos,
+         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+  FROM tok
+),
+bgc AS (SELECT w1, w2, count(*) AS c12 FROM ev
+        WHERE w1 IS NOT NULL GROUP BY w1, w2),
+bglp AS (
+  SELECT bgc.w1, bgc.w2,
+         CAST(round(ln(bgc.c12 / u.c) * 1000000) AS BIGINT) AS lps
+  FROM bgc JOIN uni u ON u.term = bgc.w1
+),
+sc AS (
+  SELECT e.doc_id,
+         CASE WHEN e.w1 IS NULL THEN u2.lps
+              ELSE coalesce(bl.lps,
+                            CAST(round(ln(0.4) * 1000000) AS BIGINT) + u2.lps)
+         END AS lps
+  FROM ev e
+  JOIN uni u2 ON u2.term = e.w2
+  LEFT JOIN bglp bl ON bl.w1 = e.w1 AND bl.w2 = e.w2
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(-sum(lps) AS BIGINT) AS nll_scaled
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.n_tokens, 0) AS n_tokens,
+       coalesce(agg.nll_scaled, 0) AS nll_scaled,
+       CASE WHEN agg.n_tokens > 0
+            THEN round(agg.nll_scaled / agg.n_tokens / 1000000.0, 4)
+       END AS avg_nll
 FROM documents d LEFT JOIN agg USING (doc_id)
 """,
     "stats_percentiles": f"""

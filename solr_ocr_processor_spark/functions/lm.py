@@ -100,3 +100,139 @@ def doc_nll(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+def bigram_logprob_table(
+    train_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """TRAIN (bigram): (w1, w2, c12, logp_scaled) — conditional MLE
+    log-probabilities ln(c(w1,w2) / c(w1)), integer-scaled.
+
+    The history mass is the unigram count of w1 (the doc-final-token
+    correction is dropped — the standard stupid-backoff
+    simplification; both engines apply the same rule, so parity
+    holds). Bigram pairs are formed JVM-side inside the token array
+    (transform with index — no window, no shuffle to build pairs);
+    the only exchange is the (w1, w2) wordcount. Unlike the unigram
+    table, |bigram vocab| is NOT broadcast-safe at corpus scale —
+    consumers join it on (w1, w2) and let AQE pick the strategy.
+    """
+    d = train_docs.select(
+        F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)").alias(
+            "toks"
+        )
+    )
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(toks, (x, i) -> "
+                "struct(IF(i = 0, CAST(NULL AS STRING), element_at(toks, i)) AS w1, "
+                "x AS w2))"
+            )
+        ).alias("e")
+    ).where(F.col("e.w1").isNotNull()).select("e.w1", "e.w2")
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = (
+        unigram_logprob_table(train_docs, text_col)
+        .select(F.col("term").alias("w1"), F.col("cf").alias("c1"))
+    )
+    return c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        "c12",
+        F.round(F.log(F.col("c12") / F.col("c1")) * LOGP_SCALE)
+        .cast("long")
+        .alias("logp_scaled"),
+    )
+
+
+def doc_bigram_nll(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """SCORE (bigram, stupid backoff): per-document NLL under a
+    bigram LM — (doc_id, n_tokens, nll_scaled, avg_nll), the KenLM
+    operator shape one order up from :func:`doc_nll`.
+
+    Every token is one scoring event (w1 = previous token, NULL at
+    doc start): the first token scores by unigram, later tokens by
+    the conditional bigram, and an unseen bigram backs off to
+    ``ln(alpha) + unigram(w2)`` (Brants et al. 2007 stupid backoff —
+    score, not a normalized probability; with ``train_docs=None``
+    the LM is self-trained and the backoff path never fires).
+    Integer-scaled per-event logs keep the doc sum exact and
+    order-independent; ln(alpha) is scaled once as its own constant
+    (compositional — both engines add the same two integers).
+
+    Scale shape: events are built inside the token array (transform
+    with index — zero pair-forming shuffles); the unigram dim
+    broadcasts (Heaps' law) while the bigram join runs as a shuffle
+    hash join on (w1, w2) — the one deliberately non-broadcast join
+    in the LM family, sized by |bigram vocab|, with AQE free to
+    demote it to broadcast at small scale.
+    """
+    src = train_docs if train_docs is not None else docs
+    uni_tab = unigram_logprob_table(src, text_col)
+    total = uni_tab.agg(F.sum("cf").alias("total"))
+    uni = uni_tab.select(
+        F.col("term").alias("w2"), F.col("logp_scaled").alias("uni_lps")
+    )
+    bg = bigram_logprob_table(src, text_col).select(
+        "w1", "w2", F.col("logp_scaled").alias("bg_lps")
+    )
+    ln_alpha = int(round(__import__("math").log(alpha) * LOGP_SCALE))
+    ev = (
+        docs.select(
+            "doc_id",
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)").alias(
+                "toks"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                # the array is bound to one column first so the lambda
+                # indexes it, not a re-evaluated regex per element
+                F.expr(
+                    "transform(toks, (x, i) -> "
+                    "struct(IF(i = 0, CAST(NULL AS STRING), element_at(toks, i)) "
+                    "AS w1, x AS w2))"
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "e.w1", "e.w2")
+    )
+    # OOV floor: with a separate train corpus, a scored token outside
+    # the train vocab has no unigram mass — it scores at one count's
+    # worth, ln(1/total) (never fires when the LM is self-trained).
+    floor = F.round(F.log(F.lit(1.0) / F.col("total")) * LOGP_SCALE).cast("long")
+    u = F.coalesce(F.col("uni_lps"), floor)
+    scored = (
+        ev.join(F.broadcast(uni), "w2", "left")
+        .join(bg, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.when(F.col("w1").isNull(), u)
+            .otherwise(F.coalesce(F.col("bg_lps"), F.lit(ln_alpha) + u))
+            .alias("lps"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (-F.sum("lps")).cast("long").alias("nll_scaled"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("nll_scaled", F.lit(0)).cast("long").alias("nll_scaled"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("nll_scaled") / F.col("n_tokens") / F.lit(float(LOGP_SCALE)),
+                4,
+            ),
+        ).alias("avg_nll"),
+    )

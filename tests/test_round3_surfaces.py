@@ -524,3 +524,49 @@ def test_int8_topk_zero_query(spark):
     out = int8_topk(embs, [0.0, 0.0], k=2).collect()
     # zero query: all quantized cosines 0, exact rerank gives NaN-free 0s
     assert len(out) == 2
+
+
+def test_doc_bigram_nll_hand_values_with_backoff(spark):
+    from solr_ocr_processor_spark.functions.lm import doc_bigram_nll
+
+    train = spark.createDataFrame([(100, "a b a b")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b a c"), (2, "")],
+        "doc_id long, text string",
+    )
+    # train corpus: a=2 b=2 total=4; bigrams (a,b)x2 (b,a)x1
+    uni = round(math.log(2 / 4) * 1e6)          # -693147
+    bg_ab = round(math.log(2 / 2) * 1e6)        # 0
+    bg_ba = round(math.log(1 / 2) * 1e6)        # -693147
+    ln_alpha = round(math.log(0.4) * 1e6)       # -916291
+    floor = round(math.log(1 / 4) * 1e6)        # OOV: one count's worth
+    got = {r.doc_id: r for r in doc_bigram_nll(docs, train_docs=train).collect()}
+    # doc0: (·,a)=uni, (a,b), (b,a), (a,b)
+    assert got[0].n_tokens == 4
+    assert got[0].nll_scaled == -(uni + bg_ab + bg_ba + bg_ab)
+    assert got[0].avg_nll == round(got[0].nll_scaled / 4 / 1e6, 4)
+    # doc1: (·,b)=uni, (b,a)=bigram, (a,c)=unseen bigram + OOV w2
+    assert got[1].n_tokens == 3
+    assert got[1].nll_scaled == -(uni + bg_ba + (ln_alpha + floor))
+    # empty doc survives
+    assert got[2].n_tokens == 0 and got[2].nll_scaled == 0
+    assert got[2].avg_nll is None
+
+
+def test_doc_bigram_nll_self_trained_orders_fluency(spark):
+    from solr_ocr_processor_spark.functions.lm import doc_bigram_nll, doc_nll
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat the cat sat the cat sat"),
+            (1, "the the the cat cat cat sat sat sat"),  # same unigrams, regrouped
+        ],
+        "doc_id long, text string",
+    )
+    big = {r.doc_id: r for r in doc_bigram_nll(docs).collect()}
+    # identical unigram NLL, but the repeated-bigram doc is more
+    # predictable under the bigram model
+    un = {r.doc_id: r.nll_scaled for r in doc_nll(docs).collect()}
+    assert un[0] == un[1]
+    assert big[0].nll_scaled < big[1].nll_scaled
+    assert big[0].n_tokens == big[1].n_tokens == 9
