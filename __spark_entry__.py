@@ -1015,6 +1015,17 @@ def _q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_topk(_embs(spark, sf_dir), _qvec(spark, sf_dir), k=10, refine=4)
 
 
+def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/ann.pq_topk, Jégou et al.
+    2011): md5-rank deterministic codebooks, per-subspace argmin
+    encode (one Arrow kernel, no shuffle), ADC distance as an m-term
+    JVM table-lookup sum over the codes array, exact cosine rerank of
+    the k*refine winners — the m-bytes-per-vector storage path."""
+    from solr_ocr_processor_spark.operators.ann import pq_topk
+
+    return pq_topk(_embs(spark, sf_dir), _qvec(spark, sf_dir), k=10, refine=4)
+
+
 def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-pruned embedding near-dup (the sub-quadratic scale path for
     dedup_embedding_cosine, 8x8 banding = ~3% random-pair candidates):
@@ -1820,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_int8_topk": _q_ann_int8_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "text_token_count": _q_text_token_count,
         "text_token_bpe": _q_text_token_bpe,
@@ -3855,6 +3867,54 @@ SELECT id, round(cs, 6) AS cos FROM s ORDER BY cs DESC, id ASC LIMIT 10
     # int8 quantized ANN: quantization, integer-dot candidate ranking,
     # candidate cut, and float rerank all replayed — the round() is the
     # only lossy step and both engines round the same doubles.
+    # PQ/ADC replay: codebook reselection (md5 rank), per-subspace
+    # argmin encode (d ASC, code ASC = numpy first-minimum), ordered
+    # 4-term ADC fold (list_sum over j-ordered list = Spark's
+    # left-to-right aggregate), exact cosine rerank. Float seam: the
+    # subspace distances are 16-term squared-diff sums on both engines
+    # (documented 1-ulp tolerance class).
+    "ann_pq_topk": """
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+cb AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5('23:' || vec_id)) - 1 AS INT)
+           AS code, v
+  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings ORDER BY md5('23:' || vec_id) LIMIT 16)
+),
+q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+sub AS (SELECT CAST(j AS INT) AS j FROM range(4) t(j)),
+d AS (
+  SELECT ev.vec_id, s.j, cb.code,
+         list_sum(list_transform(
+           list_zip(ev.v[s.j*16+1 : s.j*16+16], cb.v[s.j*16+1 : s.j*16+16]),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM ev CROSS JOIN sub s CROSS JOIN cb
+),
+enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d2 ASC, code ASC) AS rn
+    FROM d) t WHERE rn = 1
+),
+dt AS (
+  SELECT s.j, cb.code,
+         list_sum(list_transform(
+           list_zip(q.qv[s.j*16+1 : s.j*16+16], cb.v[s.j*16+1 : s.j*16+16]),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM cb CROSS JOIN sub s CROSS JOIN q
+),
+ad AS (
+  SELECT e.vec_id, list_sum(list(dt.d2 ORDER BY dt.j)) AS adist
+  FROM enc e JOIN dt ON dt.j = e.j AND dt.code = e.code
+  GROUP BY e.vec_id
+),
+cand AS (SELECT vec_id FROM ad ORDER BY adist ASC, vec_id ASC LIMIT 40),
+s2 AS (SELECT e.vec_id AS id, list_cosine_similarity(e.v, q.qv) AS cs
+       FROM ev e JOIN cand USING (vec_id) CROSS JOIN q)
+SELECT id, round(cs, 6) AS cos FROM s2 ORDER BY cs DESC, id ASC LIMIT 10
+""",
     "ann_int8_topk": """
 WITH qz AS (
   SELECT vec_id AS id,

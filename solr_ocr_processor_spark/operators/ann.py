@@ -724,3 +724,152 @@ def int8_topk(
         .select("id", F.round("cos", 6).alias("cos"))
     )
     return exact
+
+
+# ---------------------------------------------------------------------------
+# product quantization — the m-byte-per-vector compression path
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    embs: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic PQ codebooks, shape (m, n_codes, dim/m): the
+    md5-rank top ``n_codes`` sample vectors (same seedless-uniform
+    discipline as :func:`ivf_centroids` — Spark F.md5 == DuckDB md5,
+    so the oracle reselects the identical sample), split into m
+    contiguous subspaces; codebook j's code c is sample c's j-th
+    subvector. At 100 TB you'd k-means each subspace from this same
+    sample; md5-rank selection keeps encode/ADC oracle-replayable.
+    Only n_codes rows reach the driver (TakeOrderedAndProject)."""
+    rows = (
+        embs.select(
+            id_col,
+            vec_col,
+            F.md5(
+                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+            ).alias("rk"),
+        )
+        .orderBy("rk")
+        .limit(n_codes)
+        .collect()
+    )
+    S = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    dim = S.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sd = dim // m
+    return np.stack([S[:, j * sd : (j + 1) * sd] for j in range(m)])
+
+
+def pq_encode(
+    embs: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int> length m): each subvector's nearest code
+    by squared L2, ties to the smallest code id (numpy argmin picks
+    the first minimum — the same contract the oracle's ORDER BY
+    d ASC, code ASC replays). The stored artifact is m small ints per
+    vector — dim/m×:sizeof(float) compression; on a cluster this table
+    is the scan side of every ADC query, the float table is rerank-
+    only. One Arrow-batched kernel, no shuffle (encode is per-row)."""
+    mb, n_codes, sd = codebooks.shape
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("codes", T.ArrayType(T.IntegerType(), False), False),
+        ]
+    )
+    C = codebooks
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].values).astype(np.float64)
+            codes = np.empty((V.shape[0], mb), dtype=np.int32)
+            for j in range(mb):
+                Vj = V[:, j * sd : (j + 1) * sd]
+                # elementwise (v - c)^2 summed along the subspace axis:
+                # the same 16-term sum the SQL twin folds, so the only
+                # cross-engine seam is float associativity (documented
+                # 1-ulp tolerance, as for plane signs / d2 frames)
+                d2 = ((Vj[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].values.astype(np.int64), "codes": list(codes)}
+            )
+
+    return embs.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def pq_topk(
+    embs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    refine: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by PQ asymmetric distance (ADC) with exact float rerank
+    (Jégou et al. 2011): the query builds an (m × n_codes) distance
+    table once on the driver, every encoded vector's approximate
+    distance is the m-term table-lookup sum — a pure JVM column
+    expression over the codes array (the dtable rides the plan as a
+    literal; nothing per-row in Python beyond the one encode kernel)
+    — candidates cut at (adist ASC, id ASC) via
+    TakeOrderedAndProject, and the top k*refine rerank by exact
+    cosine against the float table (isin-pruned point reads).
+
+    Output (id, cos) — exact cosine of the reranked winners, the
+    same contract as :func:`int8_topk`/:func:`cosine_topk`."""
+    C = pq_codebooks(embs, m, n_codes, seed, id_col, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    sd = C.shape[2]
+    # dtable[j][c] = ||q_j - C[j,c]||^2, m*n_codes doubles
+    dt = np.stack(
+        [((q[j * sd : (j + 1) * sd][None, :] - C[j]) ** 2).sum(axis=1) for j in range(m)]
+    )
+    dt_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in dt]
+    )
+    enc = pq_encode(embs, C, id_col, vec_col)
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(1), F.lit(int(m))),
+            lambda c, j: F.element_at(F.element_at(dt_lit, j), c + 1),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cand = (
+        enc.select("id", adist.alias("adist"))
+        .orderBy(F.asc("adist"), F.asc("id"))
+        .limit(k * refine)
+    )
+    ids = [r["id"] for r in cand.select("id").collect()]
+    qn = float(np.linalg.norm(q))
+    denom = _norm_expr(vec_col) * F.lit(qn)
+    return (
+        embs.where(F.col(id_col).isin(ids))
+        .select(
+            F.col(id_col).alias("id"),
+            F.when(denom > 0, _dot_expr(vec_col, query_vec) / denom)
+            .otherwise(F.lit(0.0))
+            .alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("id"))
+        .limit(k)
+        .select("id", F.round("cos", 6).alias("cos"))
+    )

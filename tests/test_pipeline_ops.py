@@ -680,3 +680,39 @@ def test_contamination_flags(spark):
 
     with pytest.raises(ValueError):
         contamination_flags(train, ev, n=0)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ/ADC)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_shape_and_determinism(spark, embs):
+    from solr_ocr_processor_spark.operators.ann import pq_codebooks, pq_encode
+
+    C = pq_codebooks(embs, m=4, n_codes=16)
+    assert C.shape == (4, 16, 16)  # dim 64 split into 4 subspaces
+    enc1 = {r.id: tuple(r.codes) for r in pq_encode(embs, C).collect()}
+    enc2 = {r.id: tuple(r.codes) for r in pq_encode(embs, C).collect()}
+    assert enc1 == enc2
+    assert all(len(c) == 4 and all(0 <= x < 16 for x in c) for c in enc1.values())
+
+
+def test_pq_topk_finds_self_and_matches_exact_cosine(spark, embs):
+    from solr_ocr_processor_spark.operators.ann import cosine_topk, pq_topk
+
+    qvec = list(embs.where("vec_id = 0").first()["embedding"])
+    got = pq_topk(embs, qvec, k=10, refine=4).collect()
+    assert got[0].id == 0 and abs(got[0].cos - 1.0) < 1e-9
+    # reranked scores are EXACT cosine: every returned (id, cos) pair
+    # appears identically in the brute-force ranking
+    exact = {r.id: r.cos for r in cosine_topk(embs, qvec, k=500).collect()}
+    for r in got:
+        assert abs(exact[r.id] - r.cos) < 2e-6
+
+
+def test_pq_codebooks_rejects_bad_m(spark, embs):
+    from solr_ocr_processor_spark.operators.ann import pq_codebooks
+
+    with pytest.raises(ValueError):
+        pq_codebooks(embs, m=5)  # 5 does not divide 64
