@@ -655,6 +655,19 @@ def _q_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_nll(_docs(spark, sf_dir))
 
 
+def _q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-weighted BM25 (edismax qf=assistant^2 user^1 analog,
+    operators/bm25f.bm25f_topk): per-role length norms, weighted tf
+    summed across fields, saturation applied once to the weighted
+    sum — Lucene's multi-field ranking over the transcript roles."""
+    from solr_ocr_processor_spark.operators.bm25f import bm25f_topk
+
+    t = derive_transcripts(spark, sf_dir, TW)
+    return bm25f_topk(
+        t, list(FLAGSHIP_TERMS), {"assistant": 2.0, "user": 1.0}, k=10
+    )
+
+
 def _q_lm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KenLM-shape perplexity: per-doc NLL under a self-trained
     bigram LM with stupid backoff (functions/lm.doc_bigram_nll).
@@ -1805,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "lm_doc_nll": _q_lm_doc_nll,
         "lm_bigram_nll": _q_lm_bigram_nll,
+        "bm25f_topk": _q_bm25f_topk,
         "dup_span_profile": _q_dup_span_profile,
         "dup_span_trim": _q_dup_span_trim,
         "stats_percentiles": _q_stats_percentiles,
@@ -3464,6 +3478,35 @@ SELECT d.doc_id,
        coalesce(agg.nll_scaled, 0) AS nll_scaled,
        agg.avg_nll
 FROM documents d LEFT JOIN agg USING (doc_id)
+""",
+    "bm25f_topk": f"""
+WITH {_CTE},
+tk AS (
+  SELECT conv_id, role,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM transcripts WHERE role IN ('assistant', 'user')
+),
+dlf AS (SELECT conv_id, role, count(*) AS dl_f FROM tk GROUP BY conv_id, role),
+av AS (SELECT role, avg(dl_f) AS avgdl_f FROM dlf GROUP BY role),
+nd AS (SELECT count(DISTINCT conv_id) AS n_docs FROM transcripts),
+tf AS (SELECT conv_id, role, term, count(*) AS tf FROM tk
+       WHERE term IN {FLAGSHIP_TERMS!r} GROUP BY conv_id, role, term),
+dft AS (SELECT term, count(DISTINCT conv_id) AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln(1 + (nd.n_docs - df + 0.5) / (df + 0.5)) AS idf
+        FROM dft CROSS JOIN nd),
+co AS (
+  SELECT tf.conv_id, tf.term,
+         (CASE tf.role WHEN 'assistant' THEN 2.0 ELSE 1.0 END) * tf.tf
+           / (0.25 + 0.75 * dlf.dl_f / av.avgdl_f) AS c
+  FROM tf JOIN dlf USING (conv_id, role) JOIN av USING (role)
+),
+wtf AS (SELECT conv_id, term, sum(c) AS wtf FROM co GROUP BY conv_id, term),
+sc AS (
+  SELECT conv_id,
+         round(sum(idf.idf * wtf.wtf * 2.2 / (wtf.wtf + 1.2)), 6) AS score
+  FROM wtf JOIN idf USING (term) GROUP BY conv_id
+)
+SELECT conv_id, score FROM sc ORDER BY score DESC, conv_id ASC LIMIT 10
 """,
     "lm_bigram_nll": """
 WITH t AS (

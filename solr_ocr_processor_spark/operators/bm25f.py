@@ -1,0 +1,124 @@
+"""BM25F — field-weighted BM25 over transcript role fields.
+
+The reference delegates its whole query surface to a stored Solr core
+(/root/reference/app/process/solr.go:48-49,100-124); Solr's edismax
+``qf=field^w`` searches several weighted fields at once and Lucene's
+per-field norms make that BM25F (Robertson/Zaragoza 2004, "simple
+BM25F"). A conversation's natural fields are its turn roles — ranking
+with ``assistant^2 user^1`` finds convs where the match is in what
+the model SAID, not what the user asked.
+
+Semantics (the SQL twin mirrors every choice):
+
+- per-field weighted tf:  ``wtf(d,t) = Σ_f w_f · tf_{d,f,t} / B_f``
+  with ``B_f = (1 - b) + b · dl_{d,f} / avgdl_f`` — saturation is
+  applied ONCE to the weighted sum, not per field (the defining BM25F
+  property: two fields with tf 1 ≠ one field with tf 2),
+- ``avgdl_f`` averages over documents that HAVE the field,
+- ``df(t)`` counts documents where t occurs in any weighted field;
+  idf is the engine's BM25 idf ``ln(1 + (N - df + ½)/(df + ½))`` with
+  N = all conversations,
+- ``score = Σ_t idf · wtf·(k1+1)/(wtf + k1)``, rounded to 6 dp BEFORE
+  the cut so the k-boundary is deterministic across engines,
+  ties by conv_id ascending.
+
+Scale shape: tokens of weighted fields only (role filter pushes to
+the scan); ``dl_f`` is one (conv_id, role)-keyed aggregate with
+map-side combine; query-term tf filters term∈Q BEFORE its shuffle;
+``avgdl_f`` (|roles| rows) and idf (|Q| rows) broadcast; the final
+cut lowers to TakeOrderedAndProject. The indexed variant of this
+operator adds a field column to the posting rows at build time —
+this is the query-time spine and the oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.textstats import TOKEN_RE
+
+
+def bm25f_topk(
+    turns: DataFrame,
+    terms: list[str] | tuple[str, ...],
+    field_weights: dict[str, float] | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k conversations by BM25F over role fields.
+
+    Returns (conv_id, score) ordered by (score desc, conv_id asc).
+    Roles absent from ``field_weights`` are excluded entirely (weight
+    0 fields contribute neither tf nor length mass — Lucene's
+    unsearched-field behavior).
+    """
+    if not terms:
+        raise ValueError("bm25f_topk wants at least one query term")
+    if field_weights is None:
+        field_weights = {"assistant": 2.0, "user": 1.0}
+    roles = sorted(field_weights)
+    wmap = F.create_map(
+        *[x for r in roles for x in (F.lit(r), F.lit(float(field_weights[r])))]
+    )
+    toks = turns.where(F.col("role").isin(roles)).select(
+        "conv_id",
+        "role",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("term"),
+    )
+    dlf = toks.groupBy("conv_id", "role").agg(F.count(F.lit(1)).alias("dl_f"))
+    avgdlf = dlf.groupBy("role").agg(F.avg("dl_f").alias("avgdl_f"))
+    ndocs = turns.agg(F.countDistinct("conv_id").alias("n_docs"))
+    tf = (
+        toks.where(F.col("term").isin(list(terms)))
+        .groupBy("conv_id", "role", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = (
+        tf.select("conv_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = dft.crossJoin(F.broadcast(ndocs)).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    contrib = (
+        tf.join(dlf, ["conv_id", "role"])
+        .join(F.broadcast(avgdlf), "role")
+        .select(
+            "conv_id",
+            "term",
+            (
+                wmap[F.col("role")]
+                * F.col("tf")
+                / (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl_f") / F.col("avgdl_f")
+                )
+            ).alias("c"),
+        )
+    )
+    wtf = contrib.groupBy("conv_id", "term").agg(F.sum("c").alias("wtf"))
+    scored = (
+        wtf.join(F.broadcast(idf), "term")
+        .groupBy("conv_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * F.col("wtf")
+                    * F.lit(k1 + 1.0)
+                    / (F.col("wtf") + F.lit(k1))
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("conv_id")).limit(k)

@@ -183,3 +183,61 @@ def test_ccnet_buckets_ties_share_cut_bucket(spark):
     )
     got = ccnet_lm_buckets(docs).collect()
     assert {r.bucket for r in got} == {"head"}
+
+
+# ---------------------------------------------------------------------------
+# BM25F (field-weighted BM25 over roles)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bm25f_turns(spark):
+    rows = [
+        # A: tf 1 in each field        B: tf 2 in user only
+        ("A", 0, "user", "spark x"), ("A", 1, "assistant", "spark y"),
+        ("B", 0, "user", "spark spark"), ("B", 1, "assistant", "y z"),
+        # C: no match                   D: match only in unweighted role
+        ("C", 0, "user", "x y"), ("C", 1, "assistant", "y z"),
+        ("D", 0, "user", "x y"), ("D", 1, "assistant", "y z"),
+        ("D", 2, "tool", "spark spark spark"),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+
+
+def test_bm25f_saturates_weighted_sum_once(spark, bm25f_turns):
+    from solr_ocr_processor_spark.operators.bm25f import bm25f_topk
+
+    # every weighted field has dl_f = 2 and avgdl_f = 2, so B_f = 1:
+    # with equal weights, tf (1+1) across fields == tf 2 in one field
+    # — the defining BM25F property (per-field BM25 would saturate
+    # each field separately and score A above B).
+    got = bm25f_topk(
+        bm25f_turns, ["spark"], {"user": 1.0, "assistant": 1.0}, k=10
+    ).collect()
+    assert [r.conv_id for r in got] == ["A", "B"]  # tie -> conv_id asc
+    assert got[0].score == got[1].score > 0
+
+
+def test_bm25f_field_weights_rank(spark, bm25f_turns):
+    from solr_ocr_processor_spark.operators.bm25f import bm25f_topk
+
+    got = bm25f_topk(
+        bm25f_turns, ["spark"], {"assistant": 2.0, "user": 1.0}, k=10
+    ).collect()
+    # A's weighted tf = 2*1 + 1*1 = 3 beats B's = 1*2 = 2
+    assert [r.conv_id for r in got] == ["A", "B"]
+    assert got[0].score > got[1].score
+
+
+def test_bm25f_unweighted_roles_excluded(spark, bm25f_turns):
+    from solr_ocr_processor_spark.operators.bm25f import bm25f_topk
+
+    got = bm25f_topk(
+        bm25f_turns, ["spark"], {"user": 1.0, "assistant": 1.0}, k=10
+    ).collect()
+    # D's only match is in the tool role -> no score row at all
+    assert "D" not in {r.conv_id for r in got}
+    with pytest.raises(ValueError):
+        bm25f_topk(bm25f_turns, [], {"user": 1.0})
