@@ -1665,6 +1665,24 @@ def _q_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("avg_n_chars", F.round("avg_n_chars", 6))
 
 
+_STREAM_CARTESIAN_EXPR = (
+    'cartesianProduct(search(embeddings, q="label:3", '
+    'fl="vec_id,embedding", sort="vec_id asc"), embedding, '
+    'productSort="vec_id asc")'
+)
+
+
+def _q_stream_cartesian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /stream cartesianProduct(): one tuple per element of a
+    multivalued field — a map-side explode Generate, no shuffle."""
+    from solr_ocr_processor_spark.operators.stream_expr import compile_stream
+
+    df = compile_stream(_STREAM_CARTESIAN_EXPR, _stream_tables(spark, sf_dir))
+    return df.select(
+        "vec_id", F.round(F.col("embedding").cast("double"), 6).alias("val")
+    )
+
+
 def _q_stream_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr /stream fetch(): decorate stream tuples with fields
     point-fetched from a collection — a broadcast left join of the
@@ -1892,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_facet": _q_stream_facet,
         "stream_stats": _q_stream_stats,
         "stream_fetch": _q_stream_fetch,
+        "stream_cartesian": _q_stream_cartesian,
         "sql_select": _q_sql_select,
         "semantic_dedup": _q_semantic_dedup,
         "stats_cardinality": _q_stats_cardinality,
@@ -4864,6 +4883,11 @@ SELECT d.doc_id, d.source, e.label
 FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
 WHERE d.lang = 'de'
 ORDER BY d.doc_id
+""",
+        "stream_cartesian": """
+SELECT vec_id, round(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+FROM embeddings WHERE label = 3
+ORDER BY vec_id
 """,
         "sql_select": _SQL_HANDLER_STMT,
         "term_boost_topk": _TERM_BOOST_TOPK,

@@ -498,6 +498,22 @@ def _compile(node: Node, tables: dict[str, DataFrame]) -> DataFrame:
         if not metrics:
             raise StreamExprError("stats wants at least one metric")
         return df.agg(*metrics)
+    if n == "cartesianProduct":
+        # cartesianProduct(<stream>, fieldA) — emit one tuple per
+        # element of a multivalued field: exactly Spark's
+        # posexplode/explode Generate (map-side, no shuffle). The
+        # exploded column keeps its name; productSort= orders the
+        # result (Solr streams sorted; Spark sorts on demand).
+        df = _stream_arg(node, tables)
+        fld = next((a for a in node.args[1:] if isinstance(a, str)), None)
+        if not fld:
+            raise StreamExprError("cartesianProduct wants a field to explode")
+        others = [c for c in df.columns if c != fld]
+        out = df.select(*others, F.explode(F.col(fld)).alias(fld))
+        sort = node.kwargs.get("productSort")
+        if sort:
+            out = out.orderBy(*_sort_cols(sort))
+        return out
     if n == "fetch":
         # fetch(collection, <stream>, fl="a,b", on="streamF=collF") —
         # decorate each stream tuple with fields fetched by key from

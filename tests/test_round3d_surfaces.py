@@ -373,3 +373,17 @@ def test_facet_stats_fetch_errors(tables):
     ):
         with pytest.raises(StreamExprError):
             compile_stream(bad, tables)
+
+
+def test_cartesian_product_explodes_and_errors(spark, tables):
+    arr = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c"])], "id long, vals array<string>"
+    )
+    out = compile_stream(
+        'cartesianProduct(search(arr, fl="id,vals"), vals, '
+        'productSort="id asc, vals asc")',
+        {"arr": arr},
+    ).collect()
+    assert [(r.id, r.vals) for r in out] == [(1, "a"), (1, "b"), (2, "c")]
+    with pytest.raises(StreamExprError):
+        compile_stream('cartesianProduct(search(docs, fl="doc_id"))', tables)
