@@ -655,6 +655,24 @@ def _q_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_nll(_docs(spark, sf_dir))
 
 
+def _q_group_ngroups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr group.ngroups: how many groups the flagship match set
+    spans (operators/facet.group_ngroups) — one count-distinct over
+    the dl-bucket keys, partial-distinct map-side."""
+    from solr_ocr_processor_spark.operators.facet import group_ngroups
+
+    return group_ngroups(spark, _index(spark, sf_dir), FLAGSHIP_QUERY, width=64)
+
+
+def _q_tool_facet_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet.field=tool&facet.missing=true over the transcripts'
+    nullable tool field: per-value counts in Solr count order plus the
+    NULL bucket (operators/facet.field_facet_counts)."""
+    from solr_ocr_processor_spark.operators.facet import field_facet_counts
+
+    return field_facet_counts(derive_transcripts(spark, sf_dir, TW), "tool")
+
+
 def _q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-weighted BM25 (edismax qf=assistant^2 user^1 analog,
     operators/bm25f.bm25f_topk): per-role length norms, weighted tf
@@ -1837,6 +1855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_nll": _q_lm_doc_nll,
         "lm_bigram_nll": _q_lm_bigram_nll,
         "bm25f_topk": _q_bm25f_topk,
+        "group_ngroups": _q_group_ngroups,
+        "tool_facet_missing": _q_tool_facet_missing,
         "dup_span_profile": _q_dup_span_profile,
         "dup_span_trim": _q_dup_span_trim,
         "stats_percentiles": _q_stats_percentiles,
@@ -3497,6 +3517,21 @@ SELECT d.doc_id,
        coalesce(agg.nll_scaled, 0) AS nll_scaled,
        agg.avg_nll
 FROM documents d LEFT JOIN agg USING (doc_id)
+""",
+    "group_ngroups": f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM ids),
+m AS (
+  SELECT doc_id, max(dl) AS dl
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id
+)
+SELECT CAST(count(DISTINCT floor(dl / 64.0)) AS BIGINT) AS ngroups FROM m
+""",
+    "tool_facet_missing": f"""
+WITH {_CTE}
+SELECT tool AS value, CAST(count(*) AS BIGINT) AS n
+FROM transcripts GROUP BY tool ORDER BY n DESC, value ASC
 """,
     "bm25f_topk": f"""
 WITH {_CTE},

@@ -628,3 +628,47 @@ def interval_facet_counts(
     return wide.selectExpr(
         f"stack({len(intervals)}, {stack}) AS (ival, lo, hi, n_docs)"
     ).orderBy("ival")
+
+
+def group_ngroups(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    width: int = 64,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Solr ``group=true&group.ngroups=true``: the total number of
+    GROUPS the match set spans (the paging denominator the group page
+    alone can't give). Same dictionary-filtered match spine as
+    :func:`facet_counts`; the answer is one count-distinct over the
+    group keys — Spark plans partial-distinct map-side, so the final
+    exchange carries at most |buckets| rows and the output is 1 row."""
+    terms = sorted(set(query_terms(query, cfg)))
+    if not terms:
+        return spark.createDataFrame([(0,)], "ngroups long")
+    matched = _suppress(
+        index.postings.where(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl")),
+        exclude_docs,
+    )
+    return matched.select(
+        F.floor(F.col("dl") / F.lit(float(width))).cast("long").alias("g")
+    ).agg(F.count_distinct(F.col("g")).cast("long").alias("ngroups"))
+
+
+def field_facet_counts(
+    df: DataFrame, field: str, missing: bool = True
+) -> DataFrame:
+    """Solr ``facet.field=<f>&facet.missing=true`` over a doc-values
+    field: (value, n) per present value in Solr's count order (count
+    DESC, value ASC), plus — when ``missing`` — one NULL-valued row
+    counting rows with no value. ONE groupBy with map-side combine;
+    the exchange moves |distinct values| rows."""
+    out = df.groupBy(F.col(field).alias("value")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    if not missing:
+        out = out.where(F.col("value").isNotNull())
+    return out.orderBy(F.desc("n"), F.asc("value"))

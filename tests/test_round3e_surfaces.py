@@ -241,3 +241,21 @@ def test_bm25f_unweighted_roles_excluded(spark, bm25f_turns):
     assert "D" not in {r.conv_id for r in got}
     with pytest.raises(ValueError):
         bm25f_topk(bm25f_turns, [], {"user": 1.0})
+
+
+# ---------------------------------------------------------------------------
+# group.ngroups + facet.missing
+# ---------------------------------------------------------------------------
+
+
+def test_field_facet_missing_bucket(spark):
+    from solr_ocr_processor_spark.operators.facet import field_facet_counts
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b"), (5, None), (6, None)],
+        "id long, tool string",
+    )
+    got = [(r.value, r.n) for r in field_facet_counts(df, "tool").collect()]
+    assert got == [(None, 3), ("a", 2), ("b", 1)]
+    no_missing = field_facet_counts(df, "tool", missing=False).collect()
+    assert [(r.value, r.n) for r in no_missing] == [("a", 2), ("b", 1)]
