@@ -63,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=("wand", "and", "phrase", "near", "rerank", "not", "bool",
                  "prefix", "fuzzy", "wildcard", "regexp", "mm", "sort",
                  "collapse", "group", "filter", "frange", "boost", "join",
-                 "synonym", "bq", "elevate", "termboost", "pf"),
+                 "synonym", "bq", "elevate", "termboost", "pf", "bm25f"),
         default="wand",
         help="wand: BM25 OR-of-terms via the pruned block index; "
         "and: every term required; phrase: exact positional phrase; "
@@ -91,8 +91,13 @@ def main(argv: list[str] | None = None) -> int:
         "regexp: anchored Lucene /re/ dictionary rewrite; "
         "termboost: caret per-term boosts 'spark^2 merge^0.5'; "
         "pf: edismax phrase-field boost (--pf-weight); "
-        "frange: {!frange} --func value in [--lower, --upper]",
+        "frange: {!frange} --func value in [--lower, --upper]; "
+        "bm25f: field-weighted BM25 over turn roles (--qf, needs "
+        "--input — scores the source, not the stored index)",
     )
+    q.add_argument("--qf", default="assistant^2 user^1",
+                   help="role weights for --mode bm25f, edismax qf "
+                   "syntax: 'assistant^2 user^1' (bare role = ^1)")
     q.add_argument("--syn", default="",
                    help="synonym map for --mode synonym: "
                    "'term:syn1,syn2;term2:syn3' (group tf=sum, df=max)")
@@ -557,6 +562,49 @@ def main(argv: list[str] | None = None) -> int:
                     spark, idx, args.q, pf_weight=args.pf_weight,
                     k=fetch_k, exclude_docs=dead_df,
                 )
+            elif args.mode == "bm25f":
+                from solr_ocr_processor_spark.functions.tokenizer import (
+                    query_terms,
+                )
+                from solr_ocr_processor_spark.operators.bm25f import bm25f_topk
+
+                if not args.input:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": "bm25f needs --input (it "
+                                      "scores role fields in the source)"}))
+                    return BAD_REQUEST_EXIT
+                weights: dict[str, float] = {}
+                for part in args.qf.split():
+                    fld, _, w = part.partition("^")
+                    try:
+                        weights[fld] = float(w) if w else 1.0
+                    except ValueError:
+                        print(json.dumps({"error": "bad_request",
+                                          "detail": f"bad qf weight {part!r}"}))
+                        return BAD_REQUEST_EXIT
+                    if weights[fld] < 0:
+                        print(json.dumps({"error": "bad_request",
+                                          "detail": f"qf weight {part!r} < 0"}))
+                        return BAD_REQUEST_EXIT
+                try:
+                    src = read_transcripts(spark, args.input)
+                except Exception as e:  # noqa: BLE001
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": str(e)[:200]}))
+                    return BAD_REQUEST_EXIT
+                terms = query_terms(args.q)
+                if not terms:
+                    print(json.dumps({"error": "unprocessable",
+                                      "detail": "empty query"}))
+                    return UNPROCESSABLE_EXIT
+                # tombstoned convs lose their mass BEFORE stats, the
+                # compacted-index semantics (anti-join in the plan)
+                t = src.join(dead_df, "conv_id", "left_anti") if dead_df is not None else src
+                out = bm25f_topk(t, terms, weights, k=args.k + args.start)
+                for r in out.collect()[args.start:]:
+                    print(json.dumps({"conv_id": r["conv_id"],
+                                      "score": r["score"]}))
+                return 0
             elif args.mode == "frange":
                 from solr_ocr_processor_spark.operators.query import frange_topk
                 from solr_ocr_processor_spark.operators.stream_expr import (

@@ -905,3 +905,43 @@ def test_cli_round3d_modes(spark, tmp_path, capsys):
                    "--upper", "1000"]):
         rc, rows = run("--k", "100", *extra)
         assert rc == 0 and victim not in {r["conv_id"] for r in rows}
+
+
+def test_cli_bm25f_mode(spark, tmp_path, capsys):
+    """--mode bm25f scores role fields in the SOURCE (edismax qf=):
+    needs --input, validates qf weights, and weighting the assistant
+    field changes the ranking signal relative to user-only."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=12, max_turns=6, seed=5).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store, "--shards", "2"]) == 0
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main(["query", "--store", store, *args])
+        out = capsys.readouterr().out
+        rows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+        return rc, rows
+
+    rc, rows = run("--q", "spark merge", "--k", "5", "--mode", "bm25f",
+                   "--input", src)
+    assert rc == 0 and rows
+    assert all({"conv_id", "score"} <= set(r) for r in rows)
+    assert [r["score"] for r in rows] == sorted(
+        (r["score"] for r in rows), reverse=True
+    )
+    # user-only weighting is a different signal than the default
+    rc2, rows2 = run("--q", "spark merge", "--k", "5", "--mode", "bm25f",
+                     "--input", src, "--qf", "user")
+    assert rc2 == 0 and rows2
+    # validation: missing --input, bad weight syntax, negative weight
+    assert run("--q", "spark", "--mode", "bm25f")[0] == 2
+    assert run("--q", "spark", "--mode", "bm25f", "--input", src,
+               "--qf", "user^x")[0] == 2
+    assert run("--q", "spark", "--mode", "bm25f", "--input", src,
+               "--qf", "user^-1")[0] == 2
+    # empty query -> 422
+    assert run("--q", "???", "--mode", "bm25f", "--input", src)[0] == 3
