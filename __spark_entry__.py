@@ -655,6 +655,21 @@ def _q_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_nll(_docs(spark, sf_dir))
 
 
+def _q_function_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr fl= pseudo-fields (fl=*,score,termfreq(text,'spark'),
+    docfreq(text,'spark'),norm(text)): the BM25 page decorated with
+    per-doc function-query values, every join O(k) after the top-k
+    (operators/terms.function_fields)."""
+    from solr_ocr_processor_spark.operators.terms import function_fields
+
+    idx = _index(spark, sf_dir)
+    out = function_fields(spark, idx, FLAGSHIP_QUERY, FLAGSHIP_TERMS[0], k=10)
+    return out.select(
+        "doc_id", "conv_id", F.round("score", 6).alias("score"),
+        "tf_term", "df_term", "dl",
+    )
+
+
 def _q_group_ngroups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr group.ngroups: how many groups the flagship match set
     spans (operators/facet.group_ngroups) — one count-distinct over
@@ -1856,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_nll": _q_lm_bigram_nll,
         "bm25f_topk": _q_bm25f_topk,
         "group_ngroups": _q_group_ngroups,
+        "function_fields": _q_function_fields,
         "tool_facet_missing": _q_tool_facet_missing,
         "dup_span_profile": _q_dup_span_profile,
         "dup_span_trim": _q_dup_span_trim,
@@ -3517,6 +3533,41 @@ SELECT d.doc_id,
        coalesce(agg.nll_scaled, 0) AS nll_scaled,
        agg.avg_nll
 FROM documents d LEFT JOIN agg USING (doc_id)
+""",
+    "function_fields": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+),
+page AS (
+  SELECT doc_id, conv_id, round(raw, 6) AS score
+  FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
+)
+SELECT p.doc_id, p.conv_id, p.score,
+       CAST(coalesce(t.tf, 0) AS BIGINT) AS tf_term,
+       CAST(coalesce((SELECT df FROM dfreq
+                      WHERE term = {FLAGSHIP_TERMS[0]!r}), 0) AS BIGINT)
+         AS df_term,
+       i.dl AS dl
+FROM page p
+JOIN ids i USING (doc_id)
+LEFT JOIN (SELECT doc_id, tf FROM tf
+           WHERE term = {FLAGSHIP_TERMS[0]!r}) t USING (doc_id)
+ORDER BY p.score DESC, p.doc_id ASC
 """,
     "group_ngroups": f"""
 WITH {_DOCS},

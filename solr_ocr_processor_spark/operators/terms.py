@@ -35,6 +35,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..config import DEFAULT, IndexConfig
 from .build import Index
 
 MAX_TERMS = 1000  # /terms terms.limit default ceiling
@@ -230,4 +231,61 @@ def luke_report(spark: SparkSession, index: Index) -> DataFrame:
             "max_dl",
             "min_dl",
         )
+    )
+
+
+def function_fields(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    term: str,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Solr fl= pseudo-fields — ``fl=*,score,termfreq(text,'t'),
+    docfreq(text,'t'),norm(text)``: decorate the BM25 top-k page with
+    per-doc function-query values (Lucene FunctionValues over
+    doc-values / postings).
+
+    Returns (doc_id, conv_id, score, tf_term, df_term, dl): tf_term =
+    termfreq of ``term`` in the doc (0 when absent), df_term = its
+    corpus docfreq (constant column), dl the length norm source.
+
+    Plan shape: the page is the k-row bm25_topk output; termfreq is a
+    point read of the postings dictionary-filtered to ONE term and
+    broadcast-joined against the page (k rows moving, never the
+    postings), docfreq is a 1-row dim broadcast, dl rides doc_meta's
+    k-row resolve. Everything after the top-k is O(k)."""
+    from .score import bm25_topk
+
+    page = bm25_topk(spark, index, query, k=k, cfg=cfg, exclude_docs=exclude_docs)
+    tf1 = (
+        index.postings.where(F.col("term") == term)
+        .select("doc_id", F.col("tf").cast("long").alias("tf_term"))
+    )
+    # docfreq joins on a constant key (0/1-row dim, coalesced to 0 so
+    # an out-of-vocab term reports docfreq()=0, as Solr does) — no
+    # plan-time action, no row-killing cross join with an empty dim.
+    dfreq = index.term_stats.where(F.col("term") == term).select(
+        F.lit(1).alias("__k"), F.col("df").cast("long").alias("df_term")
+    )
+    dl = index.doc_meta.select("doc_id", F.col("dl").cast("long").alias("dl"))
+    # the page is the k-row build side of every join (BuildLeft BHJ
+    # streams the big relations once; the page plan runs once)
+    return (
+        F.broadcast(page)
+        .join(tf1, "doc_id", "left")
+        .join(dl, "doc_id")
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(dfreq), "__k", "left")
+        .select(
+            "doc_id",
+            "conv_id",
+            "score",
+            F.coalesce("tf_term", F.lit(0)).cast("long").alias("tf_term"),
+            F.coalesce("df_term", F.lit(0)).cast("long").alias("df_term"),
+            "dl",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
     )

@@ -259,3 +259,28 @@ def test_field_facet_missing_bucket(spark):
     assert got == [(None, 3), ("a", 2), ("b", 1)]
     no_missing = field_facet_counts(df, "tool", missing=False).collect()
     assert [(r.value, r.n) for r in no_missing] == [("a", 2), ("b", 1)]
+
+
+def test_function_fields_decoration(spark, mini_idx):
+    from solr_ocr_processor_spark.operators.terms import function_fields
+
+    idx = mini_idx
+    out = function_fields(spark, idx, "spark merge", "spark", k=10).collect()
+    assert out, "flagship-style query must match the mini collection"
+    # page invariants: score order, O(k) decoration values
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    tf_map = {
+        r["doc_id"]: r["tf"]
+        for r in idx.postings.where("term = 'spark'").collect()
+    }
+    df_spark = {
+        r["term"]: r["df"] for r in idx.term_stats.collect()
+    }.get("spark", 0)
+    for r in out:
+        assert r.tf_term == tf_map.get(r.doc_id, 0)
+        assert r.df_term == df_spark
+        assert r.dl > 0
+    # out-of-vocab term: tf 0 everywhere, docfreq() = 0 (Solr contract)
+    oov = function_fields(spark, idx, "spark merge", "zzznope", k=5).collect()
+    assert oov and all(r.tf_term == 0 and r.df_term == 0 for r in oov)
