@@ -655,6 +655,18 @@ def _q_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_nll(_docs(spark, sf_dir))
 
 
+def _q_fragment_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr hl.fragsize analog (operators/score.fragment_snippets):
+    bounded token-window fragments (3 words either side of the first
+    hit, clamped to the turn, ellipses on trimmed sides) instead of
+    whole-turn snippets — the page a UI actually shows."""
+    from solr_ocr_processor_spark.operators.score import fragment_snippets
+
+    idx = _index(spark, sf_dir)
+    s = fragment_snippets(spark, idx, FLAGSHIP_QUERY, k=5, frag_words=3)
+    return s.select("conv_id", "turn_idx", "fragment")
+
+
 def _q_function_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr fl= pseudo-fields (fl=*,score,termfreq(text,'spark'),
     docfreq(text,'spark'),norm(text)): the BM25 page decorated with
@@ -1872,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": _q_bm25f_topk,
         "group_ngroups": _q_group_ngroups,
         "function_fields": _q_function_fields,
+        "fragment_snippets": _q_fragment_snippets,
         "tool_facet_missing": _q_tool_facet_missing,
         "dup_span_profile": _q_dup_span_profile,
         "dup_span_trim": _q_dup_span_trim,
@@ -4774,6 +4787,29 @@ SELECT tm.conv_id, tm.turn_idx,
 FROM turnmap tm
 GROUP BY tm.conv_id, tm.turn_idx
 HAVING max(CASE WHEN tm.word IN {FLAGSHIP_TERMS!r} THEN 1 ELSE 0 END) = 1
+""",
+        # hl.fragsize: token-window fragments — doc-level hit position
+        # clamped to the turn's wpos range replays the engine's
+        # in-turn window exactly (in-turn index = wpos - turn_idx*TW).
+        "fragment_snippets": _HL_PREFIX + f""",
+m AS (SELECT conv_id, turn_idx, min(wpos) AS p0
+      FROM turnmap WHERE word IN {FLAGSHIP_TERMS!r}
+      GROUP BY conv_id, turn_idx),
+b AS (SELECT conv_id, turn_idx, min(wpos) AS t_lo, max(wpos) AS t_hi
+      FROM turnmap GROUP BY conv_id, turn_idx),
+w AS (SELECT m.conv_id, m.turn_idx,
+             greatest(b.t_lo, m.p0 - 3) AS lo, least(b.t_hi, m.p0 + 3) AS hi,
+             b.t_lo, b.t_hi
+      FROM m JOIN b USING (conv_id, turn_idx))
+SELECT w.conv_id, w.turn_idx,
+       (CASE WHEN w.lo > w.t_lo THEN '… ' ELSE '' END) ||
+       string_agg(CASE WHEN tm.word IN {FLAGSHIP_TERMS!r}
+                       THEN '<em>' || tm.word || '</em>' ELSE tm.word END,
+                  ' ' ORDER BY tm.wpos) ||
+       (CASE WHEN w.hi < w.t_hi THEN ' …' ELSE '' END) AS fragment
+FROM w JOIN turnmap tm ON tm.conv_id = w.conv_id AND tm.turn_idx = w.turn_idx
+                      AND tm.wpos BETWEEN w.lo AND w.hi
+GROUP BY w.conv_id, w.turn_idx, w.lo, w.hi, w.t_lo, w.t_hi
 """,
         # cursorMark page two == offset page two under the total order
         # (score DESC, doc_id ASC) — the oracle replays it as OFFSET.

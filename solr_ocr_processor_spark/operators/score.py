@@ -519,6 +519,30 @@ def phrase_snippets(
     return _render_turn_spans(index, ph, cfg, pre, post)
 
 
+def _norm_text_udf(cfg: IndexConfig):
+    """Arrow-batched UDF applying the tokenizer's own normalization
+    (functions/tokenizer.normalize). Python's casefold/NFKC can change
+    string LENGTH (e.g. 'ß' -> 'ss'), so JVM lower() is NOT an
+    equivalent for anything that indexes into the normalized text;
+    callers keep the hop k-bounded."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    do_nfkc, do_fold = cfg.unicode_nfkc, cfg.casefold
+
+    @pandas_udf("string")
+    def _norm(col):
+        import unicodedata
+
+        def f(s):
+            if do_nfkc:
+                s = unicodedata.normalize("NFKC", s)
+            return s.casefold() if do_fold else s
+
+        return col.map(f)
+
+    return _norm
+
+
 def _render_turn_spans(
     index: Index,
     span_rows: DataFrame,
@@ -564,27 +588,10 @@ def _render_turn_spans(
 
     # Span offsets live in the NORMALIZED (NFKC + casefold) turn space
     # the tokenizer recorded them in (functions/tokenizer.normalize) —
-    # slice that exact space. Python's casefold/NFKC can change string
-    # length (e.g. 'ß' -> 'ss'), so JVM lower() is NOT equivalent; a
-    # tiny Arrow-batched pandas UDF reuses the tokenizer's own
-    # normalization. It only ever sees the k docs' matched turns, so
-    # the Python hop is k-bounded, never corpus-bounded.
-    from pyspark.sql.pandas.functions import pandas_udf
-
-    do_nfkc, do_fold = cfg.unicode_nfkc, cfg.casefold
-
-    @pandas_udf("string")
-    def _norm(col):
-        import unicodedata
-
-        def f(s):
-            if do_nfkc:
-                s = unicodedata.normalize("NFKC", s)
-            return s.casefold() if do_fold else s
-
-        return col.map(f)
-
-    joined = joined.withColumn("ntext", _norm(F.col("text")))
+    # slice that exact space; see _norm_text_udf for why JVM lower()
+    # is not equivalent. The Python hop is k-bounded, never
+    # corpus-bounded (only the k docs' matched turns reach it).
+    joined = joined.withColumn("ntext", _norm_text_udf(cfg)(F.col("text")))
     text = F.col("ntext")
     # Fold the sorted spans left-to-right carrying (chars consumed,
     # rendered prefix); each span clips to the consumed prefix first;
@@ -670,4 +677,78 @@ def explain_scores(
             "score",
         )
         .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("term"))
+    )
+
+
+def fragment_snippets(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    k: int = 10,
+    frag_words: int = 3,
+    cfg: IndexConfig = DEFAULT,
+    pre: str = "<em>",
+    post: str = "</em>",
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Solr ``hl.fragsize`` analog: a BOUNDED fragment per matched
+    turn instead of the whole turn — the token-window fragmenter
+    (Lucene's postings highlighter builds passages the same way):
+    the window spans ``frag_words`` tokens either side of the FIRST
+    hit in the turn (2·frag_words+1 tokens), clamps to the turn, and
+    marks trimmed sides with an ellipsis. Hits inside the window wrap
+    in ``pre``/``post``; hits outside it are simply not shown (Solr
+    drops them from the fragment too).
+
+    Deviation note: Solr counts fragsize in CHARS and snaps to word
+    boundaries; a token-count window is the same contract without the
+    snap heuristic, and is what the shared SQL twin replays exactly.
+    Word boundary = single space in the normalized turn text — the
+    same space-tokenizable contract the snippet oracle already uses.
+
+    Output: (doc_id, conv_id, score, turn_idx, fragment).
+
+    Plan shape: matched turns come k-bounded from :func:`highlights`
+    (with their text riding the range join); the window selection and
+    render are pure codegen array expressions (split / filter /
+    slice / transform / array_join) — no UDF beyond the k-bounded
+    normalization hop, no table touched after the highlight pass.
+    """
+    if frag_words < 0:
+        raise ValueError(f"frag_words must be >= 0, got {frag_words}")
+    terms = sorted(set(query_terms(query, cfg)))
+    h = highlights(
+        spark, index, query, k, cfg, exclude_docs=exclude_docs, with_text=True
+    )
+    turn = h.groupBy("doc_id", "conv_id", "score", "turn_idx").agg(
+        F.first("text").alias("text")
+    )
+    turn = turn.withColumn("ntext", _norm_text_udf(cfg)(F.col("text")))
+    tarr = F.array(*[F.lit(t) for t in terms])
+    ws = F.split(F.col("ntext"), " ")
+    hits = F.filter(
+        F.transform(
+            ws, lambda x, i: F.when(F.array_contains(tarr, x), i).otherwise(F.lit(-1))
+        ),
+        lambda v: v >= 0,
+    )
+    i0 = F.element_at(hits, 1)
+    lo = F.greatest(F.lit(0), i0 - F.lit(frag_words))
+    hi = F.least(F.size(ws) - 1, i0 + F.lit(frag_words))
+    win = F.slice(ws, lo + 1, hi - lo + 1)
+    marked = F.transform(
+        win,
+        lambda x: F.when(
+            F.array_contains(tarr, x), F.concat(F.lit(pre), x, F.lit(post))
+        ).otherwise(x),
+    )
+    fragment = F.concat(
+        F.when(lo > 0, F.lit("… ")).otherwise(F.lit("")),
+        F.array_join(marked, " "),
+        F.when(hi < F.size(ws) - 1, F.lit(" …")).otherwise(F.lit("")),
+    )
+    return (
+        turn.where(F.size(hits) > 0)
+        .select("doc_id", "conv_id", "score", "turn_idx", fragment.alias("fragment"))
+        .orderBy("doc_id", "turn_idx")
     )

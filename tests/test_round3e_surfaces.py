@@ -284,3 +284,27 @@ def test_function_fields_decoration(spark, mini_idx):
     # out-of-vocab term: tf 0 everywhere, docfreq() = 0 (Solr contract)
     oov = function_fields(spark, idx, "spark merge", "zzznope", k=5).collect()
     assert oov and all(r.tf_term == 0 and r.df_term == 0 for r in oov)
+
+
+def test_fragment_snippets_window_and_ellipses(spark):
+    from solr_ocr_processor_spark.operators.build import build_postings
+    from solr_ocr_processor_spark.operators.score import fragment_snippets
+    from solr_ocr_processor_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("cA", 0, "user", "a b c spark d e f g spark h", None, t0),
+        ("cB", 0, "user", "spark x y z", None, t0),
+    ]
+    idx = build_postings(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA))
+    got = {
+        r.conv_id: r.fragment
+        for r in fragment_snippets(spark, idx, "spark", k=10, frag_words=2).collect()
+    }
+    # window = 2 words either side of the FIRST hit, trimmed sides
+    # marked; the second hit (pos 8) is outside the window and dropped
+    assert got["cA"] == "… b c <em>spark</em> d e …"
+    # hit at turn start: no leading ellipsis, trailing trim marked
+    assert got["cB"] == "<em>spark</em> x y …"
+    with pytest.raises(ValueError):
+        fragment_snippets(spark, idx, "spark", frag_words=-1)
