@@ -1780,6 +1780,15 @@ def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance(_docs(spark, sf_dir), target_source="src1")
 
 
+def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR resample step: Gumbel-top-k over the importance weights
+    (operators/pipeline.dsir_resample) — md5-uniform Gumbel noise both
+    engines recompute, TakeOrderedAndProject(n) selection."""
+    from solr_ocr_processor_spark.operators.pipeline import dsir_resample
+
+    return dsir_resample(_docs(spark, sf_dir), target_source="src1", n=50)
+
+
 def _q_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet LM-quality routing: head/middle/tail terciles by integer
     per-mille per-token NLL, discrete value thresholds (ties share the
@@ -1964,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "stats_cardinality": _q_stats_cardinality,
         "dsir_importance": _q_dsir_importance,
+        "dsir_resample": _q_dsir_resample,
         "lm_ppl_buckets": _q_lm_ppl_buckets,
         "group_facet_counts": _q_group_facet_counts,
         "luke_report": _q_luke_report,
@@ -3022,6 +3032,47 @@ SELECT d.doc_id,
        coalesce(s.dsir_logratio, 0.0) AS dsir_logratio,
        CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats
 FROM documents d LEFT JOIN s USING (doc_id)
+""",
+    "dsir_resample": """
+WITH t AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, source, toks[i] AS f
+  FROM t, UNNEST(generate_series(1, len(toks))) u(i)
+  UNION ALL
+  SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS f
+  FROM t, UNNEST(CASE WHEN len(toks) >= 2
+                      THEN generate_series(1, len(toks) - 1)
+                      ELSE [] END) u(i)
+),
+fb AS (SELECT doc_id, source,
+              ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS bucket
+       FROM f),
+rm AS (SELECT bucket, count(*) AS rc FROM fb GROUP BY bucket),
+tm AS (SELECT bucket, count(*) AS tc FROM fb WHERE source = 'src1'
+       GROUP BY bucket),
+tot AS (SELECT (SELECT count(*) FROM fb) AS tr,
+               (SELECT count(*) FROM fb WHERE source = 'src1') AS tt),
+lr AS (SELECT rm.bucket,
+              ln((coalesce(tm.tc, 0) + 1.0)
+                 / (CAST(tot.tt AS DOUBLE) + 4096.0))
+            - ln((rm.rc + 1.0) / (CAST(tot.tr AS DOUBLE) + 4096.0)) AS lr
+       FROM rm LEFT JOIN tm USING (bucket), tot),
+s AS (SELECT fb.doc_id, round(sum(lr.lr), 6) AS lr
+      FROM fb JOIN lr USING (bucket) GROUP BY fb.doc_id),
+s2 AS (SELECT d.doc_id, coalesce(s.lr, 0.0) AS lr
+       FROM documents d LEFT JOIN s USING (doc_id)),
+k AS (
+  SELECT doc_id,
+         round(lr + -ln(-ln(
+           ((('0x' || substr(md5('41:' || doc_id), 1, 15))::BIGINT) + 1.0)
+             / (1152921504606846976.0 + 1.0)
+         )), 6) AS key
+  FROM s2
+)
+SELECT doc_id, key FROM k ORDER BY key DESC, doc_id ASC LIMIT 50
 """,
     "lm_ppl_buckets": """
 WITH t AS (

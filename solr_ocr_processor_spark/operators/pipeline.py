@@ -577,3 +577,52 @@ def ccnet_lm_buckets(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target_source: str = "src1",
+    n: int = 50,
+    seed: int = 41,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR's RESAMPLE step (Xie et al. 2023, §2.3): draw ``n`` docs
+    without replacement with probability proportional to
+    exp(importance weight) via the Gumbel-top-k trick — perturb each
+    weight with an independent Gumbel(0,1) and take the top n:
+
+        key = w + g,   g = -ln(-ln(u)),   u ~ Uniform(0,1)
+
+    Determinism discipline: u = (md5-int60(seed:doc_id) + 1) /
+    (2^60 + 1) — the md5-uniform both engines recompute bit-for-bit
+    (the repo's standard seedless sampling trick); the one float seam
+    is ln(), rounded away at 6 dp with doc_id breaking exact ties.
+
+    Output (doc_id, key) ordered (key DESC, doc_id ASC) — the kept
+    sample. Plan shape: the weights pass is :func:`dsir_importance`
+    (bucket-dim broadcast, one doc-keyed sum); the perturb-and-take
+    is a map-only expression + TakeOrderedAndProject(n) — selection
+    never shuffles the corpus.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = dsir_importance(docs, target_source, n_buckets, alpha).select(
+        "doc_id", "dsir_logratio"
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(2**60) + 1.0)
+    key = F.round(F.col("dsir_logratio") + -F.log(-F.log(u)), 6)
+    return (
+        w.select("doc_id", key.alias("key"))
+        .orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(n)
+    )

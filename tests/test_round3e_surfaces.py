@@ -308,3 +308,43 @@ def test_fragment_snippets_window_and_ellipses(spark):
     assert got["cB"] == "<em>spark</em> x y …"
     with pytest.raises(ValueError):
         fragment_snippets(spark, idx, "spark", frag_words=-1)
+
+
+def test_dsir_resample_gumbel_topk(spark):
+    from solr_ocr_processor_spark.operators.pipeline import (
+        dsir_importance,
+        dsir_resample,
+    )
+
+    docs = spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, source string"
+    )
+    got = dsir_resample(docs, target_source="tgt", n=3, n_buckets=64).collect()
+    assert len(got) == 3
+    keys = [r.key for r in got]
+    assert keys == sorted(keys, reverse=True)
+    # determinism: same seed -> identical sample; n > docs -> all docs
+    again = dsir_resample(docs, target_source="tgt", n=3, n_buckets=64).collect()
+    assert [(r.doc_id, r.key) for r in got] == [(r.doc_id, r.key) for r in again]
+    assert dsir_resample(docs, target_source="tgt", n=100, n_buckets=64).count() == 7
+    # the keys really are weight + Gumbel: a doc's key minus its weight
+    # is its fixed noise regardless of the other docs' weights
+    w = {
+        r.doc_id: r.dsir_logratio
+        for r in dsir_importance(docs, target_source="tgt", n_buckets=64).collect()
+    }
+    all_rows = dsir_resample(docs, target_source="tgt", n=100, n_buckets=64).collect()
+    noise = {r.doc_id: round(r.key - w[r.doc_id], 4) for r in all_rows}
+    w2 = {
+        r.doc_id: r
+        for r in dsir_resample(
+            docs.withColumn("source", F.lit("tgt")), target_source="tgt",
+            n=100, n_buckets=64,
+        ).collect()
+    }
+    # weights all collapse when every doc is target-sourced, but the
+    # per-doc noise (key - weight, now key - 0) is unchanged
+    for d, g in noise.items():
+        assert round(w2[d].key, 4) == pytest.approx(g, abs=2e-4)
+    with pytest.raises(ValueError):
+        dsir_resample(docs, n=0)
