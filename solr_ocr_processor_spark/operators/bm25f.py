@@ -68,7 +68,13 @@ def bm25f_topk(
             F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
         ).alias("term"),
     )
-    dlf = toks.groupBy("conv_id", "role").agg(F.count(F.lit(1)).alias("dl_f"))
+    # dl_f feeds BOTH the contrib join and the avgdl aggregate —
+    # pinned so Catalyst doesn't duplicate the full tokenize lineage
+    # under each consumer (the frame is |convs|·|roles| rows of 3
+    # columns; one corpus scan saved per query)
+    dlf = toks.groupBy("conv_id", "role").agg(
+        F.count(F.lit(1)).alias("dl_f")
+    ).persist()
     avgdlf = dlf.groupBy("role").agg(F.avg("dl_f").alias("avgdl_f"))
     ndocs = turns.agg(F.countDistinct("conv_id").alias("n_docs"))
     tf = (
