@@ -655,6 +655,23 @@ def _q_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_nll(_docs(spark, sf_dir))
 
 
+_BATCH_QUERIES = {"q1": FLAGSHIP_QUERY, "q2": "spark", "q3": "window merge"}
+
+
+def _q_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workload batching (operators/score.bm25_batch_topk): top-k for
+    a whole query set in ONE postings pass — union-term dictionary
+    filter, broadcast (query_id, term) map, one (query, doc) fold
+    (bit-identical to bm25_topk), per-query rank window."""
+    from solr_ocr_processor_spark.operators.score import bm25_batch_topk
+
+    out = bm25_batch_topk(spark, _index(spark, sf_dir), _BATCH_QUERIES, k=5)
+    return out.select(
+        "query_id", "rank", "doc_id", "conv_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_fragment_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr hl.fragsize analog (operators/score.fragment_snippets):
     bounded token-window fragments (3 words either side of the first
@@ -1894,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_ngroups": _q_group_ngroups,
         "function_fields": _q_function_fields,
         "fragment_snippets": _q_fragment_snippets,
+        "bm25_batch_topk": _q_bm25_batch_topk,
         "tool_facet_missing": _q_tool_facet_missing,
         "dup_span_profile": _q_dup_span_profile,
         "dup_span_trim": _q_dup_span_trim,
@@ -3632,6 +3650,38 @@ JOIN ids i USING (doc_id)
 LEFT JOIN (SELECT doc_id, tf FROM tf
            WHERE term = {FLAGSHIP_TERMS[0]!r}) t USING (doc_id)
 ORDER BY p.score DESC, p.doc_id ASC
+""",
+    "bm25_batch_topk": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qs(query_id, term) AS (VALUES
+  ('q1', 'spark'), ('q1', 'window'), ('q1', 'merge'),
+  ('q2', 'spark'), ('q3', 'window'), ('q3', 'merge')),
+scored AS (
+  SELECT qs.query_id, tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) JOIN qs USING (term) CROSS JOIN stats s
+  GROUP BY qs.query_id, tf.doc_id, tf.conv_id
+),
+r AS (
+  SELECT query_id, doc_id, conv_id, raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, conv_id,
+       round(raw, 6) AS score
+FROM r WHERE rank <= 5 ORDER BY query_id, rank
 """,
     "group_ngroups": f"""
 WITH {_DOCS},

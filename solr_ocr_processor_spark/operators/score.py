@@ -752,3 +752,80 @@ def fragment_snippets(
         .select("doc_id", "conv_id", "score", "turn_idx", fragment.alias("fragment"))
         .orderBy("doc_id", "turn_idx")
     )
+
+
+def bm25_batch_topk(
+    spark: SparkSession,
+    index: Index,
+    queries: dict[str, str],
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Workload batching: top-k for EVERY query of a workload in ONE
+    postings pass — the amortization that matters when the scan, not
+    the arithmetic, is the cost (a 10^12-turn index answering a
+    10^4-query evaluation set must not scan the postings 10^4 times).
+
+    Returns (query_id, rank, doc_id, conv_id, score), rank 1-based
+    per query by (score DESC, doc_id ASC). Scores are BIT-IDENTICAL
+    to :func:`bm25_topk`'s for the same query: the per-posting term
+    score is the shared :func:`bm25_term_score` expression and the
+    per-(query, doc) sum uses the same :func:`sorted_term_fold`.
+
+    Plan shape:
+    - postings dictionary-filter ONCE on the UNION of all queries'
+      terms (isin -> row-group pruning);
+    - the (query_id, term) map is driver-built and broadcast
+      (|workload| · |query terms| rows — a workload dim, never data);
+      a term shared by many queries fans its posting row out to each,
+      which IS the batching win: one scan, many consumers;
+    - one (query_id, doc_id) aggregation (map-side combinable) folds
+      scores in sorted-term order;
+    - per-query top-k is a rank window partitioned by query_id — one
+      shuffle keyed on the workload, k rows per query survive;
+    - conv_id resolves after, on |workload|·k rows.
+    """
+    from pyspark.sql.window import Window
+
+    if not queries:
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id long, conv_id string, score double"
+        )
+    per_q = {qid: query_terms(q, cfg) for qid, q in queries.items()}
+    pairs = sorted({(qid, t) for qid, ts in per_q.items() for t in ts})
+    if not pairs:
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id long, conv_id string, score double"
+        )
+    union_terms = sorted({t for _, t in pairs})
+    q2t = spark.createDataFrame(pairs, "query_id string, term string")
+    qidf, _, avgdl = _query_idf(spark, index, union_terms)
+    k1, b = float(cfg.k1), float(cfg.b)
+    per_term = (
+        index.postings.where(F.col("term").isin(union_terms))
+        .join(F.broadcast(qidf), "term")
+        .join(F.broadcast(q2t), "term")
+        .select("query_id", "term", "doc_id", "tf", "dl", "idf")
+        .withColumn("term_score", bm25_term_score(k1, b, avgdl))
+    )
+    scored = _suppress(
+        per_term.groupBy("query_id", "doc_id").agg(
+            sorted_term_fold().alias("score")
+        ),
+        exclude_docs,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    top = (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+    # |workload|·k rows broadcast as the BUILD side; doc_meta streams
+    # once (referencing `top` twice would recompute the whole scoring
+    # window — the single-reference BuildLeft join avoids it)
+    return (
+        F.broadcast(top)
+        .join(index.doc_meta.select("doc_id", "conv_id"), "doc_id")
+        .select("query_id", "rank", "doc_id", "conv_id", "score")
+        .orderBy("query_id", "rank")
+    )

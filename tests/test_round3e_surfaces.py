@@ -348,3 +348,24 @@ def test_dsir_resample_gumbel_topk(spark):
         assert round(w2[d].key, 4) == pytest.approx(g, abs=2e-4)
     with pytest.raises(ValueError):
         dsir_resample(docs, n=0)
+
+
+def test_bm25_batch_topk_bit_identical_to_single(spark, mini_idx):
+    from solr_ocr_processor_spark.operators.score import bm25_batch_topk, bm25_topk
+
+    idx = mini_idx
+    qs = {"a": "spark", "b": "spark pad", "c": "nothing"}
+    batch = bm25_batch_topk(spark, idx, qs, k=10).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, q in qs.items():
+        single = bm25_topk(spark, idx, q, k=10).collect()
+        got = by_q.get(qid, [])
+        assert [(r.doc_id, r.score) for r in got] == [
+            (r.doc_id, r.score) for r in single
+        ], f"batch != single for {qid!r}"  # EXACT float equality
+        assert [r.rank for r in got] == list(range(1, len(got) + 1))
+    # degenerate workloads
+    assert bm25_batch_topk(spark, idx, {}, k=5).count() == 0
+    assert bm25_batch_topk(spark, idx, {"x": "???"}, k=5).count() == 0
