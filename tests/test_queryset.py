@@ -92,3 +92,27 @@ def test_phrase_queries(spark, corpus, q):
         for r in phrase_match(spark, idx, q.text, CFG).collect()
     }
     assert got == dict(want)
+
+
+def test_batch_topk_rank_identical_over_query_set(spark, corpus):
+    """The whole reference query set's OR queries answered in ONE
+    postings pass must be rank- AND score-identical (exact float
+    equality) to the per-query scorer — the north-rule rank-identity
+    criterion carried over to the workload-batched path."""
+    from solr_ocr_processor_spark.operators.score import bm25_batch_topk
+
+    idx, _, _ = corpus
+    or_qs = {q.query_id: q.text for q in QUERY_SET if q.mode == "or"}
+    batch = bm25_batch_topk(spark, idx, or_qs, k=10, cfg=CFG).collect()
+    by_q: dict[str, list] = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    matched = 0
+    for qid, text in or_qs.items():
+        single = [
+            (r.doc_id, r.score)
+            for r in bm25_topk(spark, idx, text, k=10, cfg=CFG).collect()
+        ]
+        assert by_q.get(qid, []) == single, f"batch != single for {qid!r}"
+        matched += 1
+    assert matched == len(or_qs) and matched >= 5
