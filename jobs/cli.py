@@ -76,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
         "prefix: dictionary expansion of 'pre*'; "
         "fuzzy: terms within n edits of 'word~n' (bare ~ means 2); "
         "wildcard: '?'/'*' in any position, e.g. 's?a*'; "
-        "mm: at least --mm of the terms required (edismax mm=); "
+        "mm: edismax minimum-should-match via the full --mm spec; "
         "sort: matches ordered by --sort-by instead of relevance; "
         "collapse: at most one hit per --width dl-bucket (Solr "
         "{!collapse}); group: top --k groups with --group-limit docs "
@@ -113,8 +113,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--jq", default="",
                    help="dimension filter for --mode join, Solr syntax "
                    "'field:value' (fields: lang, source)")
-    q.add_argument("--mm", type=int, default=2,
-                   help="minimum matching terms for --mode mm")
+    q.add_argument("--mm", default="2",
+                   help="minimum-should-match for --mode mm — full "
+                   "edismax spec: '3', '-1', '75%%', '-25%%', or "
+                   "conditionals '2<75%% 5<50%%'")
     q.add_argument("--slop", type=int, default=2,
                    help="ordered-window slack for --mode near/rerank")
     q.add_argument("--rq", default="",
@@ -626,14 +628,23 @@ def main(argv: list[str] | None = None) -> int:
                                       "detail": str(e)[:200]}))
                     return BAD_REQUEST_EXIT
             elif args.mode == "mm":
-                from solr_ocr_processor_spark.operators.query import mm_topk
+                from solr_ocr_processor_spark.functions.tokenizer import (
+                    query_terms,
+                )
+                from solr_ocr_processor_spark.operators.query import (
+                    mm_topk,
+                    parse_mm_spec,
+                )
 
-                if args.mm < 1:
+                n_terms = len(set(query_terms(args.q)))
+                try:
+                    m = parse_mm_spec(args.mm, max(n_terms, 1))
+                except ValueError as e:
                     print(json.dumps({"error": "bad_request",
-                                      "detail": f"mm {args.mm} < 1"}))
+                                      "detail": str(e)[:200]}))
                     return BAD_REQUEST_EXIT
                 out = mm_topk(
-                    spark, idx, args.q, mm=args.mm, k=fetch_k,
+                    spark, idx, args.q, mm=m, k=fetch_k,
                     exclude_docs=dead_df,
                 )
             elif args.mode == "boost":

@@ -28,6 +28,8 @@ ANSI SQL, so the DuckDB oracle checks it exactly.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1372,3 +1374,54 @@ def bq_topk(
         .select("doc_id", "conv_id", "score", "boosted")
         .orderBy(F.desc("boosted"), F.asc("doc_id"))
     )
+
+
+def parse_mm_spec(spec: str, n_clauses: int) -> int:
+    """Resolve Solr's (e)dismax ``mm=`` specification to the minimum
+    number of optional clauses that must match, for ``n_clauses``
+    query terms (org.apache.solr.util.SolrPluginUtils
+    setMinShouldMatch semantics):
+
+    - ``"3"``      — at least 3;
+    - ``"-2"``     — all but 2 (n - 2);
+    - ``"75%"``    — int-truncated percentage: (n * 75) // 100;
+    - ``"-25%"``   — n minus the truncated percentage;
+    - ``"2<75%"``  — conditional: applies only when n > 2; multiple
+      space-separated conditionals allowed, the one with the GREATEST
+      threshold below n wins, and when n is at or below every
+      threshold ALL clauses are required (Solr's documented rule).
+
+    The result is clamped to [1, n]. Raises ValueError on syntax the
+    subset doesn't cover (callers map it to a 400).
+    """
+    if n_clauses <= 0:
+        return 0
+    spec = spec.strip()
+    if not spec:
+        raise ValueError("empty mm spec")
+
+    def _simple(s: str, n: int) -> int:
+        s = s.strip()
+        m = re.fullmatch(r"(-?)(\d+)(%?)", s)
+        if not m:
+            raise ValueError(f"bad mm spec {s!r}")
+        neg, num, pct = m.group(1) == "-", int(m.group(2)), m.group(3) == "%"
+        v = (n * num) // 100 if pct else num
+        return n - v if neg else v
+
+    if "<" in spec:
+        best_thresh, best_val = -1, None
+        for part in spec.split():
+            if "<" not in part:
+                raise ValueError(f"bad conditional mm spec {part!r}")
+            th_s, _, sub = part.partition("<")
+            if not th_s.isdigit():
+                raise ValueError(f"bad mm threshold {th_s!r}")
+            th = int(th_s)
+            val = _simple(sub, n_clauses)  # syntax-check every clause
+            if th < n_clauses and th > best_thresh:
+                best_thresh, best_val = th, val
+        resolved = n_clauses if best_val is None else best_val
+    else:
+        resolved = _simple(spec, n_clauses)
+    return min(max(1, resolved), n_clauses)

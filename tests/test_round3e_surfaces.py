@@ -369,3 +369,25 @@ def test_bm25_batch_topk_bit_identical_to_single(spark, mini_idx):
     # degenerate workloads
     assert bm25_batch_topk(spark, idx, {}, k=5).count() == 0
     assert bm25_batch_topk(spark, idx, {"x": "???"}, k=5).count() == 0
+
+
+def test_parse_mm_spec_solr_semantics():
+    from solr_ocr_processor_spark.operators.query import parse_mm_spec
+
+    # absolute / negative / percentage (int-truncated) / neg-percentage
+    assert parse_mm_spec("3", 5) == 3
+    assert parse_mm_spec("-2", 5) == 3
+    assert parse_mm_spec("75%", 5) == 3          # (5*75)//100
+    assert parse_mm_spec("-25%", 5) == 4         # 5 - (5*25)//100
+    # clamping: over-large -> n, under-small -> 1
+    assert parse_mm_spec("9", 4) == 4
+    assert parse_mm_spec("-9", 4) == 1
+    # conditionals: greatest threshold below n wins; n at/below every
+    # threshold -> all clauses required
+    assert parse_mm_spec("2<75% 5<50%", 6) == 3   # 5<50% -> (6*50)//100
+    assert parse_mm_spec("2<75% 5<50%", 4) == 3   # 2<75% -> (4*75)//100
+    assert parse_mm_spec("2<75%", 2) == 2         # no clause applies -> all
+    assert parse_mm_spec("3", 0) == 0
+    for bad in ("", "x", "5<", "a<50%", "50%%", "1<2<3"):
+        with pytest.raises(ValueError):
+            parse_mm_spec(bad, 5)

@@ -945,3 +945,35 @@ def test_cli_bm25f_mode(spark, tmp_path, capsys):
                "--qf", "user^-1")[0] == 2
     # empty query -> 422
     assert run("--q", "???", "--mode", "bm25f", "--input", src)[0] == 3
+
+
+def test_cli_mm_spec(spark, tmp_path, capsys):
+    """--mm accepts the full edismax spec; bad specs exit 400."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=12, max_turns=6, seed=5).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store, "--shards", "2"]) == 0
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main(["query", "--store", store, *args])
+        out = capsys.readouterr().out
+        rows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+        return rc, rows
+
+    # 50% of 2 terms -> mm 1 == the OR result; '2' == AND-of-2
+    rc, pct = run("--q", "spark merge", "--k", "100", "--mode", "mm", "--mm", "50%")
+    rc2, all2 = run("--q", "spark merge", "--k", "100", "--mode", "mm", "--mm", "2")
+    rc3, orq = run("--q", "spark merge", "--k", "100")
+    assert rc == rc2 == rc3 == 0
+    assert {r["conv_id"] for r in pct} == {r["conv_id"] for r in orq}
+    assert {r["conv_id"] for r in all2} <= {r["conv_id"] for r in pct}
+    # conditional spec: 1<100% with 2 terms -> all required
+    rc4, cond = run("--q", "spark merge", "--k", "100", "--mode", "mm",
+                    "--mm", "1<100%")
+    assert rc4 == 0
+    assert {r["conv_id"] for r in cond} == {r["conv_id"] for r in all2}
+    assert run("--q", "spark merge", "--mode", "mm", "--mm", "nope")[0] == 2
