@@ -100,7 +100,9 @@ def main(argv: list[str] | None = None) -> int:
                    "syntax: 'assistant^2 user^1' (bare role = ^1)")
     q.add_argument("--syn", default="",
                    help="synonym map for --mode synonym: "
-                   "'term:syn1,syn2;term2:syn3' (group tf=sum, df=max)")
+                   "'term:syn1,syn2;term2:syn3' (group tf=sum, df=max; "
+                   "multi-word members like 'ml:machine learning' take "
+                   "the phrase-occurrence path)")
     q.add_argument("--bq-q", default="",
                    help="boost query terms for --mode bq")
     q.add_argument("--bweight", type=float, default=1.0,

@@ -501,24 +501,72 @@ def synonym_topk(
     dl is per-doc constant so max is exact); group df comes from the
     same broadcast idf frame (max over members, computed on the tiny
     side); the per-doc fold and top-k are the standard scorer's.
+
+    MULTI-WORD members ("ml" -> "machine learning") take the
+    SynonymGraphFilter path: a phrase member contributes its exact
+    phrase occurrence count as tf (the positional-intersection kernel
+    :func:`~.query._phrase_counts` — one doc-clustered shuffle of the
+    phrase terms' postings) and #docs-containing-the-phrase as its df
+    leg; both union into the SAME group aggregation, so a concept is
+    still scored as one pseudo-term however many words its surface
+    forms have.
     """
     base = sorted(set(query_terms(query, cfg)))
     if not base:
         return spark.createDataFrame([], "doc_id long, conv_id string, score double")
-    rows = []
+    rows, phrase_members = [], []
     for anchor in base:
         for member in {anchor, *synonyms.get(anchor, ())}:
-            rows.append((anchor, member))
+            mts = query_terms(member, cfg)
+            if len(mts) > 1:
+                phrase_members.append((anchor, mts))
+            elif mts:
+                rows.append((anchor, mts[0]))
     gmap = F.broadcast(
         spark.createDataFrame(sorted(set(rows)), "grp string, term string")
     )
     crow = index.corpus.first()
     n_docs, avgdl = crow["n_docs"], float(crow["avgdl"])
     members = sorted({m for _, m in rows})
+    # per-doc (grp, tf, dl) legs: single-word members merge postings...
+    legs = (
+        index.postings.where(F.col("term").isin(members))
+        .join(gmap, "term")
+        .select(
+            "grp",
+            "doc_id",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("dl").cast("long").alias("dl"),
+        )
+    )
+    # ...and each phrase member contributes its occurrence counts
+    df_legs = index.term_stats.join(gmap, "term").select(
+        "grp", F.col("df").cast("long").alias("df")
+    )
+    if phrase_members:
+        from .query import _phrase_counts
+
+        for anchor, mts in sorted(
+            {(a, tuple(ts)) for a, ts in phrase_members}
+        ):
+            pc = _phrase_counts(index, list(mts)).select(
+                F.lit(anchor).alias("grp"),
+                "doc_id",
+                F.col("phrase_tf").cast("long").alias("tf"),
+                F.col("dl").cast("long").alias("dl"),
+            ).where(F.col("tf") > 0)
+            # pc feeds both the tf leg and its df leg — pin it so the
+            # positional-intersection kernel runs once per phrase
+            pc = pc.persist()
+            legs = legs.unionByName(pc.select("grp", "doc_id", "tf", "dl"))
+            df_legs = df_legs.unionByName(
+                pc.groupBy("grp").agg(
+                    F.count(F.lit(1)).cast("long").alias("df")
+                )
+            )
     # group df = max member df (SynonymQuery's docFreq), on the tiny side
     gidf = (
-        index.term_stats.join(gmap, "term")
-        .groupBy("grp")
+        df_legs.groupBy("grp")
         .agg(F.max("df").alias("df"))
         .withColumn(
             "idf",
@@ -530,9 +578,7 @@ def synonym_topk(
     )
     k1, b = float(cfg.k1), float(cfg.b)
     merged = (
-        index.postings.where(F.col("term").isin(members))
-        .join(gmap, "term")
-        .groupBy("doc_id", "grp")
+        legs.groupBy("doc_id", "grp")
         .agg(F.sum("tf").alias("tf"), F.max("dl").alias("dl"))
         .join(F.broadcast(gidf.select("grp", "idf")), "grp")
     )

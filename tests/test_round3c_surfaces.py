@@ -597,3 +597,45 @@ def test_score_explain_reconstructs_total(spark, tiny):
                 p["idf"] * p["tf_norm"], rel=1e-12
             )
             assert p["score"] == pytest.approx(t["score"], rel=1e-12)
+
+
+def test_synonym_multiword_member_phrase_semantics(spark):
+    """SynonymGraphFilter path: a multi-word synonym contributes its
+    exact PHRASE occurrences (adjacent, in order) as tf and its
+    phrase df to the group max — non-adjacent co-occurrence of the
+    words contributes nothing."""
+    import datetime
+    import math
+
+    from solr_ocr_processor_spark.operators.build import build_postings
+    from solr_ocr_processor_spark.operators.expand import synonym_topk
+    from solr_ocr_processor_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("mlA", 0, "user", "ml rocks a lot today yes", None, t0),
+        ("phB", 0, "user", "machine learning rocks so hard now", None, t0),
+        ("nonC", 0, "user", "machine shop learning curve x y", None, t0),
+        ("bothD", 0, "user", "ml and machine learning win big", None, t0),
+    ]
+    idx = build_postings(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA))
+    got = {
+        r.conv_id: r.score
+        for r in synonym_topk(
+            spark, idx, "ml", {"ml": ("machine learning",)}, k=10
+        ).collect()
+    }
+    # phrase docs: phB (1 occurrence), bothD (tf = ml 1 + phrase 1 = 2);
+    # nonC has machine+learning NOT adjacent -> excluded entirely
+    assert set(got) == {"mlA", "phB", "bothD"}
+    crow = idx.corpus.first()
+    n_docs, avgdl = crow["n_docs"], float(crow["avgdl"])
+    # df: ml in 2 docs, phrase in 2 docs -> group df = 2
+    idf = math.log1p((n_docs - 2 + 0.5) / (2 + 0.5))
+
+    def score(tf, dl):
+        return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert got["mlA"] == pytest.approx(score(1, 6), rel=1e-12)
+    assert got["phB"] == pytest.approx(score(1, 6), rel=1e-12)
+    assert got["bothD"] == pytest.approx(score(2, 6), rel=1e-12)
