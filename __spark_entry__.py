@@ -577,6 +577,21 @@ def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h window / 30min slide): each
+    event in 2 overlapping buckets — the trailing-aggregate shape
+    (streaming/ingest.events_per_sliding_window; watermark no-ops in
+    batch so the semantics get a full oracle)."""
+    from solr_ocr_processor_spark.streaming.ingest import (
+        events_per_sliding_window,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events_per_sliding_window(events).orderBy(
+        "window_start", "event_type"
+    )
+
+
 def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time SESSION windows per user (gap 8h) — the session half
     of the streaming-window surface (streaming/ingest.sessionize_events;
@@ -1900,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_topk": _q_filtered_topk,
         "frange_topk": _q_frange_topk,
         "events_windowed": _q_events_windowed,
+        "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "terms_enum": _q_terms_enum,
         "term_vectors": _q_term_vectors,
@@ -3448,6 +3464,25 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
        max(value) AS max_value
 FROM events
 GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
+    # Sliding windows: an event at ts belongs to every 30-min-aligned
+    # start in (ts - 1h, ts] — exactly the two buckets
+    # {trunc30(ts), trunc30(ts) - 30min} for the 1h/30min pair.
+    "events_sliding": """
+WITH s AS (
+  -- time_bucket truncates on the timestamp domain; CAST(epoch(ts) AS
+  -- BIGINT) would ROUND sub-second fractions across the slide edge
+  SELECT CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT)
+           - j.j * 1800 AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j) j
+)
+SELECT window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       max(value) AS max_value
+FROM s GROUP BY window_start, event_type
 ORDER BY window_start, event_type
 """,
     # Session windows replayed as gaps-and-islands: Spark extends a

@@ -441,3 +441,43 @@ def sessionize_events(
             "value_sum_scaled",
         )
     )
+
+
+def events_per_sliding_window(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time SLIDING-window rollup — the overlapping-window
+    variant of :func:`events_per_window` (Spark
+    ``F.window(ts, window, slide)``): each event lands in
+    window/slide overlapping buckets, so a dashboard reads a smooth
+    trailing aggregate instead of tumbling steps.
+
+    Same batch==stream contract: the watermark is a no-op on batch
+    input and bounds state in the streaming deployment. One hash
+    aggregation; the input is replicated window/slide times by the
+    window Generate (that replication IS the semantics — state and
+    shuffle scale by the overlap factor, the knob a 100 TB deployment
+    tunes first). Output (window_start, event_type, n_events,
+    sum_value, max_value), epoch-aligned slides so the DuckDB twin is
+    integer epoch math.
+    """
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "max_value",
+        )
+    )

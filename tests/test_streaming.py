@@ -480,3 +480,42 @@ def test_dedup_doc_stream_stateful(spark, tmp_path):
     by_hash = {h: i for i, h in got2}
     assert sorted(by_hash.values()) == [1, 3, 5]
     assert got1 <= got2
+
+
+def test_sliding_window_overlap_membership(spark):
+    """Each event lands in window/slide overlapping buckets; counts
+    across buckets sum to overlap * n_events; boundary events with
+    sub-second fractions stay in the truncated slide."""
+    import datetime
+
+    from solr_ocr_processor_spark.streaming.ingest import (
+        events_per_sliding_window,
+        events_per_window,
+    )
+
+    base = datetime.datetime(2026, 1, 1, 3, 0, 0)
+    rows = [
+        (1, base, 7, "click", 1.0, None),
+        # 0.9s before the next slide edge: must truncate DOWN
+        (2, base + datetime.timedelta(minutes=29, seconds=59, milliseconds=900),
+         7, "click", 2.0, None),
+        (3, base + datetime.timedelta(minutes=45), 7, "click", 4.0, None),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.window_start: r for r in
+           events_per_sliding_window(events, "1 hour", "30 minutes").collect()}
+    ep = int(base.timestamp())
+    # event 1+2 in [02:30, 03:00] slides; event 3 in [03:00, 03:30]
+    assert out[ep - 1800].n_events == 2          # 02:30 window: events 1,2
+    assert out[ep].n_events == 3                 # 03:00 window: all
+    assert out[ep + 1800].n_events == 1          # 03:30 window: event 3
+    # total bucket-rows = overlap factor x events
+    assert sum(r.n_events for r in out.values()) == 2 * len(rows)
+    # tumbling is the slide==window special case
+    tumb = {r.window_start: r.n_events
+            for r in events_per_window(events, "1 hour").collect()}
+    assert tumb == {ep: 3}
