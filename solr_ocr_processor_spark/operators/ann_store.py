@@ -300,3 +300,67 @@ def ivf_topk_stored(
         .select("id", "vec")
     )
     return cosine_topk(cand, query_vec, k, id_col="id", vec_col="vec")
+
+
+def append_ann_store(
+    spark: SparkSession,
+    store: AnnStore,
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Fold NEW vectors into a stored ANN index — the vector-side
+    analog of the text index's streaming fold-in
+    (streaming/ingest.merge_stream): assignment uses the STORED
+    planes and centroids, never retraining (FAISS's add-after-train
+    contract — recall under distribution drift degrades gracefully
+    and a periodic :func:`build_ann_store` rebuild re-trains), and
+    the new rows APPEND into the existing partition directories, so
+    probes keep pruning to the same (band, bdir) / list_id layout.
+
+    Idempotency / crash protocol (commit-ordered): the fresh set is
+    ids absent from the stored IVF table (a single-column columnar
+    scan — the id column is the cheapest full read the store
+    supports); the LSH leg writes FIRST, the IVF leg LAST — the
+    commit point. A crash between the legs reruns with the same
+    fresh set (IVF still lacks it) and re-appends the LSH rows;
+    duplicate LSH candidates are harmless (the probe dedupes by id
+    before the re-rank) and the next rebuild clears them. Re-sending
+    already-indexed vectors is a no-op (returns 0), the GET-before-
+    POST idempotency the reference's handler applies to re-POSTs.
+
+    Returns the number of vectors appended.
+    """
+    existing = spark.read.parquet(store.path("ivf")).select("id")
+    fresh = (
+        embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(existing, "id", "left_anti")
+        .persist()
+    )
+    n = fresh.count()
+    if n == 0:
+        fresh.unpersist()
+        return 0
+    lsh = lsh_assign(
+        fresh, store.dim, store.num_bands, store.bits_per_band,
+        store.lsh_seed, "id", "vec",
+    )
+    (
+        lsh.join(fresh, "id")
+        .withColumn("bdir", F.shiftright("bucket", store.bucket_shift))
+        .repartition("band", "bdir")
+        .sortWithinPartitions("band", "bdir", "bucket")
+        .write.mode("append")
+        .partitionBy("band", "bdir")
+        .parquet(store.path("lsh"))
+    )
+    ivf = ivf_assign(fresh, store.centroids, "id", "vec")
+    (
+        ivf.join(fresh, "id")
+        .repartition("list_id")
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(store.path("ivf"))
+    )
+    fresh.unpersist()
+    return n

@@ -716,3 +716,39 @@ def test_pq_codebooks_rejects_bad_m(spark, embs):
 
     with pytest.raises(ValueError):
         pq_codebooks(embs, m=5)  # 5 does not divide 64
+
+
+def test_ann_store_append_fold_in(spark, embs, tmp_path):
+    """Vector fold-in: build on half the corpus, append the rest —
+    probes then equal the in-memory operators run over the FULL
+    corpus with the store's own planes/centroids (no retrain), and
+    re-appending is a no-op."""
+    from solr_ocr_processor_spark.operators.ann_store import (
+        append_ann_store,
+        build_ann_store,
+        ivf_topk_stored,
+        lsh_topk_stored,
+    )
+
+    first = embs.where("vec_id % 2 = 0")
+    rest = embs.where("vec_id % 2 = 1")
+    root = str(tmp_path / "ann")
+    store = build_ann_store(
+        spark, first, root, dim=64, rows_per_dir=256
+    )
+    q = list(embs.where("vec_id = 0").first()["embedding"])
+    n = append_ann_store(spark, store, rest)
+    assert n == rest.count()
+    got_ivf = [(r.id, r.cos) for r in ivf_topk_stored(spark, store, q, k=5).collect()]
+    mem_ivf = [
+        (r.id, r.cos)
+        for r in ivf_topk(embs, store.centroids, q, k=5).collect()
+    ]
+    assert got_ivf == mem_ivf
+    got_lsh = [(r.id, r.cos) for r in lsh_topk_stored(spark, store, q, k=5, radius=0).collect()]
+    mem_lsh = [(r.id, r.cos) for r in lsh_topk(embs, q, k=5).collect()]
+    assert got_lsh == mem_lsh
+    # idempotent re-send: nothing fresh, probes unchanged
+    assert append_ann_store(spark, store, rest) == 0
+    again = [(r.id, r.cos) for r in ivf_topk_stored(spark, store, q, k=5).collect()]
+    assert again == got_ivf
