@@ -450,6 +450,13 @@ def dsir_importance(
             " ELSE array() END"
         ),
     )
+    # feats feeds FOUR consumers (raw model, target model, the two
+    # scalar totals' actions, and the per-doc scoring join) — pinned,
+    # or the tokenize+md5 lineage re-runs for each (measured ~4
+    # corpus passes). The pinned frame is (doc_id, source, bucket) per
+    # feature — token-scale but narrow, and MEMORY_AND_DISK spills;
+    # at 10^12 turns this is the one corpus-scale cache the operator
+    # keeps, still cheaper than four tokenize passes.
     feats = tokenized.select(
         "doc_id",
         "source",
@@ -462,7 +469,7 @@ def dsir_importance(
             .cast("long")
             % n_buckets
         ).alias("bucket"),
-    )
+    ).persist()
     raw = feats.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("rc")
     )
