@@ -603,7 +603,13 @@ def test_cli_wildcard_mm_group_boost_modes(spark, tmp_path, capsys):
         r["conv_id"]
         for r in run("--q", "spark merge", "--mode", "and", "--k", "100")[1]
     }
-    assert run("--q", "spark", "--mode", "mm", "--mm", "0")[0] == 2
+    # Solr accepts mm=0 (all clauses optional == the OR query: a doc
+    # still needs >= 1 match to score); malformed specs exit 400
+    rc0, zero_rows = run("--q", "spark merge", "--mode", "mm", "--mm", "0",
+                         "--k", "100")
+    assert rc0 == 0
+    assert {r["conv_id"] for r in zero_rows} == {r["conv_id"] for r in or_rows}
+    assert run("--q", "spark", "--mode", "mm", "--mm", "x%")[0] == 2
 
     # group: per-group rank present, group_limit respected
     rc, grp = run("--q", "spark merge", "--mode", "group", "--k", "3",
