@@ -714,6 +714,23 @@ def _q_function_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_collapse_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ExpandComponent (expand=true&expand.rows=2): the collapsed
+    page plus each page group's next 2 hidden docs — one scoring pass
+    and one group-rank window serve both halves
+    (operators/collapse.collapse_expand)."""
+    from solr_ocr_processor_spark.operators.collapse import collapse_expand
+
+    idx = _index(spark, sf_dir)
+    out = collapse_expand(
+        spark, idx, FLAGSHIP_QUERY, width=64, k=5, expand_rows=2
+    )
+    return out.select(
+        "group", "doc_id", "conv_id", F.round("score", 6).alias("score"),
+        "expanded",
+    )
+
+
 def _q_group_ngroups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr group.ngroups: how many groups the flagship match set
     spans (operators/facet.group_ngroups) — one count-distinct over
@@ -1925,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_nll": _q_lm_bigram_nll,
         "bm25f_topk": _q_bm25f_topk,
         "group_ngroups": _q_group_ngroups,
+        "collapse_expand": _q_collapse_expand,
         "function_fields": _q_function_fields,
         "fragment_snippets": _q_fragment_snippets,
         "bm25_batch_topk": _q_bm25_batch_topk,
@@ -3717,6 +3735,44 @@ r AS (
 SELECT query_id, CAST(rank AS INT) AS rank, doc_id, conv_id,
        round(raw, 6) AS score
 FROM r WHERE rank <= 5 ORDER BY query_id, rank
+""",
+    "collapse_expand": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id, tf.dl,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id, tf.dl
+),
+ranked AS (
+  SELECT CAST(floor(dl / 64.0) AS BIGINT) AS "group", doc_id, conv_id, raw,
+         row_number() OVER (PARTITION BY floor(dl / 64.0)
+                            ORDER BY raw DESC, doc_id ASC) AS rn
+  FROM scored
+),
+page AS (
+  SELECT "group", doc_id, conv_id, raw FROM ranked WHERE rn = 1
+  ORDER BY raw DESC, doc_id ASC LIMIT 5
+)
+SELECT "group", doc_id, conv_id, round(raw, 6) AS score,
+       FALSE AS expanded
+FROM page
+UNION ALL
+SELECT r."group", r.doc_id, r.conv_id, round(r.raw, 6) AS score,
+       TRUE AS expanded
+FROM ranked r JOIN (SELECT DISTINCT "group" FROM page) pg USING ("group")
+WHERE r.rn > 1 AND r.rn <= 3
 """,
     "group_ngroups": f"""
 WITH {_DOCS},

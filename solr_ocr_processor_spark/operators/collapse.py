@@ -141,3 +141,73 @@ def group_topk(
     return out.select("group", "doc_id", "conv_id", "score", "rn").orderBy(
         F.asc("group"), F.asc("rn")
     )
+
+
+def collapse_expand(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    width: int = 64,
+    k: int = 10,
+    expand_rows: int = 2,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Solr's ExpandComponent (``expand=true&expand.rows=N``): the
+    collapsed page PLUS, for each group that made the page, up to
+    ``expand_rows`` of the docs the collapse hid — the
+    champion-with-runners-up response shape.
+
+    Output: (group, doc_id, conv_id, score, expanded) — expanded=false
+    rows are the collapsed page (exactly :func:`collapse_topk`'s k
+    rows), expanded=true rows are each page group's next
+    ``expand_rows`` docs by (score DESC, doc_id ASC). Groups outside
+    the page never expand (Solr's contract: expand is scoped to the
+    main result's groups).
+
+    Plan shape: ONE scoring pass and ONE group-keyed rank window
+    serve both halves (rn == 1 -> champions, 2..expand_rows+1 ->
+    expansion candidates); the page cut is a k-row
+    TakeOrderedAndProject over champions, broadcast back to admit
+    only page groups' expansion rows; conv_id resolves once on the
+    <= k*(1+expand_rows)-row union."""
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+    if expand_rows < 1:
+        raise ValueError(f"expand_rows must be >= 1, got {expand_rows}")
+    terms = sorted(set(query_terms(query, cfg)))
+    empty = "group long, doc_id long, conv_id string, score double, expanded boolean"
+    if not terms:
+        return spark.createDataFrame([], empty)
+    scored = _suppress(
+        bm25_scores_terms(spark, index, terms, cfg, with_dl=True), exclude_docs
+    ).withColumn(
+        "group", F.floor(F.col("dl") / F.lit(float(width))).cast("long")
+    )
+    w = Window.partitionBy("group").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= expand_rows + 1)
+        .select("group", "doc_id", "score", "_rn")
+    )
+    page = (
+        ranked.where(F.col("_rn") == 1)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("group", "doc_id", "score")
+    )
+    page_groups = F.broadcast(page.select("group"))
+    expansion = ranked.where(F.col("_rn") > 1).join(page_groups, "group")
+    union = page.select(
+        "group", "doc_id", "score", F.lit(False).alias("expanded")
+    ).unionByName(
+        expansion.select(
+            "group", "doc_id", "score", F.lit(True).alias("expanded")
+        )
+    )
+    out = F.broadcast(union).join(
+        index.doc_meta.select("doc_id", "conv_id"), "doc_id"
+    )
+    return out.select("group", "doc_id", "conv_id", "score", "expanded").orderBy(
+        "group", "expanded", F.desc("score"), F.asc("doc_id")
+    )

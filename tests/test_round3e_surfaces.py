@@ -391,3 +391,44 @@ def test_parse_mm_spec_solr_semantics():
     for bad in ("", "x", "5<", "a<50%", "50%%", "1<2<3"):
         with pytest.raises(ValueError):
             parse_mm_spec(bad, 5)
+
+
+def test_collapse_expand_component(spark):
+    import datetime
+
+    from solr_ocr_processor_spark.operators.build import build_postings
+    from solr_ocr_processor_spark.operators.collapse import (
+        collapse_expand,
+        collapse_topk,
+    )
+    from solr_ocr_processor_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    t0 = datetime.datetime(2026, 1, 1)
+    pad = " ".join(["pad"] * 70)  # bucket 1 at width 64
+    rows = [
+        # group 0: three docs with spark tf 3/2/1 (dl equal)
+        ("g0a", 0, "user", "spark spark spark x y z", None, t0),
+        ("g0b", 0, "user", "spark spark x y z w", None, t0),
+        ("g0c", 0, "user", "spark x y z w v", None, t0),
+        # group 1: single long doc
+        ("g1a", 0, "user", f"spark {pad}", None, t0),
+    ]
+    idx = build_postings(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA))
+    out = collapse_expand(spark, idx, "spark", width=64, k=10, expand_rows=2)
+    got = [(r.conv_id, r.group, r.expanded) for r in out.collect()]
+    page = [(c, g) for c, g, e in got if not e]
+    exp = [(c, g) for c, g, e in got if e]
+    # page == collapse_topk's champions
+    champs = [(r.conv_id, r.group)
+              for r in collapse_topk(spark, idx, "spark", width=64, k=10).collect()]
+    assert sorted(page) == sorted(champs)
+    # group 0 expands to its two runners-up in score order; group 1
+    # has nothing hidden
+    assert exp == [("g0b", 0), ("g0c", 0)]
+    # k=1: only the best champion's group expands
+    one = collapse_expand(spark, idx, "spark", width=64, k=1, expand_rows=2)
+    rows1 = one.collect()
+    assert len([r for r in rows1 if not r.expanded]) == 1
+    assert {r.group for r in rows1} == {rows1[0].group}
+    with pytest.raises(ValueError):
+        collapse_expand(spark, idx, "spark", expand_rows=0)
