@@ -6,6 +6,8 @@ bug."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from solr_ocr_processor_spark.config import IndexConfig
@@ -69,3 +71,58 @@ def test_wand_equals_oracle_across_seeds(spark, built, query):
     got = wand_topk(spark, bidx, query, k=8, cfg=CFG).collect()
     assert [r["doc_id"] for r in got] == list(want["doc_id"])
     assert all(abs(r["score"] - s) < 1e-9 for r, s in zip(got, want["score"]))
+
+
+# ---------------------------------------------------------------------------
+# edismax mm= spec grammar
+# ---------------------------------------------------------------------------
+
+
+@given(
+    n=st.integers(min_value=1, max_value=50),
+    num=st.integers(min_value=0, max_value=120),
+    neg=st.booleans(),
+    pct=st.booleans(),
+)
+def test_mm_spec_simple_forms_clamped(n, num, neg, pct):
+    from solr_ocr_processor_spark.operators.query import parse_mm_spec
+
+    spec = f"{'-' if neg else ''}{num}{'%' if pct else ''}"
+    got = parse_mm_spec(spec, n)
+    v = (n * num) // 100 if pct else num
+    want = n - v if neg else v
+    assert got == min(max(1, want), n)
+    assert 1 <= got <= n
+
+
+@given(
+    n=st.integers(min_value=1, max_value=30),
+    clauses=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_mm_spec_conditionals_order_invariant(n, clauses):
+    """Conditional clause order never matters, the greatest threshold
+    below n wins, and n at/below every threshold requires all."""
+    import random
+
+    from solr_ocr_processor_spark.operators.query import parse_mm_spec
+
+    spec = " ".join(f"{th}<{p}%" for th, p in clauses)
+    shuffled = clauses[:]
+    random.Random(7).shuffle(shuffled)
+    spec2 = " ".join(f"{th}<{p}%" for th, p in shuffled)
+    got = parse_mm_spec(spec, n)
+    assert got == parse_mm_spec(spec2, n)
+    applicable = [c for c in clauses if c[0] < n]
+    if not applicable:
+        assert got == n
+    else:
+        th, p = max(applicable)
+        assert got == min(max(1, (n * p) // 100), n)
