@@ -714,6 +714,22 @@ def _q_function_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_group_sorted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr group.sort: within-group order by dl ASC while group
+    ranking stays by each group's best score (the main sort) —
+    operators/collapse.group_topk(group_sort=\"dl asc\")."""
+    from solr_ocr_processor_spark.operators.collapse import group_topk
+
+    idx = _index(spark, sf_dir)
+    out = group_topk(
+        spark, idx, FLAGSHIP_QUERY, width=64, k=GROUP_K,
+        group_limit=GROUP_LIMIT, group_sort="dl asc",
+    )
+    return out.select(
+        "group", "doc_id", "conv_id", F.round("score", 6).alias("score"), "rn"
+    )
+
+
 def _q_collapse_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr ExpandComponent (expand=true&expand.rows=2): the collapsed
     page plus each page group's next 2 hidden docs — one scoring pass
@@ -1943,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": _q_bm25f_topk,
         "group_ngroups": _q_group_ngroups,
         "collapse_expand": _q_collapse_expand,
+        "group_sorted_topk": _q_group_sorted_topk,
         "function_fields": _q_function_fields,
         "fragment_snippets": _q_fragment_snippets,
         "bm25_batch_topk": _q_bm25_batch_topk,
@@ -3735,6 +3752,39 @@ r AS (
 SELECT query_id, CAST(rank AS INT) AS rank, doc_id, conv_id,
        round(raw, 6) AS score
 FROM r WHERE rank <= 5 ORDER BY query_id, rank
+""",
+    "group_sorted_topk": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id, tf.dl,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id, tf.dl
+),
+ranked AS (
+  SELECT CAST(floor(dl / 64.0) AS BIGINT) AS "group", doc_id, conv_id, raw,
+         CAST(row_number() OVER (PARTITION BY floor(dl / 64.0)
+                                 ORDER BY dl ASC, doc_id ASC) AS INT) AS rn
+  FROM scored
+),
+tg AS (
+  SELECT CAST(floor(dl / 64.0) AS BIGINT) AS "group", max(raw) AS best
+  FROM scored GROUP BY 1
+  ORDER BY best DESC, "group" ASC LIMIT {GROUP_K}
+)
+SELECT r."group", doc_id, conv_id, round(raw, 6) AS score, rn
+FROM ranked r JOIN tg USING ("group") WHERE rn <= {GROUP_LIMIT}
 """,
     "collapse_expand": f"""
 WITH {_DOCS},

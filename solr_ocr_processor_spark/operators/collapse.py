@@ -41,6 +41,30 @@ from .build import Index
 from .score import _suppress, bm25_scores_terms
 
 
+_GROUP_SORT_FIELDS = ("score", "dl", "doc_id")
+
+
+def _group_sort_cols(spec: str) -> list:
+    """Parse Solr's ``group.sort`` subset over fields the scoring rows
+    already carry (score, dl, doc_id): "field asc|desc", comma
+    separated. Raises ValueError (caller's 400) otherwise."""
+    cols = []
+    for part in spec.split(","):
+        bits = part.split()
+        if len(bits) != 2 or bits[0] not in _GROUP_SORT_FIELDS or bits[1] not in (
+            "asc",
+            "desc",
+        ):
+            fields = "|".join(_GROUP_SORT_FIELDS)
+            raise ValueError(
+                f"bad group.sort {part.strip()!r}: want "
+                f"'{fields} asc|desc'"
+            )
+        c = F.col(bits[0])
+        cols.append(c.asc() if bits[1] == "asc" else c.desc())
+    return cols
+
+
 def collapse_topk(
     spark: SparkSession,
     index: Index,
@@ -89,6 +113,7 @@ def group_topk(
     group_limit: int = 2,
     cfg: IndexConfig = DEFAULT,
     exclude_docs: DataFrame | None = None,
+    group_sort: str = "score desc",
 ) -> DataFrame:
     """Result grouping — Solr's ``group=true&group.field=…&
     group.limit=g``: the top ``k`` GROUPS (ranked by each group's best
@@ -123,15 +148,23 @@ def group_topk(
     ).withColumn(
         "group", F.floor(F.col("dl") / F.lit(float(width))).cast("long")
     )
-    w = Window.partitionBy("group").orderBy(F.desc("score"), F.asc("doc_id"))
+    # Solr's group.sort: the WITHIN-group order may differ from the
+    # group ranking (which stays by each group's best SCORE — the
+    # main sort). doc_id asc appends as the deterministic tiebreak.
+    w = Window.partitionBy("group").orderBy(
+        *_group_sort_cols(group_sort), F.asc("doc_id")
+    )
     ranked = (
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .where(F.col("rn") <= group_limit)
         .select("group", "doc_id", "score", "rn")
     )
+    # group ranking is ALWAYS by best score (decoupled from
+    # group.sort: under a non-score group.sort the rn=1 row is not
+    # the group's best-scoring doc)
     top_groups = (
-        ranked.where(F.col("rn") == 1)
-        .select("group", F.col("score").alias("_best"))
+        scored.groupBy("group")
+        .agg(F.max("score").alias("_best"))
         .orderBy(F.desc("_best"), F.asc("group"))
         .limit(k)
     )

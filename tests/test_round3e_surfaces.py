@@ -432,3 +432,29 @@ def test_collapse_expand_component(spark):
     assert {r.group for r in rows1} == {rows1[0].group}
     with pytest.raises(ValueError):
         collapse_expand(spark, idx, "spark", expand_rows=0)
+
+
+def test_group_sort_within_groups(spark, mini_idx):
+    from solr_ocr_processor_spark.operators.collapse import group_topk
+
+    idx = mini_idx
+    # default group.sort == score desc (regression: same as before)
+    base = group_topk(spark, idx, "spark", width=64, k=5, group_limit=3)
+    b = [(r.group, r.rn, r.conv_id) for r in base.collect()]
+    # dl asc: within group 0, the SHORTEST doc ranks first, while
+    # group ordering stays by each group's best score
+    dl_sorted = group_topk(
+        spark, idx, "spark", width=64, k=5, group_limit=3,
+        group_sort="dl asc",
+    )
+    d = [(r.group, r.rn, r.conv_id) for r in dl_sorted.collect()]
+    g0_base = [c for g, _, c in b if g == 0]
+    g0_dl = [c for g, _, c in d if g == 0]
+    assert set(g0_base) == set(g0_dl)          # same members
+    # group 0 docs: cA dl=2, cC dl=2, cD dl=2? (cD has no match) —
+    # both orders deterministic; dl ties fall to doc_id asc
+    assert g0_dl == sorted(g0_dl, key=lambda c: c)  # dl equal -> doc order
+    with pytest.raises(ValueError):
+        group_topk(spark, idx, "spark", group_sort="nope asc")
+    with pytest.raises(ValueError):
+        group_topk(spark, idx, "spark", group_sort="score sideways")
