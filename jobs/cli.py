@@ -229,6 +229,16 @@ def main(argv: list[str] | None = None) -> int:
     tv.add_argument("--store", required=True)
     tv.add_argument("--conv-id", required=True)
 
+    ba = sub.add_parser(
+        "batch",
+        help="answer a whole query workload in ONE postings pass "
+        "(bm25_batch_topk): prints (query_id, rank, conv_id, score)",
+    )
+    ba.add_argument("--store", required=True)
+    ba.add_argument("--queries", required=True,
+                    help="workload: 'id1:query one;id2:query two'")
+    ba.add_argument("--k", type=int, default=10)
+
     ex = sub.add_parser(
         "export",
         help="training-corpus export: near-dup keep-one + quality/lang "
@@ -374,6 +384,31 @@ def main(argv: list[str] | None = None) -> int:
         )
         for r in out.orderBy("doc_id").collect():
             print(json.dumps({c: r[c] for c in cols}))
+        return 0
+    if args.cmd == "batch":
+        from solr_ocr_processor_spark.operators.score import bm25_batch_topk
+
+        workload: dict[str, str] = {}
+        for part in filter(None, args.queries.split(";")):
+            qid, sep, text = part.partition(":")
+            if not qid.strip() or not sep or not text.strip():
+                print(json.dumps({"error": "bad_request",
+                                  "detail": f"bad --queries {args.queries!r}: "
+                                  "expected 'id1:query;id2:query'"}))
+                return BAD_REQUEST_EXIT
+            workload[qid.strip()] = text.strip()
+        if args.k < 1:
+            print(json.dumps({"error": "bad_request",
+                              "detail": f"k {args.k} < 1"}))
+            return BAD_REQUEST_EXIT
+        dead_df = lifecycle.tombstoned_convs(spark, store)
+        idx = lifecycle.load_index(spark, store)
+        out = bm25_batch_topk(
+            spark, idx, workload, k=args.k, exclude_docs=dead_df
+        )
+        for r in out.collect():
+            print(json.dumps({"query_id": r["query_id"], "rank": r["rank"],
+                              "conv_id": r["conv_id"], "score": r["score"]}))
         return 0
     if args.cmd == "query":
         if args.snippets and args.mode not in ("wand", "phrase"):

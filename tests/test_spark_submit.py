@@ -983,3 +983,37 @@ def test_cli_mm_spec(spark, tmp_path, capsys):
     assert rc4 == 0
     assert {r["conv_id"] for r in cond} == {r["conv_id"] for r in all2}
     assert run("--q", "spark merge", "--mode", "mm", "--mm", "nope")[0] == 2
+
+
+def test_cli_batch_workload(spark, tmp_path, capsys):
+    """batch verb: whole workload in one pass; per-query results match
+    the single-query verb; malformed workload exits 400."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=12, max_turns=6, seed=5).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store, "--shards", "2"]) == 0
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main([*args])
+        out = capsys.readouterr().out
+        rows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+        return rc, rows
+
+    rc, rows = run("batch", "--store", store, "--k", "3",
+                   "--queries", "a:spark merge;b:window")
+    assert rc == 0 and rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    rc2, single = run("query", "--store", store, "--q", "spark merge", "--k", "3")
+    assert rc2 == 0
+    assert [(r["conv_id"], r["score"]) for r in by_q["a"]] == [
+        (r["conv_id"], r["score"]) for r in single
+    ]
+    assert [r["rank"] for r in by_q["a"]] == [1, 2, 3][: len(by_q["a"])]
+    assert run("batch", "--store", store, "--queries", "nocolon")[0] == 2
+    assert run("batch", "--store", store, "--queries", "a:x", "--k", "0")[0] == 2
