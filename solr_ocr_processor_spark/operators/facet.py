@@ -659,16 +659,40 @@ def group_ngroups(
 
 
 def field_facet_counts(
-    df: DataFrame, field: str, missing: bool = True
+    df: DataFrame,
+    field: str,
+    missing: bool = True,
+    sort: str = "count",
+    limit: int | None = None,
+    offset: int = 0,
 ) -> DataFrame:
-    """Solr ``facet.field=<f>&facet.missing=true`` over a doc-values
-    field: (value, n) per present value in Solr's count order (count
-    DESC, value ASC), plus — when ``missing`` — one NULL-valued row
-    counting rows with no value. ONE groupBy with map-side combine;
-    the exchange moves |distinct values| rows."""
+    """Solr ``facet.field=<f>`` with the full response knobs:
+    ``facet.missing=true`` (one NULL-valued row counting rows with no
+    value), ``facet.sort=count|index`` (count DESC value ASC, or pure
+    value order), and ``facet.limit``/``facet.offset`` paging over the
+    value list. ONE groupBy with map-side combine; the exchange moves
+    |distinct values| rows, and a limit lowers the final order to
+    TakeOrderedAndProject(offset+limit)."""
+    if sort not in ("count", "index"):
+        raise ValueError(f"facet.sort must be count|index, got {sort!r}")
+    if offset < 0:
+        raise ValueError(f"facet.offset must be >= 0, got {offset}")
     out = df.groupBy(F.col(field).alias("value")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
     if not missing:
         out = out.where(F.col("value").isNotNull())
-    return out.orderBy(F.desc("n"), F.asc("value"))
+    # Solr appends the missing bucket AFTER the value list -> NULLS LAST
+    order = (
+        [F.desc("n"), F.asc_nulls_last("value")]
+        if sort == "count"
+        else [F.asc_nulls_last("value")]
+    )
+    out = out.orderBy(*order)
+    if limit is not None:
+        if limit < 0:
+            raise ValueError(f"facet.limit must be >= 0, got {limit}")
+        out = out.offset(offset).limit(limit) if offset else out.limit(limit)
+    elif offset:
+        out = out.offset(offset)
+    return out

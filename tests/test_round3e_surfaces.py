@@ -458,3 +458,24 @@ def test_group_sort_within_groups(spark, mini_idx):
         group_topk(spark, idx, "spark", group_sort="nope asc")
     with pytest.raises(ValueError):
         group_topk(spark, idx, "spark", group_sort="score sideways")
+
+
+def test_field_facet_sort_limit_offset(spark):
+    from solr_ocr_processor_spark.operators.facet import field_facet_counts
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(["b"] * 3 + ["a"] * 3 + ["c"] + [None])],
+        "id long, tool string",
+    )
+    # facet.sort=index: pure value order; the missing bucket appends
+    # AFTER the value list (Solr's response shape)
+    idx_order = [r.value for r in
+                 field_facet_counts(df, "tool", sort="index").collect()]
+    assert idx_order == ["a", "b", "c", None]
+    # paging over count order (a/b tie at 3 -> value asc)
+    page = field_facet_counts(df, "tool", limit=2, offset=1).collect()
+    assert [(r.value, r.n) for r in page] == [("b", 3), ("c", 1)]
+    assert [r.value for r in field_facet_counts(df, "tool", limit=1).collect()] == ["a"]
+    for bad in (dict(sort="nope"), dict(limit=-1), dict(offset=-2)):
+        with pytest.raises(ValueError):
+            field_facet_counts(df, "tool", **bad)
