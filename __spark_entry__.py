@@ -1676,6 +1676,7 @@ def _stream_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {
         "documents": _docs(spark, sf_dir),
         "embeddings": spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        "events": spark.read.parquet(f"{sf_dir}/events.parquet"),
     }
 
 
@@ -1908,6 +1909,64 @@ def _q_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_handler(spark, _stream_tables(spark, sf_dir), _SQL_HANDLER_STMT)
 
 
+_TIMESERIES_EXPR = (
+    'timeseries(events, q="event_type:purchase", field="ts", '
+    'start="2024-01-01T00:00:00Z", end="2024-01-04T00:00:00Z", '
+    'gap="+4HOURS", count(*), sum(value))'
+)
+
+
+def _q_stream_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /stream timeseries(): date-bucketed metrics with Solr's
+    every-gap-step zero-fill — pushed range filter, epoch-floor bucket,
+    groupBy/agg, LEFT join against a spark.range bucket spine
+    (operators/stream_expr, verb ``timeseries``)."""
+    from solr_ocr_processor_spark.operators.stream_expr import compile_stream
+
+    df = compile_stream(_TIMESERIES_EXPR, _stream_tables(spark, sf_dir))
+    return df.withColumn("sum_value", F.round("sum_value", 6))
+
+
+def _q_facet_range_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet.range over documents.n_chars with the full response
+    envelope: facet.range.other=all (before/between/after) +
+    hardend=true, empty buckets emitted with 0
+    (operators/facet.range_facet_other)."""
+    from solr_ocr_processor_spark.operators.facet import range_facet_other
+
+    return range_facet_other(
+        _docs(spark, sf_dir), "n_chars", start=150, end=1100, gap=250,
+        hardend=True,
+    )
+
+
+def _q_constant_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene ^= constant-score boost: flagship BM25 match set, docs
+    also containing 'fast' gain exactly +2.0
+    (operators/query.constant_score_topk)."""
+    from solr_ocr_processor_spark.operators.query import constant_score_topk
+
+    idx = _index(spark, sf_dir)
+    out = constant_score_topk(
+        spark, idx, FLAGSHIP_QUERY, cs_term="fast", cs_score=2.0, k=10
+    )
+    return out.select(
+        "doc_id", "conv_id",
+        F.round("score", 6).alias("score"),
+        F.round("boosted", 6).alias("boosted"),
+    )
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve over the documents corpus: top-50
+    terms by collection frequency with cumulative token coverage —
+    the vocab-size / OOV-rate design table
+    (operators/pipeline.vocab_coverage)."""
+    from solr_ocr_processor_spark.operators.pipeline import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), top_n=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2048,6 +2107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "luke_report": _q_luke_report,
         "term_boost_topk": _q_term_boost_topk,
         "pf_topk": _q_pf_topk,
+        "stream_timeseries": _q_stream_timeseries,
+        "facet_range_other": _q_facet_range_other,
+        "constant_score_topk": _q_constant_score_topk,
+        "vocab_coverage": _q_vocab_coverage,
     }
 
 
@@ -5290,6 +5353,112 @@ first AS (
 )
 SELECT dup_id, keep_id, list_id, round(cos, 6) AS cos
 FROM first WHERE rn = 1 ORDER BY dup_id
+""",
+        # timeseries(): floor(epoch) matches Spark's truncating
+        # unix_timestamp (CAST would ROUND sub-second fractions across
+        # a bucket edge); generate_series stop is INCLUSIVE -> end-1.
+        "stream_timeseries": """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+  FROM events WHERE event_type = 'purchase'
+),
+agg AS (
+  SELECT CAST(1704067200 + ((es - 1704067200) // 14400) * 14400 AS BIGINT)
+           AS bucket_start,
+         CAST(count(*) AS BIGINT) AS count_all,
+         round(sum(value), 6) AS sum_value
+  FROM e WHERE es >= 1704067200 AND es < 1704326400
+  GROUP BY 1
+),
+spine AS (
+  SELECT CAST(x AS BIGINT) AS bucket_start
+  FROM generate_series(1704067200, 1704326399, 14400) s(x)
+)
+SELECT s.bucket_start, coalesce(a.count_all, 0) AS count_all, a.sum_value
+FROM spine s LEFT JOIN agg a USING (bucket_start)
+ORDER BY s.bucket_start
+""",
+        # facet.range other=all, hardend=true: nb=4 buckets of 250 from
+        # 150, effective end 1100; empty buckets ride the spine with 0.
+        "facet_range_other": """
+WITH hist AS (
+  SELECT CAST((n_chars - 150) // 250 AS INT) AS ord,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE n_chars >= 150 AND n_chars < 1100 GROUP BY 1
+),
+spine AS (SELECT CAST(x AS INT) AS ord FROM generate_series(0, 3) s(x)),
+buckets AS (
+  SELECT s.ord, CAST(150 + s.ord * 250 AS VARCHAR) AS bucket,
+         coalesce(h.n, 0) AS n_docs
+  FROM spine s LEFT JOIN hist h USING (ord)
+),
+others AS (
+  SELECT CAST(4 AS INT) AS ord, 'before' AS bucket,
+         CAST(count(*) FILTER (WHERE n_chars < 150) AS BIGINT) AS n_docs
+  FROM documents
+  UNION ALL
+  SELECT CAST(5 AS INT), 'between',
+         CAST(count(*) FILTER (WHERE n_chars >= 150 AND n_chars < 1100)
+              AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT CAST(6 AS INT), 'after',
+         CAST(count(*) FILTER (WHERE n_chars >= 1100) AS BIGINT)
+  FROM documents
+)
+SELECT * FROM buckets UNION ALL SELECT * FROM others ORDER BY ord
+""",
+        # ^= constant score: the bq machinery with the boost leg
+        # replaced by a fixed +2.0 on membership (tf >= 1 of 'fast').
+        "constant_score_topk": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tokall AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tfm AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tokall WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfm AS (SELECT term, count(*) AS df FROM tfm GROUP BY term),
+main AS (
+  SELECT tfm.doc_id, tfm.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfm.df + 0.5) / (dfm.df + 0.5))
+           * (tfm.tf * 2.2) / (tfm.tf + 1.2 * (0.25 + 0.75 * tfm.dl / s.avgdl))
+         ) AS raw
+  FROM tfm JOIN dfm USING (term) CROSS JOIN stats s
+  GROUP BY tfm.doc_id, tfm.conv_id
+),
+cs AS (SELECT DISTINCT doc_id FROM tokall WHERE term = 'fast')
+SELECT m.doc_id, m.conv_id, round(m.raw, 6) AS score,
+       round(m.raw + CASE WHEN c.doc_id IS NULL THEN 0.0 ELSE 2.0 END, 6)
+         AS boosted
+FROM main m LEFT JOIN cs c USING (doc_id)
+ORDER BY m.raw + CASE WHEN c.doc_id IS NULL THEN 0.0 ELSE 2.0 END DESC,
+         m.doc_id ASC
+LIMIT 10
+""",
+        # coverage curve: exact BIGINT cumulative sums, one float
+        # divide per row, ties term ASC on both engines.
+        "vocab_coverage": """
+WITH docs AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+tok AS (SELECT unnest(toks) AS term FROM docs),
+cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY term),
+tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total FROM cf),
+ranked AS (
+  SELECT term, cf,
+         CAST(row_number() OVER (ORDER BY cf DESC, term ASC) AS INT) AS rank,
+         CAST(sum(cf) OVER (
+           ORDER BY cf DESC, term ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum
+  FROM cf
+)
+SELECT rank, term, cf, round(CAST(cum AS DOUBLE) / t.total, 6) AS coverage
+FROM ranked CROSS JOIN tot t
+WHERE rank <= 50 ORDER BY rank
 """,
         **_PIPELINE_ORACLES,
     }

@@ -696,3 +696,68 @@ def field_facet_counts(
     elif offset:
         out = out.offset(offset)
     return out
+
+
+def range_facet_other(
+    df: DataFrame,
+    field: str,
+    start: int,
+    end: int,
+    gap: int,
+    hardend: bool = False,
+) -> DataFrame:
+    """Solr numeric ``facet.range`` with the FULL response envelope:
+    the gap buckets plus ``facet.range.other=all``'s three summary
+    counts (``before``/``between``/``after``) and the ``hardend``
+    knob (org.apache.solr.request.SimpleFacets range semantics,
+    include=lower default — a bucket covers [lo, lo+gap)).
+
+    - buckets: [start + i*gap, start + (i+1)*gap) for i in 0..nb-1,
+      nb = ceil((end-start)/gap). With ``hardend=true`` the LAST
+      bucket is clipped at ``end``; with ``hardend=false`` the bucket
+      grid runs past ``end`` to start + nb*gap (Solr's documented
+      default) and the effective end moves with it.
+    - before  = value <  start
+    - after   = value >= effective end
+    - between = start <= value < effective end
+    - EMPTY buckets are emitted with count 0 (Solr's contract).
+
+    Returns (ord int, bucket string, n_docs long) ordered by ord:
+    ord 0..nb-1 are the gap buckets (labelled by their start value,
+    as Solr labels them), then before/between/after. One corpus scan
+    feeds BOTH legs: a conditional single-row aggregate for the
+    ``other`` counts (no shuffle of row data — partial agg all the
+    way) and a |buckets|-row groupBy for the histogram; the zero-fill
+    spine is a |buckets|-row spark.range LEFT join (broadcast). At
+    100 TB the exchange moves |buckets|+1 rows, never docs."""
+    if gap <= 0:
+        raise ValueError(f"facet.range.gap must be positive, got {gap}")
+    if end <= start:
+        raise ValueError(f"facet.range end must be > start ({start}..{end})")
+    nb = -((start - end) // gap)  # ceil((end-start)/gap) in int math
+    end_eff = end if hardend else start + nb * gap
+    v = F.col(field).cast("long")
+    spark = df.sparkSession
+    others = df.agg(
+        F.count(F.when(v < start, 1)).cast("long").alias("before"),
+        F.count(F.when((v >= start) & (v < end_eff), 1)).cast("long").alias("between"),
+        F.count(F.when(v >= end_eff, 1)).cast("long").alias("after"),
+    ).select(
+        F.expr(
+            f"stack(3, {nb}, 'before', before, {nb + 1}, 'between', between,"
+            f" {nb + 2}, 'after', after) AS (ord, bucket, n_docs)"
+        )
+    )
+    hist = (
+        df.where((v >= start) & (v < end_eff))
+        .select(F.floor((v - F.lit(start)) / F.lit(gap)).cast("int").alias("ord"))
+        .groupBy("ord")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spine = spark.range(nb).select(F.col("id").cast("int").alias("ord"))
+    buckets = spine.join(hist, "ord", "left").select(
+        "ord",
+        (F.lit(start) + F.col("ord") * F.lit(gap)).cast("string").alias("bucket"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_docs"),
+    )
+    return buckets.unionByName(others).orderBy("ord")

@@ -633,3 +633,52 @@ def dsir_resample(
         .orderBy(F.desc("key"), F.asc("doc_id"))
         .limit(n)
     )
+
+
+def vocab_coverage(docs: DataFrame, top_n: int = 50) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design op a training
+    pipeline runs before fixing a vocab size: rank terms by collection
+    frequency and report, for each prefix of the ranking, the fraction
+    of ALL token occurrences the top terms cover (OOV rate of a
+    size-N vocab = 1 - coverage at N). The analysis tokenizer is the
+    index's own ([a-z0-9]+ over lower(), functions/tokenizer.py) so
+    the curve speaks for what the engine would actually index.
+
+    Returns (rank, term, cf, coverage) for ranks 1..top_n, ordered by
+    rank; coverage = round(cum_cf / total_tokens, 6), ties broken
+    term ASC (deterministic on both engines — cum sums of exact
+    BIGINTs, one final float divide).
+
+    Plan shape at 100 TB: tokenize is map-side (explode + regexp —
+    whole-stage codegen); ONE |vocab|-row hash aggregate with map-side
+    combine; total is a scalar partial-agg reduction (broadcast back
+    via crossJoin of a 1-row frame); the head is
+    TakeOrderedAndProject(top_n) — the cumulative window then runs
+    over top_n rows, never the vocab (cumsum at rank r only needs the
+    rows ABOVE r, which the head already holds)."""
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("term")
+    )
+    cf = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("__total"))
+    head = cf.orderBy(F.desc("cf"), F.asc("term")).limit(top_n)
+    order = Window.orderBy(F.desc("cf"), F.asc("term"))
+    cum = order.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        head.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(order).alias("rank"),
+            "term",
+            "cf",
+            F.round(
+                F.sum("cf").over(cum).cast("double") / F.col("__total"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("rank")
+    )

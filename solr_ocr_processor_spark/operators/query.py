@@ -1376,6 +1376,72 @@ def bq_topk(
     )
 
 
+def constant_score_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    cs_term: str,
+    cs_score: float = 1.0,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Lucene constant-score boost — ``field:value^=N`` (the ``^=``
+    operator wraps the clause in a ConstantScoreQuery): docs matching
+    the clause gain EXACTLY ``cs_score``, independent of tf/idf/dl.
+    The main ``query`` defines the match set and contributes its BM25
+    score; the constant clause is an optional SHOULD whose score is a
+    fixed number — Solr users reach for it when a match flag should
+    bump rank by a predictable amount (bq's BM25 contribution varies
+    per doc; ``^=`` does not).
+
+    Returns (doc_id, conv_id, score, boosted): ``score`` the main
+    BM25, ``boosted = score + cs_score`` iff the doc matches
+    ``cs_term`` else ``score``; ordered boosted DESC, doc_id ASC.
+
+    Plan: the constant leg is a dictionary-pruned DISTINCT doc_id
+    spine (no tf/dl read — a membership probe, cheaper than a scorer
+    leg), LEFT-joined flag → one fixed-order double add. Adding a
+    constant is bit-exact, so engine parity needs no float-order
+    argument beyond the main scorer's."""
+    if not query_terms(query, cfg):
+        return spark.createDataFrame(
+            [], "doc_id long, conv_id string, score double, boosted double"
+        )
+    cs_terms = query_terms(cs_term, cfg)
+    if len(cs_terms) != 1:
+        raise FilterSyntaxError(
+            f"constant-score clause must analyze to one term, got {cs_terms!r}"
+        )
+    main = _suppress(bm25_scores(spark, index, query, cfg), exclude_docs)
+    flag = (
+        index.postings.where(F.col("term") == cs_terms[0])
+        .select("doc_id")
+        .distinct()
+        .withColumn("__cs", F.lit(True))
+    )
+    top = (
+        main.join(flag, "doc_id", "left")
+        .select(
+            "doc_id",
+            "score",
+            F.when(
+                F.col("__cs").isNotNull(),
+                F.col("score") + F.lit(float(cs_score)),
+            )
+            .otherwise(F.col("score"))
+            .alias("boosted"),
+        )
+        .orderBy(F.desc("boosted"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return (
+        top.join(F.broadcast(index.doc_meta.select("doc_id", "conv_id")), "doc_id")
+        .select("doc_id", "conv_id", "score", "boosted")
+        .orderBy(F.desc("boosted"), F.asc("doc_id"))
+    )
+
+
 def parse_mm_spec(spec: str, n_clauses: int) -> int:
     """Resolve Solr's (e)dismax ``mm=`` specification to the minimum
     number of optional clauses that must match, for ``n_clauses``

@@ -304,6 +304,38 @@ _AGG = {
     "avg": F.avg,
 }
 
+_GAP = re.compile(r"^\+(\d+)(SECONDS?|MINUTES?|HOURS?|DAYS?)$")
+_GAP_UNIT_S = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+
+
+def _gap_seconds(gap: str) -> int:
+    """Solr date-math gap (``+1HOUR``, ``+30MINUTES``) -> seconds. The
+    calendar-free slice (no +1MONTH: month lengths vary, and an
+    epoch-arithmetic bucket spine — the engine-portable formulation —
+    cannot represent them)."""
+    m = _GAP.match(gap.strip().upper())
+    if not m:
+        raise StreamExprError(f"bad gap {gap!r} (want +N SECONDS|MINUTES|HOURS|DAYS)")
+    return int(m.group(1)) * _GAP_UNIT_S[m.group(2).rstrip("S")]
+
+
+def _iso_epoch(ts: str) -> int:
+    """ISO-8601 UTC instant (``2020-01-01T00:00:00Z``) -> epoch
+    seconds. Computed driver-side with a fixed UTC offset so the
+    bucket spine is independent of any session timezone."""
+    from datetime import datetime, timezone
+
+    t = ts.strip()
+    if t.endswith("Z"):
+        t = t[:-1] + "+00:00"
+    try:
+        d = datetime.fromisoformat(t)
+    except ValueError as e:
+        raise StreamExprError(f"bad ISO instant {ts!r}") from e
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=timezone.utc)
+    return int(d.timestamp())
+
 
 def _metric(node: Node) -> Column:
     """rollup metric: count(*) -> count_all; f(x) -> f_x. Sanitized
@@ -514,6 +546,60 @@ def _compile(node: Node, tables: dict[str, DataFrame]) -> DataFrame:
         if sort:
             out = out.orderBy(*_sort_cols(sort))
         return out
+    if n == "timeseries":
+        # timeseries(collection, q=..., field=ts, start="ISO", end="ISO",
+        # gap="+1HOUR", metric...) — Solr's date-bucketed facet stream.
+        # Lowered to: pushed range filter -> epoch-floor bucket column ->
+        # groupBy/agg (map-side partial combine) -> LEFT join against a
+        # spark.range bucket spine so EMPTY buckets appear with count 0
+        # (Solr emits every gap step between start and end). The spine
+        # is |buckets| rows — driver-free and broadcast by AQE; the only
+        # row shuffle is the |buckets|-row aggregate.
+        if not node.args or not isinstance(node.args[0], str):
+            raise StreamExprError("timeseries wants a collection name")
+        coll = node.args[0]
+        if coll not in tables:
+            raise StreamExprError(f"unknown collection {coll!r}; have {sorted(tables)}")
+        fld = node.kwargs.get("field")
+        start, end, gap = (node.kwargs.get(k) for k in ("start", "end", "gap"))
+        if not fld or not start or not end or not gap:
+            raise StreamExprError("timeseries wants field=, start=, end=, gap=")
+        start_s, end_s, gap_s = _iso_epoch(start), _iso_epoch(end), _gap_seconds(gap)
+        if end_s <= start_s:
+            raise StreamExprError("timeseries wants end > start")
+        metrics = [_metric(a) for a in node.args[1:] if isinstance(a, Node)]
+        if not metrics:
+            raise StreamExprError("timeseries wants at least one metric")
+        df = q_filter(tables[coll], node.kwargs.get("q", "*:*"))
+        if fld not in df.columns:
+            raise StreamExprError(f"unknown field {fld!r}; have {df.columns}")
+        ep = F.unix_timestamp(F.col(fld))
+        agg = (
+            df.where((ep >= start_s) & (ep < end_s))
+            .withColumn(
+                "bucket_start",
+                (
+                    F.lit(start_s)
+                    + F.floor((ep - F.lit(start_s)) / F.lit(gap_s)) * F.lit(gap_s)
+                ).cast("long"),
+            )
+            .groupBy("bucket_start")
+            .agg(*metrics)
+        )
+        spine = (
+            df.sparkSession.range(start_s, end_s, gap_s)
+            .select(F.col("id").cast("long").alias("bucket_start"))
+        )
+        out = spine.join(agg, "bucket_start", "left")
+        # count metrics read 0 in empty buckets (Solr's contract); other
+        # aggregates stay NULL — there is no value to aggregate.
+        for m in node.args[1:]:
+            if isinstance(m, Node) and m.name == "count":
+                name = m.out_alias or "count_all"
+                out = out.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(0)).cast("long")
+                )
+        return out.orderBy("bucket_start")
     if n == "fetch":
         # fetch(collection, <stream>, fl="a,b", on="streamF=collF") —
         # decorate each stream tuple with fields fetched by key from
