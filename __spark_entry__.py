@@ -1967,6 +1967,61 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(_docs(spark, sf_dir), top_n=50)
 
 
+def _q_dismax_tie_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(e)dismax tie= — DisjunctionMaxQuery over role fields: per term
+    the BEST field's BM25 clause score plus tie x the others (each
+    field its own scorer with per-field df/idf and length norms)
+    (operators/bm25f.dismax_tie_topk)."""
+    from solr_ocr_processor_spark.operators.bm25f import dismax_tie_topk
+
+    t = derive_transcripts(spark, sf_dir, TW)
+    return dismax_tie_topk(
+        t, list(FLAGSHIP_TERMS), {"assistant": 2.0, "user": 1.0}, tie=0.3, k=10
+    )
+
+
+def _q_pf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edismax pf2= bigram phrase boost: bm25(q) + 0.5 x the summed
+    phrase clause scores of every ADJACENT query-term pair — partial
+    word-order preservation outranks bag-of-words
+    (operators/query.pf2_topk)."""
+    from solr_ocr_processor_spark.operators.query import pf2_topk
+
+    idx = _index(spark, sf_dir)
+    top = pf2_topk(spark, idx, FLAGSHIP_QUERY, pf2_weight=0.5, k=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning rules (Raffel et al. 2020) as a
+    per-source audit: terminal-punctuation + >=5-word + no-javascript
+    line filter, >=3 kept lines, lorem-ipsum / curly-brace tripwires
+    (operators/pipeline.c4_rules_profile)."""
+    from solr_ocr_processor_spark.operators.pipeline import c4_rules_profile
+
+    return c4_rules_profile(_docs(spark, sf_dir))
+
+
+def _q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking with overlap (size=64 stride=48):
+    every token lands in >=1 chunk, consecutive chunks overlap by 16
+    tokens — the RAG / long-context prep pass
+    (operators/split.chunk_overlap)."""
+    from solr_ocr_processor_spark.operators.split import chunk_overlap
+
+    return chunk_overlap(_docs(spark, sf_dir), size=64, stride=48)
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear quality-classifier inference (fastText shape):
+    md5-bucketed bag of words x deterministic integer weight vector,
+    exact BIGINT dot, one sigmoid per doc
+    (operators/pipeline.quality_classifier)."""
+    from solr_ocr_processor_spark.operators.pipeline import quality_classifier
+
+    return quality_classifier(_docs(spark, sf_dir), n_buckets=4096)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2111,6 +2166,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_range_other": _q_facet_range_other,
         "constant_score_topk": _q_constant_score_topk,
         "vocab_coverage": _q_vocab_coverage,
+        "dismax_tie_topk": _q_dismax_tie_topk,
+        "pf2_topk": _q_pf2_topk,
+        "c4_rules": _q_c4_rules,
+        "chunk_overlap": _q_chunk_overlap,
+        "quality_classifier": _q_quality_classifier,
     }
 
 
@@ -5459,6 +5519,182 @@ ranked AS (
 SELECT rank, term, cf, round(CAST(cum AS DOUBLE) / t.total, 6) AS coverage
 FROM ranked CROSS JOIN tot t
 WHERE rank <= 50 ORDER BY rank
+""",
+        # dismax tie=0.3: each role is its OWN scorer (per-field df/idf
+        # and length norms); per term max + tie*(sum-max), summed.
+        "dismax_tie_topk": f"""
+WITH {_CTE},
+tk AS (
+  SELECT conv_id, role,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM transcripts WHERE role IN ('assistant', 'user')
+),
+dlf AS (SELECT conv_id, role, count(*) AS dl_f FROM tk GROUP BY conv_id, role),
+av AS (SELECT role, avg(dl_f) AS avgdl_f FROM dlf GROUP BY role),
+nd AS (SELECT count(DISTINCT conv_id) AS n_docs FROM transcripts),
+tf AS (SELECT conv_id, role, term, count(*) AS tf FROM tk
+       WHERE term IN {FLAGSHIP_TERMS!r} GROUP BY conv_id, role, term),
+dff AS (SELECT role, term, count(*) AS df FROM tf GROUP BY role, term),
+idff AS (SELECT role, term,
+                ln(1 + (nd.n_docs - df + 0.5) / (df + 0.5)) AS idf
+         FROM dff CROSS JOIN nd),
+cl AS (
+  SELECT tf.conv_id, tf.term,
+         (CASE tf.role WHEN 'assistant' THEN 2.0 ELSE 1.0 END)
+         * idff.idf * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dlf.dl_f / av.avgdl_f)) AS s
+  FROM tf JOIN dlf USING (conv_id, role) JOIN av USING (role)
+       JOIN idff USING (role, term)
+),
+dm AS (SELECT conv_id, term, max(s) + 0.3 * (sum(s) - max(s)) AS dm
+       FROM cl GROUP BY conv_id, term),
+sc AS (SELECT conv_id, round(sum(dm), 6) AS score FROM dm GROUP BY conv_id)
+SELECT conv_id, score FROM sc ORDER BY score DESC, conv_id ASC LIMIT 10
+""",
+        # pf2: the pf machinery once per ADJACENT bigram of the
+        # flagship query; a doc hit by both bigrams sums two clause
+        # scores (two-value float add: order-exact on any engine).
+        "pf2_topk": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tokp AS (
+  SELECT doc_id, conv_id, dl, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM ids
+),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tokp WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokp
+          WHERE term IN {FLAGSHIP_TERMS!r} GROUP BY term),
+base AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+),
+idf AS (SELECT term, ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf
+        FROM dfreq CROSS JOIN stats s),
+b0a0 AS (SELECT doc_id, pos AS anchor FROM tokp WHERE term = '{FLAGSHIP_TERMS[0]}'),
+b0a1 AS (SELECT doc_id, pos - 1 AS anchor FROM tokp WHERE term = '{FLAGSHIP_TERMS[1]}'),
+ph0 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ptf
+        FROM b0a0 JOIN b0a1 USING (doc_id, anchor) GROUP BY doc_id),
+b1a0 AS (SELECT doc_id, pos AS anchor FROM tokp WHERE term = '{FLAGSHIP_TERMS[1]}'),
+b1a1 AS (SELECT doc_id, pos - 1 AS anchor FROM tokp WHERE term = '{FLAGSHIP_TERMS[2]}'),
+ph1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ptf
+        FROM b1a0 JOIN b1a1 USING (doc_id, anchor) GROUP BY doc_id),
+si0 AS (SELECT sum(idf) AS s FROM idf
+        WHERE term IN ('{FLAGSHIP_TERMS[0]}', '{FLAGSHIP_TERMS[1]}')),
+si1 AS (SELECT sum(idf) AS s FROM idf
+        WHERE term IN ('{FLAGSHIP_TERMS[1]}', '{FLAGSHIP_TERMS[2]}')),
+p0 AS (SELECT ph0.doc_id,
+              si0.s * (ph0.ptf * 2.2)
+              / (ph0.ptf + 1.2 * (0.25 + 0.75 * ids.dl / st.avgdl)) AS p
+       FROM ph0 JOIN ids USING (doc_id) CROSS JOIN stats st CROSS JOIN si0),
+p1 AS (SELECT ph1.doc_id,
+              si1.s * (ph1.ptf * 2.2)
+              / (ph1.ptf + 1.2 * (0.25 + 0.75 * ids.dl / st.avgdl)) AS p
+       FROM ph1 JOIN ids USING (doc_id) CROSS JOIN stats st CROSS JOIN si1),
+pall AS (SELECT doc_id, sum(p) AS p2
+         FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1) GROUP BY doc_id),
+fin AS (
+  SELECT b.doc_id, b.conv_id, b.raw + 0.5 * coalesce(pall.p2, 0) AS sc
+  FROM base b LEFT JOIN pall USING (doc_id)
+)
+SELECT doc_id, conv_id, round(sc, 6) AS score
+FROM fin ORDER BY sc DESC, doc_id ASC
+LIMIT 10
+""",
+        # C4 line rules: list_filter lambda == Spark's F.filter lambda;
+        # \\S+ word count and rtrim-then-terminal-punct on both sides.
+        "c4_rules": r"""
+WITH l AS (
+  SELECT doc_id, source, text, string_split(text, chr(10)) AS ls
+  FROM documents
+),
+k AS (
+  SELECT source,
+         CAST(len(ls) AS BIGINT) AS nl,
+         CAST(len(list_filter(ls,
+           x -> regexp_matches(rtrim(x), '[.!?"]$')
+                AND len(regexp_extract_all(trim(x), '\S+')) >= 5
+                AND NOT contains(lower(x), 'javascript'))) AS BIGINT) AS nk,
+         contains(lower(text), 'lorem ipsum') AS f_lorem,
+         contains(text, '{') AS f_brace
+  FROM l
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN nk >= 3 AND NOT f_lorem AND NOT f_brace
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN nk < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_few_lines,
+       CAST(sum(CASE WHEN f_lorem THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_lorem,
+       CAST(sum(CASE WHEN f_brace THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_brace,
+       round(CAST(sum(nk) AS DOUBLE) / CAST(sum(nl) AS DOUBLE), 6)
+         AS kept_line_frac
+FROM k GROUP BY source ORDER BY source
+""",
+        # chunking: generate_series stop is inclusive == F.sequence;
+        # DuckDB list slice clips at the list end like F.slice.
+        "chunk_overlap": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+st AS (
+  SELECT doc_id, toks, n, CAST(u.x AS INT) AS tok_start,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY u.x) - 1
+              AS INT) AS chunk_idx
+  FROM nz, UNNEST(generate_series(0, CAST(((n - 1) // 48) * 48 AS BIGINT),
+                                   48)) u(x)
+)
+SELECT doc_id, chunk_idx, tok_start,
+       CAST(len(toks[tok_start + 1 : tok_start + 64]) AS INT) AS n_tokens,
+       array_to_string(toks[tok_start + 1 : tok_start + 64], ' ')
+         AS chunk_text
+FROM st ORDER BY doc_id, chunk_idx
+""",
+        # classifier: exact BIGINT dot (order-free), one float divide
+        # + sigmoid per doc; weights replay from md5('qw:'||bucket).
+        "quality_classifier": """
+WITH w AS (
+  SELECT CAST(x AS BIGINT) AS bucket,
+         ('0x' || substr(md5('qw:' || CAST(x AS VARCHAR)), 1, 15))::BIGINT
+           % 2000001 - 1000000 AS w_int
+  FROM generate_series(0, 4095) s(x)
+),
+t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+f AS (SELECT doc_id, unnest(toks) AS f FROM t),
+fb AS (SELECT doc_id,
+              ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS bucket
+       FROM f),
+agg AS (SELECT fb.doc_id, CAST(sum(w.w_int) AS BIGINT) AS dot_int,
+               CAST(count(*) AS BIGINT) AS n_feats
+        FROM fb JOIN w USING (bucket) GROUP BY fb.doc_id),
+z AS (
+  SELECT d.doc_id,
+         CAST(coalesce(a.n_feats, 0) AS BIGINT) AS n_feats,
+         CAST(coalesce(
+           (CASE WHEN a.dot_int < 0 THEN -1 ELSE 1 END)
+           * ((2 * abs(a.dot_int) + a.n_feats) // (2 * a.n_feats)),
+           0) AS BIGINT) AS logit_ppm
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, n_feats, logit_ppm,
+       round(1.0 / (1.0 + exp(-(logit_ppm / 1000000.0))), 6) AS prob
+FROM z ORDER BY doc_id
 """,
         **_PIPELINE_ORACLES,
     }

@@ -128,3 +128,113 @@ def bm25f_topk(
         )
     )
     return scored.orderBy(F.desc("score"), F.asc("conv_id")).limit(k)
+
+
+def dismax_tie_topk(
+    turns: DataFrame,
+    terms: list[str] | tuple[str, ...],
+    field_weights: dict[str, float] | None = None,
+    tie: float = 0.3,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(e)dismax ``tie=`` — DisjunctionMaxQuery over role fields: per
+    query term the doc's score is the BEST single field's clause score
+    plus ``tie`` times the other fields' scores
+    (``max + tie * (sum - max)``, Lucene DisjunctionMaxQuery exactly).
+    ``tie=0`` is pure dismax (best field wins outright), ``tie=1``
+    degrades to a plain per-field sum. The reference forwards edismax
+    params verbatim to Solr (app/process/solr.go:48-49), where ``tie``
+    is the standard lever against the "long doc matched twice beats
+    short doc matched well" artifact of summing fields.
+
+    Unlike :func:`bm25f_topk` (shared saturation, any-field df), each
+    field here is its OWN scorer with per-field df/idf and per-field
+    length norms — Lucene computes field statistics independently and
+    the dismax combiner sees finished per-field scores.
+
+    Returns (conv_id, score) ordered by (score desc, conv_id asc),
+    score rounded to 6 dp BEFORE the cut.
+
+    Scale shape: one tokenize pass feeds dl_f and tf (term filter
+    BEFORE the tf shuffle); avgdl_f (|roles| rows), per-field df
+    (|Q|·|roles| rows) and n_docs broadcast; the max/sum combine is a
+    (conv, term)-keyed aggregate over at most |roles| rows per key;
+    the cut lowers to TakeOrderedAndProject. No corpus-sized side ever
+    shuffles more than (conv, role|term) keyed aggregates."""
+    if not terms:
+        raise ValueError("dismax_tie_topk wants at least one query term")
+    if not 0.0 <= tie <= 1.0:
+        raise ValueError(f"tie must be in [0, 1], got {tie}")
+    if field_weights is None:
+        field_weights = {"assistant": 2.0, "user": 1.0}
+    roles = sorted(field_weights)
+    wmap = F.create_map(
+        *[x for r in roles for x in (F.lit(r), F.lit(float(field_weights[r])))]
+    )
+    toks = turns.where(F.col("role").isin(roles)).select(
+        "conv_id",
+        "role",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("term"),
+    )
+    # pinned: feeds the contrib join AND the avgdl aggregate (one
+    # corpus tokenize, same discipline as bm25f_topk)
+    dlf = toks.groupBy("conv_id", "role").agg(
+        F.count(F.lit(1)).alias("dl_f")
+    ).persist()
+    avgdlf = dlf.groupBy("role").agg(F.avg("dl_f").alias("avgdl_f"))
+    ndocs = turns.agg(F.countDistinct("conv_id").alias("n_docs"))
+    tf = (
+        toks.where(F.col("term").isin(list(terms)))
+        .groupBy("conv_id", "role", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # per-FIELD document frequency: each field is an independent
+    # Lucene scorer, so df counts docs where t occurs in THAT role
+    dff = (
+        tf.select("conv_id", "role", "term")
+        .groupBy("role", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idff = dff.crossJoin(F.broadcast(ndocs)).select(
+        "role",
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    clause = (
+        tf.join(dlf, ["conv_id", "role"])
+        .join(F.broadcast(avgdlf), "role")
+        .join(F.broadcast(idff), ["role", "term"])
+        .select(
+            "conv_id",
+            "term",
+            (
+                wmap[F.col("role")]
+                * F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl_f") / F.col("avgdl_f")
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    dismax = clause.groupBy("conv_id", "term").agg(
+        (
+            F.max("s") + F.lit(float(tie)) * (F.sum("s") - F.max("s"))
+        ).alias("dm")
+    )
+    scored = dismax.groupBy("conv_id").agg(
+        F.round(F.sum("dm"), 6).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("conv_id")).limit(k)

@@ -682,3 +682,162 @@ def vocab_coverage(docs: DataFrame, top_n: int = 50) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+def c4_rules_profile(
+    docs: DataFrame,
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning rules (Raffel et al. 2020 §2.2 — the
+    other canonical web-corpus filter set next to Gopher's
+    :func:`gopher_rules_profile`), as a per-source audit profile.
+
+    C4 works at LINE granularity where Gopher works at token
+    granularity: a line is retained iff it ends in a terminal
+    punctuation mark (``. ! ? "``), contains at least
+    ``min_line_words`` whitespace words, and does not contain the
+    word "javascript" (case-insensitive). A document is kept iff it
+    retains at least ``min_kept_lines`` lines, does not contain the
+    phrase "lorem ipsum" (case-insensitive), and does not contain a
+    curly brace ``{`` (the paper's code-leak tripwire).
+
+    Returns (source, n_docs, n_kept, n_fail_few_lines, n_fail_lorem,
+    n_fail_brace, kept_line_frac) ordered by source; fail counts are
+    per-rule (a doc can fail several); ``kept_line_frac`` is the
+    corpus-level retained-line ratio rounded to 6 dp (what fraction of
+    the source's lines survive the line filter — exact BIGINT counts,
+    one final divide, engine-portable).
+
+    Plan: ONE narrow projection evaluates every rule with array
+    lambda expressions (split / filter / size — JVM-side codegen, no
+    explode, no Python), then a source-keyed partial+final count. At
+    100 TB the exchange moves |sources| rows."""
+    lines = F.split(F.col("text"), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.rtrim(l).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_line_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    n_lines = F.size(lines)
+    n_kept_lines = F.size(kept)
+    f_few = n_kept_lines < min_kept_lines
+    f_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    f_brace = F.col("text").contains("{")
+    flagged = docs.select(
+        "source",
+        n_lines.cast("long").alias("nl"),
+        n_kept_lines.cast("long").alias("nk"),
+        f_few.alias("f_few"),
+        f_lorem.alias("f_lorem"),
+        f_brace.alias("f_brace"),
+    )
+    cnt = lambda c: F.sum(F.col(c).cast("long")).cast("long")  # noqa: E731
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (~F.col("f_few") & ~F.col("f_lorem") & ~F.col("f_brace"))
+                .cast("long")
+            )
+            .cast("long")
+            .alias("n_kept"),
+            cnt("f_few").alias("n_fail_few_lines"),
+            cnt("f_lorem").alias("n_fail_lorem"),
+            cnt("f_brace").alias("n_fail_brace"),
+            F.round(
+                F.sum("nk").cast("double") / F.sum("nl").cast("double"), 6
+            ).alias("kept_line_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def quality_classifier(
+    docs: DataFrame,
+    n_buckets: int = 4096,
+    bias: float = 0.0,
+    seed: str = "qw",
+) -> DataFrame:
+    """Hashed-linear quality-classifier INFERENCE — the fastText /
+    logistic-regression shape every production pipeline runs to score
+    web documents (CCNet, FineWeb-Edu, Llama's wiki-reference
+    classifier): a bag of hashed token features, a dense weight
+    vector, one dot product, a sigmoid. The engine-portable core is
+    the distributed inference pass; the weight VECTOR is a plug-in —
+    here derived deterministically from md5 so tests and the DuckDB
+    oracle replay bit-for-bit (a trained vector drops in as any
+    |buckets|-row (bucket, w_int) table without touching the plan).
+
+    Features: unigrams of the standard ``[a-z0-9]+`` stream, hashed
+    to ``bucket = md5_60bit(term) % n_buckets`` (the
+    :func:`dsir_importance` discipline). Weights: ``w_int(b) =
+    md5_60bit("{seed}:{b}") % 2_000_001 - 1_000_000`` — an exact
+    integer in [-1e6, 1e6] standing for a float in [-1, 1] at 1e-6
+    resolution. The doc logit is
+
+        z(d) = bias + (Σ_f w_int(bucket(f))) / (1e6 · n_feats(d))
+
+    i.e. the MEAN feature weight (fastText averages input vectors) —
+    the Σ is an exact BIGINT sum, so z is identical regardless of
+    aggregation order on any engine. The logit is emitted
+    INTEGER-SCALED (``logit_ppm = round_half_away(z * 1e6)``, computed
+    in pure integer arithmetic — the ``functions/lm.py`` discipline:
+    Spark's decimal HALF_UP round of a double and DuckDB's float
+    round disagree exactly at 6-dp half boundaries, and an exact mean
+    of integer weights LIVES on those boundaries). Returns (doc_id,
+    n_feats, logit_ppm, prob) for EVERY doc — feature-less docs score
+    (0, sigmoid(bias)); prob rounded to 6 dp.
+
+    Scale shape: the weight table is ``n_buckets`` rows built from
+    ``spark.range`` (metadata-sized, broadcast); hashing is JVM-side
+    codegen; the only corpus-scale exchange is the doc_id-keyed
+    integer sum. Nothing collects to the driver."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    spark = docs.sparkSession
+    h60 = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    )
+    weights = spark.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket"),
+        (
+            h60(F.concat(F.lit(f"{seed}:"), F.col("id").cast("string")))
+            % 2_000_001
+            - 1_000_000
+        ).alias("w_int"),
+    )
+    toks = F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    feats = (
+        docs.select("doc_id", F.explode(toks).alias("f"))
+        .select("doc_id", (h60(F.col("f")) % n_buckets).alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_int").cast("long").alias("dot_int"),
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+        )
+    )
+    bias_ppm = int(round(float(bias) * 1_000_000))
+    # round-half-away-from-zero of dot_int / n_feats in EXACT integer
+    # arithmetic: sign * ((2|dot| + n) div (2n)) — both engines'
+    # integer division agrees for the positive operands this builds
+    ppm = F.lit(bias_ppm) + F.coalesce(
+        F.when(F.col("dot_int") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+        * F.expr("(2 * abs(dot_int) + n_feats) div (2 * n_feats)"),
+        F.lit(0).cast("long"),
+    )
+    z = ppm.cast("double") / F.lit(1_000_000.0)
+    return (
+        docs.select("doc_id")
+        .join(feats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+            ppm.cast("long").alias("logit_ppm"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("prob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -914,6 +914,103 @@ def pf_topk(
     return resolve_conv_ids(index, top)
 
 
+def pf2_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    pf2_weight: float = 1.0,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+    bidx=None,
+) -> DataFrame:
+    """edismax bigram phrase boost (``pf2=``): rank by
+    ``bm25(q) + pf2_weight * Σ phrase_score(bigram)`` over every pair
+    of ADJACENT query terms — "spark window merge" builds the clauses
+    "spark window" and "window merge". Where ``pf=`` only rewards the
+    full phrase, ``pf2`` rewards partial word-order preservation, so
+    docs that keep SOME of the query's adjacency outrank pure
+    bag-of-words matches; the reference forwards such edismax params
+    verbatim to Solr (app/process/solr.go:48-49). Duplicate adjacent
+    pairs (Lucene: duplicate SHOULD clauses) each contribute.
+
+    Per-bigram clause score = (idf(t0)+idf(t1)) ·
+    tfnorm(bigram phrase_tf) — the same Lucene phrase-clause shape as
+    :func:`pf_topk`; a bigram with an unindexed term contributes
+    nothing (its phrase can match no doc).
+
+    Plan: the disjunctive leg is the standard dictionary-broadcast
+    scoring; each bigram leg is one positional anchor intersection
+    (:func:`_phrase_counts`, block-range pruned when ``bidx`` is
+    passed) whose output is only the bigram-matching docs; the legs
+    union (|bigrams| small frames) into ONE doc_id-keyed sum before a
+    LEFT join to the base — never corpus-wide."""
+    terms = [t for _, t, _, _ in tokenize_text(query, cfg)]
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, conv_id string, score double")
+    base = _suppress(bm25_scores(spark, index, query, cfg=cfg), exclude_docs)
+    bigrams = list(zip(terms, terms[1:]))
+    crow = index.corpus.first()
+    n_docs, avgdl = int(crow["n_docs"]), float(crow["avgdl"])
+    dfs = {
+        r["term"]: r["df"]
+        for r in index.term_stats.where(
+            F.col("term").isin(list(set(terms)))
+        ).collect()
+    }
+    import math
+
+    k1, b = float(cfg.k1), float(cfg.b)
+    legs = []
+    for t0, t1 in bigrams:
+        if t0 not in dfs or t1 not in dfs:
+            continue
+        sum_idf = sum(
+            math.log1p((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in (t0, t1)
+        )
+        legs.append(
+            _phrase_counts(index, [t0, t1], bidx, dfs=dfs).select(
+                "doc_id",
+                (
+                    F.lit(sum_idf)
+                    * (F.col("phrase_tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("phrase_tf")
+                        + F.lit(k1)
+                        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                    )
+                ).alias("p"),
+            )
+        )
+    scored = base
+    if legs:
+        from functools import reduce
+
+        p2 = (
+            reduce(DataFrame.unionByName, legs)
+            .groupBy("doc_id")
+            # sorted fold: a doc hit by several bigram legs sums their
+            # clause scores in deterministic (ascending) order, so the
+            # total is bit-stable across partitionings / leg order
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list("p")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("p2")
+            )
+        )
+        scored = base.join(p2, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.col("score")
+                + F.lit(float(pf2_weight)) * F.coalesce(F.col("p2"), F.lit(0.0))
+            ).alias("score"),
+        )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return resolve_conv_ids(index, top)
+
+
 def term_boost_topk(
     spark: SparkSession,
     index: Index,

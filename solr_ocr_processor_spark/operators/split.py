@@ -257,3 +257,64 @@ def domain_cap(
         )
         .orderBy("domain")
     )
+
+
+def chunk_overlap(
+    docs: DataFrame,
+    size: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking with overlap — the RAG /
+    long-context prep step that pairs with :func:`pack_sequences`:
+    each document's token stream is cut into windows of ``size``
+    tokens starting every ``stride`` tokens (``stride < size`` ⇒
+    consecutive chunks overlap by ``size - stride``, the usual recipe
+    so no passage is split mid-context without a copy that isn't).
+
+    Window starts are 0, stride, 2·stride, …; the LAST window starts
+    at the largest multiple of stride < n_tokens (a trailing short
+    window is emitted — every token appears in ≥1 chunk; windows
+    starting at or past n_tokens are not). Empty docs emit nothing.
+    Tokens are the engine's standard [a-z0-9]+ analysis, so chunk text
+    is the normalized token stream (retrieval-side text, not the raw
+    bytes — the raw doc is one lazy join away by doc_id).
+
+    Returns (doc_id, chunk_idx, tok_start, n_tokens, chunk_text):
+    chunk_idx dense from 0 per doc, tok_start the doc-local token
+    offset, n_tokens the chunk's own length, chunk_text the
+    space-joined tokens. Ordered (doc_id, chunk_idx).
+
+    Plan shape: tokenize + window enumeration are ONE map-side
+    projection (regexp_extract_all → sequence() over starts → explode
+    → slice) — whole-stage codegen, no shuffle at all until a consumer
+    asks for one; at 100 TB this is a pure scan→write pass whose
+    output rows ≈ input tokens / stride."""
+    if size <= 0 or stride <= 0:
+        raise ValueError(f"size and stride must be positive ({size}, {stride})")
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks")).where(
+        F.size("_toks") > 0
+    )
+    starts = F.sequence(
+        F.lit(0),
+        ((F.size("_toks") - 1) / stride).cast("int") * stride,
+        F.lit(stride),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("tok_start") + 1, size)
+    return (
+        d.select(
+            "doc_id",
+            "_toks",
+            F.posexplode(starts).alias("chunk_idx", "tok_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("tok_start").cast("int").alias("tok_start"),
+            F.size(chunk).cast("int").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
