@@ -101,6 +101,10 @@ from solr_ocr_processor_spark.operators.score import (
     phrase_snippets,
     snippets,
 )
+from solr_ocr_processor_spark.functions.tokenizer import (
+    S_STEM_SQL_CASE,
+    STOPWORDS_EN,
+)
 from solr_ocr_processor_spark.plans.materialize import materialize_docs, ordered_turns
 from solr_ocr_processor_spark.sources.transcripts import (
     derive_transcripts,
@@ -2022,6 +2026,56 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(_docs(spark, sf_dir), n_buckets=4096)
 
 
+def _q_hybrid_blend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by convex score combination: min-max
+    normalized BM25 top-50 + cosine top-50, blend = 0.6*lex +
+    0.4*vec (operators/hybrid.blend_fusion_topk) — the alpha-blend
+    fusion next to RRF; preserves margin info rank fusion discards."""
+    from solr_ocr_processor_spark.operators.hybrid import blend_fusion_topk
+
+    idx = _index(spark, sf_dir)
+    return blend_fusion_topk(
+        spark,
+        idx,
+        _embs(spark, sf_dir),
+        FLAGSHIP_QUERY,
+        _qvec(spark, sf_dir),
+        alpha=0.6,
+        k=10,
+    )
+
+
+def _q_stopstem_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 under a text_en-style analysis chain: lowercase ->
+    [a-z0-9]+ -> Lucene default English stop set -> Harman S-stemmer,
+    applied identically at doc and query side; dl is the post-filter
+    token count (operators/bm25f.stopstem_topk)."""
+    from solr_ocr_processor_spark.operators.bm25f import stopstem_topk
+
+    t = derive_transcripts(spark, sf_dir, TW)
+    return stopstem_topk(t, "the spark windows merges", k=10)
+
+
+def _q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call transition counts over agent transcripts: corpus-wide
+    (src_tool -> dst_tool) frequencies with a START pseudo-state, the
+    Markov skeleton of agentic behavior
+    (operators/conversation.tool_transitions)."""
+    from solr_ocr_processor_spark.operators.conversation import tool_transitions
+
+    return tool_transitions(derive_transcripts(spark, sf_dir, TW))
+
+
+def _q_conv_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation well-formedness lint: starts-with-user /
+    ends-with-assistant / role-alternation / empty-turn checks per
+    conversation, under the engine's stable turn ordering
+    (operators/conversation.conv_lint)."""
+    from solr_ocr_processor_spark.operators.conversation import conv_lint
+
+    return conv_lint(derive_transcripts(spark, sf_dir, TW))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2171,6 +2225,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": _q_c4_rules,
         "chunk_overlap": _q_chunk_overlap,
         "quality_classifier": _q_quality_classifier,
+        "hybrid_blend_topk": _q_hybrid_blend_topk,
+        "stopstem_topk": _q_stopstem_topk,
+        "tool_transitions": _q_tool_transitions,
+        "conv_lint": _q_conv_lint,
     }
 
 
@@ -5695,6 +5753,154 @@ z AS (
 SELECT doc_id, n_feats, logit_ppm,
        round(1.0 / (1.0 + exp(-(logit_ppm / 1000000.0))), 6) AS prob
 FROM z ORDER BY doc_id
+""",
+        # alpha-blend hybrid: min-max normalize each leg INSIDE its
+        # top-50 window, 0.6*lex + 0.4*vec; missing leg contributes 0.
+        "hybrid_blend_topk": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.conv_id
+),
+lexw AS (
+  SELECT conv_id, raw,
+         row_number() OVER (ORDER BY raw DESC, doc_id ASC) AS rn
+  FROM scored
+),
+lex AS (SELECT conv_id, raw FROM lexw WHERE rn <= 50),
+lb AS (SELECT min(raw) AS lo, max(raw) AS hi FROM lex),
+nlex AS (
+  SELECT conv_id,
+         CASE WHEN lb.hi > lb.lo THEN (raw - lb.lo) / (lb.hi - lb.lo)
+              ELSE 1.0 END AS norm_lex
+  FROM lex CROSS JOIN lb
+),
+q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = 0),
+sim AS (SELECT vec_id AS id,
+               list_cosine_similarity(list_transform(embedding, x -> x::DOUBLE),
+                                      q.qv) AS c
+        FROM embeddings CROSS JOIN q),
+vecw AS (
+  SELECT id, c, row_number() OVER (ORDER BY c DESC, id ASC) AS rn
+  FROM sim
+),
+vec AS (SELECT 'c' || lpad(CAST(id AS VARCHAR), 8, '0') AS conv_id, c
+        FROM vecw WHERE rn <= 50),
+vb AS (SELECT min(c) AS lo, max(c) AS hi FROM vec),
+nvec AS (
+  SELECT conv_id,
+         CASE WHEN vb.hi > vb.lo THEN (c - vb.lo) / (vb.hi - vb.lo)
+              ELSE 1.0 END AS norm_vec
+  FROM vec CROSS JOIN vb
+),
+fused AS (
+  SELECT coalesce(nlex.conv_id, nvec.conv_id) AS conv_id,
+         round(0.6 * coalesce(norm_lex, 0) + 0.4 * coalesce(norm_vec, 0), 6)
+           AS blend_score,
+         round(coalesce(norm_lex, 0), 6) AS norm_lex,
+         round(coalesce(norm_vec, 0), 6) AS norm_vec
+  FROM nlex FULL OUTER JOIN nvec ON nlex.conv_id = nvec.conv_id
+)
+SELECT ids.doc_id, fused.conv_id, blend_score, norm_lex, norm_vec
+FROM fused LEFT JOIN ids ON fused.conv_id = ids.conv_id
+ORDER BY blend_score DESC, fused.conv_id ASC
+LIMIT 10
+""",
+        # stop+stem analysis chain: Lucene default English stop set,
+        # Harman S-stemmer as the same ordered CASE on both engines;
+        # query "the spark windows merges" analyzes to
+        # (merge, spark, window); dl counts POST-filter tokens.
+        "stopstem_topk": f"""
+WITH {_CTE},
+tk AS (
+  SELECT conv_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS raw
+  FROM transcripts
+),
+an AS (
+  SELECT conv_id,
+         {S_STEM_SQL_CASE.format(t="raw")} AS term
+  FROM tk WHERE raw NOT IN {STOPWORDS_EN!r}
+),
+dl AS (SELECT conv_id, count(*) AS dl FROM an GROUP BY conv_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT conv_id, term, count(*) AS tf FROM an
+       WHERE term IN ('merge', 'spark', 'window') GROUP BY conv_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf
+        FROM dft CROSS JOIN stats s),
+sc AS (
+  SELECT tf.conv_id,
+         round(sum(
+           idf.idf * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 6) AS score
+  FROM tf JOIN dl USING (conv_id) JOIN idf USING (term) CROSS JOIN stats s
+  GROUP BY tf.conv_id
+)
+SELECT conv_id, score FROM sc ORDER BY score DESC, conv_id ASC LIMIT 10
+""",
+        # tool transitions: lag over the tool-bearing subsequence per
+        # conv (non-tool turns transparent), START pseudo-state.
+        "tool_transitions": f"""
+WITH {_CTE},
+seq AS (
+  SELECT conv_id, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS prev
+  FROM transcripts WHERE tool IS NOT NULL
+)
+SELECT coalesce(prev, 'START') AS src_tool, tool AS dst_tool,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq GROUP BY 1, 2
+ORDER BY n DESC, src_tool ASC, dst_tool ASC
+""",
+        # conv lint: one windowed pass per conv under the stable
+        # (turn_idx, ts) turn order, then a conv-keyed aggregate.
+        "conv_lint": f"""
+WITH {_CTE},
+t AS (
+  SELECT conv_id,
+         first_value(role) OVER w_all AS fr,
+         last_value(role) OVER w_all AS lr,
+         (lag(role) OVER w = role) AS same_adj,
+         (trim(text) = '') AS empty_t
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts),
+         w_all AS (PARTITION BY conv_id ORDER BY turn_idx, ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING)
+),
+agg AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         max(fr) AS fr, max(lr) AS lr,
+         CAST(coalesce(sum(CASE WHEN same_adj THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_same_role_adjacent,
+         CAST(coalesce(sum(CASE WHEN empty_t THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_empty_turns
+  FROM t GROUP BY conv_id
+)
+SELECT conv_id, n_turns,
+       (fr = 'user') AS starts_with_user,
+       (lr = 'assistant') AS ends_with_assistant,
+       n_same_role_adjacent, n_empty_turns,
+       ((fr = 'user') AND (lr = 'assistant')
+        AND n_same_role_adjacent = 0 AND n_empty_turns = 0) AS clean
+FROM agg ORDER BY conv_id
 """,
         **_PIPELINE_ORACLES,
     }

@@ -345,3 +345,79 @@ def count_turn_tokens(turns: DataFrame, cfg: IndexConfig = DEFAULT) -> DataFrame
             )
 
     return turns.select("conv_id", "text").mapInPandas(_count, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Analysis-chain extras: Lucene's default English stop set + the
+# Harman S-stemmer, both as pure column expressions so index-time,
+# query-time and the DuckDB oracle share one definition.
+# ---------------------------------------------------------------------------
+
+# org.apache.lucene.analysis.en.EnglishAnalyzer#ENGLISH_STOP_WORDS_SET
+# (Lucene's 33-word default; StandardAnalyzer inherits it).
+STOPWORDS_EN = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+)
+
+
+def s_stem(col):
+    """Harman's S-stemmer (Harman 1991, "How effective is suffixing?")
+    — the minimal English plural stripper (same niche as Lucene's
+    EnglishMinimalStemFilter): exactly one of three ordered rules
+    fires:
+
+      1. ``ies`` → ``y``   unless the word ends ``eies``/``aies``
+      2. ``es``  → ``e``   (drop the s) unless ``aes``/``ees``/``oes``
+      3. ``s``   → ``''``  unless ``us``/``ss``
+
+    The LONGEST matching suffix selects its rule and the rule's
+    exception blocks stemming OUTRIGHT (no fall-through: "goes"
+    matches rule 2, its ``oes`` exception protects it, and rule 3
+    never sees it — falling through would undo every exception).
+    Words of length <= 2 pass through (nothing shorter has a plural
+    suffix to strip). A pure nested-CASE + regexp_replace column
+    expression — whole-stage codegen on Spark, literally replayable
+    as SQL CASE in the oracle."""
+    from pyspark.sql import Column, functions as F
+
+    t = col if isinstance(col, Column) else F.col(col)
+    return (
+        F.when(F.length(t) <= 2, t)
+        .when(
+            t.rlike("ies$"),
+            F.when(t.rlike("(eies|aies)$"), t).otherwise(
+                F.regexp_replace(t, "ies$", "y")
+            ),
+        )
+        .when(
+            t.rlike("es$"),
+            F.when(t.rlike("(aes|ees|oes)$"), t).otherwise(
+                F.regexp_replace(t, "s$", "")
+            ),
+        )
+        .when(
+            t.rlike("s$"),
+            F.when(t.rlike("(us|ss)$"), t).otherwise(
+                F.regexp_replace(t, "s$", "")
+            ),
+        )
+        .otherwise(t)
+    )
+
+
+S_STEM_SQL_CASE = """
+CASE WHEN length({t}) <= 2 THEN {t}
+     WHEN regexp_matches({t}, 'ies$')
+       THEN CASE WHEN regexp_matches({t}, '(eies|aies)$') THEN {t}
+                 ELSE regexp_replace({t}, 'ies$', 'y') END
+     WHEN regexp_matches({t}, 'es$')
+       THEN CASE WHEN regexp_matches({t}, '(aes|ees|oes)$') THEN {t}
+                 ELSE regexp_replace({t}, 's$', '') END
+     WHEN regexp_matches({t}, 's$')
+       THEN CASE WHEN regexp_matches({t}, '(us|ss)$') THEN {t}
+                 ELSE regexp_replace({t}, 's$', '') END
+     ELSE {t} END
+""".strip()

@@ -33,6 +33,8 @@ this is the query-time spine and the oracle twin.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.textstats import TOKEN_RE
@@ -238,3 +240,109 @@ def dismax_tie_topk(
         F.round(F.sum("dm"), 6).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc("conv_id")).limit(k)
+
+
+def stopstem_topk(
+    turns: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k under a Lucene-style ANALYSIS CHAIN — lowercase →
+    [a-z0-9]+ → English stop-word removal (Lucene's 33-word default
+    set) → Harman S-stemmer — applied identically to documents and to
+    the query (the build==query==oracle analyzer discipline of
+    Q5/SURVEY §2). This is the operator a Solr user gets from
+    ``text_en``-style field types: "searches" matches "search", "the"
+    matches nothing, and document length is the POST-filter token
+    count (stopwords contribute no length mass — exactly how Lucene's
+    norms see them).
+
+    Returns (conv_id, score) ordered (score desc, conv_id asc), score
+    rounded to 6 dp before the cut.
+
+    Plan: the stem is a nested-CASE codegen expression inside the
+    tokenize projection (functions/tokenizer.s_stem — no Python); the
+    stop filter prunes BEFORE dl/tf aggregate so stopword mass never
+    shuffles; df/idf (|Q| rows) and corpus scalars broadcast; the cut
+    is TakeOrderedAndProject."""
+    from ..functions.tokenizer import STOPWORDS_EN, s_stem
+
+    qterms = sorted(
+        {
+            s
+            for s in (
+                _py_s_stem(t)
+                for t in re.findall(r"[a-z0-9]+", query.lower())
+                if t not in STOPWORDS_EN
+            )
+        }
+    )
+    if not qterms:
+        raise ValueError(f"query {query!r} is all stopwords/empty after analysis")
+    toks = turns.select(
+        "conv_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("raw"),
+    )
+    analyzed = toks.where(~F.col("raw").isin(list(STOPWORDS_EN))).select(
+        "conv_id", s_stem("raw").alias("term")
+    )
+    dl = analyzed.groupBy("conv_id").agg(F.count(F.lit(1)).alias("dl")).persist()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        analyzed.where(F.col("term").isin(qterms))
+        .groupBy("conv_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dft.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "avgdl",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(dl, "conv_id")
+        .join(F.broadcast(idf), "term")
+        .groupBy("conv_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl") / F.col("avgdl")
+                        )
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("conv_id")).limit(k)
+
+
+def _py_s_stem(t: str) -> str:
+    """Driver-side twin of functions/tokenizer.s_stem for query-term
+    analysis (same three ordered Harman rules; an exception blocks
+    stemming outright — no fall-through to a shorter suffix)."""
+    if len(t) <= 2:
+        return t
+    if t.endswith("ies"):
+        return t if t.endswith(("eies", "aies")) else t[:-3] + "y"
+    if t.endswith("es"):
+        return t if t.endswith(("aes", "ees", "oes")) else t[:-1]
+    if t.endswith("s"):
+        return t if t.endswith(("us", "ss")) else t[:-1]
+    return t

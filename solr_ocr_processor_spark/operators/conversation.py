@@ -1,0 +1,106 @@
+"""Conversation-structure analytics over the transcripts table.
+
+The reference indexes OCR *pages* whose only structure is order
+(app/handler/indexer.go:81-95); this engine's documents are
+multi-turn agent transcripts (conv_id, turn_idx, role, text, tool,
+ts) and their STRUCTURE is data: which tools fire after which, and
+whether a conversation is well-formed enough to train on. Both
+operators here are corpus-audit passes a training pipeline runs
+before exporting transcripts as SFT/agentic data.
+
+Scale shape shared by both: the only corpus-wide exchange is one
+conv_id-keyed window/aggregate (the same shuffle materialize_docs
+already performs, so a pre-partitioned input makes them exchange-free);
+outputs are |tools|² / |convs| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tool_transitions(turns: DataFrame) -> DataFrame:
+    """First-order tool-call transition counts — the Markov skeleton
+    of agentic behavior: for each conversation's tool-bearing turns in
+    (turn_idx, ts) order, count corpus-wide how often tool ``src`` is
+    followed by tool ``dst`` (non-tool turns are transparent: the
+    sequence is the SUBSEQUENCE of turns with a tool, so "search →
+    think → code" counts search→code). A START pseudo-state marks each
+    conversation's first tool call, so P(first tool) falls out of the
+    same table.
+
+    Returns (src_tool, dst_tool, n) ordered (n desc, src asc, dst
+    asc). One window (lag over conv partitions) + one |tools|²-row
+    aggregate; conversations with no tool calls contribute nothing."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    seq = (
+        turns.where(F.col("tool").isNotNull())
+        .select(
+            "conv_id",
+            F.coalesce(F.lag("tool").over(w), F.lit("START")).alias("src_tool"),
+            F.col("tool").alias("dst_tool"),
+        )
+    )
+    return (
+        seq.groupBy("src_tool", "dst_tool")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("src_tool"), F.asc("dst_tool"))
+    )
+
+
+def conv_lint(turns: DataFrame) -> DataFrame:
+    """Conversation well-formedness audit — the per-conv lint a
+    pipeline runs before exporting transcripts as training data:
+
+    - ``starts_with_user``      first turn's role == 'user'
+    - ``ends_with_assistant``   last turn's role == 'assistant'
+    - ``n_same_role_adjacent``  adjacent turn pairs with equal role
+      (broken user/assistant alternation)
+    - ``n_empty_turns``         turns whose text is empty/whitespace
+    - ``clean``                 all of the above pass (no violations)
+
+    Turn order is the engine's stable (turn_idx, ts) rule — the same
+    ordering the doc materializer indexes by, so lint verdicts speak
+    for exactly the text that gets indexed. Returns (conv_id, n_turns,
+    starts_with_user, ends_with_assistant, n_same_role_adjacent,
+    n_empty_turns, clean) ordered by conv_id.
+
+    ONE conv-partitioned window pass computes first/last/lag in the
+    same exchange; the aggregate is conv-keyed with map-side combine."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t = turns.select(
+        "conv_id",
+        F.first("role").over(wall).alias("first_role"),
+        F.last("role").over(wall).alias("last_role"),
+        (F.lag("role").over(w) == F.col("role"))
+        .cast("int")
+        .alias("same_adj"),
+        (F.trim(F.col("text")) == "").cast("int").alias("empty_t"),
+    )
+    out = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.first("first_role").alias("_fr"),
+        F.first("last_role").alias("_lr"),
+        F.coalesce(F.sum("same_adj"), F.lit(0)).cast("long").alias(
+            "n_same_role_adjacent"
+        ),
+        F.coalesce(F.sum("empty_t"), F.lit(0)).cast("long").alias(
+            "n_empty_turns"
+        ),
+    )
+    return out.select(
+        "conv_id",
+        "n_turns",
+        (F.col("_fr") == "user").alias("starts_with_user"),
+        (F.col("_lr") == "assistant").alias("ends_with_assistant"),
+        "n_same_role_adjacent",
+        "n_empty_turns",
+        (
+            (F.col("_fr") == "user")
+            & (F.col("_lr") == "assistant")
+            & (F.col("n_same_role_adjacent") == 0)
+            & (F.col("n_empty_turns") == 0)
+        ).alias("clean"),
+    ).orderBy("conv_id")

@@ -121,3 +121,109 @@ def rrf_fusion_topk(
         .orderBy(F.desc("rrf_score"), F.asc("conv_id"))
         .select("doc_id", "conv_id", "rrf_score", "lex_rank", "vec_rank")
     )
+
+
+def blend_fusion_topk(
+    spark: SparkSession,
+    index: Index,
+    embs: DataFrame,
+    query: str,
+    query_vec: list[float],
+    alpha: float = 0.5,
+    k: int = 10,
+    window: int = 50,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Hybrid fusion by CONVEX SCORE COMBINATION — the other standard
+    next to :func:`rrf_fusion_topk`: min-max normalize each leg's
+    top-``window`` scores to [0, 1] inside its own window, then
+
+        blend(d) = alpha * norm_bm25(d) + (1 - alpha) * norm_cos(d)
+
+    (what Weaviate/Vespa-style hybrid `alpha` exposes; Solr users
+    build it with two query stages). Score-based blending preserves
+    MARGIN information RRF throws away — a runaway best lexical hit
+    stays runaway — at the price of the normalization window; both
+    fusions share the probe-then-fuse-a-bounded-window plan.
+
+    A doc missing from a leg contributes 0 from that leg; a
+    degenerate window (max == min) normalizes to 1.0 for all its
+    docs. Returns (doc_id, conv_id, blend_score, norm_lex, norm_vec)
+    ordered (blend_score desc, conv_id asc), scores rounded 6 dp.
+
+    Plan: each leg is a TakeOrderedAndProject top-``window``; min/max
+    are 1-row aggregates of those ``window`` rows (broadcast back);
+    the fusion is a full-outer join of two ``window``-row frames and
+    doc-id resolution is the k-row isin point-read — identical
+    discipline to RRF, corpus-size-independent after the two probes."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if k > window:
+        raise ValueError(f"k={k} must be <= fusion window={window}")
+    lex = bm25_topk(spark, index, query, k=window, cfg=cfg).select(
+        "conv_id", "score"
+    )
+    lb = lex.agg(
+        F.min("score").alias("lo"), F.max("score").alias("hi")
+    )
+    nlex = lex.crossJoin(F.broadcast(lb)).select(
+        "conv_id",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            (F.col("score") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("norm_lex"),
+    )
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    sim = embs.select(
+        F.col("vec_id").alias("id"),
+        (
+            _dot_expr("embedding", query_vec)
+            / (_norm_expr("embedding") * F.lit(qn))
+        ).alias("cos"),
+    )
+    vec = sim.orderBy(F.desc("cos"), F.asc("id")).limit(window).select(
+        F.concat(F.lit("c"), F.lpad(F.col("id").cast("string"), 8, "0")).alias(
+            "conv_id"
+        ),
+        "cos",
+    )
+    vb = vec.agg(F.min("cos").alias("lo"), F.max("cos").alias("hi"))
+    nvec = vec.crossJoin(F.broadcast(vb)).select(
+        "conv_id",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            (F.col("cos") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("norm_vec"),
+    )
+    fused = nlex.join(nvec, "conv_id", "full_outer").select(
+        "conv_id",
+        F.round(
+            F.lit(float(alpha)) * F.coalesce(F.col("norm_lex"), F.lit(0.0))
+            + F.lit(1.0 - float(alpha))
+            * F.coalesce(F.col("norm_vec"), F.lit(0.0)),
+            6,
+        ).alias("blend_score"),
+        F.round(F.coalesce(F.col("norm_lex"), F.lit(0.0)), 6).alias("norm_lex"),
+        F.round(F.coalesce(F.col("norm_vec"), F.lit(0.0)), 6).alias("norm_vec"),
+    )
+    page = fused.orderBy(F.desc("blend_score"), F.asc("conv_id")).limit(k).collect()
+    top_fused = spark.createDataFrame(
+        [
+            (r["conv_id"], r["blend_score"], r["norm_lex"], r["norm_vec"])
+            for r in page
+        ],
+        "conv_id string, blend_score double, norm_lex double, norm_vec double",
+    )
+    keys = [r["conv_id"] for r in page]
+    doc_ids = index.doc_meta.where(F.col("conv_id").isin(keys)).select(
+        "doc_id", "conv_id"
+    )
+    return (
+        top_fused.join(F.broadcast(doc_ids), "conv_id", "left")
+        .orderBy(F.desc("blend_score"), F.asc("conv_id"))
+        .select("doc_id", "conv_id", "blend_score", "norm_lex", "norm_vec")
+    )

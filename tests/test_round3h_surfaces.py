@@ -1,0 +1,186 @@
+"""Round-3 late surfaces (batch m): alpha-blend hybrid fusion,
+stop+stem analysis chain, tool-transition mining, conversation lint.
+Hand-computed expectations on purpose-built mini collections."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_ocr_processor_spark.functions.tokenizer import STOPWORDS_EN
+from solr_ocr_processor_spark.operators.bm25f import _py_s_stem, stopstem_topk
+from solr_ocr_processor_spark.operators.conversation import (
+    conv_lint,
+    tool_transitions,
+)
+
+
+# ---------------------------------------------------------------- s-stem
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("queries", "query"),      # ies -> y
+        ("merges", "merge"),       # es -> drop s
+        ("windows", "window"),     # s -> drop
+        ("goes", "goes"),          # oes guard
+        ("trees", "trees"),        # ees guard
+        ("bus", "bus"),            # us guard
+        ("class", "class"),        # ss guard
+        ("as", "as"),              # len <= 2 passes through
+        ("merge", "merge"),        # no suffix
+    ],
+)
+def test_py_s_stem_rules(word, stem):
+    assert _py_s_stem(word) == stem
+
+
+def test_s_stem_column_matches_python(spark):
+    from solr_ocr_processor_spark.functions.tokenizer import s_stem
+
+    words = ["queries", "merges", "windows", "goes", "trees", "bus",
+             "class", "as", "merge", "eies", "aies", "aes"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["s"] for r in df.select("w", s_stem("w").alias("s")).collect()}
+    assert got == {w: _py_s_stem(w) for w in words}
+
+
+# ---------------------------------------------------------------- stopstem
+
+def test_stopstem_conflates_plural_and_drops_stopwords(spark):
+    rows = [
+        ("a", 0, "user", "merges windows queries", None, None),
+        ("b", 0, "user", "merge window query", None, None),
+        ("c", 0, "user", "the and of to", None, None),  # all stopwords
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {r["conv_id"]: r["score"]
+           for r in stopstem_topk(t, "the merges window query", k=10).collect()}
+    # a and b analyze to the identical token bag (merge, window, query)
+    # with identical dl -> identical scores; c never matches
+    assert out["a"] == out["b"]
+    assert "c" not in out
+    with pytest.raises(ValueError, match="stopwords"):
+        stopstem_topk(t, "the and of", k=10)
+    assert "the" in STOPWORDS_EN and "merge" not in STOPWORDS_EN
+
+
+# ---------------------------------------------------------------- tools
+
+def _tturns(spark):
+    def ts(s):
+        return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        ("a", 0, "user", "q", None, ts(0)),
+        ("a", 1, "assistant", "r", "search", ts(1)),
+        ("a", 2, "assistant", "r", None, ts(2)),      # transparent
+        ("a", 3, "assistant", "r", "code", ts(3)),
+        ("a", 4, "assistant", "r", "search", ts(4)),
+        ("b", 0, "assistant", "r", "search", ts(0)),
+        ("b", 1, "assistant", "r", "code", ts(1)),
+        ("c", 0, "user", "no tools here", None, ts(0)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def test_tool_transitions_hand_computed(spark):
+    got = {(r["src_tool"], r["dst_tool"]): r["n"]
+           for r in tool_transitions(_tturns(spark)).collect()}
+    assert got == {
+        ("START", "search"): 2,   # conv a + conv b first tool
+        ("search", "code"): 2,    # a (through the transparent turn) + b
+        ("code", "search"): 1,    # a
+    }
+
+
+# ---------------------------------------------------------------- lint
+
+def test_conv_lint_hand_computed(spark):
+    def ts(s):
+        return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # clean: user -> assistant -> user -> assistant
+        ("ok", 0, "user", "hi", None, ts(0)),
+        ("ok", 1, "assistant", "hello", None, ts(1)),
+        ("ok", 2, "user", "more", None, ts(2)),
+        ("ok", 3, "assistant", "done", None, ts(3)),
+        # bad: starts assistant, double-assistant, empty turn,
+        # ends with user
+        ("bad", 0, "assistant", "hi", None, ts(0)),
+        ("bad", 1, "assistant", "again", None, ts(1)),
+        ("bad", 2, "user", "   ", None, ts(2)),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {r["conv_id"]: r for r in conv_lint(t).collect()}
+    ok, bad = out["ok"], out["bad"]
+    assert ok["clean"] and ok["n_turns"] == 4
+    assert ok["n_same_role_adjacent"] == 0 and ok["n_empty_turns"] == 0
+    assert not bad["clean"]
+    assert not bad["starts_with_user"] and not bad["ends_with_assistant"]
+    assert bad["n_same_role_adjacent"] == 1 and bad["n_empty_turns"] == 1
+
+
+def test_conv_lint_order_uses_ts_tiebreak(spark):
+    # same turn_idx, ts decides first/last
+    def ts(s):
+        return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        ("x", 0, "assistant", "late", None, ts(5)),
+        ("x", 0, "user", "early", None, ts(1)),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    r = conv_lint(t).collect()[0]
+    assert r["starts_with_user"] and r["ends_with_assistant"]
+
+
+# ---------------------------------------------------------------- blend
+
+def test_blend_alpha_one_matches_bm25_ranking(spark, sf_dir):
+    import __spark_entry__ as e
+    from solr_ocr_processor_spark.operators.hybrid import blend_fusion_topk
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    idx = e._index(spark, sf_dir)
+    embs = e._embs(spark, sf_dir)
+    qv = e._qvec(spark, sf_dir)
+    blend = blend_fusion_topk(
+        spark, idx, embs, e.FLAGSHIP_QUERY, qv, alpha=1.0, k=5
+    ).collect()
+    base = bm25_topk(spark, idx, e.FLAGSHIP_QUERY, k=5).collect()
+    assert [r["conv_id"] for r in blend] == [r["conv_id"] for r in base]
+    # best lexical hit normalizes to exactly 1.0
+    assert blend[0]["norm_lex"] == 1.0
+    assert all(0.0 <= r["norm_lex"] <= 1.0 for r in blend)
+
+
+def test_blend_validations(spark, sf_dir):
+    import __spark_entry__ as e
+    from solr_ocr_processor_spark.operators.hybrid import blend_fusion_topk
+
+    idx = e._index(spark, sf_dir)
+    embs = e._embs(spark, sf_dir)
+    with pytest.raises(ValueError, match="alpha"):
+        blend_fusion_topk(spark, idx, embs, "q", [0.1], alpha=1.5)
+    with pytest.raises(ValueError, match="window"):
+        blend_fusion_topk(spark, idx, embs, "q", [0.1], k=100, window=50)
