@@ -960,9 +960,11 @@ def _ann_store(spark: SparkSession, sf_dir: str) -> AnnStore:
         # atexit hook reclaims the per-process directory.
         root = f"/tmp/spark_graft_ann_{tag}_{os.getpid()}"
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-        _ann_cache[key] = build_ann_store(
-            spark, _embs(spark, sf_dir), root, dim=64
-        )
+        store = build_ann_store(spark, _embs(spark, sf_dir), root, dim=64)
+        from solr_ocr_processor_spark.operators.ann_store import build_pq_store
+
+        build_pq_store(spark, store, _embs(spark, sf_dir))
+        _ann_cache[key] = store
     return _ann_cache[key]
 
 
@@ -2066,6 +2068,21 @@ def _q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_transitions(derive_transcripts(spark, sf_dir, TW))
 
 
+def _q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ query over the PERSISTED compressed index (FAISS
+    IndexIVFPQ layout): nprobe stored lists pruned by partition, ADC
+    over m-byte codes as a JVM table-lookup sum, exact-cosine rerank
+    of k*refine winners via an isin point read
+    (operators/ann_store.build_pq_store / ivfpq_topk_stored)."""
+    from solr_ocr_processor_spark.operators.ann_store import ivfpq_topk_stored
+
+    store = _ann_store(spark, sf_dir)
+    return ivfpq_topk_stored(
+        spark, store, _embs(spark, sf_dir), _qvec(spark, sf_dir),
+        k=10, nprobe=4, refine=4,
+    )
+
+
 def _q_conv_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation well-formedness lint: starts-with-user /
     ends-with-assistant / role-alternation / empty-turn checks per
@@ -2229,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopstem_topk": _q_stopstem_topk,
         "tool_transitions": _q_tool_transitions,
         "conv_lint": _q_conv_lint,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
     }
 
 
@@ -5901,6 +5919,77 @@ SELECT conv_id, n_turns,
        ((fr = 'user') AND (lr = 'assistant')
         AND n_same_role_adjacent = 0 AND n_empty_turns = 0) AS clean
 FROM agg ORDER BY conv_id
+""",
+        # IVF-PQ: ivf assignment replay (md5-rank centroids) scopes the
+        # candidate set to the nprobe probed lists; PQ replay (md5-rank
+        # codebooks, argmin encode, j-ordered ADC fold) ranks INSIDE
+        # that scope; exact cosine rerank of the k*refine winners.
+        "ann_ivfpq_topk": """
+WITH cent AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cvec,
+         CAST(row_number() OVER (ORDER BY md5('17:' || vec_id)) - 1 AS INT)
+           AS list_id
+  FROM embeddings
+  ORDER BY md5('17:' || vec_id) LIMIT 16
+),
+ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       FROM embeddings),
+scored AS (
+  SELECT ev.vec_id, c.list_id, list_cosine_similarity(ev.v, c.cvec) AS cs
+  FROM ev CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, list_id ASC) AS rn
+    FROM scored) t WHERE rn = 1
+),
+q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT c.list_id FROM cent c CROSS JOIN q
+  ORDER BY list_cosine_similarity(c.cvec, q.qv) DESC, c.list_id ASC LIMIT 4
+),
+scope AS (SELECT vec_id FROM assign
+          WHERE list_id IN (SELECT list_id FROM probe)),
+cb AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5('23:' || vec_id)) - 1 AS INT)
+           AS code, v
+  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings ORDER BY md5('23:' || vec_id) LIMIT 16)
+),
+sub AS (SELECT CAST(j AS INT) AS j FROM range(4) t(j)),
+d AS (
+  SELECT ev.vec_id, s.j, cb.code,
+         list_sum(list_transform(
+           list_zip(ev.v[s.j*16+1 : s.j*16+16], cb.v[s.j*16+1 : s.j*16+16]),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM ev JOIN scope USING (vec_id) CROSS JOIN sub s CROSS JOIN cb
+),
+enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d2 ASC, code ASC) AS rn
+    FROM d) t WHERE rn = 1
+),
+dt AS (
+  SELECT s.j, cb.code,
+         list_sum(list_transform(
+           list_zip(q.qv[s.j*16+1 : s.j*16+16], cb.v[s.j*16+1 : s.j*16+16]),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM cb CROSS JOIN sub s CROSS JOIN q
+),
+ad AS (
+  SELECT e.vec_id, list_sum(list(dt.d2 ORDER BY dt.j)) AS adist
+  FROM enc e JOIN dt ON dt.j = e.j AND dt.code = e.code
+  GROUP BY e.vec_id
+),
+cand AS (SELECT vec_id FROM ad ORDER BY adist ASC, vec_id ASC LIMIT 40),
+s2 AS (SELECT e.vec_id AS id, list_cosine_similarity(e.v, q.qv) AS cs
+       FROM ev e JOIN cand USING (vec_id) CROSS JOIN q)
+SELECT id, round(cs, 6) AS cos FROM s2 ORDER BY cs DESC, id ASC LIMIT 10
 """,
         **_PIPELINE_ORACLES,
     }

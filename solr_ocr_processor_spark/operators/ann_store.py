@@ -364,3 +364,129 @@ def append_ann_store(
     )
     fresh.unpersist()
     return n
+
+
+def build_pq_store(
+    spark: SparkSession,
+    store: AnnStore,
+    embs: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    pq_seed: int = 23,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_dir: int = 1_000_000,
+) -> None:
+    """Add the IVF-PQ layer to a built store — FAISS's IndexIVFPQ
+    layout (Jégou et al. 2011): every vector's m-byte PQ code stored
+    CLUSTERED BY ITS IVF LIST, so an ADC query reads only the nprobe
+    probed partitions of a table whose rows are m small ints — the
+    dim/m·sizeof(float)-fold smaller scan that makes billion-vector
+    search cheap, with the float table demoted to rerank-only point
+    reads::
+
+        {root}/pq/list_id=L/   (id, codes array<int>)
+        {root}/pq_meta.json    codebooks + params (m·n_codes·dim/m)
+
+    list membership is read FROM THE STORED IVF TABLE (an id+list_id
+    columnar scan — no assignment recompute), so the PQ layer is
+    consistent-by-construction with the lists probes prune by, even
+    after :func:`append_ann_store` fold-ins. Codebooks are the
+    md5-rank deterministic sample (ann.pq_codebooks) so the DuckDB
+    oracle replays encode and ADC bit-for-bit. Per-dir row caps ride
+    maxRecordsPerFile; codes rows are ~20 bytes so skew hurts far
+    less than the float table's."""
+    from .ann import pq_codebooks, pq_encode
+
+    C = pq_codebooks(embs, m, n_codes, pq_seed, id_col, vec_col)
+    lists = spark.read.parquet(store.path("ivf")).select("id", "list_id")
+    (
+        pq_encode(embs, C, id_col, vec_col)
+        .join(lists, "id")
+        .repartition("list_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_dir)
+        .partitionBy("list_id")
+        .parquet(store.path("pq"))
+    )
+    with open(store.path("pq_meta.json"), "w") as f:
+        json.dump(
+            {"m": m, "n_codes": n_codes, "pq_seed": pq_seed,
+             "codebooks": C.tolist()},
+            f,
+        )
+
+
+def ivfpq_topk_stored(
+    spark: SparkSession,
+    store: AnnStore,
+    embs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ query — the compressed-domain ANN at full scale:
+
+    1. rank stored centroids driver-side, keep ``nprobe`` lists
+       (identical contract to :func:`ivf_topk_stored`),
+    2. scan ONLY those lists' PQ partitions (PartitionFilters on
+       list_id; rows are m ints, not dim floats),
+    3. ADC: the query's (m × n_codes) distance table rides the plan
+       as a literal array; each row's approximate distance is an
+       m-term JVM table-lookup sum (no Python),
+    4. cut k·refine candidates at (adist ASC, id ASC) —
+       TakeOrderedAndProject — and rerank them by EXACT cosine via an
+       isin-pruned point read of the float table.
+
+    Returns (id, cos) — exact cosine of the winners, the family-wide
+    contract (ann.pq_topk / int8_topk / cosine_topk)."""
+    with open(store.path("pq_meta.json")) as f:
+        pm = json.load(f)
+    C = np.asarray(pm["codebooks"], dtype=np.float64)
+    m, sd = C.shape[0], C.shape[2]
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(store.centroids @ qn), kind="stable")[:nprobe].tolist()
+    dt = np.stack(
+        [
+            ((q[j * sd : (j + 1) * sd][None, :] - C[j]) ** 2).sum(axis=1)
+            for j in range(m)
+        ]
+    )
+    dt_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in dt])
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(1), F.lit(int(m))),
+            lambda c, j: F.element_at(F.element_at(dt_lit, j), c + 1),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cand = (
+        spark.read.parquet(store.path("pq"))
+        .where(F.col("list_id").isin([int(x) for x in probe]))
+        .select("id", adist.alias("adist"))
+        .orderBy(F.asc("adist"), F.asc("id"))
+        .limit(k * refine)
+    )
+    ids = [r["id"] for r in cand.select("id").collect()]
+    from .ann import _dot_expr, _norm_expr
+
+    qnorm = float(np.linalg.norm(q))
+    denom = _norm_expr(vec_col) * F.lit(qnorm)
+    return (
+        embs.where(F.col(id_col).isin(ids))
+        .select(
+            F.col(id_col).alias("id"),
+            F.when(denom > 0, _dot_expr(vec_col, query_vec) / denom)
+            .otherwise(F.lit(0.0))
+            .alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("id"))
+        .limit(k)
+        .select("id", F.round("cos", 6).alias("cos"))
+    )

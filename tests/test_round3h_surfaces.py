@@ -184,3 +184,58 @@ def test_blend_validations(spark, sf_dir):
         blend_fusion_topk(spark, idx, embs, "q", [0.1], alpha=1.5)
     with pytest.raises(ValueError, match="window"):
         blend_fusion_topk(spark, idx, embs, "q", [0.1], k=100, window=50)
+
+
+# ---------------------------------------------------------------- ivf-pq
+
+def test_ivfpq_full_probe_matches_inmemory_pq(spark, sf_dir, tmp_path):
+    """With every list probed, the stored IVF-PQ path must reproduce
+    the in-memory pq_topk exactly (same codebooks, same ADC order,
+    same rerank)."""
+    import __spark_entry__ as e
+    from solr_ocr_processor_spark.operators.ann import pq_topk
+    from solr_ocr_processor_spark.operators.ann_store import (
+        build_ann_store,
+        build_pq_store,
+        ivfpq_topk_stored,
+    )
+
+    embs = e._embs(spark, sf_dir)
+    qv = e._qvec(spark, sf_dir)
+    store = build_ann_store(spark, embs, str(tmp_path / "ann"), dim=64)
+    build_pq_store(spark, store, embs)
+    full = ivfpq_topk_stored(
+        spark, store, embs, qv, k=10, nprobe=store.n_centroids, refine=4
+    ).collect()
+    mem = pq_topk(embs, qv, k=10, refine=4).collect()
+    assert [(r["id"], r["cos"]) for r in full] == [
+        (r["id"], r["cos"]) for r in mem
+    ]
+
+
+def test_ivfpq_narrow_probe_subset_and_plan_prunes(spark, sf_dir, tmp_path):
+    import __spark_entry__ as e
+    from solr_ocr_processor_spark.operators.ann_store import (
+        build_ann_store,
+        build_pq_store,
+        ivfpq_topk_stored,
+    )
+
+    embs = e._embs(spark, sf_dir)
+    qv = e._qvec(spark, sf_dir)
+    store = build_ann_store(spark, embs, str(tmp_path / "ann"), dim=64)
+    build_pq_store(spark, store, embs)
+    out = ivfpq_topk_stored(spark, store, embs, qv, k=10, nprobe=2)
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+    # the query vector itself lives in a probed list -> self-retrieval
+    assert rows[0]["id"] == 0 and rows[0]["cos"] == 1.0
+    # the candidate scan prunes to the probed list partitions: the
+    # list_id predicate must reach the scan as a partition filter
+    pq = spark.read.parquet(store.path("pq")).where(
+        F.col("list_id").isin([0, 1])
+    )
+    plan = pq._sc._jvm.PythonSQLUtils.explainString(
+        pq._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "list_id" in plan
