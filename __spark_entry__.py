@@ -2083,6 +2083,29 @@ def _q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka retrieval (MRL): cosine over the first 16 dims as a
+    cheap prefilter (prefix_dim/dim of the scan+flop cost), exact
+    full-dim rerank of the k*refine survivors
+    (operators/ann.matryoshka_topk)."""
+    from solr_ocr_processor_spark.operators.ann import matryoshka_topk
+
+    return matryoshka_topk(
+        _embs(spark, sf_dir), _qvec(spark, sf_dir), k=10, prefix_dim=16,
+        refine=4,
+    )
+
+
+def _q_passage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level retrieval with maxP aggregation (Dai & Callan
+    2019): BM25 over sliding-window passages, each doc ranked by its
+    best passage; returns the winning passage's locator
+    (operators/hybrid.passage_topk over operators/split.chunk_overlap)."""
+    from solr_ocr_processor_spark.operators.hybrid import passage_topk
+
+    return passage_topk(_docs(spark, sf_dir), FLAGSHIP_QUERY, k=10)
+
+
 def _q_conv_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation well-formedness lint: starts-with-user /
     ends-with-assistant / role-alternation / empty-turn checks per
@@ -2247,6 +2270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_transitions": _q_tool_transitions,
         "conv_lint": _q_conv_lint,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
+        "ann_matryoshka_topk": _q_ann_matryoshka_topk,
+        "passage_topk": _q_passage_topk,
     }
 
 
@@ -5990,6 +6015,72 @@ cand AS (SELECT vec_id FROM ad ORDER BY adist ASC, vec_id ASC LIMIT 40),
 s2 AS (SELECT e.vec_id AS id, list_cosine_similarity(e.v, q.qv) AS cs
        FROM ev e JOIN cand USING (vec_id) CROSS JOIN q)
 SELECT id, round(cs, 6) AS cos FROM s2 ORDER BY cs DESC, id ASC LIMIT 10
+""",
+        # Matryoshka: prefix-dim cosine candidate cut, full-dim exact
+        # rerank; list slice == F.slice (1-based, clipped).
+        "ann_matryoshka_topk": """
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+pc AS (
+  SELECT ev.vec_id AS id,
+         list_cosine_similarity(ev.v[1:16], q.qv[1:16]) AS pcos
+  FROM ev CROSS JOIN q
+),
+cand AS (SELECT id FROM pc ORDER BY pcos DESC, id ASC LIMIT 40),
+s2 AS (SELECT e.vec_id AS id, list_cosine_similarity(e.v, q.qv) AS cs
+       FROM ev e JOIN cand ON e.vec_id = cand.id CROSS JOIN q)
+SELECT id, round(cs, 6) AS cos FROM s2 ORDER BY cs DESC, id ASC LIMIT 10
+""",
+        # maxP passage retrieval: BM25 stats over the PASSAGE
+        # collection (chunk_overlap's 64/48 layout), per-doc best
+        # passage by (score desc, chunk_idx asc), top-10 docs.
+        "passage_topk": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+st AS (
+  SELECT doc_id, toks, n, CAST(u.x AS INT) AS tok_start,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY u.x) - 1
+              AS INT) AS chunk_idx
+  FROM nz, UNNEST(generate_series(0, CAST(((n - 1) // 48) * 48 AS BIGINT),
+                                   48)) u(x)
+),
+ch AS (SELECT doc_id, chunk_idx, tok_start,
+              toks[tok_start + 1 : tok_start + 64] AS ctoks
+       FROM st),
+chn AS (SELECT doc_id, chunk_idx, tok_start, len(ctoks) AS dl FROM ch),
+stats AS (SELECT count(*) AS n_chunks, avg(dl) AS avgdl FROM chn),
+tok AS (SELECT doc_id, chunk_idx, tok_start, len(ctoks) AS dl,
+               unnest(ctoks) AS term
+        FROM ch),
+tf AS (SELECT doc_id, chunk_idx, tok_start, dl, term, count(*) AS tf
+       FROM tok WHERE term IN ('merge', 'spark', 'window')
+       GROUP BY doc_id, chunk_idx, tok_start, dl, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.chunk_idx, tf.tok_start,
+         round(sum(
+           ln(1 + (s.n_chunks - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ), 6) AS score
+  FROM tf JOIN dft USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.chunk_idx, tf.tok_start
+),
+best AS (
+  SELECT doc_id, chunk_idx, tok_start, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, chunk_idx ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(tok_start AS INT) AS tok_start, score
+FROM best WHERE rn = 1
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
 """,
         **_PIPELINE_ORACLES,
     }

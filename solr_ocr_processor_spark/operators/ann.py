@@ -873,3 +873,77 @@ def pq_topk(
         .limit(k)
         .select("id", F.round("cos", 6).alias("cos"))
     )
+
+
+def matryoshka_topk(
+    embs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    prefix_dim: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Truncated-dimension prefilter + full-dim rerank — the
+    Matryoshka retrieval recipe (Kusupati et al. 2022, MRL): when
+    embeddings are trained so information concentrates in the leading
+    coordinates, cosine over the first ``prefix_dim`` dims is a cheap
+    high-recall candidate ranking (prefix_dim/dim of the flop and
+    scan cost), and the full-dim exact cosine reranks only the
+    k·refine survivors. Same candidate→rerank contract as
+    :func:`int8_topk` / :func:`pq_topk` — this is the THIRD
+    compression axis (fewer dims) next to narrower ints and codes,
+    and it composes with both.
+
+    Returns (id, cos) — EXACT full-dim cosine of the winners, ordered
+    (cos desc, id asc).
+
+    Plan: the prefix leg is F.slice + the same zip_with fold — pure
+    codegen over a prefix_dim-element array, TakeOrderedAndProject
+    cut; the rerank is an isin-pruned point read. At 10^12 vectors the
+    hot scan reads prefix_dim/dim of the vector bytes (with a
+    column-pruned prefix table materialized at build time, the
+    standard MRL serving layout)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    if not 0 < prefix_dim <= q.shape[0]:
+        raise ValueError(f"prefix_dim must be in 1..{q.shape[0]}, got {prefix_dim}")
+    qp = q[:prefix_dim]
+    qpn = float(np.linalg.norm(qp))
+    pvec = F.slice(F.col(vec_col), 1, prefix_dim)
+    qarr = F.array(*[F.lit(float(x)) for x in qp])
+    pdot = F.aggregate(
+        F.zip_with(pvec, qarr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pnorm = F.sqrt(
+        F.aggregate(
+            F.transform(pvec, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pden = pnorm * F.lit(qpn)
+    cand = (
+        embs.select(
+            F.col(id_col).alias("id"),
+            F.when(pden > 0, pdot / pden).otherwise(F.lit(0.0)).alias("pcos"),
+        )
+        .orderBy(F.desc("pcos"), F.asc("id"))
+        .limit(k * refine)
+    )
+    ids = [r["id"] for r in cand.select("id").collect()]
+    qn = float(np.linalg.norm(q))
+    denom = _norm_expr(vec_col) * F.lit(qn)
+    return (
+        embs.where(F.col(id_col).isin(ids))
+        .select(
+            F.col(id_col).alias("id"),
+            F.when(denom > 0, _dot_expr(vec_col, query_vec) / denom)
+            .otherwise(F.lit(0.0))
+            .alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("id"))
+        .limit(k)
+        .select("id", F.round("cos", 6).alias("cos"))
+    )

@@ -665,18 +665,26 @@ def field_facet_counts(
     sort: str = "count",
     limit: int | None = None,
     offset: int = 0,
+    prefix: str | None = None,
 ) -> DataFrame:
     """Solr ``facet.field=<f>`` with the full response knobs:
     ``facet.missing=true`` (one NULL-valued row counting rows with no
     value), ``facet.sort=count|index`` (count DESC value ASC, or pure
-    value order), and ``facet.limit``/``facet.offset`` paging over the
-    value list. ONE groupBy with map-side combine; the exchange moves
+    value order), ``facet.limit``/``facet.offset`` paging over the
+    value list, and ``facet.prefix`` (only values starting with the
+    prefix — Solr evaluates it BEFORE missing/sort/paging, and the
+    missing bucket is suppressed since NULL has no prefix). ONE
+    groupBy with map-side combine; the prefix filter pushes below the
+    aggregate (startswith reaches the scan); the exchange moves
     |distinct values| rows, and a limit lowers the final order to
     TakeOrderedAndProject(offset+limit)."""
     if sort not in ("count", "index"):
         raise ValueError(f"facet.sort must be count|index, got {sort!r}")
     if offset < 0:
         raise ValueError(f"facet.offset must be >= 0, got {offset}")
+    if prefix is not None:
+        df = df.where(F.col(field).startswith(prefix))
+        missing = False
     out = df.groupBy(F.col(field).alias("value")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )

@@ -227,3 +227,113 @@ def blend_fusion_topk(
         .orderBy(F.desc("blend_score"), F.asc("conv_id"))
         .select("doc_id", "conv_id", "blend_score", "norm_lex", "norm_vec")
     )
+
+
+def passage_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    size: int = 64,
+    stride: int = 48,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Passage-level retrieval with maxP aggregation — the BERT-era
+    recipe (Dai & Callan 2019) the RAG stack standardized on: score
+    sliding-window PASSAGES (:func:`operators.split.chunk_overlap`)
+    as the retrieval unit, then rank each document by its BEST
+    passage. Long documents stop winning on accumulated length and
+    the returned (tok_start, chunk_idx) IS the retrieval locator —
+    the passage a RAG pipeline stuffs into context, the same
+    coordinates-not-content contract as the engine's highlight
+    offsets.
+
+    BM25 statistics are computed over the PASSAGE collection (N =
+    number of passages, dl = passage length, df = passages containing
+    the term — the standard passage-index formulation). Query terms
+    are the engine's [a-z0-9]+ lowercase analysis. Returns (doc_id,
+    chunk_idx, tok_start, score): the winning passage per doc for the
+    top-k docs, ordered (score desc, doc_id asc); score rounded 6 dp
+    BEFORE the per-doc argmax and the cut, ties between a doc's
+    passages by chunk_idx asc.
+
+    Plan: chunking is the map-only projection; passage stats are one
+    aggregate each (scalar + |Q|-row broadcast); the per-doc argmax is
+    a max(struct) aggregate — no window over the corpus; the cut
+    lowers to TakeOrderedAndProject."""
+    import re as _re
+
+    from .split import chunk_overlap
+
+    qterms = sorted(set(_re.findall(r"[a-z0-9]+", query.lower())))
+    if not qterms:
+        raise ValueError(f"query {query!r} has no analyzable terms")
+    ch = chunk_overlap(docs, size=size, stride=stride)
+    tok = ch.select(
+        "doc_id",
+        "chunk_idx",
+        "tok_start",
+        "n_tokens",
+        F.explode(F.split("chunk_text", " ")).alias("term"),
+    )
+    stats = ch.agg(
+        F.count(F.lit(1)).alias("n_chunks"), F.avg("n_tokens").alias("avgdl")
+    )
+    tf = (
+        tok.where(F.col("term").isin(qterms))
+        .groupBy("doc_id", "chunk_idx", "tok_start", "n_tokens", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dft.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "avgdl",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_chunks") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .groupBy("doc_id", "chunk_idx", "tok_start")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * F.col("n_tokens") / F.col("avgdl")
+                        )
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    # per-doc argmax without a corpus window: lexicographic max over
+    # (score, -chunk_idx) picks best score, ties to the SMALLEST
+    # chunk_idx; chunk_idx is unique per doc so later fields never
+    # decide — they just ride along
+    best = scored.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.col("score"),
+                (-F.col("chunk_idx")).alias("nci"),
+                F.col("tok_start"),
+            )
+        ).alias("w")
+    )
+    return (
+        best.select(
+            "doc_id",
+            (-F.col("w.nci")).cast("int").alias("chunk_idx"),
+            F.col("w.tok_start").cast("int").alias("tok_start"),
+            F.col("w.score").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

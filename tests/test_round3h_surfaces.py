@@ -239,3 +239,74 @@ def test_ivfpq_narrow_probe_subset_and_plan_prunes(spark, sf_dir, tmp_path):
         pq._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+# ---------------------------------------------------------------- matryoshka
+
+def test_matryoshka_full_prefix_is_exact(spark, sf_dir):
+    import __spark_entry__ as e
+    from solr_ocr_processor_spark.operators.ann import (
+        cosine_topk,
+        matryoshka_topk,
+    )
+
+    embs = e._embs(spark, sf_dir)
+    qv = e._qvec(spark, sf_dir)
+    full = matryoshka_topk(embs, qv, k=10, prefix_dim=len(qv), refine=4).collect()
+    exact = cosine_topk(embs, qv, k=10).collect()
+    assert [(r["id"], r["cos"]) for r in full] == [
+        (r["id"], r["cos"]) for r in exact
+    ]
+    with pytest.raises(ValueError, match="prefix_dim"):
+        matryoshka_topk(embs, qv, prefix_dim=0)
+    with pytest.raises(ValueError, match="prefix_dim"):
+        matryoshka_topk(embs, qv, prefix_dim=len(qv) + 1)
+
+
+def test_matryoshka_self_retrieval(spark, sf_dir):
+    import __spark_entry__ as e
+    from solr_ocr_processor_spark.operators.ann import matryoshka_topk
+
+    rows = matryoshka_topk(
+        e._embs(spark, sf_dir), e._qvec(spark, sf_dir), k=5, prefix_dim=16
+    ).collect()
+    assert rows[0]["id"] == 0 and rows[0]["cos"] == 1.0
+
+
+# ---------------------------------------------------------------- passage
+
+def test_passage_maxp_picks_best_window(spark):
+    from solr_ocr_processor_spark.operators.hybrid import passage_topk
+
+    filler = " ".join(["pad"] * 8)
+    # doc 1: both terms together in the SECOND window (tokens 6..11);
+    # doc 2: terms far apart (never share a window of 6)
+    d1 = filler + " alpha beta " + " ".join(["tail"] * 4)
+    d2 = "alpha " + " ".join(["mid"] * 30) + " beta"
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    out = passage_topk(docs, "alpha beta", k=5, size=6, stride=4).collect()
+    assert out[0]["doc_id"] == 1          # co-occurring window wins maxP
+    w = out[0]
+    # the winning passage actually contains both terms
+    assert 4 <= w["tok_start"] <= 8
+    assert all(r["score"] > 0 for r in out)
+    with pytest.raises(ValueError, match="analyzable"):
+        passage_topk(docs, "!!!", k=5)
+
+
+# ---------------------------------------------------------------- facet.prefix
+
+def test_facet_prefix_filters_and_suppresses_missing(spark):
+    from solr_ocr_processor_spark.operators.facet import field_facet_counts
+
+    df = spark.createDataFrame(
+        [("apple",), ("apricot",), ("banana",), (None,), ("apple",)],
+        "tool string",
+    )
+    out = field_facet_counts(df, "tool", prefix="ap").collect()
+    assert {(r["value"], r["n"]) for r in out} == {("apple", 2), ("apricot", 1)}
+    # no prefix: missing bucket present
+    allv = field_facet_counts(df, "tool").collect()
+    assert any(r["value"] is None and r["n"] == 1 for r in allv)
