@@ -2106,6 +2106,21 @@ def _q_passage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_topk(_docs(spark, sf_dir), FLAGSHIP_QUERY, k=10)
 
 
+def _q_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback: top-5 hits donate 5 expansion
+    terms (integer-scaled relevance-model weights — deterministic
+    selection boundary), interpolated rescore at orig_weight=0.5
+    (operators/query.rm3_topk)."""
+    from solr_ocr_processor_spark.operators.query import rm3_topk
+
+    idx = _index(spark, sf_dir)
+    top = rm3_topk(
+        spark, idx, FLAGSHIP_QUERY, k=10, fb_docs=5, fb_terms=5,
+        orig_weight=0.5,
+    )
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
 def _q_conv_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation well-formedness lint: starts-with-user /
     ends-with-assistant / role-alternation / empty-turn checks per
@@ -2272,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "ann_matryoshka_topk": _q_ann_matryoshka_topk,
         "passage_topk": _q_passage_topk,
+        "rm3_topk": _q_rm3_topk,
     }
 
 
@@ -6081,6 +6097,72 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
 FROM best WHERE rn = 1
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
+""",
+        # RM3: base bm25 -> top-5 feedback docs -> integer-scaled
+        # relevance-model census -> 5 expansion terms (w desc, term
+        # asc) -> interpolated weighted rescore; // == Spark div for
+        # the positive operands this builds.
+        "rm3_topk": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tokall AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tfq AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokall WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, dl, term
+),
+dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+base AS (
+  SELECT tfq.doc_id,
+         sum(
+           ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tfq.tf * 2.2)
+           / (tfq.tf + 1.2 * (0.25 + 0.75 * tfq.dl / s.avgdl))
+         ) AS raw
+  FROM tfq JOIN dfq USING (term) CROSS JOIN stats s
+  GROUP BY tfq.doc_id
+),
+fb AS (SELECT doc_id FROM base ORDER BY raw DESC, doc_id ASC LIMIT 5),
+ftf AS (
+  SELECT t.term, t.dl, CAST(count(*) AS BIGINT) AS tf
+  FROM tokall t JOIN fb USING (doc_id)
+  WHERE t.term NOT IN {FLAGSHIP_TERMS!r}
+  GROUP BY t.doc_id, t.term, t.dl
+),
+wint AS (
+  SELECT term,
+         CAST(sum((2 * tf * 1000000 + dl) // (2 * dl)) AS BIGINT) AS w_int
+  FROM ftf GROUP BY term
+),
+exp_t AS (SELECT term, w_int FROM wint
+          ORDER BY w_int DESC, term ASC LIMIT 5),
+wsum AS (SELECT CAST(sum(w_int) AS DOUBLE) AS s FROM exp_t),
+wts AS (
+  SELECT term, 0.5 AS w
+  FROM (VALUES ('{FLAGSHIP_TERMS[0]}'), ('{FLAGSHIP_TERMS[1]}'),
+               ('{FLAGSHIP_TERMS[2]}')) v(term)
+  UNION ALL
+  SELECT e.term, 0.5 * e.w_int / wsum.s FROM exp_t e CROSS JOIN wsum
+),
+tf2 AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokall WHERE term IN (SELECT term FROM wts)
+  GROUP BY doc_id, conv_id, dl, term
+),
+df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+sc AS (
+  SELECT tf2.doc_id, tf2.conv_id,
+         round(sum(
+           wts.w
+           * ln(1 + (s.n_docs - df2.df + 0.5) / (df2.df + 0.5))
+           * (tf2.tf * 2.2)
+           / (tf2.tf + 1.2 * (0.25 + 0.75 * tf2.dl / s.avgdl))
+         ), 6) AS score
+  FROM tf2 JOIN df2 USING (term) JOIN wts USING (term) CROSS JOIN stats s
+  GROUP BY tf2.doc_id, tf2.conv_id
+)
+SELECT doc_id, conv_id, score FROM sc
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         **_PIPELINE_ORACLES,
     }

@@ -1539,6 +1539,110 @@ def constant_score_topk(
     )
 
 
+def rm3_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 5,
+    orig_weight: float = 0.5,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Pseudo-relevance feedback with RM3-style query expansion
+    (Lavrenko & Croft 2001; the Anserini/Lucene RM3 default reranker):
+    run the query, treat the top ``fb_docs`` hits as pseudo-relevant,
+    estimate a relevance model over their vocabulary, add the top
+    ``fb_terms`` expansion terms (original query terms excluded), and
+    rescore with the interpolated weighted query
+
+        score = ow·bm25(q) + (1−ow)·Σ_e (w_e/Σw)·bm25_term(e)
+
+    The relevance-model weight is the feedback-set average term
+    likelihood Σ_d tf(t,d)/dl(d) — computed INTEGER-SCALED
+    (``Σ_d round_half_away(10^6·tf/dl)`` in pure integer arithmetic,
+    the ``lm.py`` discipline) so the fb_terms SELECTION BOUNDARY is
+    bit-identical on any engine — a float tie at the cut would
+    otherwise pick different expansion terms and diverge the whole
+    ranking, not one score. Returns (doc_id, conv_id, score) ordered
+    (score desc, doc_id asc), score rounded 6 dp.
+
+    Plan: feedback docs are the standard top-k probe (k rows to the
+    driver); their postings are an isin-pruned point read (fb_docs
+    doc_ids — row-group pruning); the weight census aggregates
+    |fb vocabulary| rows and only fb_terms survive the
+    TakeOrderedAndProject; the rescore is ONE dictionary-broadcast
+    weighted pass over |q|+fb_terms terms with the engine's sorted
+    deterministic fold. Driver traffic: fb_docs ids + fb_terms rows,
+    corpus-independent."""
+    if not 0.0 <= orig_weight <= 1.0:
+        raise ValueError(f"orig_weight must be in [0, 1], got {orig_weight}")
+    qterms = sorted(set(query_terms(query, cfg)))
+    if not qterms:
+        return spark.createDataFrame(
+            [], "doc_id long, conv_id string, score double"
+        )
+    base = _suppress(bm25_scores(spark, index, query, cfg=cfg), exclude_docs)
+    fb_ids = [
+        r["doc_id"]
+        for r in base.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(fb_docs)
+        .collect()
+    ]
+    if not fb_ids:
+        return spark.createDataFrame(
+            [], "doc_id long, conv_id string, score double"
+        )
+    # integer-scaled relevance-model weight: exact BIGINT sum of
+    # round_half_away(1e6 * tf / dl) per feedback doc
+    wrows = (
+        index.postings.where(F.col("doc_id").isin(fb_ids))
+        .where(~F.col("term").isin(qterms))
+        .select(
+            "term",
+            F.expr(
+                "(2 * cast(tf as bigint) * 1000000 + dl) div (2 * cast(dl as bigint))"
+            ).alias("w"),
+        )
+        .groupBy("term")
+        .agg(F.sum("w").cast("long").alias("w_int"))
+        .orderBy(F.desc("w_int"), F.asc("term"))
+        .limit(fb_terms)
+        .collect()
+    )
+    wsum = sum(r["w_int"] for r in wrows) or 1
+    weights = {t: float(orig_weight) for t in qterms}
+    for r in wrows:
+        weights[r["term"]] = (
+            (1.0 - float(orig_weight)) * r["w_int"] / float(wsum)
+        )
+    terms = sorted(weights)
+    from .score import _query_idf, bm25_term_score, sorted_term_fold
+
+    qidf, _, avgdl = _query_idf(spark, index, terms)
+    wdf = spark.createDataFrame(
+        [(t, weights[t]) for t in terms], "term string, w double"
+    )
+    scored = (
+        index.postings.where(F.col("term").isin(terms))
+        .join(F.broadcast(qidf.join(wdf, "term")), "term")
+        .select("term", "doc_id", "tf", "dl", "idf", "w")
+        .withColumn(
+            "term_score",
+            bm25_term_score(float(cfg.k1), float(cfg.b), avgdl) * F.col("w"),
+        )
+        .groupBy("doc_id")
+        .agg(sorted_term_fold().alias("score"))
+    )
+    top = (
+        _suppress(scored, exclude_docs)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return resolve_conv_ids(index, top)
+
+
 def parse_mm_spec(spec: str, n_clauses: int) -> int:
     """Resolve Solr's (e)dismax ``mm=`` specification to the minimum
     number of optional clauses that must match, for ``n_clauses``

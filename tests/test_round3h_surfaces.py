@@ -310,3 +310,35 @@ def test_facet_prefix_filters_and_suppresses_missing(spark):
     # no prefix: missing bucket present
     allv = field_facet_counts(df, "tool").collect()
     assert any(r["value"] is None and r["n"] == 1 for r in allv)
+
+
+# ---------------------------------------------------------------- rm3
+
+def test_rm3_orig_weight_one_is_plain_bm25(spark, sf_dir):
+    """ow=1.0 zeroes the expansion leg: ranking must equal plain BM25
+    (expansion terms ride with weight 0)."""
+    import __spark_entry__ as e
+    from solr_ocr_processor_spark.operators.query import rm3_topk
+    from solr_ocr_processor_spark.operators.score import bm25_topk
+
+    idx = e._index(spark, sf_dir)
+    a = [(r["doc_id"], round(r["score"], 6))
+         for r in rm3_topk(spark, idx, e.FLAGSHIP_QUERY, k=10,
+                           orig_weight=1.0).collect()]
+    b = [(r["doc_id"], round(r["score"], 6))
+         for r in bm25_topk(spark, idx, e.FLAGSHIP_QUERY, k=10).collect()]
+    assert a == b
+
+
+def test_rm3_expansion_is_deterministic_and_moves_ranking(spark, sf_dir):
+    import __spark_entry__ as e
+    from solr_ocr_processor_spark.operators.query import rm3_topk
+
+    idx = e._index(spark, sf_dir)
+    r1 = [(r["doc_id"], round(r["score"], 6))
+          for r in rm3_topk(spark, idx, e.FLAGSHIP_QUERY, k=10).collect()]
+    r2 = [(r["doc_id"], round(r["score"], 6))
+          for r in rm3_topk(spark, idx, e.FLAGSHIP_QUERY, k=10).collect()]
+    assert r1 == r2                      # selection boundary is exact
+    with pytest.raises(ValueError, match="orig_weight"):
+        rm3_topk(spark, idx, e.FLAGSHIP_QUERY, orig_weight=2.0)
