@@ -960,11 +960,9 @@ def _ann_store(spark: SparkSession, sf_dir: str) -> AnnStore:
         # atexit hook reclaims the per-process directory.
         root = f"/tmp/spark_graft_ann_{tag}_{os.getpid()}"
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-        store = build_ann_store(spark, _embs(spark, sf_dir), root, dim=64)
-        from solr_ocr_processor_spark.operators.ann_store import build_pq_store
-
-        build_pq_store(spark, store, _embs(spark, sf_dir))
-        _ann_cache[key] = store
+        _ann_cache[key] = build_ann_store(
+            spark, _embs(spark, sf_dir), root, dim=64
+        )
     return _ann_cache[key]
 
 
@@ -2074,9 +2072,18 @@ def _q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over m-byte codes as a JVM table-lookup sum, exact-cosine rerank
     of k*refine winners via an isin point read
     (operators/ann_store.build_pq_store / ivfpq_topk_stored)."""
-    from solr_ocr_processor_spark.operators.ann_store import ivfpq_topk_stored
+    import os
+
+    from solr_ocr_processor_spark.operators.ann_store import (
+        build_pq_store,
+        ivfpq_topk_stored,
+    )
 
     store = _ann_store(spark, sf_dir)
+    # PQ layer built lazily by its one consumer: LSH/IVF queries that
+    # share the store never pay the encode pass + pq/ write
+    if not os.path.exists(store.path("pq_meta.json")):
+        build_pq_store(spark, store, _embs(spark, sf_dir))
     return ivfpq_topk_stored(
         spark, store, _embs(spark, sf_dir), _qvec(spark, sf_dir),
         k=10, nprobe=4, refine=4,
@@ -6152,17 +6159,17 @@ tf2 AS (
 df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
 sc AS (
   SELECT tf2.doc_id, tf2.conv_id,
-         round(sum(
-           wts.w
-           * ln(1 + (s.n_docs - df2.df + 0.5) / (df2.df + 0.5))
-           * (tf2.tf * 2.2)
-           / (tf2.tf + 1.2 * (0.25 + 0.75 * tf2.dl / s.avgdl))
-         ), 6) AS score
+         sum(
+           (ln(1 + (s.n_docs - df2.df + 0.5) / (df2.df + 0.5))
+            * ((tf2.tf * 2.2)
+               / (tf2.tf + 1.2 * (0.25 + 0.75 * tf2.dl / s.avgdl))))
+           * wts.w
+         ) AS raw
   FROM tf2 JOIN df2 USING (term) JOIN wts USING (term) CROSS JOIN stats s
   GROUP BY tf2.doc_id, tf2.conv_id
 )
-SELECT doc_id, conv_id, score FROM sc
-ORDER BY score DESC, doc_id ASC LIMIT 10
+SELECT doc_id, conv_id, round(raw, 6) AS score FROM sc
+ORDER BY raw DESC, doc_id ASC LIMIT 10
 """,
         **_PIPELINE_ORACLES,
     }

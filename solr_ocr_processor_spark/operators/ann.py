@@ -52,6 +52,56 @@ def _norm_expr(vec_col: str):
     )
 
 
+def _exact_rerank(
+    embs: DataFrame,
+    ids: list,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The shared tail of every candidate→rerank ANN surface (pq /
+    int8 / matryoshka / stored IVF-PQ): isin-pruned point read of the
+    float table, exact cosine with the zero-norm guard, (cos desc, id
+    asc) cut to k, 6-dp rounding. ONE home so the guard and rounding
+    stay bit-identical across the family."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    denom = _norm_expr(vec_col) * F.lit(qn)
+    return (
+        embs.where(F.col(id_col).isin(ids))
+        .select(
+            F.col(id_col).alias("id"),
+            F.when(denom > 0, _dot_expr(vec_col, query_vec) / denom)
+            .otherwise(F.lit(0.0))
+            .alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("id"))
+        .limit(k)
+        .select("id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def adc_dist_expr(dt: np.ndarray):
+    """ADC over a ``codes`` array column: the query's (m × n_codes)
+    distance table rides the plan as a literal and each row's
+    approximate distance is the m-term table-lookup fold (j-ordered —
+    the order the oracle's list_sum replays). Shared by pq_topk and
+    ann_store.ivfpq_topk_stored so the 1-based element_at indexing
+    has one home."""
+    m = int(dt.shape[0])
+    dt_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in dt])
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda c, j: F.element_at(F.element_at(dt_lit, j), c + 1),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
 def cosine_topk(
     embs: DataFrame,
     query_vec: list[float],
@@ -707,23 +757,7 @@ def int8_topk(
     )
     cand = scored.orderBy(F.desc("qcos"), F.asc("id")).limit(k * refine)
     ids = [r["id"] for r in cand.select("id").collect()]
-    qn = float(np.linalg.norm(q))
-    # zero query / zero vector: cosine is undefined — report 0 instead
-    # of dividing by zero (ANSI mode raises)
-    denom = _norm_expr(vec_col) * F.lit(qn)
-    exact = (
-        embs.where(F.col(id_col).isin(ids))
-        .select(
-            F.col(id_col).alias("id"),
-            F.when(denom > 0, _dot_expr(vec_col, query_vec) / denom)
-            .otherwise(F.lit(0.0))
-            .alias("cos"),
-        )
-        .orderBy(F.desc("cos"), F.asc("id"))
-        .limit(k)
-        .select("id", F.round("cos", 6).alias("cos"))
-    )
-    return exact
+    return _exact_rerank(embs, ids, query_vec, k, id_col, vec_col)
 
 
 # ---------------------------------------------------------------------------
@@ -840,39 +874,14 @@ def pq_topk(
     dt = np.stack(
         [((q[j * sd : (j + 1) * sd][None, :] - C[j]) ** 2).sum(axis=1) for j in range(m)]
     )
-    dt_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in dt]
-    )
     enc = pq_encode(embs, C, id_col, vec_col)
-    adist = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(1), F.lit(int(m))),
-            lambda c, j: F.element_at(F.element_at(dt_lit, j), c + 1),
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
     cand = (
-        enc.select("id", adist.alias("adist"))
+        enc.select("id", adc_dist_expr(dt).alias("adist"))
         .orderBy(F.asc("adist"), F.asc("id"))
         .limit(k * refine)
     )
     ids = [r["id"] for r in cand.select("id").collect()]
-    qn = float(np.linalg.norm(q))
-    denom = _norm_expr(vec_col) * F.lit(qn)
-    return (
-        embs.where(F.col(id_col).isin(ids))
-        .select(
-            F.col(id_col).alias("id"),
-            F.when(denom > 0, _dot_expr(vec_col, query_vec) / denom)
-            .otherwise(F.lit(0.0))
-            .alias("cos"),
-        )
-        .orderBy(F.desc("cos"), F.asc("id"))
-        .limit(k)
-        .select("id", F.round("cos", 6).alias("cos"))
-    )
+    return _exact_rerank(embs, ids, query_vec, k, id_col, vec_col)
 
 
 def matryoshka_topk(
@@ -933,17 +942,4 @@ def matryoshka_topk(
         .limit(k * refine)
     )
     ids = [r["id"] for r in cand.select("id").collect()]
-    qn = float(np.linalg.norm(q))
-    denom = _norm_expr(vec_col) * F.lit(qn)
-    return (
-        embs.where(F.col(id_col).isin(ids))
-        .select(
-            F.col(id_col).alias("id"),
-            F.when(denom > 0, _dot_expr(vec_col, query_vec) / denom)
-            .otherwise(F.lit(0.0))
-            .alias("cos"),
-        )
-        .orderBy(F.desc("cos"), F.asc("id"))
-        .limit(k)
-        .select("id", F.round("cos", 6).alias("cos"))
-    )
+    return _exact_rerank(embs, ids, query_vec, k, id_col, vec_col)

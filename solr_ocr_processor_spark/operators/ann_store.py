@@ -443,6 +443,8 @@ def ivfpq_topk_stored(
 
     Returns (id, cos) — exact cosine of the winners, the family-wide
     contract (ann.pq_topk / int8_topk / cosine_topk)."""
+    from .ann import _exact_rerank, adc_dist_expr
+
     with open(store.path("pq_meta.json")) as f:
         pm = json.load(f)
     C = np.asarray(pm["codebooks"], dtype=np.float64)
@@ -456,37 +458,12 @@ def ivfpq_topk_stored(
             for j in range(m)
         ]
     )
-    dt_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in dt])
-    adist = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(1), F.lit(int(m))),
-            lambda c, j: F.element_at(F.element_at(dt_lit, j), c + 1),
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
     cand = (
         spark.read.parquet(store.path("pq"))
         .where(F.col("list_id").isin([int(x) for x in probe]))
-        .select("id", adist.alias("adist"))
+        .select("id", adc_dist_expr(dt).alias("adist"))
         .orderBy(F.asc("adist"), F.asc("id"))
         .limit(k * refine)
     )
     ids = [r["id"] for r in cand.select("id").collect()]
-    from .ann import _dot_expr, _norm_expr
-
-    qnorm = float(np.linalg.norm(q))
-    denom = _norm_expr(vec_col) * F.lit(qnorm)
-    return (
-        embs.where(F.col(id_col).isin(ids))
-        .select(
-            F.col(id_col).alias("id"),
-            F.when(denom > 0, _dot_expr(vec_col, query_vec) / denom)
-            .otherwise(F.lit(0.0))
-            .alias("cos"),
-        )
-        .orderBy(F.desc("cos"), F.asc("id"))
-        .limit(k)
-        .select("id", F.round("cos", 6).alias("cos"))
-    )
+    return _exact_rerank(embs, ids, query_vec, k, id_col, vec_col)

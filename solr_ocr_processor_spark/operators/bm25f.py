@@ -232,12 +232,23 @@ def dismax_tie_topk(
         )
     )
     dismax = clause.groupBy("conv_id", "term").agg(
+        # <=2 field values per key: the two-term sum is IEEE-
+        # commutative, so this combine is partition-order-free
         (
             F.max("s") + F.lit(float(tie)) * (F.sum("s") - F.max("s"))
         ).alias("dm")
     )
+    # per-term dismax scores fold in sorted term order (the
+    # sorted_term_fold contract): bit-identical across partitionings
     scored = dismax.groupBy("conv_id").agg(
-        F.round(F.sum("dm"), 6).alias("score")
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "dm"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["dm"],
+            ),
+            6,
+        ).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc("conv_id")).limit(k)
 
@@ -308,23 +319,27 @@ def stopstem_topk(
             + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
         ).alias("idf"),
     )
+    contrib = (
+        F.col("idf")
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    # sorted term fold -> bit-identical scores on every partitioning
     scored = (
         tf.join(dl, "conv_id")
         .join(F.broadcast(idf), "term")
+        .select("conv_id", "term", contrib.alias("c"))
         .groupBy("conv_id")
         .agg(
             F.round(
-                F.sum(
-                    F.col("idf")
-                    * (F.col("tf") * F.lit(k1 + 1.0))
-                    / (
-                        F.col("tf")
-                        + F.lit(k1)
-                        * (
-                            F.lit(1.0 - b)
-                            + F.lit(b) * F.col("dl") / F.col("avgdl")
-                        )
-                    )
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term", "c"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["c"],
                 ),
                 6,
             ).alias("score")

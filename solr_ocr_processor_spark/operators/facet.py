@@ -672,19 +672,23 @@ def field_facet_counts(
     value), ``facet.sort=count|index`` (count DESC value ASC, or pure
     value order), ``facet.limit``/``facet.offset`` paging over the
     value list, and ``facet.prefix`` (only values starting with the
-    prefix — Solr evaluates it BEFORE missing/sort/paging, and the
-    missing bucket is suppressed since NULL has no prefix). ONE
-    groupBy with map-side combine; the prefix filter pushes below the
-    aggregate (startswith reaches the scan); the exchange moves
-    |distinct values| rows, and a limit lowers the final order to
+    prefix reach the term list — Solr evaluates it before
+    sort/paging, while the ``facet.missing`` bucket stays INDEPENDENT
+    of the prefix: SimpleFacets appends the no-value count whether or
+    not a prefix restricted the terms). ONE groupBy with map-side
+    combine; the prefix filter pushes below the aggregate (startswith
+    OR isNull reaches the scan); the exchange moves |distinct values|
+    rows, and a limit lowers the final order to
     TakeOrderedAndProject(offset+limit)."""
     if sort not in ("count", "index"):
         raise ValueError(f"facet.sort must be count|index, got {sort!r}")
     if offset < 0:
         raise ValueError(f"facet.offset must be >= 0, got {offset}")
     if prefix is not None:
-        df = df.where(F.col(field).startswith(prefix))
-        missing = False
+        keep = F.col(field).startswith(prefix)
+        if missing:
+            keep = keep | F.col(field).isNull()
+        df = df.where(keep)
     out = df.groupBy(F.col(field).alias("value")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )

@@ -293,22 +293,27 @@ def passage_topk(
             + (F.col("n_chunks") - F.col("df") + 0.5) / (F.col("df") + 0.5)
         ).alias("idf"),
     )
+    contrib = (
+        F.col("idf")
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("n_tokens") / F.col("avgdl"))
+        )
+    )
+    # sorted term fold (the sorted_term_fold contract): the per-passage
+    # score is bit-identical on every partitioning
     scored = (
         tf.join(F.broadcast(idf), "term")
+        .select("doc_id", "chunk_idx", "tok_start", "term", contrib.alias("c"))
         .groupBy("doc_id", "chunk_idx", "tok_start")
         .agg(
             F.round(
-                F.sum(
-                    F.col("idf")
-                    * (F.col("tf") * F.lit(k1 + 1.0))
-                    / (
-                        F.col("tf")
-                        + F.lit(k1)
-                        * (
-                            F.lit(1.0 - b)
-                            + F.lit(b) * F.col("n_tokens") / F.col("avgdl")
-                        )
-                    )
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term", "c"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["c"],
                 ),
                 6,
             ).alias("score")

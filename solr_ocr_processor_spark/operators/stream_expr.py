@@ -567,6 +567,8 @@ def _compile(node: Node, tables: dict[str, DataFrame]) -> DataFrame:
         start_s, end_s, gap_s = _iso_epoch(start), _iso_epoch(end), _gap_seconds(gap)
         if end_s <= start_s:
             raise StreamExprError("timeseries wants end > start")
+        if gap_s <= 0:
+            raise StreamExprError(f"timeseries wants a positive gap, got {gap!r}")
         metrics = [_metric(a) for a in node.args[1:] if isinstance(a, Node)]
         if not metrics:
             raise StreamExprError("timeseries wants at least one metric")

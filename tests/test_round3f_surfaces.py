@@ -23,7 +23,12 @@ T0 = 1704067200  # 2024-01-01T00:00:00Z
 
 def _ev(spark):
     def ts(off_s):
-        return datetime.datetime.utcfromtimestamp(T0 + off_s)
+        # aware UTC instant: unambiguous regardless of host TZ (the
+        # session TZ is pinned UTC in session.py, this removes the
+        # dependence entirely; utcfromtimestamp is deprecated in 3.12)
+        return datetime.datetime.fromtimestamp(
+            T0 + off_s, tz=datetime.timezone.utc
+        )
 
     rows = [
         (0, ts(10), "click", 1.0),      # bucket 0

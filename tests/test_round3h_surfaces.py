@@ -305,8 +305,13 @@ def test_facet_prefix_filters_and_suppresses_missing(spark):
         [("apple",), ("apricot",), ("banana",), (None,), ("apple",)],
         "tool string",
     )
-    out = field_facet_counts(df, "tool", prefix="ap").collect()
+    out = field_facet_counts(df, "tool", prefix="ap", missing=False).collect()
     assert {(r["value"], r["n"]) for r in out} == {("apple", 2), ("apricot", 1)}
+    # Solr: the missing bucket is INDEPENDENT of facet.prefix
+    withm = field_facet_counts(df, "tool", prefix="ap", missing=True).collect()
+    assert {(r["value"], r["n"]) for r in withm} == {
+        ("apple", 2), ("apricot", 1), (None, 1),
+    }
     # no prefix: missing bucket present
     allv = field_facet_counts(df, "tool").collect()
     assert any(r["value"] is None and r["n"] == 1 for r in allv)
