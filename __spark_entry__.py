@@ -2128,6 +2128,26 @@ def _q_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
+def _q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr LTR feature logging (fl=[features]): raw per-candidate
+    feature vectors over the base-ranker window — the training-data
+    export the ltr_topk model is fit from
+    (operators/query.ltr_features)."""
+    from solr_ocr_processor_spark.operators.query import ltr_features
+
+    idx = _index(spark, sf_dir)
+    return ltr_features(spark, idx, FLAGSHIP_QUERY, rerank_docs=20)
+
+
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix: shared distinct 3-gram
+    counts + Jaccard per source pair — the independence audit before
+    mixture weighting (operators/pipeline.source_overlap_matrix)."""
+    from solr_ocr_processor_spark.operators.pipeline import source_overlap_matrix
+
+    return source_overlap_matrix(_docs(spark, sf_dir), n=3)
+
+
 def _q_conv_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation well-formedness lint: starts-with-user /
     ends-with-assistant / role-alternation / empty-turn checks per
@@ -2295,6 +2315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_matryoshka_topk": _q_ann_matryoshka_topk,
         "passage_topk": _q_passage_topk,
         "rm3_topk": _q_rm3_topk,
+        "ltr_features": _q_ltr_features,
+        "source_overlap": _q_source_overlap,
     }
 
 
@@ -6170,6 +6192,71 @@ sc AS (
 )
 SELECT doc_id, conv_id, round(raw, 6) AS score FROM sc
 ORDER BY raw DESC, doc_id ASC LIMIT 10
+""",
+        # LTR feature logging: same starter features as ltr_topk,
+        # candidate window by raw BM25, output ordered by the rounded
+        # f_bm25 (identical values on both engines) + doc_id.
+        "ltr_features": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tokall AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tfq AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokall WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+base AS (
+  SELECT tfq.doc_id, tfq.conv_id,
+         sum(
+           ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tfq.tf * 2.2)
+           / (tfq.tf + 1.2 * (0.25 + 0.75 * tfq.dl / s.avgdl))
+         ) AS raw,
+         CAST(count(*) AS BIGINT) AS n_matched,
+         max(tfq.dl) AS dl
+  FROM tfq JOIN dfq USING (term) CROSS JOIN stats s
+  GROUP BY tfq.doc_id, tfq.conv_id
+),
+cand AS (SELECT * FROM base ORDER BY raw DESC, doc_id ASC LIMIT 20)
+SELECT doc_id, conv_id,
+       round(raw, 6) AS f_bm25,
+       round(n_matched / 3.0, 6) AS f_match_frac,
+       round(dl / s.avgdl, 6) AS f_dl_ratio
+FROM cand CROSS JOIN stats s
+ORDER BY round(raw, 6) DESC, doc_id ASC
+""",
+        # source overlap: DISTINCT (source, 3-gram md5) sets, pair
+        # join on hash, zero-overlap pairs ride the size spine.
+        "source_overlap": f"""
+WITH toked AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+posd AS (SELECT doc_id, source, generate_subscripts(toks, 1) AS p, toks
+         FROM toked),
+shd AS (
+  SELECT DISTINCT source,
+         md5(toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2]) AS h
+  FROM posd WHERE p + 2 <= len(toks)
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+          FROM shd GROUP BY source),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM shd a JOIN shd b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+spine AS (
+  SELECT sa.source AS src_a, sb.source AS src_b,
+         sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+)
+SELECT s.src_a, s.src_b, s.n_a, s.n_b,
+       coalesce(sh.n_shared, 0) AS n_shared,
+       round(CAST(coalesce(sh.n_shared, 0) AS DOUBLE)
+             / CAST(s.n_a + s.n_b - coalesce(sh.n_shared, 0) AS DOUBLE), 6)
+         AS jaccard
+FROM spine s LEFT JOIN shared sh USING (src_a, src_b)
+ORDER BY s.src_a, s.src_b
 """,
         **_PIPELINE_ORACLES,
     }

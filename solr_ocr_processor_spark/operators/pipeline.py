@@ -841,3 +841,75 @@ def quality_classifier(
         )
         .orderBy("doc_id")
     )
+
+
+def source_overlap_matrix(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Cross-source n-gram overlap matrix — the corpus-level
+    generalization of eval decontamination
+    (:func:`contamination_flags`): for every unordered source pair,
+    how many DISTINCT word n-grams the two sources share, and the
+    Jaccard of their shingle sets. The audit a pipeline runs before
+    treating sources as independent mixture components (near-copied
+    sources inflate effective epochs exactly like within-source
+    duplicates).
+
+    Returns (src_a, src_b, n_a, n_b, n_shared, jaccard) for every
+    pair src_a < src_b — zero-overlap pairs included with 0/0.0 —
+    ordered (src_a, src_b). jaccard = n_shared / (n_a + n_b −
+    n_shared): exact BIGINT counts, one final divide.
+
+    Plan shape: shingling reuses the dedup family's oracle-checked
+    definition; the distinct (source, shingle-hash) set is ONE
+    aggregate (map-side combinable — the md5 hash keeps rows narrow);
+    the pair join shuffles by hash, and a shingle shared by s sources
+    expands to s(s−1)/2 pair rows — bounded by |sources|², never by
+    corpus size; per-source set sizes (|sources| rows) broadcast onto
+    the |sources|²-row result spine."""
+    if n < 1:
+        raise ValueError(f"n-gram order must be >= 1, got {n}")
+    from .dedup import shingles
+
+    src = docs.select("doc_id", "source")
+    ss = (
+        shingles(docs, n)
+        .join(src, "doc_id")
+        .select("source", F.md5("shingle").alias("h"))
+        .distinct()
+    )
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a, b = ss.alias("a"), ss.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    spine = (
+        sa.join(sb, F.col("sa.source") < F.col("sb.source"))
+        .select(
+            F.col("sa.source").alias("src_a"),
+            F.col("sb.source").alias("src_b"),
+            F.col("sa.n_sh").alias("n_a"),
+            F.col("sb.n_sh").alias("n_b"),
+        )
+    )
+    return (
+        spine.join(shared, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b")
+                   - F.coalesce("n_shared", F.lit(0))).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -1384,6 +1384,59 @@ def ltr_topk(
     )
 
 
+def ltr_features(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    rerank_docs: int = 20,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Solr LTR FEATURE LOGGING (``fl=[features]``, the
+    LTRFeatureLoggerTransformerFactory): emit the raw per-candidate
+    feature VECTOR instead of a model score — the training-data export
+    a user runs to fit the model :func:`ltr_topk` then serves. Same
+    starter features, same candidate window:
+
+      f_bm25 = BM25 score, f_match_frac = matched query terms /
+      |terms|, f_dl_ratio = dl / avgdl.
+
+    Returns (doc_id, conv_id, f_bm25, f_match_frac, f_dl_ratio) for
+    the top ``rerank_docs`` base-ranker candidates, ordered
+    (f_bm25 desc, doc_id asc); floats rounded 6 dp.
+
+    Scale shape: identical to ltr_topk — the features ride the
+    scorer's single aggregation (no extra scan), the window is a
+    TakeOrderedAndProject, and at training scale this runs per query
+    of the judgment log, each an index probe, embarrassingly parallel
+    across queries (queryset.batch answers the whole workload in one
+    postings pass)."""
+    terms = sorted(set(query_terms(query, cfg)))
+    if not terms:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, conv_id string, f_bm25 double, "
+            "f_match_frac double, f_dl_ratio double",
+        )
+    scored = bm25_scores_terms(
+        spark, index, terms, cfg, with_match_count=True, with_dl=True
+    )
+    cands = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(rerank_docs)
+    avgdl = float(index.corpus.first()["avgdl"])
+    out = cands.select(
+        "doc_id",
+        F.round("score", 6).alias("f_bm25"),
+        F.round(F.col("n_matched") / F.lit(float(len(terms))), 6).alias(
+            "f_match_frac"
+        ),
+        F.round(F.col("dl") / F.lit(avgdl), 6).alias("f_dl_ratio"),
+    )
+    return (
+        out.join(F.broadcast(index.doc_meta.select("doc_id", "conv_id")), "doc_id")
+        .select("doc_id", "conv_id", "f_bm25", "f_match_frac", "f_dl_ratio")
+        .orderBy(F.desc("f_bm25"), F.asc("doc_id"))
+    )
+
+
 def realtime_get(
     spark: SparkSession,
     index: Index,

@@ -347,3 +347,49 @@ def test_rm3_expansion_is_deterministic_and_moves_ranking(spark, sf_dir):
     assert r1 == r2                      # selection boundary is exact
     with pytest.raises(ValueError, match="orig_weight"):
         rm3_topk(spark, idx, e.FLAGSHIP_QUERY, orig_weight=2.0)
+
+
+# ---------------------------------------------------------------- ltr log
+
+def test_ltr_features_consistent_with_ltr_topk(spark, sf_dir):
+    """The logged features must reproduce ltr_topk's model score:
+    w·f == ltr_score for the docs in both windows."""
+    import __spark_entry__ as e
+    from solr_ocr_processor_spark.operators.query import ltr_features, ltr_topk
+
+    idx = e._index(spark, sf_dir)
+    feats = {r["doc_id"]: r
+             for r in ltr_features(spark, idx, e.FLAGSHIP_QUERY,
+                                   rerank_docs=50).collect()}
+    top = ltr_topk(spark, idx, e.FLAGSHIP_QUERY, k=10, rerank_docs=50).collect()
+    w1, w2, w3 = 1.0, 0.5, -0.25
+    for r in top:
+        f = feats[r["doc_id"]]
+        model = (w1 * f["f_bm25"] + w2 * f["f_match_frac"]
+                 + w3 * f["f_dl_ratio"])
+        assert abs(model - r["ltr_score"]) < 2e-6
+    # fractions are valid and the window is full
+    assert len(feats) == 50
+    assert all(0 < f["f_match_frac"] <= 1.0 for f in feats.values())
+
+
+# ---------------------------------------------------------------- overlap
+
+def test_source_overlap_detects_copied_source(spark):
+    from solr_ocr_processor_spark.operators.pipeline import source_overlap_matrix
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base, "s1"),
+        (2, base, "s2"),                      # s2 copies s1 entirely
+        (3, "one two three four five six", "s3"),  # disjoint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["src_a"], r["src_b"]): r
+           for r in source_overlap_matrix(docs, n=3).collect()}
+    assert out[("s1", "s2")]["jaccard"] == 1.0
+    assert out[("s1", "s3")]["n_shared"] == 0
+    assert out[("s1", "s3")]["jaccard"] == 0.0
+    assert out[("s2", "s3")]["n_shared"] == 0
+    # 6 trigrams in an 8-token doc
+    assert out[("s1", "s2")]["n_a"] == 6 and out[("s1", "s2")]["n_shared"] == 6
