@@ -2148,6 +2148,30 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(_docs(spark, sf_dir), n=3)
 
 
+def _q_lmdir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (Lucene
+    LMDirichletSimilarity, mu=2000) — the second scoring model next to
+    BM25, per-term clamped at 0 exactly as Lucene does
+    (operators/query.lmdir_topk)."""
+    from solr_ocr_processor_spark.operators.query import lmdir_topk
+
+    idx = _index(spark, sf_dir)
+    top = lmdir_topk(spark, idx, FLAGSHIP_QUERY, k=10, mu=2000.0)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
+def _q_prf_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-side pseudo-relevance feedback (Rocchio): q' = q +
+    0.5*mean(top-5 vectors), exact cosine against the updated query —
+    the dense symmetry of rm3_topk (operators/ann.prf_vector_topk)."""
+    from solr_ocr_processor_spark.operators.ann import prf_vector_topk
+
+    return prf_vector_topk(
+        _embs(spark, sf_dir), _qvec(spark, sf_dir), k=10, fb_k=5,
+        alpha=1.0, beta=0.5,
+    )
+
+
 def _q_conv_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation well-formedness lint: starts-with-user /
     ends-with-assistant / role-alternation / empty-turn checks per
@@ -2317,6 +2341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rm3_topk": _q_rm3_topk,
         "ltr_features": _q_ltr_features,
         "source_overlap": _q_source_overlap,
+        "lmdir_topk": _q_lmdir_topk,
+        "prf_vector_topk": _q_prf_vector_topk,
     }
 
 
@@ -6257,6 +6283,56 @@ SELECT s.src_a, s.src_b, s.n_a, s.n_b,
          AS jaccard
 FROM spine s LEFT JOIN shared sh USING (src_a, src_b)
 ORDER BY s.src_a, s.src_b
+""",
+        # LMDirichlet (mu=2000): T is the exact corpus token count;
+        # per-term score clamped at 0 (Lucene's contract); sorted fold
+        # on the engine side, 6-dp round absorbs the sum-order seam.
+        "lmdir_topk": f"""
+WITH {_DOCS},
+tot AS (SELECT CAST(sum(dl) AS DOUBLE) AS T FROM ids),
+tokall AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+cfs AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tokall
+        WHERE term IN {FLAGSHIP_TERMS!r} GROUP BY term),
+tfm AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokall WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+sc AS (
+  SELECT tfm.doc_id, tfm.conv_id,
+         sum(greatest(0.0,
+           ln(1.0 + (CAST(tfm.tf AS DOUBLE) * t.T)
+                    / (2000.0 * CAST(cfs.cf AS DOUBLE)))
+           + ln(2000.0 / (CAST(tfm.dl AS DOUBLE) + 2000.0))
+         )) AS raw
+  FROM tfm JOIN cfs USING (term) CROSS JOIN tot t
+  GROUP BY tfm.doc_id, tfm.conv_id
+)
+SELECT doc_id, conv_id, round(raw, 6) AS score FROM sc
+ORDER BY raw DESC, doc_id ASC LIMIT 10
+""",
+        # vector PRF (Rocchio): top-5 feedback by original cosine,
+        # q' = q + 0.5*mean, exact cosine against q'.
+        "prf_vector_topk": """
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+s1 AS (SELECT ev.vec_id AS id, list_cosine_similarity(ev.v, q.qv) AS c
+       FROM ev CROSS JOIN q),
+fb AS (SELECT id FROM s1 ORDER BY c DESC, id ASC LIMIT 5),
+fdim AS (
+  SELECT u.d AS d, avg(u.x) AS m
+  FROM (SELECT unnest(ev.v) AS x, generate_subscripts(ev.v, 1) AS d
+        FROM ev JOIN fb ON ev.vec_id = fb.id) u
+  GROUP BY u.d
+),
+q2 AS (
+  SELECT list(1.0 * q.qv[f.d] + 0.5 * f.m ORDER BY f.d) AS q2v
+  FROM fdim f CROSS JOIN q
+),
+s2 AS (SELECT ev.vec_id AS id, list_cosine_similarity(ev.v, q2.q2v) AS cs
+       FROM ev CROSS JOIN q2)
+SELECT id, round(cs, 6) AS cos FROM s2 ORDER BY cs DESC, id ASC LIMIT 10
 """,
         **_PIPELINE_ORACLES,
     }

@@ -943,3 +943,47 @@ def matryoshka_topk(
     )
     ids = [r["id"] for r in cand.select("id").collect()]
     return _exact_rerank(embs, ids, query_vec, k, id_col, vec_col)
+
+
+def prf_vector_topk(
+    embs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    fb_k: int = 5,
+    alpha: float = 1.0,
+    beta: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vector-side pseudo-relevance feedback — Rocchio's query update
+    applied to dense retrieval (the ANN symmetry of the text side's
+    RM3, and what ColBERT-PRF / vector-PRF papers standardized): take
+    the top ``fb_k`` hits of the original query, move the query toward
+    their centroid,
+
+        q' = alpha·q + beta·mean(v_1..v_fb_k)
+
+    and answer with exact cosine against q'. Feedback drift is the
+    known failure mode — alpha anchors the original intent.
+
+    Returns (id, cos) — cosine to the UPDATED query q', ordered
+    (cos desc, id asc), rounded 6 dp.
+
+    Plan: the feedback probe is the standard TakeOrderedAndProject
+    top-fb_k (fb_k·dim floats to the driver — bounded); q' is driver
+    arithmetic; the answer pass is the same whole-stage-codegen
+    cosine scan as :func:`cosine_topk` (or any ANN family member —
+    q' drops into lsh/ivf/pq probes unchanged)."""
+    if fb_k <= 0:
+        raise ValueError(f"fb_k must be positive, got {fb_k}")
+    fb = cosine_topk(embs, query_vec, fb_k, id_col, vec_col)
+    ids = [r["id"] for r in fb.select("id").collect()]
+    V = np.vstack(
+        [
+            np.asarray(r[vec_col], dtype=np.float64)
+            for r in embs.where(F.col(id_col).isin(ids)).select(vec_col).collect()
+        ]
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    q2 = float(alpha) * q + float(beta) * V.mean(axis=0)
+    return cosine_topk(embs, q2.tolist(), k, id_col, vec_col)

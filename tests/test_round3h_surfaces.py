@@ -393,3 +393,70 @@ def test_source_overlap_detects_copied_source(spark):
     assert out[("s2", "s3")]["n_shared"] == 0
     # 6 trigrams in an 8-token doc
     assert out[("s1", "s2")]["n_a"] == 6 and out[("s1", "s2")]["n_shared"] == 6
+
+
+# ---------------------------------------------------------------- lmdir
+
+def test_lmdir_hand_computed(spark, sf_dir):
+    """Replay the Dirichlet formula in Python over the index frames
+    for the top doc."""
+    import math
+
+    import __spark_entry__ as e
+    from solr_ocr_processor_spark.operators.query import lmdir_topk
+
+    idx = e._index(spark, sf_dir)
+    top = lmdir_topk(spark, idx, e.FLAGSHIP_QUERY, k=3, mu=2000.0).collect()
+    assert top and top[0]["score"] > 0
+    d0 = top[0]["doc_id"]
+    T = float(idx.corpus.first()["total_tokens"])
+    cfs = {r["term"]: r["cf"] for r in idx.term_stats.where(
+        F.col("term").isin(list(e.FLAGSHIP_TERMS))).collect()}
+    rows = idx.postings.where(
+        (F.col("doc_id") == d0) & F.col("term").isin(list(e.FLAGSHIP_TERMS))
+    ).select("term", "tf", "dl").collect()
+    exp = sum(
+        max(0.0,
+            math.log(1.0 + (r["tf"] * T) / (2000.0 * cfs[r["term"]]))
+            + math.log(2000.0 / (r["dl"] + 2000.0)))
+        for r in rows
+    )
+    assert abs(top[0]["score"] - round(exp, 6)) < 2e-6
+    with pytest.raises(ValueError, match="mu"):
+        lmdir_topk(spark, idx, e.FLAGSHIP_QUERY, mu=0)
+
+
+# ---------------------------------------------------------------- vec prf
+
+def test_prf_vector_beta_zero_is_plain_cosine(spark, sf_dir):
+    import __spark_entry__ as e
+    from solr_ocr_processor_spark.operators.ann import (
+        cosine_topk,
+        prf_vector_topk,
+    )
+
+    embs = e._embs(spark, sf_dir)
+    qv = e._qvec(spark, sf_dir)
+    a = prf_vector_topk(embs, qv, k=10, fb_k=5, alpha=1.0, beta=0.0).collect()
+    b = cosine_topk(embs, qv, k=10).collect()
+    assert [(r["id"], r["cos"]) for r in a] == [(r["id"], r["cos"]) for r in b]
+    with pytest.raises(ValueError, match="fb_k"):
+        prf_vector_topk(embs, qv, fb_k=0)
+
+
+def test_prf_vector_moves_query_toward_feedback(spark, sf_dir):
+    """With alpha=0, beta=1 the query IS the feedback centroid: every
+    feedback vector's cosine to it should be high (the centroid sits
+    inside the feedback cluster)."""
+    import __spark_entry__ as e
+    from solr_ocr_processor_spark.operators.ann import (
+        cosine_topk,
+        prf_vector_topk,
+    )
+
+    embs = e._embs(spark, sf_dir)
+    qv = e._qvec(spark, sf_dir)
+    fb_ids = {r["id"] for r in cosine_topk(embs, qv, k=5).collect()}
+    out = prf_vector_topk(embs, qv, k=10, fb_k=5, alpha=0.0, beta=1.0).collect()
+    got = {r["id"] for r in out}
+    assert fb_ids & got  # centroid retrieves its own cluster members
