@@ -2172,6 +2172,34 @@ def _q_prf_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct-1/2/3 n-gram diversity per source (Li et al. 2016) —
+    the template / mode-collapse tripwire for generated corpora
+    (functions/textstats.ngram_diversity)."""
+    from solr_ocr_processor_spark.functions.textstats import ngram_diversity
+
+    return ngram_diversity(_docs(spark, sf_dir), n_max=3)
+
+
+def _q_refusal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refusal-phrase audit over assistant turns: per-conv counts of
+    canned refusal / AI-self-reference markers — the SFT boilerplate
+    gate (operators/conversation.refusal_profile)."""
+    from solr_ocr_processor_spark.operators.conversation import refusal_profile
+
+    return refusal_profile(derive_transcripts(spark, sf_dir, TW))
+
+
+def _q_template_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-level boilerplate detection: assistant turns whose
+    normalized text recurs across >= 2 conversations (templates
+    inflate their phrasing's training weight; doc-level dedup is
+    blind to them) (operators/conversation.template_turns)."""
+    from solr_ocr_processor_spark.operators.conversation import template_turns
+
+    return template_turns(derive_transcripts(spark, sf_dir, TW), min_convs=2)
+
+
 def _q_conv_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation well-formedness lint: starts-with-user /
     ends-with-assistant / role-alternation / empty-turn checks per
@@ -2343,6 +2371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         "lmdir_topk": _q_lmdir_topk,
         "prf_vector_topk": _q_prf_vector_topk,
+        "text_ngram_diversity": _q_text_ngram_diversity,
+        "refusal_profile": _q_refusal_profile,
+        "template_turns": _q_template_turns,
     }
 
 
@@ -6333,6 +6364,66 @@ q2 AS (
 s2 AS (SELECT ev.vec_id AS id, list_cosine_similarity(ev.v, q2.q2v) AS cs
        FROM ev CROSS JOIN q2)
 SELECT id, round(cs, 6) AS cos FROM s2 ORDER BY cs DESC, id ASC LIMIT 10
+""",
+        # distinct-n diversity: one tokenize feeds all three orders.
+        "text_ngram_diversity": f"""
+WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+p AS (SELECT source, generate_subscripts(toks, 1) AS p, toks FROM t),
+u AS (
+  SELECT source, 1 AS n, toks[p] AS g FROM p
+  UNION ALL
+  SELECT source, 2, toks[p] || ' ' || toks[p+1] FROM p WHERE p + 1 <= len(toks)
+  UNION ALL
+  SELECT source, 3, toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2]
+  FROM p WHERE p + 2 <= len(toks)
+)
+SELECT source, CAST(n AS INT) AS n,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+       round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS diversity
+FROM u GROUP BY source, n ORDER BY source, n
+""",
+        # refusal markers: case-insensitive substring ORs, per-conv
+        # assistant-turn fractions.
+        "refusal_profile": f"""
+WITH {_CTE},
+a AS (
+  SELECT conv_id,
+         CASE WHEN lower(text) LIKE '%i cannot%'
+               OR lower(text) LIKE '%i can''t%'
+               OR lower(text) LIKE '%i''m unable to%'
+               OR lower(text) LIKE '%as an ai%'
+               OR lower(text) LIKE '%i apologize, but%'
+               OR lower(text) LIKE '%i''m sorry, but%'
+              THEN 1 ELSE 0 END AS hit
+  FROM transcripts WHERE role = 'assistant'
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_assistant_turns,
+       CAST(sum(hit) AS BIGINT) AS n_refusal_turns,
+       round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS refusal_frac
+FROM a GROUP BY conv_id ORDER BY conv_id
+""",
+        # template turns: md5 of the whitespace-collapsed lowered turn,
+        # threshold on distinct convs (Spark regexp_replace is global,
+        # DuckDB needs the 'g' flag).
+        "template_turns": f"""
+WITH {_CTE},
+a AS (
+  SELECT conv_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           AS text_hash,
+         text
+  FROM transcripts
+  WHERE role = 'assistant' AND trim(text) <> ''
+)
+SELECT text_hash,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       min(text) AS sample_text
+FROM a GROUP BY text_hash
+HAVING count(DISTINCT conv_id) >= 2
+ORDER BY n_convs DESC, text_hash ASC
 """,
         **_PIPELINE_ORACLES,
     }

@@ -272,3 +272,65 @@ def token_count_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.size(pieces) / F.size(toks), 6),
         ).alias("pieces_per_token"),
     )
+
+
+def ngram_diversity(docs, n_max: int = 3, text_col: str = "text"):
+    """Per-source n-gram diversity profile — distinct-n (Li et al.
+    2016's distinct-1/2, the standard template/mode-collapse tripwire
+    for generated corpora): for n = 1..n_max, the fraction of the
+    source's n-gram OCCURRENCES that are distinct. A source of
+    templated text shows high volume but low distinct-2/3; dedup
+    misses it when the boilerplate varies a slot.
+
+    Returns (source, n, n_grams, n_distinct, diversity) ordered
+    (source, n); diversity = round(n_distinct / n_grams, 6), exact
+    BIGINT counts, one divide; sources with no n-grams at order n are
+    omitted (no 0/0 row).
+
+    Plan: ONE tokenize feeds all orders (the shingle windows differ
+    only in slice length — each order is a map-side explode); counts
+    are (source, n)-keyed aggregates with map-side combine; the
+    exchange moves |sources|·n_max rows."""
+    from pyspark.sql import functions as F
+
+    if n_max < 1:
+        raise ValueError(f"n_max must be >= 1, got {n_max}")
+    toks = docs.select(
+        "source",
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+        ).alias("toks"),
+    )
+    legs = []
+    for n in range(1, n_max + 1):
+        idx_seq = F.when(
+            F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
+        ).otherwise(F.array().cast("array<int>"))
+        grams = toks.select(
+            "source",
+            F.lit(n).alias("n"),
+            F.explode(
+                F.transform(
+                    idx_seq, lambda i: F.array_join(F.slice("toks", i + 1, n), " ")
+                )
+            ).alias("g"),
+        )
+        legs.append(
+            grams.groupBy("source", "n").agg(
+                F.count(F.lit(1)).cast("long").alias("n_grams"),
+                F.countDistinct("g").cast("long").alias("n_distinct"),
+            )
+        )
+    from functools import reduce
+
+    out = reduce(lambda a, b: a.unionByName(b), legs)
+    return out.select(
+        "source",
+        "n",
+        "n_grams",
+        "n_distinct",
+        F.round(
+            F.col("n_distinct").cast("double") / F.col("n_grams").cast("double"),
+            6,
+        ).alias("diversity"),
+    ).orderBy("source", "n")

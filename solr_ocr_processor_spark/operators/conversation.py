@@ -104,3 +104,96 @@ def conv_lint(turns: DataFrame) -> DataFrame:
             & (F.col("n_empty_turns") == 0)
         ).alias("clean"),
     ).orderBy("conv_id")
+
+
+REFUSAL_PHRASES = (
+    "i cannot",
+    "i can't",
+    "i'm unable to",
+    "as an ai",
+    "i apologize, but",
+    "i'm sorry, but",
+)
+
+
+def refusal_profile(turns: DataFrame) -> DataFrame:
+    """Refusal-phrase audit over assistant turns — the SFT-curation
+    pass that keeps canned refusals and AI-self-reference boilerplate
+    from dominating a training mix: count, per conversation, how many
+    ASSISTANT turns contain any of the standard refusal markers
+    (case-insensitive substring — the phrase list is a plug-in
+    constant, :data:`REFUSAL_PHRASES`).
+
+    Returns (conv_id, n_assistant_turns, n_refusal_turns,
+    refusal_frac) for every conversation WITH at least one assistant
+    turn, ordered by conv_id; refusal_frac = round 6 of the turn
+    fraction (exact BIGINT counts, one divide).
+
+    Plan: one map-side projection evaluates the phrase ORs (lower +
+    contains — whole-stage codegen, the blocklist_profile discipline),
+    one conv-keyed aggregate with map-side combine."""
+    hit = F.lit(False)
+    low = F.lower(F.col("text"))
+    for p in REFUSAL_PHRASES:
+        hit = hit | low.contains(p)
+    a = turns.where(F.col("role") == "assistant").select(
+        "conv_id", hit.cast("int").alias("hit")
+    )
+    return (
+        a.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assistant_turns"),
+            F.sum("hit").cast("long").alias("n_refusal_turns"),
+        )
+        .select(
+            "conv_id",
+            "n_assistant_turns",
+            "n_refusal_turns",
+            F.round(
+                F.col("n_refusal_turns").cast("double")
+                / F.col("n_assistant_turns").cast("double"),
+                6,
+            ).alias("refusal_frac"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def template_turns(turns: DataFrame, min_convs: int = 3) -> DataFrame:
+    """Boilerplate-turn detection — the turn-level dedup SFT curation
+    needs where document-level dedup is blind: an assistant turn whose
+    exact normalized text recurs across ``min_convs`` or more DISTINCT
+    conversations is a template (greeting, canned closing, tool
+    preamble) and inflates its phrasing's weight in training.
+
+    Normalization is whitespace-collapse + lower (templates differ by
+    spacing/case, not wording; heavier canonicalization plugs in at
+    the same column). Returns (text_hash, n_convs, n_occurrences,
+    sample_text) for qualifying templates ordered (n_convs desc,
+    text_hash asc) — sample_text = the MIN raw text of the group
+    (deterministic representative).
+
+    Plan: md5 the normalized turn map-side; ONE hash-keyed aggregate
+    (count + distinct convs + min sample) with map-side combine; the
+    threshold filters before any ordering. The exchange moves
+    |distinct turn texts| narrow rows, never full turns."""
+    if min_convs < 2:
+        raise ValueError(f"min_convs must be >= 2, got {min_convs}")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    a = turns.where(
+        (F.col("role") == "assistant") & (F.trim(F.col("text")) != "")
+    ).select(
+        "conv_id",
+        F.md5(norm.cast("binary")).alias("text_hash"),
+        F.col("text"),
+    )
+    return (
+        a.groupBy("text_hash")
+        .agg(
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("text").alias("sample_text"),
+        )
+        .where(F.col("n_convs") >= min_convs)
+        .orderBy(F.desc("n_convs"), F.asc("text_hash"))
+    )

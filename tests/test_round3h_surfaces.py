@@ -460,3 +460,75 @@ def test_prf_vector_moves_query_toward_feedback(spark, sf_dir):
     out = prf_vector_topk(embs, qv, k=10, fb_k=5, alpha=0.0, beta=1.0).collect()
     got = {r["id"] for r in out}
     assert fb_ids & got  # centroid retrieves its own cluster members
+
+
+# ---------------------------------------------------------------- batch p
+
+def test_ngram_diversity_hand_computed(spark):
+    from solr_ocr_processor_spark.functions.textstats import ngram_diversity
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "s1"), (2, "x y z", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["source"], r["n"]): r for r in ngram_diversity(docs, 2).collect()}
+    # s1 unigrams: a b a b -> 4 grams, 2 distinct
+    assert (out[("s1", 1)]["n_grams"], out[("s1", 1)]["n_distinct"]) == (4, 2)
+    # s1 bigrams: 'a b','b a','a b' -> 3 grams, 2 distinct
+    r = out[("s1", 2)]
+    assert (r["n_grams"], r["n_distinct"]) == (3, 2)
+    assert r["diversity"] == pytest.approx(round(2 / 3, 6), abs=1e-6)
+    # s2 fully diverse
+    assert out[("s2", 2)]["diversity"] == 1.0
+    with pytest.raises(ValueError):
+        ngram_diversity(docs, 0)
+
+
+def test_refusal_profile_hand_computed(spark):
+    from solr_ocr_processor_spark.operators.conversation import refusal_profile
+
+    rows = [
+        ("a", 0, "user", "do a thing", None, None),
+        ("a", 1, "assistant", "I cannot help with that.", None, None),
+        ("a", 2, "assistant", "Here is the answer.", None, None),
+        ("b", 0, "assistant", "As an AI, I must decline.", None, None),
+        ("c", 0, "user", "no assistant turns", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {r["conv_id"]: r for r in refusal_profile(t).collect()}
+    assert (out["a"]["n_assistant_turns"], out["a"]["n_refusal_turns"]) == (2, 1)
+    assert out["a"]["refusal_frac"] == 0.5
+    assert out["b"]["refusal_frac"] == 1.0
+    assert "c" not in out  # no assistant turns -> no row
+
+
+def test_template_turns_normalization_and_threshold(spark):
+    from solr_ocr_processor_spark.operators.conversation import template_turns
+
+    rows = [
+        ("a", 1, "assistant", "How can I   help you?", None, None),
+        ("b", 1, "assistant", "how can i help you?", None, None),   # same norm
+        ("c", 1, "assistant", "how can i help you?", None, None),
+        ("a", 3, "assistant", "unique reply here", None, None),
+        ("d", 1, "user", "how can i help you?", None, None),        # wrong role
+        ("e", 1, "assistant", "   ", None, None),                   # empty
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = template_turns(t, min_convs=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_convs"] == 3 and r["n_occurrences"] == 3
+    # deterministic representative: min raw text
+    assert r["sample_text"] == "How can I   help you?"
+    # threshold excludes the unique reply; min_convs validation
+    assert not [x for x in out if "unique" in x["sample_text"]]
+    with pytest.raises(ValueError):
+        template_turns(t, min_convs=1)
