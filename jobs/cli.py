@@ -63,7 +63,8 @@ def main(argv: list[str] | None = None) -> int:
         choices=("wand", "and", "phrase", "near", "rerank", "not", "bool",
                  "prefix", "fuzzy", "wildcard", "regexp", "mm", "sort",
                  "collapse", "group", "filter", "frange", "boost", "join",
-                 "synonym", "bq", "elevate", "termboost", "pf", "bm25f"),
+                 "synonym", "bq", "elevate", "termboost", "pf", "bm25f",
+                 "pf2", "lmdir", "rm3"),
         default="wand",
         help="wand: BM25 OR-of-terms via the pruned block index; "
         "and: every term required; phrase: exact positional phrase; "
@@ -132,7 +133,16 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--half-life", type=float, default=30.0,
                    help="recency decay half-life in days for --mode boost")
     q.add_argument("--pf-weight", type=float, default=1.0,
-                   help="phrase clause weight for --mode pf (>= 0)")
+                   help="phrase clause weight for --mode pf / pf2 (>= 0)")
+    q.add_argument("--mu", type=float, default=2000.0,
+                   help="Dirichlet smoothing mass for --mode lmdir (> 0)")
+    q.add_argument("--fb-docs", type=int, default=5,
+                   help="pseudo-relevant feedback docs for --mode rm3")
+    q.add_argument("--fb-terms", type=int, default=5,
+                   help="expansion terms for --mode rm3")
+    q.add_argument("--orig-weight", type=float, default=0.5,
+                   help="interpolation weight of the original query for "
+                   "--mode rm3 (in [0, 1])")
     q.add_argument("--func", default="div(dl, avgdl)",
                    help="function expression for --mode frange "
                    "(add/sub/mult/div over dl, n_turns, n_chars, avgdl)")
@@ -600,6 +610,43 @@ def main(argv: list[str] | None = None) -> int:
                 out = pf_topk(
                     spark, idx, args.q, pf_weight=args.pf_weight,
                     k=fetch_k, exclude_docs=dead_df,
+                )
+            elif args.mode == "pf2":
+                from solr_ocr_processor_spark.operators.query import pf2_topk
+
+                if args.pf_weight < 0:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": f"pf-weight {args.pf_weight} "
+                                      "must be >= 0"}))
+                    return BAD_REQUEST_EXIT
+                out = pf2_topk(
+                    spark, idx, args.q, pf2_weight=args.pf_weight,
+                    k=fetch_k, exclude_docs=dead_df,
+                )
+            elif args.mode == "lmdir":
+                from solr_ocr_processor_spark.operators.query import lmdir_topk
+
+                if args.mu <= 0:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": f"mu {args.mu} must be > 0"}))
+                    return BAD_REQUEST_EXIT
+                out = lmdir_topk(
+                    spark, idx, args.q, k=fetch_k, mu=args.mu,
+                    exclude_docs=dead_df,
+                )
+            elif args.mode == "rm3":
+                from solr_ocr_processor_spark.operators.query import rm3_topk
+
+                if not 0.0 <= args.orig_weight <= 1.0:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": f"orig-weight "
+                                      f"{args.orig_weight} must be in "
+                                      "[0, 1]"}))
+                    return BAD_REQUEST_EXIT
+                out = rm3_topk(
+                    spark, idx, args.q, k=fetch_k, fb_docs=args.fb_docs,
+                    fb_terms=args.fb_terms, orig_weight=args.orig_weight,
+                    exclude_docs=dead_df,
                 )
             elif args.mode == "bm25f":
                 from solr_ocr_processor_spark.functions.tokenizer import (

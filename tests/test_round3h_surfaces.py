@@ -532,3 +532,46 @@ def test_template_turns_normalization_and_threshold(spark):
     assert not [x for x in out if "unique" in x["sample_text"]]
     with pytest.raises(ValueError):
         template_turns(t, min_convs=1)
+
+
+# ---------------------------------------------------------------- cli modes
+
+def test_cli_lmdir_rm3_pf2_modes(spark, tmp_path, capsys):
+    """The new scorers ride the same CLI dispatch (A1/A2) and error
+    taxonomy as every other mode."""
+    import importlib.util
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "socr_cli_r3h", os.path.join(repo, "jobs", "cli.py")
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=12, max_turns=6, seed=5).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store,
+                     "--shards", "2"]) == 0
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main(["query", "--store", store, *args])
+        out = capsys.readouterr().out
+        rows = [json.loads(ln) for ln in out.strip().splitlines()
+                if ln.startswith("{")]
+        return rc, rows
+
+    for mode in ("lmdir", "rm3", "pf2"):
+        rc, rows = run("--q", "spark index", "--mode", mode, "--k", "5")
+        assert rc == 0, (mode, rows)
+        assert rows and all("conv_id" in r for r in rows), mode
+
+    # taxonomy: bad knobs are BadRequest (exit 2), not a stack trace
+    assert cli.main(["query", "--store", store, "--q", "spark",
+                     "--mode", "lmdir", "--mu", "0"]) == 2
+    assert cli.main(["query", "--store", store, "--q", "spark",
+                     "--mode", "rm3", "--orig-weight", "1.5"]) == 2
