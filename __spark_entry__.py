@@ -6294,8 +6294,13 @@ shd AS (
          md5(toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2]) AS h
   FROM posd WHERE p + 2 <= len(toks)
 ),
-sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
-          FROM shd GROUP BY source),
+allsrc AS (SELECT DISTINCT source FROM documents),
+sizes AS (
+  SELECT a.source, CAST(coalesce(c.n_sh, 0) AS BIGINT) AS n_sh
+  FROM allsrc a LEFT JOIN
+       (SELECT source, count(*) AS n_sh FROM shd GROUP BY source) c
+       USING (source)
+),
 shared AS (
   SELECT a.source AS src_a, b.source AS src_b,
          CAST(count(*) AS BIGINT) AS n_shared
@@ -6309,9 +6314,11 @@ spine AS (
 )
 SELECT s.src_a, s.src_b, s.n_a, s.n_b,
        coalesce(sh.n_shared, 0) AS n_shared,
-       round(CAST(coalesce(sh.n_shared, 0) AS DOUBLE)
-             / CAST(s.n_a + s.n_b - coalesce(sh.n_shared, 0) AS DOUBLE), 6)
-         AS jaccard
+       CASE WHEN s.n_a + s.n_b > coalesce(sh.n_shared, 0)
+            THEN round(CAST(coalesce(sh.n_shared, 0) AS DOUBLE)
+                 / CAST(s.n_a + s.n_b - coalesce(sh.n_shared, 0) AS DOUBLE),
+                 6)
+            ELSE 0.0 END AS jaccard
 FROM spine s LEFT JOIN shared sh USING (src_a, src_b)
 ORDER BY s.src_a, s.src_b
 """,

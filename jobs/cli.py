@@ -614,6 +614,7 @@ def main(argv: list[str] | None = None) -> int:
             elif args.mode == "pf2":
                 from solr_ocr_processor_spark.operators.query import pf2_topk
 
+                # same shared --pf-weight contract as the pf arm above
                 if args.pf_weight < 0:
                     print(json.dumps({"error": "bad_request",
                                       "detail": f"pf-weight {args.pf_weight} "
@@ -642,6 +643,12 @@ def main(argv: list[str] | None = None) -> int:
                                       "detail": f"orig-weight "
                                       f"{args.orig_weight} must be in "
                                       "[0, 1]"}))
+                    return BAD_REQUEST_EXIT
+                if args.fb_docs < 1 or args.fb_terms < 0:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": f"fb-docs {args.fb_docs} "
+                                      f"must be >= 1, fb-terms "
+                                      f"{args.fb_terms} must be >= 0"}))
                     return BAD_REQUEST_EXIT
                 out = rm3_topk(
                     spark, idx, args.q, k=fetch_k, fb_docs=args.fb_docs,

@@ -287,10 +287,13 @@ def ngram_diversity(docs, n_max: int = 3, text_col: str = "text"):
     BIGINT counts, one divide; sources with no n-grams at order n are
     omitted (no 0/0 row).
 
-    Plan: ONE tokenize feeds all orders (the shingle windows differ
-    only in slice length — each order is a map-side explode); counts
-    are (source, n)-keyed aggregates with map-side combine; the
-    exchange moves |sources|·n_max rows."""
+    Plan: ONE corpus scan and ONE tokenize feed all orders — the
+    per-row projection builds an array of (n, grams) structs from the
+    same ``toks`` column and a double explode flattens it, so the
+    regexp runs once per row, not once per order; counts are
+    (source, n)-keyed aggregates with map-side combine and the
+    exchange moves |sources|·n_max rows (plus the countDistinct's
+    per-key combine)."""
     from pyspark.sql import functions as F
 
     if n_max < 1:
@@ -301,29 +304,30 @@ def ngram_diversity(docs, n_max: int = 3, text_col: str = "text"):
             f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
         ).alias("toks"),
     )
-    legs = []
-    for n in range(1, n_max + 1):
+
+    def grams_of(n: int):
         idx_seq = F.when(
             F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
         ).otherwise(F.array().cast("array<int>"))
-        grams = toks.select(
-            "source",
-            F.lit(n).alias("n"),
-            F.explode(
-                F.transform(
-                    idx_seq, lambda i: F.array_join(F.slice("toks", i + 1, n), " ")
-                )
-            ).alias("g"),
+        return F.transform(
+            idx_seq, lambda i: F.array_join(F.slice("toks", i + 1, n), " ")
         )
-        legs.append(
-            grams.groupBy("source", "n").agg(
-                F.count(F.lit(1)).cast("long").alias("n_grams"),
-                F.countDistinct("g").cast("long").alias("n_distinct"),
-            )
-        )
-    from functools import reduce
 
-    out = reduce(lambda a, b: a.unionByName(b), legs)
+    per_order = F.array(
+        *[
+            F.struct(F.lit(n).alias("n"), grams_of(n).alias("gs"))
+            for n in range(1, n_max + 1)
+        ]
+    )
+    out = (
+        toks.select("source", F.explode(per_order).alias("ng"))
+        .select("source", F.col("ng.n").alias("n"), F.explode("ng.gs").alias("g"))
+        .groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.countDistinct("g").cast("long").alias("n_distinct"),
+        )
+    )
     return out.select(
         "source",
         "n",

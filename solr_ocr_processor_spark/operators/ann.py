@@ -978,12 +978,18 @@ def prf_vector_topk(
         raise ValueError(f"fb_k must be positive, got {fb_k}")
     fb = cosine_topk(embs, query_vec, fb_k, id_col, vec_col)
     ids = [r["id"] for r in fb.select("id").collect()]
-    V = np.vstack(
-        [
-            np.asarray(r[vec_col], dtype=np.float64)
-            for r in embs.where(F.col(id_col).isin(ids)).select(vec_col).collect()
-        ]
+    if not ids:
+        # empty corpus / no feedback: degrade to the original query,
+        # the same no-feedback contract as rm3_topk's empty guard
+        return cosine_topk(embs, query_vec, k, id_col, vec_col)
+    # sort the collected feedback rows by id: collect() arrives in
+    # partition order and float mean is order-sensitive in the last
+    # ulp — the sorted-fold discipline applied driver-side
+    rows = sorted(
+        embs.where(F.col(id_col).isin(ids)).select(id_col, vec_col).collect(),
+        key=lambda r: r[id_col],
     )
+    V = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     q = np.asarray(query_vec, dtype=np.float64)
     q2 = float(alpha) * q + float(beta) * V.mean(axis=0)
     return cosine_topk(embs, q2.tolist(), k, id_col, vec_col)

@@ -136,8 +136,10 @@ def refusal_profile(turns: DataFrame) -> DataFrame:
     low = F.lower(F.col("text"))
     for p in REFUSAL_PHRASES:
         hit = hit | low.contains(p)
+    # NULL text: contains() is NULL and false|NULL = NULL — coalesce to
+    # false so the counts match the oracle's CASE ... ELSE 0 exactly
     a = turns.where(F.col("role") == "assistant").select(
-        "conv_id", hit.cast("int").alias("hit")
+        "conv_id", F.coalesce(hit, F.lit(False)).cast("int").alias("hit")
     )
     return (
         a.groupBy("conv_id")

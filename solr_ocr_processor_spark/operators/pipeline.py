@@ -876,7 +876,21 @@ def source_overlap_matrix(docs: DataFrame, n: int = 3) -> DataFrame:
         .select("source", F.md5("shingle").alias("h"))
         .distinct()
     )
-    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    # every source rides the spine, INCLUDING shingle-less ones
+    # (all-short docs): a source silently missing from the matrix
+    # would read as "audited, independent" when it was never compared
+    sizes = (
+        docs.select("source")
+        .distinct()
+        .join(
+            ss.groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n_sh")
+            ),
+            "source",
+            "left",
+        )
+        .select("source", F.coalesce("n_sh", F.lit(0)).cast("long").alias("n_sh"))
+    )
     a, b = ss.alias("a"), ss.alias("b")
     shared = (
         a.join(b, (F.col("a.h") == F.col("b.h"))
@@ -904,12 +918,18 @@ def source_overlap_matrix(docs: DataFrame, n: int = 3) -> DataFrame:
             "n_a",
             "n_b",
             F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
-            F.round(
-                F.coalesce("n_shared", F.lit(0)).cast("double")
-                / (F.col("n_a") + F.col("n_b")
-                   - F.coalesce("n_shared", F.lit(0))).cast("double"),
-                6,
-            ).alias("jaccard"),
+            # two empty shingle sets: Jaccard is 0/0 — report 0.0
+            F.when(
+                (F.col("n_a") + F.col("n_b")) > F.coalesce("n_shared", F.lit(0)),
+                F.round(
+                    F.coalesce("n_shared", F.lit(0)).cast("double")
+                    / (F.col("n_a") + F.col("n_b")
+                       - F.coalesce("n_shared", F.lit(0))).cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
         )
         .orderBy("src_a", "src_b")
     )

@@ -575,3 +575,39 @@ def test_cli_lmdir_rm3_pf2_modes(spark, tmp_path, capsys):
                      "--mode", "lmdir", "--mu", "0"]) == 2
     assert cli.main(["query", "--store", store, "--q", "spark",
                      "--mode", "rm3", "--orig-weight", "1.5"]) == 2
+
+
+def test_prf_vector_empty_corpus_and_refusal_null_text(spark):
+    from solr_ocr_processor_spark.operators.ann import prf_vector_topk
+    from solr_ocr_processor_spark.operators.conversation import refusal_profile
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert prf_vector_topk(empty, [1.0, 0.0], k=5, fb_k=3).collect() == []
+    t = spark.createDataFrame(
+        [("a", 0, "assistant", None, None, None),
+         ("a", 1, "assistant", "fine answer", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    r = refusal_profile(t).collect()[0]
+    # NULL text counts as a non-refusal turn, not a NULL count
+    assert (r["n_assistant_turns"], r["n_refusal_turns"]) == (2, 0)
+    assert r["refusal_frac"] == 0.0
+
+
+def test_source_overlap_includes_shingleless_source(spark):
+    from solr_ocr_processor_spark.operators.pipeline import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "s1"),
+         (2, "alpha beta gamma delta", "s2"),
+         (3, "hi", "tiny")],           # < n tokens: no shingles
+        "doc_id long, text string, source string",
+    )
+    out = {(r["src_a"], r["src_b"]): r
+           for r in source_overlap_matrix(docs, n=3).collect()}
+    # the shingle-less source still appears in every pair row
+    assert ("s1", "tiny") in out and ("s2", "tiny") in out
+    r = out[("s1", "tiny")]
+    assert (r["n_b"], r["n_shared"], r["jaccard"]) == (0, 0, 0.0)
+    assert out[("s1", "s2")]["jaccard"] == 1.0
