@@ -401,6 +401,10 @@ def _q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MLT_DOC, MLT_TERMS = 7, 5  # seed doc + term cap for the MLT driver query
+# analysis-chain debug input: exercises stop removal (the/into), every
+# s_stem rule (engines->engine es-rule, windows->window s-rule,
+# batches->batche es-rule) and a protected word (miss: ss-exception)
+ANALYSIS_TEXT = "The Spark engines merged the windows into batches not a miss"
 
 
 def _q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2210,6 +2214,56 @@ def _q_conv_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv_lint(derive_transcripts(spark, sf_dir, TW))
 
 
+def _q_payload_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``{!payload_score func=max}``: rank docs by the max payload
+    stored at 'spark' positions — the payload is the token position,
+    the engine's per-occurrence slot (the OCR-coordinate analog,
+    operators/query.payload_score_topk). Exact BIGINT scores."""
+    from solr_ocr_processor_spark.operators.query import payload_score_topk
+
+    idx = _index(spark, sf_dir)
+    return payload_score_topk(spark, idx, "spark", func="max", k=10)
+
+
+def _q_analysis_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``/analysis/field`` debug verb: a raw string's tokens at
+    each analysis stage (tokenize → stop → stem) with Lucene's
+    position-increment contract (functions/tokenizer.analysis_stages).
+    """
+    from solr_ocr_processor_spark.functions.tokenizer import analysis_stages
+
+    return analysis_stages(spark, ANALYSIS_TEXT)
+
+
+def _q_mlt_interesting_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr MLT ``mlt.interestingTerms=details``: the seed doc's
+    expansion terms WITH tf/df/weight — the introspection half of the
+    mlt_topk surface (operators/expand.mlt_interesting_terms)."""
+    from solr_ocr_processor_spark.operators.expand import mlt_interesting_terms
+
+    idx = _index(spark, sf_dir)
+    return mlt_interesting_terms(spark, idx, MLT_DOC, max_query_terms=15)
+
+
+def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment >= 1/2 (Broder's second
+    resemblance): the doc-in-doc / quote contamination detector
+    Jaccard misses (operators/dedup.containment_pairs). Integer
+    cross-multiplied threshold, BIGINT scaled output."""
+    from solr_ocr_processor_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), n=3, tau_num=1, tau_den=2)
+
+
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility / bytes-per-piece profile — the
+    tokenizer-efficiency dashboard of a data mixture
+    (functions/textstats.tokenizer_fertility)."""
+    from solr_ocr_processor_spark.functions.textstats import tokenizer_fertility
+
+    return tokenizer_fertility(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2374,6 +2428,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_diversity": _q_text_ngram_diversity,
         "refusal_profile": _q_refusal_profile,
         "template_turns": _q_template_turns,
+        "payload_score_topk": _q_payload_score_topk,
+        "analysis_chain": _q_analysis_chain,
+        "mlt_interesting_terms": _q_mlt_interesting_terms,
+        "dedup_containment": _q_dedup_containment,
+        "tokenizer_fertility": _q_tokenizer_fertility,
     }
 
 
@@ -2740,6 +2799,59 @@ _PII_REDACT_SQL = _pii_redact_sql()
 # --- pipeline-operator oracles --------------------------------------------
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# Solr /analysis/field twin: the same three stages over the same
+# literal input; stop list and stem CASE are the ONE in-repo
+# definitions (STOPWORDS_EN / S_STEM_SQL_CASE interpolated below).
+_STEM_TOKEN_CASE = S_STEM_SQL_CASE.format(t="token")
+_ANALYSIS_CHAIN = f"""
+WITH raw AS (SELECT '{ANALYSIS_TEXT}' AS raw),
+tok AS (
+  SELECT CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
+         unnest(toks) AS token
+  FROM (SELECT regexp_extract_all(lower(raw), '[a-z0-9]+') AS toks
+        FROM raw)
+),
+stopped AS (SELECT pos, token FROM tok WHERE token NOT IN {STOPWORDS_EN!r})
+SELECT '1_tokenize' AS stage, pos, token FROM tok
+UNION ALL
+SELECT '2_stop' AS stage, pos, token FROM stopped
+UNION ALL
+SELECT '3_stem' AS stage, pos, {_STEM_TOKEN_CASE} AS token FROM stopped
+ORDER BY stage, pos
+"""
+
+# per-source fertility: plain string (the BPE regex contains {1,3});
+# words/pieces/bytes definitions shared with the text_token_bpe twin.
+_TOKENIZER_FERTILITY = """
+WITH t AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS w,
+         CAST(len(list_filter(
+           regexp_extract_all(lower(text),
+             '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9\\s'']+|\\s+|'''''),
+           p -> trim(p) != '')) AS BIGINT) AS p,
+         CAST(coalesce(strlen(text), 0) AS BIGINT) AS b
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS n_words,
+         CAST(sum(p) AS BIGINT) AS n_pieces,
+         CAST(sum(b) AS BIGINT) AS n_bytes
+  FROM t GROUP BY source
+)
+SELECT source, n_docs, n_words, n_pieces, n_bytes,
+       CAST(CASE WHEN n_words > 0
+                 THEN floor(n_pieces * 1000000 / n_words) ELSE 0 END
+            AS BIGINT) AS fertility_scaled,
+       CAST(CASE WHEN n_pieces > 0
+                 THEN floor(n_bytes * 1000000 / n_pieces) ELSE 0 END
+            AS BIGINT) AS bytes_per_piece_scaled
+FROM agg
+ORDER BY source
+"""
 
 _JACCARD_PAIRS = f"""
 WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -6432,5 +6544,59 @@ FROM a GROUP BY text_hash
 HAVING count(DISTINCT conv_id) >= 2
 ORDER BY n_convs DESC, text_hash ASC
 """,
+        # payload_score: func=max over the term's position payloads —
+        # exact BIGINT scores, so the top-k boundary is pure integer
+        # arithmetic on both engines (0-based wpos == token_pos).
+        "payload_score_topk": f"""
+WITH {_DOCS},
+tokp AS (
+  SELECT doc_id, conv_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS wpos
+  FROM ids
+)
+SELECT doc_id, conv_id, CAST(max(wpos) AS BIGINT) AS payload
+FROM tokp WHERE term = 'spark'
+GROUP BY doc_id, conv_id
+ORDER BY payload DESC, doc_id ASC
+LIMIT 10
+""",
+        "analysis_chain": _ANALYSIS_CHAIN,
+        # MLT interestingTerms=details: tf*idf over the seed doc's
+        # vocabulary; raw-order top-k, weight rounded only in output.
+        "mlt_interesting_terms": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs FROM ids),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM ids),
+tfx AS (SELECT term, CAST(count(*) AS INT) AS tf
+        FROM tok WHERE doc_id = {MLT_DOC} GROUP BY term),
+dfx AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY term)
+SELECT t.term, t.tf, d.df,
+       round(t.tf * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6)
+         AS weight
+FROM tfx t JOIN dfx d USING (term) CROSS JOIN stats s
+ORDER BY t.tf * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) DESC,
+         t.term ASC
+LIMIT 15
+""",
+        # directional containment: same shingle spine as the Jaccard
+        # twin, ordered pairs, integer cross-multiplied threshold.
+        "dedup_containment": f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS p, toks FROM docs),
+sh AS (SELECT DISTINCT doc_id,
+              toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2] AS shingle
+       FROM pos WHERE p + 2 <= len(toks)),
+card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst, count(*) AS i
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_src, doc_dst,
+       CAST(floor(i * 1000000 / c.c) AS BIGINT) AS containment_scaled
+FROM inter JOIN card c ON doc_src = c.doc_id
+WHERE i * 2 >= c.c
+""",
+        "tokenizer_fertility": _TOKENIZER_FERTILITY,
         **_PIPELINE_ORACLES,
     }

@@ -338,3 +338,64 @@ def ngram_diversity(docs, n_max: int = 3, text_col: str = "text"):
             6,
         ).alias("diversity"),
     ).orderBy("source", "n")
+
+
+def tokenizer_fertility(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source tokenizer fertility profile — the compression-rate
+    dashboard a training pipeline reads before fixing its data
+    mixture: fertility (pieces per word) and bytes-per-piece tell you
+    which sources tokenize efficiently under the vocab and which
+    sources burn sequence budget (high-fertility sources are usually
+    code, tables, or the wrong language for the vocab).
+
+    Returns one row per source:
+      (source, n_docs, n_words, n_pieces, n_bytes,
+       fertility_scaled, bytes_per_piece_scaled)
+    ordered source ASC, with fertility_scaled =
+    floor(1e6 * n_pieces / n_words) and bytes_per_piece_scaled =
+    floor(1e6 * n_bytes / n_pieces) — exact BIGINT arithmetic on
+    exact BIGINT sums (0 when the denominator is 0). Words are the
+    build tokenizer's [a-z0-9]+ runs; pieces the GPT-2-style
+    ``BPE_RE`` split (token_count_bpe); bytes ``octet_length(text)``.
+
+    Plan: map-only per-doc counting (two regexp_extract_all in one
+    projection, whole-stage codegen) then ONE |sources|-row aggregate
+    with map-side combine — corpus-scan cost, zero joins, the scan
+    reads only (source, text)."""
+    pieces = F.filter(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_RE), F.lit(0)),
+        lambda p: F.trim(p) != "",
+    )
+    per_doc = docs.select(
+        "source",
+        F.size(_toks(text_col)).cast("long").alias("w"),
+        F.size(pieces).cast("long").alias("p"),
+        F.coalesce(F.octet_length(text_col).cast("long"), F.lit(0)).alias("b"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("p").cast("long").alias("n_pieces"),
+        F.sum("b").cast("long").alias("n_bytes"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_pieces",
+        "n_bytes",
+        F.when(
+            F.col("n_words") > 0,
+            F.floor(F.col("n_pieces") * F.lit(1_000_000) / F.col("n_words")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("fertility_scaled"),
+        F.when(
+            F.col("n_pieces") > 0,
+            F.floor(F.col("n_bytes") * F.lit(1_000_000) / F.col("n_pieces")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bytes_per_piece_scaled"),
+    ).orderBy("source")

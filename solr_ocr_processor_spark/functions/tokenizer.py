@@ -421,3 +421,42 @@ CASE WHEN length({t}) <= 2 THEN {t}
                  ELSE regexp_replace({t}, 's$', '') END
      ELSE {t} END
 """.strip()
+
+
+def analysis_stages(spark, text: str):
+    """Solr ``/analysis/field`` handler analog: show a raw string's
+    journey through the analysis chain, one row per (stage, position,
+    token) — the debugging surface an operator uses to answer "why
+    does/doesn't this query match". Three stages, sharing the exact
+    definitions index/query time use:
+
+      1_tokenize — the build tokenizer's pattern over the lowered text
+                   (``[a-z0-9]+``, _DOCS parity);
+      2_stop     — Lucene's default English stop set (STOPWORDS_EN)
+                   removed; surviving tokens KEEP their original
+                   positions (Lucene's position-increment contract —
+                   a phrase query across a removed stopword still
+                   sees the gap);
+      3_stem     — the S-stemmer (:func:`s_stem`) applied to the
+                   stage-2 survivors, positions unchanged.
+
+    Pure column expressions end-to-end (posexplode + filters + the
+    s_stem CASE), so the DuckDB oracle replays every stage verbatim
+    (S_STEM_SQL_CASE). Returns (stage, pos, token) ordered stage ASC,
+    pos ASC. A one-row literal input: this is a debug verb, not a
+    corpus pass — the plan is LocalTableScan → Generate → Filter."""
+    from pyspark.sql import functions as F
+
+    one = spark.createDataFrame([(text,)], "raw string")
+    toks = one.select(
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(raw), '[a-z0-9]+', 0)")
+        ).alias("pos", "token")
+    )
+    s1 = toks.select(F.lit("1_tokenize").alias("stage"), "pos", "token")
+    stopped = toks.where(~F.col("token").isin(*STOPWORDS_EN))
+    s2 = stopped.select(F.lit("2_stop").alias("stage"), "pos", "token")
+    s3 = stopped.select(
+        F.lit("3_stem").alias("stage"), "pos", s_stem("token").alias("token")
+    )
+    return s1.unionByName(s2).unionByName(s3).orderBy("stage", "pos")

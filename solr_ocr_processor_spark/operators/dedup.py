@@ -212,6 +212,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """DIRECTIONAL shingle containment (Broder 1997's second resem-
+    blance measure): ``C(A→B) = |S(A) ∩ S(B)| / |S(A)|`` over distinct
+    word n-grams — the quote/subset detector Jaccard misses. A short
+    doc fully quoted inside a long one has Jaccard ≈ |A|/|B| (tiny)
+    but containment ≈ 1; training pipelines use this to catch
+    benchmark questions embedded in web pages and doc-in-doc copies.
+
+    The threshold is a RATIONAL (``tau_num/tau_den``) and the cut is
+    the integer cross-multiplication ``i * tau_den >= tau_num * c_src``
+    — a selection boundary must be exact arithmetic on both engines
+    (float ratio compares diverge at half-ULP ties).
+
+    Returns (doc_src, doc_dst, containment_scaled) for ordered pairs
+    doc_src != doc_dst with containment >= tau, where
+    ``containment_scaled = floor(1e6 * i / c_src)`` (exact BIGINT).
+
+    Plan: one distinct-shingle build (map-side combinable), a
+    shingle-keyed self-join (a shingle shared by s docs costs s² rows
+    — the same hot-shingle quadratic the Jaccard spine declares;
+    MinHash banding is the scale path for candidate generation, this
+    is the exact verification/oracle spine), one pair aggregate, one
+    broadcastable |docs|-row cardinality join per side."""
+    sh = shingles(docs, n, text_col)
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_src"), F.col("b.doc_id").alias("doc_dst")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    c_src = card.select(F.col("doc_id").alias("doc_src"), F.col("c").alias("c_src"))
+    return (
+        inter.join(c_src, "doc_src")
+        .where(
+            F.col("i") * F.lit(int(tau_den)) >= F.lit(int(tau_num)) * F.col("c_src")
+        )
+        .select(
+            "doc_src",
+            "doc_dst",
+            F.floor(F.col("i") * F.lit(1_000_000) / F.col("c_src"))
+            .cast("long")
+            .alias("containment_scaled"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

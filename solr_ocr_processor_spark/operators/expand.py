@@ -283,6 +283,23 @@ def mlt_terms(
     Plan: the source doc's postings are a ≤|doc-vocab| row slice
     (doc_id filter → parquet row-group stats pruning); they BROADCAST
     against term_stats for df, so nothing corpus-sized moves."""
+    rows = _mlt_term_frame(
+        spark, index, doc_id, max_query_terms, min_tf, min_df
+    ).collect()
+    return [r["term"] for r in rows]
+
+
+def _mlt_term_frame(
+    spark: SparkSession,
+    index: Index,
+    doc_id: int,
+    max_query_terms: int,
+    min_tf: int,
+    min_df: int,
+) -> DataFrame:
+    """Shared MLT term-selection plan: (term, tf, df, w) for the seed
+    doc, ranked w DESC / term ASC, capped at ``max_query_terms``.
+    ``w = tf * idf`` with the engine's one idf definition."""
     n_docs = index.corpus.first()["n_docs"]
     doc_terms = (
         index.postings.where(F.col("doc_id") == int(doc_id)).select("term", "tf")
@@ -290,16 +307,42 @@ def mlt_terms(
     idf_col = F.log1p(
         (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
-    rows = (
+    return (
         index.term_stats.select("term", "df")
         .join(F.broadcast(doc_terms), "term")
         .where((F.col("tf") >= min_tf) & (F.col("df") >= min_df))
         .withColumn("w", F.col("tf") * idf_col)
         .orderBy(F.desc("w"), F.asc("term"))
         .limit(max_query_terms)
-        .collect()
     )
-    return [r["term"] for r in rows]
+
+
+def mlt_interesting_terms(
+    spark: SparkSession,
+    index: Index,
+    doc_id: int,
+    max_query_terms: int = 25,
+    min_tf: int = 1,
+    min_df: int = 1,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Solr MLT ``mlt.interestingTerms=details``: the seed document's
+    expansion vocabulary WITH its weights — the introspection surface
+    next to :func:`mlt_topk`'s answer surface. Returns (term, tf, df,
+    weight) where ``weight = round(tf * idf, 6)``, ordered by the RAW
+    weight DESC, term ASC (raw-order / round-in-output, the float
+    discipline every scorer here uses), capped at
+    ``max_query_terms``. Same plan as :func:`mlt_terms` — a pruned
+    point read of the seed doc's postings broadcast against the
+    dictionary; nothing corpus-sized moves."""
+    return _mlt_term_frame(
+        spark, index, doc_id, max_query_terms, min_tf, min_df
+    ).select(
+        "term",
+        F.col("tf").cast("int").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round("w", 6).alias("weight"),
+    )
 
 
 def mlt_topk(

@@ -1762,6 +1762,64 @@ def lmdir_topk(
     return resolve_conv_ids(index, top)
 
 
+def payload_score_topk(
+    spark: SparkSession,
+    index: Index,
+    term: str,
+    func: str = "max",
+    k: int = 10,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Solr ``{!payload_score f=.. func=.. v=term}`` (the
+    PayloadScoreQParser with ``includeSpanScore=false``): every
+    matching document scores ``func`` over the payloads stored at the
+    term's positions, ranked score DESC. The payload here is the
+    occurrence's token position — the engine's per-position payload
+    slot, the same slot the reference preserves OCR word coordinates
+    in (app/process/alto.go writes word x/y/w/h into the indexed
+    token; our positions/locs payload is that analog, build.py).
+
+    ``func``: ``max`` / ``min`` (exact BIGINT — no float boundary at
+    all) or ``avg`` (integer-scaled ``floor(1e6 * sum / tf)`` so the
+    ranking boundary stays exact arithmetic on both engines).
+
+    Plan shape: dictionary filter to the ONE term (postings are
+    sorted/clustered by term, so parquet row-group stats prune the
+    scan), decode only that term's position payloads (flat_tokens
+    AFTER the filter — work bounded by the term's cf, never the
+    corpus), one map-side-combinable groupBy(doc_id), then
+    TakeOrderedAndProject(k). Returns (doc_id, conv_id, payload),
+    payload DESC, ties doc_id ASC."""
+    from ..functions.tokenizer import flat_tokens
+
+    if func not in ("max", "min", "avg"):
+        raise ValueError(f"unsupported payload func {func!r}")
+    occ = flat_tokens(index.postings.where(F.col("term") == term)).select(
+        "doc_id", "token_pos"
+    )
+    if func == "avg":
+        agg = F.floor(
+            F.sum(F.col("token_pos").cast("long"))
+            * F.lit(1_000_000)
+            / F.count(F.lit(1))
+        ).cast("long")
+    elif func == "max":
+        agg = F.max("token_pos").cast("long")
+    else:
+        agg = F.min("token_pos").cast("long")
+    scored = occ.groupBy("doc_id").agg(agg.alias("payload"))
+    top = (
+        _suppress(scored, exclude_docs)
+        .orderBy(F.desc("payload"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return (
+        top.join(index.doc_meta.select("doc_id", "conv_id"), "doc_id")
+        .select("doc_id", "conv_id", "payload")
+        .orderBy(F.desc("payload"), F.asc("doc_id"))
+    )
+
+
 def parse_mm_spec(spec: str, n_clauses: int) -> int:
     """Resolve Solr's (e)dismax ``mm=`` specification to the minimum
     number of optional clauses that must match, for ``n_clauses``
