@@ -2264,6 +2264,67 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def _q_knn_postfilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr 9 knn with POST-filter semantics: global cosine top-40
+    first, label filter after, cut to 10 — may under-fill, the
+    documented contrast to knn_filtered_topk's pre-filter
+    (operators/ann.knn_postfilter_topk)."""
+    from solr_ocr_processor_spark.operators.ann import knn_postfilter_topk
+
+    return knn_postfilter_topk(
+        _embs(spark, sf_dir),
+        _qvec(spark, sf_dir),
+        k=10,
+        prefetch_k=40,
+        predicate=F.col("label") == 2,
+    )
+
+
+def _q_code_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose router: per-doc symbol/keyword/camelCase signals
+    with integer-scaled ratios and an integer-boundary is_code flag
+    (functions/textstats.code_profile)."""
+    from solr_ocr_processor_spark.functions.textstats import code_profile
+
+    return code_profile(_docs(spark, sf_dir))
+
+
+def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-bigram collocations by PMI, ranked by the exact
+    integer rational c_ab·N²/(c_a·c_b) (functions/textstats
+    .collocations) — phrase-mining over the documents corpus."""
+    from solr_ocr_processor_spark.functions.textstats import collocations
+
+    return collocations(_docs(spark, sf_dir), min_count=5, k=20)
+
+
+def _q_stream_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr streaming topic() verb: checkpointed incremental pull —
+    docs matching 'spark' whose last_ts version is newer than the
+    subscriber's checkpoint, oldest first
+    (operators/query.topic_pull)."""
+    import datetime
+
+    from solr_ocr_processor_spark.operators.query import topic_pull
+
+    idx = _index(spark, sf_dir)
+    return topic_pull(
+        spark, idx, "spark", datetime.datetime(2026, 1, 1, 0, 5), limit=50
+    )
+
+
+def _q_facet_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet.contains: only facet values containing the needle
+    reach the term list, evaluated before sort/limit
+    (operators/facet.field_facet_counts)."""
+    from solr_ocr_processor_spark.operators.facet import field_facet_counts
+
+    return field_facet_counts(
+        _docs(spark, sf_dir), "source", missing=False, sort="count",
+        limit=10, contains="1",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2433,6 +2494,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_interesting_terms": _q_mlt_interesting_terms,
         "dedup_containment": _q_dedup_containment,
         "tokenizer_fertility": _q_tokenizer_fertility,
+        "knn_postfilter_topk": _q_knn_postfilter_topk,
+        "code_profile": _q_code_profile,
+        "collocations": _q_collocations,
+        "stream_topic": _q_stream_topic,
+        "facet_contains": _q_facet_contains,
     }
 
 
@@ -2851,6 +2917,60 @@ SELECT source, n_docs, n_words, n_pieces, n_bytes,
             AS BIGINT) AS bytes_per_piece_scaled
 FROM agg
 ORDER BY source
+"""
+
+# code-vs-prose router twin: identical regex counts (RE2 == Java on
+# these classes), integer ratio + flag boundaries.
+_CODE_PROFILE = r"""
+WITH t AS (
+  SELECT doc_id,
+         coalesce(text, '') AS raw,
+         lower(coalesce(text, '')) AS low
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(length(raw) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(low, '[{}()\[\];=<>]')) AS BIGINT)
+           AS n_symbols,
+         CAST(len(regexp_extract_all(low,
+           '\b(def|return|import|class|function|var|const|void|lambda|struct)\b'))
+           AS BIGINT) AS n_kw,
+         CAST(len(regexp_extract_all(raw, '[a-z][A-Z]')) AS BIGINT) AS n_camel
+  FROM t
+),
+r AS (
+  SELECT *,
+         CAST(CASE WHEN n_chars > 0
+                   THEN floor(n_symbols * 1000000 / n_chars) ELSE 0 END
+              AS BIGINT) AS symbol_ratio_scaled
+  FROM c
+)
+SELECT doc_id, n_chars, n_symbols, n_kw, n_camel, symbol_ratio_scaled,
+       CAST(symbol_ratio_scaled >= 20000 OR n_kw >= 3 AS INT) AS is_code
+FROM r
+"""
+
+# PMI collocations twin: the ranking rational is exact BIGINT integer
+# division on both engines (// == Spark div).
+_COLLOCATIONS = """
+WITH docs AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents),
+tok AS (SELECT unnest(toks) AS term FROM docs),
+uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+pos AS (SELECT generate_subscripts(toks, 1) AS p, toks FROM docs),
+bi AS (SELECT toks[p] AS t1, toks[p+1] AS t2, CAST(count(*) AS BIGINT) AS c_ab
+       FROM pos WHERE p + 1 <= len(toks)
+       GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT b.t1, b.t2, b.c_ab,
+       (b.c_ab * n.n * n.n) // (u1.c * u2.c) AS pmi_scaled
+FROM bi b
+JOIN uni u1 ON b.t1 = u1.term
+JOIN uni u2 ON b.t2 = u2.term
+CROSS JOIN n
+ORDER BY pmi_scaled DESC, b.t1 ASC, b.t2 ASC
+LIMIT 20
 """
 
 _JACCARD_PAIRS = f"""
@@ -6598,5 +6718,47 @@ FROM inter JOIN card c ON doc_src = c.doc_id
 WHERE i * 2 >= c.c
 """,
         "tokenizer_fertility": _TOKENIZER_FERTILITY,
+        # post-filter knn: prefetch cut on the raw cosine, label filter
+        # AFTER, re-cut to k — may return < k rows by design.
+        "knn_postfilter_topk": """
+WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+           FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id AS id, e.label,
+             list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE),
+                                    q.qv) AS c
+      FROM embeddings e CROSS JOIN q),
+pre AS (SELECT * FROM s ORDER BY c DESC, id ASC LIMIT 40)
+SELECT id, round(c, 6) AS cos FROM pre WHERE label = 2
+ORDER BY c DESC, id ASC LIMIT 10
+""",
+        "code_profile": _CODE_PROFILE,
+        "collocations": _COLLOCATIONS,
+        # topic(): per-conv version = max ts; membership = any turn
+        # containing the term; checkpoint filter + oldest-first cut.
+        "stream_topic": f"""
+WITH {_CTE},
+per_conv AS (
+  SELECT conv_id,
+         CAST(row_number() OVER (ORDER BY conv_id) - 1 AS BIGINT) AS doc_id,
+         max(ts) AS last_ts,
+         max(CASE WHEN len(list_filter(
+               regexp_extract_all(lower(text), '[a-z0-9]+'),
+               t -> t = 'spark')) > 0 THEN 1 ELSE 0 END) AS hit
+  FROM transcripts GROUP BY conv_id
+)
+SELECT doc_id, conv_id, last_ts
+FROM per_conv
+WHERE hit = 1 AND last_ts > TIMESTAMP '2026-01-01 00:05:00'
+ORDER BY last_ts ASC, doc_id ASC
+LIMIT 50
+""",
+        "facet_contains": """
+SELECT source AS value, CAST(count(*) AS BIGINT) AS n
+FROM documents
+WHERE source LIKE '%1%'
+GROUP BY source
+ORDER BY n DESC, value ASC
+LIMIT 10
+""",
         **_PIPELINE_ORACLES,
     }

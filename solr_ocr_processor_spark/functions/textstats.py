@@ -399,3 +399,133 @@ def tokenizer_fertility(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("long")
         .alias("bytes_per_piece_scaled"),
     ).orderBy("source")
+
+
+CODE_KEYWORDS = (
+    "def", "return", "import", "class", "function", "var", "const",
+    "void", "lambda", "struct",
+)
+_CODE_KW_RE = r"\b(" + "|".join(CODE_KEYWORDS) + r")\b"
+CODE_SYMBOL_RE = r"[{}()\[\];=<>]"
+CODE_SYMBOL_THRESHOLD_SCALED = 20_000  # 2% of chars
+CODE_KW_THRESHOLD = 3
+
+
+def code_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc code-likeness profile — the code-vs-prose router every
+    mixed web corpus needs before choosing a tokenizer/filter stack
+    (StarCoder/The-Stack pipelines gate on exactly these surface
+    signals when no path/extension metadata survives).
+
+    Signals (all engine-portable regex counts, whole-stage codegen):
+      n_symbols     — occurrences of ``[{}()[];=<>]``
+      n_kw          — word-boundary hits of a 10-keyword code list
+                      (lowered text)
+      n_camel       — lower→upper transitions in the RAW text
+                      (camelCase identifiers; casefolding would
+                      destroy the signal, so this one reads raw)
+    plus ``symbol_ratio_scaled = floor(1e6 * n_symbols / n_chars)``
+    and the routing flag
+    ``is_code = symbol_ratio_scaled >= 20_000 OR n_kw >= 3`` — both
+    selection boundaries are integer comparisons.
+
+    Returns (doc_id, n_chars, n_symbols, n_kw, n_camel,
+    symbol_ratio_scaled, is_code) — map-only, one scan, zero joins."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(raw)
+    n_chars = F.length(raw).cast("long")
+    n_symbols = F.size(
+        F.regexp_extract_all(low, F.lit(CODE_SYMBOL_RE), F.lit(0))
+    ).cast("long")
+    n_kw = F.size(
+        F.regexp_extract_all(low, F.lit(_CODE_KW_RE), F.lit(0))
+    ).cast("long")
+    n_camel = F.size(
+        F.regexp_extract_all(raw, F.lit(r"[a-z][A-Z]"), F.lit(0))
+    ).cast("long")
+    ratio = (
+        F.when(n_chars > 0, F.floor(n_symbols * F.lit(1_000_000) / n_chars))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_symbols.alias("n_symbols"),
+        n_kw.alias("n_kw"),
+        n_camel.alias("n_camel"),
+        ratio.alias("symbol_ratio_scaled"),
+        (
+            (ratio >= F.lit(CODE_SYMBOL_THRESHOLD_SCALED))
+            | (n_kw >= F.lit(CODE_KW_THRESHOLD))
+        )
+        .cast("int")
+        .alias("is_code"),
+    )
+
+
+def collocations(
+    docs: DataFrame, min_count: int = 5, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by PMI — the corpus-analysis
+    view behind phrase mining / vocab extension (which two-word units
+    deserve a merged token). PMI = ln(p(ab) / (p(a)p(b))); with the
+    bigram total constant across candidates the RANKING reduces to
+    the integer rational ``c_ab * N_uni² / (c_a * c_b)`` — computed
+    as exact BIGINT integer division (Spark ``div`` == DuckDB ``//``)
+    so the selection/order boundary never touches a float. Bigrams do
+    not cross document boundaries.
+
+    Returns (t1, t2, c_ab, pmi_scaled) ordered pmi_scaled DESC,
+    t1 ASC, t2 ASC, top k, over bigrams with ``c_ab >= min_count``.
+
+    Plan: ONE tokenize feeds both aggregates (unigram counts and
+    shifted-zip bigram counts — map-side combinable); the |vocab|-row
+    unigram dictionary broadcasts onto the bigram table twice; the
+    corpus total is a 1-row cross join. No corpus-sized shuffle: the
+    exchanges move |vocab| and |distinct bigram| rows."""
+    toked = docs.select(
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+        ).alias("toks")
+    ).persist()
+    tok = toked.select(F.explode("toks").alias("term"))
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_uni = tok.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # guard docs with < 2 tokens: sequence(1, 0) would DESCEND, not
+    # empty (the shingles() lesson)
+    pair_idx = F.when(
+        F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bi = (
+        toked.select(
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("t1"),
+                        F.element_at(F.col("toks"), i + 1).alias("t2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.t1", "p.t2")
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= F.lit(int(min_count)))
+    )
+    u1 = uni.select(F.col("term").alias("t1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("term").alias("t2"), F.col("c").alias("c2"))
+    return (
+        bi.join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "t1",
+            "t2",
+            "c_ab",
+            F.expr("(c_ab * n * n) div (c1 * c2)").alias("pmi_scaled"),
+        )
+        .orderBy(F.desc("pmi_scaled"), F.asc("t1"), F.asc("t2"))
+        .limit(k)
+    )

@@ -170,6 +170,48 @@ def knn_filtered_topk(
     return cosine_topk(src, query_vec, k, id_col, vec_col)
 
 
+def knn_postfilter_topk(
+    embs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    prefetch_k: int = 40,
+    predicate=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """POST-filter knn — the other half of Solr 9's documented
+    filtered-vector-search distinction (:func:`knn_filtered_topk` is
+    the pre-filter): take the global cosine top-``prefetch_k`` FIRST,
+    then apply the filter to the survivors, then cut to ``k``. When
+    the filter is selective this UNDER-FILLS (fewer than k rows come
+    back) — exactly the failure mode Solr's reference manual warns
+    about and the reason `fq` defaults to pre-filtering; the verb
+    exists because post-filtering is the only correct semantics for
+    filters that must not influence recall measurement (e.g. dedup
+    masking applied after ANN evaluation).
+
+    Plan: the prefetch is the exact codegen cosine scan lowered to
+    TakeOrderedAndProject(prefetch_k) — corpus-scan cost, k'-row
+    result; the filter then runs on prefetch_k rows (driver-scale),
+    so at 10^9 vectors the added cost over plain knn is zero.
+    Returns (id, cos) ordered cos DESC, id ASC — up to k rows."""
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    scored = embs.select(
+        "*",
+        (_dot_expr(vec_col, query_vec) / (_norm_expr(vec_col) * F.lit(qn))).alias(
+            "__cos"
+        ),
+    )
+    pre = scored.orderBy(F.desc("__cos"), F.asc(id_col)).limit(int(prefetch_k))
+    if predicate is not None:
+        pre = pre.where(predicate)
+    return (
+        pre.orderBy(F.desc("__cos"), F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("id"), F.round("__cos", 6).alias("cos"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # random-hyperplane LSH
 # ---------------------------------------------------------------------------

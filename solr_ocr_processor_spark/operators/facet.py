@@ -666,26 +666,29 @@ def field_facet_counts(
     limit: int | None = None,
     offset: int = 0,
     prefix: str | None = None,
+    contains: str | None = None,
 ) -> DataFrame:
     """Solr ``facet.field=<f>`` with the full response knobs:
     ``facet.missing=true`` (one NULL-valued row counting rows with no
     value), ``facet.sort=count|index`` (count DESC value ASC, or pure
     value order), ``facet.limit``/``facet.offset`` paging over the
-    value list, and ``facet.prefix`` (only values starting with the
-    prefix reach the term list — Solr evaluates it before
-    sort/paging, while the ``facet.missing`` bucket stays INDEPENDENT
-    of the prefix: SimpleFacets appends the no-value count whether or
-    not a prefix restricted the terms). ONE groupBy with map-side
-    combine; the prefix filter pushes below the aggregate (startswith
-    OR isNull reaches the scan); the exchange moves |distinct values|
-    rows, and a limit lowers the final order to
-    TakeOrderedAndProject(offset+limit)."""
+    value list, ``facet.prefix`` and ``facet.contains`` (only values
+    starting with / containing the needle reach the term list — Solr
+    evaluates both before sort/paging, while the ``facet.missing``
+    bucket stays INDEPENDENT of them: SimpleFacets appends the
+    no-value count whether or not a needle restricted the terms). ONE
+    groupBy with map-side combine; the prefix/contains filters push
+    below the aggregate (startswith/contains OR isNull reaches the
+    scan); the exchange moves |distinct values| rows, and a limit
+    lowers the final order to TakeOrderedAndProject(offset+limit)."""
     if sort not in ("count", "index"):
         raise ValueError(f"facet.sort must be count|index, got {sort!r}")
     if offset < 0:
         raise ValueError(f"facet.offset must be >= 0, got {offset}")
-    if prefix is not None:
-        keep = F.col(field).startswith(prefix)
+    for needle_col in (
+        [F.col(field).startswith(prefix)] if prefix is not None else []
+    ) + ([F.col(field).contains(contains)] if contains is not None else []):
+        keep = needle_col
         if missing:
             keep = keep | F.col(field).isNull()
         df = df.where(keep)

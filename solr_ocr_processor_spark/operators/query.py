@@ -1820,6 +1820,46 @@ def payload_score_topk(
     )
 
 
+def topic_pull(
+    spark: SparkSession,
+    index: Index,
+    term: str,
+    checkpoint_ts,
+    limit: int = 50,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Solr streaming ``topic()`` verb: the checkpointed incremental
+    pull — "give me every document matching the query whose version is
+    NEWER than my last checkpoint". Solr checkpoints ``_version_``;
+    the engine's version analog is ``last_ts`` (doc_meta carries the
+    max turn timestamp, build.py). A subscriber stores the max
+    ``last_ts`` it has seen and passes it back as ``checkpoint_ts`` on
+    the next pull — at-least-once delivery, the same contract as the
+    reference's re-crawlable item loop (app/handler/indexer.go walks
+    the full item list every run and relies on idempotent upserts).
+
+    Returns (doc_id, conv_id, last_ts) with last_ts > checkpoint,
+    ordered last_ts ASC, doc_id ASC (oldest-first, the order a
+    subscriber consumes), capped at ``limit`` per pull (Solr's
+    ``rows`` per topic iteration).
+
+    Plan: the term's doc list (dictionary-filtered postings — bounded
+    by df) broadcasts as a LEFT SEMI join against doc_meta; the ts
+    filter is a pushed scan predicate on the doc table; the cut is
+    TakeOrderedAndProject(limit). Nothing corpus-sized shuffles."""
+    matches = index.postings.where(F.col("term") == term).select("doc_id")
+    out = (
+        index.doc_meta.join(F.broadcast(matches), "doc_id", "left_semi")
+        .where(F.col("last_ts") > F.lit(checkpoint_ts))
+        .select("doc_id", "conv_id", "last_ts")
+    )
+    return (
+        _suppress(out, exclude_docs)
+        .orderBy(F.asc("last_ts"), F.asc("doc_id"))
+        .limit(int(limit))
+    )
+
+
 def parse_mm_spec(spec: str, n_clauses: int) -> int:
     """Resolve Solr's (e)dismax ``mm=`` specification to the minimum
     number of optional clauses that must match, for ``n_clauses``
