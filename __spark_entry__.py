@@ -2325,6 +2325,46 @@ def _q_facet_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PERCOLATE_QUERIES = [
+    ("q_merge", "merge"),
+    ("q_none", "spark zzzqxv"),
+    ("q_spark_window", "spark window"),
+]
+
+
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST dedup: same MinHash+LSH pair graph and components as
+    dedup_clusters, but the survivor is the longest member (max
+    n_chars, ties min id) — the keep-the-most-complete-copy policy
+    (operators/dedup.dup_keep_best)."""
+    from solr_ocr_processor_spark.operators.dedup import dup_keep_best
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, n=3, tau=0.3)
+    return dup_keep_best(docs, pairs, score_col="n_chars")
+
+
+def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation / alerting: three stored conjunctive queries matched
+    against every document — reverse search at scan cost
+    (operators/percolate.percolate_matches)."""
+    from solr_ocr_processor_spark.operators.percolate import percolate_matches
+
+    qs = spark.createDataFrame(
+        PERCOLATE_QUERIES, "query_id string, query_text string"
+    )
+    return percolate_matches(spark, qs, _docs(spark, sf_dir))
+
+
+def _q_composite_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr compositeId shard routing: docs route to 1 of 8 shards by
+    the md5 unit-hash of their route key (source), co-locating each
+    key on one shard (operators/split.composite_id_route)."""
+    from solr_ocr_processor_spark.operators.split import composite_id_route
+
+    return composite_id_route(_docs(spark, sf_dir), n_shards=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2499,6 +2539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": _q_collocations,
         "stream_topic": _q_stream_topic,
         "facet_contains": _q_facet_contains,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "percolate": _q_percolate,
+        "composite_route": _q_composite_route,
     }
 
 
@@ -6759,6 +6802,65 @@ WHERE source LIKE '%1%'
 GROUP BY source
 ORDER BY n DESC, value ASC
 LIMIT 10
+""",
+        # keep-best dedup: the _DUP_CLUSTERS closure + the keeper
+        # argmax (score DESC, doc_id ASC) replayed as a window rank.
+        "dedup_keep_best": f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS p, toks FROM docs),
+sh AS (SELECT DISTINCT doc_id,
+              toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2] AS shingle
+       FROM pos WHERE p + 2 <= len(toks)),
+card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+prs AS (SELECT doc1, doc2
+        FROM inter
+        JOIN card c1 ON doc1 = c1.doc_id
+        JOIN card c2 ON doc2 = c2.doc_id
+        WHERE i::DOUBLE / (c1.c + c2.c - i) >= 0.3),
+edges AS (SELECT doc1 AS a, doc2 AS b FROM prs
+          UNION ALL SELECT doc2, doc1 FROM prs),
+walk(doc_id, n) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.doc_id, e.b FROM walk w JOIN edges e ON e.a = w.n
+),
+labs AS (SELECT doc_id, min(n) AS rep_id FROM walk GROUP BY doc_id),
+sz AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM labs GROUP BY rep_id),
+scored AS (SELECT l.doc_id, l.rep_id, s.cluster_size,
+                  CAST(d.n_chars AS BIGINT) AS score
+           FROM labs l JOIN sz s USING (rep_id)
+           JOIN documents d USING (doc_id)),
+keep AS (SELECT rep_id, doc_id AS keep_id,
+                row_number() OVER (PARTITION BY rep_id
+                                   ORDER BY score DESC, doc_id ASC) AS rn
+         FROM scored)
+SELECT sc.doc_id, sc.rep_id, k.keep_id, sc.score, sc.cluster_size,
+       CAST(sc.doc_id = k.keep_id AS INT) AS is_kept
+FROM scored sc
+JOIN (SELECT rep_id, keep_id FROM keep WHERE rn = 1) k USING (rep_id)
+""",
+        # percolation: each stored conjunctive query spelled as its
+        # list_contains AND-chain (q_none's absent term matches 0 docs
+        # and so contributes no rows on either engine).
+        "percolate": f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT 'q_merge' AS query_id, doc_id FROM docs
+WHERE list_contains(toks, 'merge')
+UNION ALL
+SELECT 'q_spark_window' AS query_id, doc_id FROM docs
+WHERE list_contains(toks, 'spark') AND list_contains(toks, 'window')
+ORDER BY query_id, doc_id
+""",
+        "composite_route": """
+SELECT doc_id, source AS route_key,
+       CAST(floor(('0x' || substr(md5(source), 1, 15))::BIGINT
+                  / 1152921504606846976.0 * 8) AS INT) AS shard
+FROM documents
 """,
         **_PIPELINE_ORACLES,
     }

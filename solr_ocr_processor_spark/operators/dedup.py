@@ -212,6 +212,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def dup_keep_best(
+    nodes: DataFrame, pairs: DataFrame, score_col: str = "n_chars"
+) -> DataFrame:
+    """Quality-aware keep-one: :func:`dup_clusters` picks the MIN-ID
+    canonical (order-free, cheap); real pipelines usually keep the
+    *best* member of each duplicate family instead — here the longest
+    (``score_col`` = n_chars, the "keep the most complete copy"
+    policy; any exact-integer quality column drops in). Keeper =
+    argmax(score_col), ties broken min doc_id — an integer selection
+    boundary on both engines (a float quality score would tie-break
+    differently across engines at half-ULP; integer columns cannot).
+
+    Output: (doc_id, rep_id, keep_id, score, cluster_size, is_kept) —
+    one row per doc; filtering ``is_kept = 1`` yields the deduped
+    corpus under the keep-best policy.
+
+    Plan: the component labels come from the one-shuffle-per-round
+    min-label propagation (dup_clusters); the keeper argmax is ONE
+    map-side-combinable ``max(struct(score, -doc_id))`` per rep_id —
+    no window function, no per-cluster sort; the keeper table is
+    |clusters| rows and broadcasts back onto the membership rows."""
+    cl = dup_clusters(nodes.select("doc_id"), pairs)
+    scored = cl.join(nodes.select("doc_id", score_col), "doc_id")
+    best = (
+        scored.groupBy("rep_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("s"), (-F.col("doc_id")).alias("nid")
+                )
+            ).alias("b")
+        )
+        .select("rep_id", (-F.col("b.nid")).cast("long").alias("keep_id"))
+    )
+    return scored.join(F.broadcast(best), "rep_id").select(
+        "doc_id",
+        "rep_id",
+        "keep_id",
+        F.col(score_col).cast("long").alias("score"),
+        "cluster_size",
+        (F.col("doc_id") == F.col("keep_id")).cast("int").alias("is_kept"),
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     n: int = 3,

@@ -318,3 +318,32 @@ def chunk_overlap(
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+def composite_id_route(
+    docs: DataFrame,
+    n_shards: int,
+    route_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Solr compositeId routing: a document routes to a shard by the
+    hash of its ROUTE KEY (the ``key!id`` prefix — here the source/
+    domain column), so all docs sharing the key land on one shard and
+    a route-key query fans out to exactly one shard instead of all.
+    Solr hashes with murmur3; the engine keeps its one md5 discipline
+    (unit_hash) so the DuckDB oracle replays assignments bit-for-bit —
+    the routing PROPERTY (co-location + uniform spread) is what is
+    being reproduced, not murmur's bit pattern.
+
+    Returns (doc_id, route_key, shard) with
+    ``shard = floor(unit_hash(route_key) * n_shards)`` — map-only, no
+    shuffle; the shard column is the write-side partition key (the
+    same role list_id plays in the ANN store)."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    u = unit_hash(F.col(route_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(route_col).alias("route_key"),
+        F.floor(u * F.lit(int(n_shards))).cast("int").alias("shard"),
+    )
