@@ -2365,6 +2365,35 @@ def _q_composite_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return composite_id_route(_docs(spark, sf_dir), n_shards=8)
 
 
+def _q_suggest_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr suggester ContextField: completions of 's' ranked by df
+    WITHIN the lang=en doc subset — context-scoped popularity
+    (operators/expand.suggest_terms_context)."""
+    from solr_ocr_processor_spark.operators.expand import suggest_terms_context
+
+    idx = _index(spark, sf_dir)
+    allowed = _docs(spark, sf_dir).where("lang = 'en'").select("doc_id")
+    return suggest_terms_context(spark, idx, "s", allowed, n=10)
+
+
+def _q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-field diagnostics: one-row dimension/zero-norm/norm-mass
+    report with per-row integer-scaled norms so the mean is exact
+    (operators/ann.vector_stats)."""
+    from solr_ocr_processor_spark.operators.ann import vector_stats
+
+    return vector_stats(_embs(spark, sf_dir))
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, round one: most frequent adjacent
+    char pairs weighted by word frequency — the statistic the merge
+    loop consumes (functions/textstats.bpe_merge_candidates)."""
+    from solr_ocr_processor_spark.functions.textstats import bpe_merge_candidates
+
+    return bpe_merge_candidates(_docs(spark, sf_dir), k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2542,6 +2571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "percolate": _q_percolate,
         "composite_route": _q_composite_route,
+        "suggest_context": _q_suggest_context,
+        "vector_stats": _q_vector_stats,
+        "bpe_merges": _q_bpe_merges,
     }
 
 
@@ -6861,6 +6893,64 @@ SELECT doc_id, source AS route_key,
        CAST(floor(('0x' || substr(md5(source), 1, 15))::BIGINT
                   / 1152921504606846976.0 * 8) AS INT) AS shard
 FROM documents
+""",
+        # context-scoped suggester: df recounted within the lang=en
+        # doc subset (one row per (term, doc) == postings invariant).
+        "suggest_context": f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM ids),
+td AS (SELECT DISTINCT doc_id, term FROM tok),
+en AS (SELECT doc_id FROM documents WHERE lang = 'en')
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM td JOIN en USING (doc_id)
+WHERE term LIKE 's%'
+GROUP BY term
+ORDER BY df DESC, term ASC
+LIMIT 10
+""",
+        # vector diagnostics: per-row norm integer-scaled under the
+        # SAME sequential left-fold (list sum == F.aggregate order),
+        # then exact BIGINT sum / integer-division mean.
+        "vector_stats": """
+WITH per AS (
+  SELECT vec_id,
+         len(embedding) AS dim,
+         CASE WHEN embedding IS NULL THEN NULL
+              ELSE CAST(floor(sqrt(list_aggregate(
+                     list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                     'sum')) * 1000000) AS BIGINT)
+         END AS norm_scaled
+  FROM embeddings
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN norm_scaled IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(min(dim) AS INT) AS dim_min,
+       CAST(max(dim) AS INT) AS dim_max,
+       CAST(sum(CASE WHEN norm_scaled = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_norm,
+       CAST(sum(norm_scaled) AS BIGINT) AS sum_norm_scaled,
+       CAST(sum(norm_scaled) // count(norm_scaled) AS BIGINT)
+         AS avg_norm_scaled
+FROM per
+""",
+        # BPE round-one merges: pair counts over DISTINCT words
+        # weighted by word frequency.
+        "bpe_merges": """
+WITH wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents)
+  GROUP BY w
+),
+ch AS (SELECT wc, regexp_extract_all(w, '.') AS cs FROM wf),
+pr AS (SELECT wc, cs[p] AS c1, cs[p+1] AS c2
+       FROM (SELECT wc, generate_subscripts(cs, 1) AS p, cs FROM ch)
+       WHERE p + 1 <= len(cs))
+SELECT c1, c2, CAST(sum(wc) AS BIGINT) AS n
+FROM pr GROUP BY c1, c2
+ORDER BY n DESC, c1 ASC, c2 ASC
+LIMIT 20
 """,
         **_PIPELINE_ORACLES,
     }

@@ -529,3 +529,58 @@ def collocations(
         .orderBy(F.desc("pmi_scaled"), F.asc("t1"), F.asc("t2"))
         .limit(k)
     )
+
+
+def bpe_merge_candidates(
+    docs: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """The first round of BPE vocabulary induction (Sennrich et al.
+    2016): the corpus's most frequent ADJACENT CHARACTER pairs,
+    weighted by word frequency — exactly the statistic the merge loop
+    greedily consumes. One round is the operator shape; the full train
+    loop is this op re-run over re-segmented text.
+
+    Returns (c1, c2, n) ordered n DESC, c1 ASC, c2 ASC, top ``k``,
+    with exact BIGINT counts.
+
+    Plan: tokenize → ONE |vocab|-row word-frequency aggregate (the
+    classic BPE trick: pair counts explode over DISTINCT words
+    weighted by count, not over every token occurrence — at 10^12
+    tokens the distinct-word dim is millions, not trillions) → per-word
+    char-pair explode (map-side over vocab-sized input) → ONE pair
+    aggregate → TakeOrderedAndProject(k)."""
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    chars = words.select(
+        "wc", F.expr("regexp_extract_all(w, '.', 0)").alias("cs")
+    )
+    pair_idx = F.when(
+        F.size("cs") >= 2, F.sequence(F.lit(1), F.size("cs") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = chars.select(
+        "wc",
+        F.explode(
+            F.transform(
+                pair_idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("cs"), i).alias("c1"),
+                    F.element_at(F.col("cs"), i + 1).alias("c2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("p.c1", "p.c2", "wc")
+    return (
+        pairs.groupBy("c1", "c2")
+        .agg(F.sum("wc").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("c1"), F.asc("c2"))
+        .limit(k)
+    )

@@ -1035,3 +1035,46 @@ def prf_vector_topk(
     q = np.asarray(query_vec, dtype=np.float64)
     q2 = float(alpha) * q + float(beta) * V.mean(axis=0)
     return cosine_topk(embs, q2.tolist(), k, id_col, vec_col)
+
+
+def vector_stats(
+    embs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Vector-field diagnostics — the admin check an operator runs
+    BEFORE building any ANN structure over a 10^9-row embedding table
+    (Lucene runs the same validations per KnnVectorField segment
+    write): dimension consistency, zero-norm rows (cosine-undefined —
+    every kernel here guards them), and the norm mass.
+
+    Returns ONE row: (n_vecs, n_null, dim_min, dim_max, n_zero_norm,
+    sum_norm_scaled, avg_norm_scaled). Norms are integer-scaled PER
+    ROW (floor(1e6·||v||) — the in-order fold both engines replay),
+    then summed as exact BIGINTs and averaged with integer division —
+    a float mean over rows would depend on partition sum order.
+
+    Plan: ONE map-only projection + ONE scalar aggregate; the scan
+    reads only the vector column; no shuffle beyond the final 1-row
+    combine."""
+    per = embs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.col(vec_col)).alias("dim"),
+        F.when(
+            F.col(vec_col).isNotNull(),
+            F.floor(_norm_expr(vec_col) * F.lit(1_000_000)).cast("long"),
+        ).alias("norm_scaled"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.col("norm_scaled").isNull().cast("long"))
+        .cast("long")
+        .alias("n_null"),
+        F.min("dim").cast("int").alias("dim_min"),
+        F.max("dim").cast("int").alias("dim_max"),
+        F.sum((F.col("norm_scaled") == 0).cast("long"))
+        .cast("long")
+        .alias("n_zero_norm"),
+        F.sum("norm_scaled").cast("long").alias("sum_norm_scaled"),
+        F.expr("sum(norm_scaled) div count(norm_scaled)")
+        .cast("long")
+        .alias("avg_norm_scaled"),
+    )

@@ -265,6 +265,48 @@ def suggest_terms(
     )
 
 
+def suggest_terms_context(
+    spark: SparkSession,
+    index: Index,
+    prefix: str,
+    allowed_docs: DataFrame,
+    n: int = 10,
+    cfg: IndexConfig = DEFAULT,
+) -> DataFrame:
+    """Context-filtered suggester — Solr's suggester ContextField:
+    completions of ``prefix`` ranked by document frequency WITHIN the
+    context-matching doc subset (``allowed_docs``: one ``doc_id``
+    column), not the whole corpus. A completion whose df lives
+    entirely outside the context disappears instead of ranking on
+    global popularity.
+
+    Returns (term, df) ordered df DESC, term ASC, top ``n`` — same
+    contract as :func:`suggest_terms`, df re-scoped.
+
+    Plan: the prefix filter prunes the postings scan FIRST (postings
+    are term-clustered, so startswith reaches parquet row-group
+    stats); the pruned posting slice — bounded by the prefix family's
+    total df, tiny vs the corpus — then semi-joins the context list
+    and re-counts df per term. No broadcast is forced on the context
+    side: a selective context AQE-broadcasts itself, a broad one
+    (lang=en over half the corpus) sort-merges against the already
+    tiny prefix slice; either way nothing corpus-sized shuffles."""
+    empty = spark.createDataFrame([], "term string, df long")
+    if not is_valid_prefix_pattern(prefix):
+        return empty
+    p = _normalize_single(prefix.rstrip("*"), cfg)
+    if not p:
+        return empty
+    return (
+        index.postings.where(F.col("term").startswith(p))
+        .join(allowed_docs.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n)
+    )
+
+
 def mlt_terms(
     spark: SparkSession,
     index: Index,
