@@ -2394,6 +2394,38 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_candidates(_docs(spark, sf_dir), k=20)
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recall@10 of the PERSISTED multi-probe LSH index vs the
+    exact brute-force scan — the eval every ANN deployment runs before
+    trusting its index (operators/ann.recall_at_k)."""
+    from solr_ocr_processor_spark.operators.ann import recall_at_k
+
+    embs, qv = _embs(spark, sf_dir), _qvec(spark, sf_dir)
+    exact = cosine_topk(embs, qv, k=10)
+    approx = lsh_topk_stored(spark, _ann_store(spark, sf_dir), qv, k=10)
+    return recall_at_k(exact, approx, 10)
+
+
+def _q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift: smoothed odds-ratio terms most over-represented
+    in src0 vs src1, ranked by the exact integer rational
+    (functions/textstats.term_drift)."""
+    from solr_ocr_processor_spark.functions.textstats import term_drift
+
+    return term_drift(_docs(spark, sf_dir), "src0", "src1", k=15)
+
+
+def _q_span_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanNearQuery inOrder=false: "table value"~2 matched in
+    EITHER direction — the unordered half of the sloppy-phrase pair
+    (operators/query.span_near_topk)."""
+    from solr_ocr_processor_spark.operators.query import span_near_topk
+
+    idx = _index(spark, sf_dir)
+    top = span_near_topk(spark, idx, PHRASE, slop=PROX_SLOP, k=10)
+    return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2574,6 +2606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_context": _q_suggest_context,
         "vector_stats": _q_vector_stats,
         "bpe_merges": _q_bpe_merges,
+        "ann_recall": _q_ann_recall,
+        "term_drift": _q_term_drift,
+        "span_near_topk": _q_span_near_topk,
     }
 
 
@@ -6933,6 +6968,98 @@ SELECT CAST(count(*) AS BIGINT) AS n_vecs,
        CAST(sum(norm_scaled) // count(norm_scaled) AS BIGINT)
          AS avg_norm_scaled
 FROM per
+""",
+        # recall@10 of the stored multi-probe LSH answer vs the exact
+        # scan — both legs are the already-green oracles composed.
+        "ann_recall": _lsh_buckets_cte(8) + """,
+qb AS (SELECT band, bucket AS qbucket FROM buckets WHERE vec_id = 0),
+cand AS (SELECT DISTINCT b.vec_id AS id FROM buckets b JOIN qb USING (band)
+         WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 1),
+q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = 0),
+sap AS (
+  SELECT c.id,
+         list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE),
+                                q.qv) AS cs
+  FROM cand c JOIN embeddings e ON e.vec_id = c.id CROSS JOIN q
+),
+appr AS (SELECT id FROM sap ORDER BY cs DESC, id ASC LIMIT 10),
+sex AS (
+  SELECT e.vec_id AS id,
+         list_cosine_similarity(list_transform(e.embedding, x -> x::DOUBLE),
+                                q.qv) AS cs
+  FROM embeddings e CROSS JOIN q
+),
+exact AS (SELECT id FROM sex ORDER BY cs DESC, id ASC LIMIT 10)
+SELECT CAST(10 AS INT) AS k,
+       CAST(count(*) AS BIGINT) AS n_hit,
+       CAST(floor(count(*) * 1000000 / 10) AS BIGINT) AS recall_scaled
+FROM exact JOIN appr USING (id)
+""",
+        # smoothed odds-ratio drift: exact BIGINT products + integer
+        # division, identical rational on both engines.
+        "term_drift": """
+WITH tok AS (
+  SELECT source AS src, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+           AS term
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+counts AS (
+  SELECT term,
+         CAST(sum(CASE WHEN src = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN src = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM tok GROUP BY term
+),
+tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b,
+               CAST(count(*) AS BIGINT) AS v
+        FROM counts)
+SELECT term, c_a, c_b,
+       ((c_a + 1) * (t.n_b + t.v) * 1000000) // ((c_b + 1) * (t.n_a + t.v))
+         AS drift_scaled
+FROM counts CROSS JOIN tot t
+ORDER BY drift_scaled DESC, term ASC
+LIMIT 15
+""",
+        # unordered span near: the _PROX_TOPK spine with the window
+        # condition symmetric (0 < |p1-p0| <= slop+1).
+        "span_near_topk": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tokp AS (
+  SELECT doc_id, conv_id, dl, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM ids
+),
+p0 AS (SELECT doc_id, pos FROM tokp WHERE term = '{_PHRASE_T[0]}'),
+p1 AS (SELECT doc_id, pos FROM tokp WHERE term = '{_PHRASE_T[1]}'),
+spanm AS (
+  SELECT p0.doc_id, CAST(count(DISTINCT p0.pos) AS BIGINT) AS span_tf
+  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id
+       AND p1.pos <> p0.pos AND abs(p1.pos - p0.pos) <= 1 + 2
+  GROUP BY p0.doc_id
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokp
+  WHERE term IN {_PHRASE_T!r} GROUP BY term
+),
+sidf AS (
+  SELECT sum(ln(1 + (s.n_docs - df + 0.5) / (df + 0.5))) AS sum_idf
+  FROM dfs CROSS JOIN stats s
+)
+SELECT ids.doc_id, ids.conv_id,
+       round(
+         si.sum_idf
+         * (spanm.span_tf * 2.2)
+         / (spanm.span_tf + 1.2 * (0.25 + 0.75 * ids.dl / s.avgdl)),
+         6
+       ) AS score
+FROM spanm
+JOIN ids USING (doc_id)
+CROSS JOIN stats s CROSS JOIN sidf si
+ORDER BY si.sum_idf * (spanm.span_tf * 2.2)
+         / (spanm.span_tf + 1.2 * (0.25 + 0.75 * ids.dl / s.avgdl)) DESC,
+         ids.doc_id ASC
+LIMIT 10
 """,
         # BPE round-one merges: pair counts over DISTINCT words
         # weighted by word frequency.

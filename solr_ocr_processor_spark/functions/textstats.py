@@ -584,3 +584,61 @@ def bpe_merge_candidates(
         .orderBy(F.desc("n"), F.asc("c1"), F.asc("c2"))
         .limit(k)
     )
+
+
+def term_drift(
+    docs: DataFrame,
+    source_a: str,
+    source_b: str,
+    k: int = 15,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus drift / register comparison — smoothed log-odds term
+    association (the "Fightin' Words" family, Monroe et al. 2008,
+    simplified to the odds-ratio point estimate): the terms most
+    over-represented in ``source_a`` relative to ``source_b``. The
+    dashboard a data-mixture owner reads when two snapshots or two
+    providers "feel different": which vocabulary moved.
+
+    The RANKING is the integer rational
+
+        drift_scaled = ((c_a+1)·(N_b+V)·1e6) div ((c_b+1)·(N_a+V))
+
+    — the +1/(N+V) Laplace-smoothed odds ratio with ln dropped
+    (monotone), computed as exact BIGINT products and integer
+    division on both engines. Returns (term, c_a, c_b, drift_scaled)
+    ordered drift DESC, term ASC, top ``k``.
+
+    Plan: ONE scan of the two sources' rows (pushed isin filter), ONE
+    term-keyed conditional aggregate (map-side combinable), two 1-row
+    total aggregates cross-joined — no corpus-wide shuffle beyond the
+    |vocab| exchange."""
+    tok = docs.where(F.col(source_col).isin(source_a, source_b)).select(
+        F.col(source_col).alias("src"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("term"),
+    )
+    counts = tok.groupBy("term").agg(
+        F.sum((F.col("src") == source_a).cast("long")).alias("c_a"),
+        F.sum((F.col("src") == source_b).cast("long")).alias("c_b"),
+    )
+    totals = counts.agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_b").alias("n_b"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "c_a",
+            "c_b",
+            F.expr(
+                "((c_a + 1) * (n_b + v) * 1000000) div ((c_b + 1) * (n_a + v))"
+            ).alias("drift_scaled"),
+        )
+        .orderBy(F.desc("drift_scaled"), F.asc("term"))
+        .limit(k)
+    )

@@ -1078,3 +1078,27 @@ def vector_stats(
         .cast("long")
         .alias("avg_norm_scaled"),
     )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Offline recall@k — the eval job every ANN deployment runs
+    before trusting an index (FAISS benchmarks, Lucene's KNN recall
+    harness): ``|approx ∩ exact| / k`` for one query. Both inputs are
+    the k-row (id, …) answers of any two probe paths; the operator is
+    deliberately surface-agnostic so the same evaluator grades LSH /
+    IVF / PQ / int8 against the brute-force scan.
+
+    Returns ONE row (k, n_hit, recall_scaled) with
+    ``recall_scaled = floor(1e6 · n_hit / k)`` — exact integers, no
+    float boundary.
+
+    Plan: a k-row broadcast join + a 1-row aggregate; the cost is the
+    two probe legs themselves, the evaluation is free."""
+    hit = exact.select("id").join(F.broadcast(approx.select("id")), "id")
+    return hit.agg(
+        F.lit(int(k)).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_hit"),
+        F.floor(F.count(F.lit(1)) * F.lit(1_000_000) / F.lit(int(k)))
+        .cast("long")
+        .alias("recall_scaled"),
+    )

@@ -1820,6 +1820,88 @@ def payload_score_topk(
     )
 
 
+def span_near_topk(
+    spark: SparkSession,
+    index: Index,
+    phrase: str,
+    slop: int,
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Lucene SpanNearQuery with ``inOrder=false`` — the UNORDERED
+    half of the sloppy-phrase pair (:func:`proximity_topk` is the
+    ordered one): a two-term span matches wherever the second term
+    occurs within the window in EITHER direction
+    (``0 < |p1 - p0| <= slop + 1``). ``span_tf`` counts distinct
+    first-term anchors with at least one partner; scoring is the
+    phrase contract (``Σ idf · tfnorm(span_tf, dl)``), ties doc_id
+    ASC.
+
+    Plan: each term's positions decode AFTER the dictionary filter
+    (bounded by its cf, the positional-intersection discipline of
+    _phrase_counts); the pair join is doc-keyed with a band predicate
+    — the data moved is exactly the two posting lists, corpus-
+    independent. Returns (doc_id, conv_id, score)."""
+    terms = [t for _, t, _, _ in tokenize_text(phrase, cfg)]
+    empty = spark.createDataFrame([], "doc_id long, conv_id string, score double")
+    if len(terms) != 2:
+        raise ValueError(f"span_near_topk needs exactly 2 terms, got {terms!r}")
+    crow = index.corpus.first()
+    n_docs, avgdl = int(crow["n_docs"]), float(crow["avgdl"])
+    dfs = {
+        r["term"]: r["df"]
+        for r in index.term_stats.where(
+            F.col("term").isin(list(set(terms)))
+        ).collect()
+    }
+    if any(t not in dfs for t in terms):
+        return empty
+    import math
+
+    from ..functions.tokenizer import flat_tokens
+
+    sum_idf = sum(
+        math.log1p((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in terms
+    )
+    win = int(slop) + 1
+    p0 = flat_tokens(index.postings.where(F.col("term") == terms[0])).select(
+        "doc_id", F.col("token_pos").alias("pos0"), "dl"
+    )
+    p1 = flat_tokens(index.postings.where(F.col("term") == terms[1])).select(
+        F.col("doc_id").alias("d1"), F.col("token_pos").alias("pos1")
+    )
+    matched = p0.join(
+        p1,
+        (F.col("doc_id") == F.col("d1"))
+        & (F.abs(F.col("pos1") - F.col("pos0")) <= F.lit(win))
+        & (F.col("pos1") != F.col("pos0")),
+    )
+    counts = matched.groupBy("doc_id", "dl").agg(
+        F.countDistinct("pos0").alias("span_tf")
+    )
+    k1, b = float(cfg.k1), float(cfg.b)
+    top = (
+        _suppress(counts, exclude_docs)
+        .withColumn(
+            "score",
+            F.lit(sum_idf)
+            * (
+                (F.col("span_tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("span_tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                )
+            ),
+        )
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return resolve_conv_ids(index, top)
+
+
 def topic_pull(
     spark: SparkSession,
     index: Index,
