@@ -2426,6 +2426,57 @@ def _q_span_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", "conv_id", F.round("score", 6).alias("score"))
 
 
+def _q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-normalized exact dedup: lowercase / digits→0 / strip
+    punct / collapse whitespace before hashing — catches trivial
+    variants raw hashing misses (operators/dedup
+    .normalized_dup_groups)."""
+    from solr_ocr_processor_spark.operators.dedup import normalized_dup_groups
+
+    return normalized_dup_groups(_docs(spark, sf_dir))
+
+
+def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: the documents table vs a deterministically
+    mutated copy (every %10==3 doc removed, %10==7 edited, %10==0
+    re-added under a new id) classified added/removed/changed/
+    unchanged (operators/pipeline.corpus_diff)."""
+    from solr_ocr_processor_spark.operators.pipeline import corpus_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    kept = docs.where("doc_id % 10 != 3")
+    mutated = kept.select(
+        "doc_id",
+        F.when(
+            F.expr("doc_id % 10 = 7"), F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.where("doc_id % 10 = 0").select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    return corpus_diff(docs, mutated.unionByName(added))
+
+
+def _q_role_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-role token-mass analytics over the transcripts table —
+    turns/convs/tokens and the exact integer mean per role
+    (operators/conversation.role_stats)."""
+    from solr_ocr_processor_spark.operators.conversation import role_stats
+
+    return role_stats(derive_transcripts(spark, sf_dir, TW))
+
+
+def _q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching prep: NTILE(8) equal-height length buckets
+    under the (n_tokens, doc_id) total order
+    (operators/split.length_buckets)."""
+    from solr_ocr_processor_spark.operators.split import length_buckets
+
+    return length_buckets(_docs(spark, sf_dir), n_buckets=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2609,6 +2660,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "term_drift": _q_term_drift,
         "span_near_topk": _q_span_near_topk,
+        "dedup_normalized": _q_dedup_normalized,
+        "corpus_diff": _q_corpus_diff,
+        "role_stats": _q_role_stats,
+        "length_buckets": _q_length_buckets,
     }
 
 
@@ -7060,6 +7115,75 @@ ORDER BY si.sum_idf * (spanm.span_tf * 2.2)
          / (spanm.span_tf + 1.2 * (0.25 + 0.75 * ids.dl / s.avgdl)) DESC,
          ids.doc_id ASC
 LIMIT 10
+""",
+        # CCNet-normalized exact dedup: identical regexp chain.
+        "dedup_normalized": """
+WITH h AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(regexp_replace(
+             lower(text), '[0-9]+', '0', 'g'),
+             '[^a-z0 ]', ' ', 'g'),
+             ' +', ' ', 'g'))) AS norm_hash
+  FROM documents
+),
+g AS (SELECT norm_hash, CAST(count(*) AS BIGINT) AS group_size,
+             min(doc_id) AS canonical_id
+      FROM h GROUP BY norm_hash)
+SELECT h.doc_id, h.norm_hash, g.group_size,
+       CAST(h.doc_id = g.canonical_id AS INT) AS is_canonical
+FROM h JOIN g USING (norm_hash)
+""",
+        # snapshot diff: same deterministic mutation, statuses counted.
+        "corpus_diff": """
+WITH oldd AS (SELECT doc_id, text FROM documents),
+newd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 7 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+),
+j AS (
+  SELECT o.doc_id AS o_id, n.doc_id AS n_id,
+         o.text AS o_text, n.text AS n_text
+  FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT CASE WHEN o_id IS NULL THEN 'added'
+              WHEN n_id IS NULL THEN 'removed'
+              WHEN o_text <> n_text THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM j
+)
+GROUP BY status ORDER BY status
+""",
+        "role_stats": f"""
+WITH {_CTE},
+per AS (
+  SELECT role, conv_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS n_toks
+  FROM transcripts
+)
+SELECT role,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       (sum(n_toks) * 1000000) // count(*) AS avg_tokens_scaled
+FROM per GROUP BY role ORDER BY role
+""",
+        "length_buckets": """
+WITH per AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(ntile(8) OVER (ORDER BY n_tokens ASC, doc_id ASC) AS INT)
+         AS bucket
+FROM per
 """,
         # BPE round-one merges: pair counts over DISTINCT words
         # weighted by word frequency.

@@ -199,3 +199,41 @@ def template_turns(turns: DataFrame, min_convs: int = 3) -> DataFrame:
         .where(F.col("n_convs") >= min_convs)
         .orderBy(F.desc("n_convs"), F.asc("text_hash"))
     )
+
+
+def role_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-role conversation analytics — the first table anyone pulls
+    from a transcripts corpus: how much of the token mass is user vs
+    assistant vs tool. Returns one row per role:
+    (role, n_turns, n_convs, n_tokens, avg_tokens_scaled) ordered
+    role ASC, with ``avg_tokens_scaled = n_tokens*1e6 div n_turns``
+    (exact integer mean; 0 when a role has no turns is impossible —
+    the group exists only if it has rows).
+
+    Plan: map-only tokenize projection + ONE |roles|-row aggregate
+    (count + countDistinct conv), corpus-scan cost."""
+    per = transcripts.select(
+        "role",
+        "conv_id",
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).cast("long").alias("n_toks"),
+    )
+    return (
+        per.groupBy("role")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "role",
+            "n_turns",
+            "n_convs",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000) div n_turns").alias(
+                "avg_tokens_scaled"
+            ),
+        )
+        .orderBy("role")
+    )

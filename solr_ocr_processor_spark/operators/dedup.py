@@ -71,6 +71,42 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def normalized_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style NORMALIZED exact dedup (Wenzek et al. 2020 §4.1:
+    lowercase, replace digits with 0, strip punctuation/accents before
+    hashing) — catches the near-trivial variants raw hashing misses
+    (timestamps, issue numbers, punctuation dialects) without any
+    pair search. Normalization here: lowercase → every digit run →
+    ``0`` → drop everything outside ``[a-z0 ]`` → collapse whitespace
+    → trim; the identical regexp chain runs on both engines.
+
+    Output mirrors :func:`exact_dup_groups`:
+    (doc_id, norm_hash, group_size, is_canonical), canonical = min
+    doc_id. One shuffle (groupBy hash), map-only normalization."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(text_col)), "[0-9]+", "0"),
+                "[^a-z0 ]",
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+    h = docs.select("doc_id", F.md5(norm.cast("binary")).alias("norm_hash"))
+    g = h.groupBy("norm_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+    return h.join(g, "norm_hash").select(
+        "doc_id",
+        "norm_hash",
+        "group_size",
+        (F.col("doc_id") == F.col("canonical_id")).cast("int").alias("is_canonical"),
+    )
+
+
 def dup_clusters(
     nodes: DataFrame,
     pairs: DataFrame,

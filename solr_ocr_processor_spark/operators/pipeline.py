@@ -933,3 +933,46 @@ def source_overlap_matrix(docs: DataFrame, n: int = 3) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+def corpus_diff(
+    old: DataFrame, new: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the ingest-ops
+    answer to "what actually changed before I pay for a rebuild":
+    every doc_id is classified ``added`` / ``removed`` / ``changed``
+    (present in both, content hash differs) / ``unchanged``. The
+    reference's re-crawl loop implicitly recomputes this by re-posting
+    every item (app/handler/indexer.go); diffing first is how the
+    engine's incremental paths (merge_stream, append_ann_store) decide
+    what to touch.
+
+    Returns the 4-row summary (status, n_docs) ordered by status —
+    content comparison is md5-hash equality, never text equality.
+
+    Plan: ONE full outer join on doc_id of two (doc_id, md5) map-only
+    projections, then a |4|-row aggregate with map-side combine. The
+    join shuffles both hash tables once — at 100 TB both sides bucket
+    by doc_id at rest (the lifecycle store layout), making this a
+    co-located zipper, not an exchange."""
+    oh = old.select(
+        F.col("doc_id").alias("o_id"),
+        F.md5(F.col(text_col).cast("binary")).alias("o_hash"),
+    )
+    nh = new.select(
+        F.col("doc_id").alias("n_id"),
+        F.md5(F.col(text_col).cast("binary")).alias("n_hash"),
+    )
+    j = oh.join(nh, F.col("o_id") == F.col("n_id"), "full_outer")
+    status = (
+        F.when(F.col("o_id").isNull(), F.lit("added"))
+        .when(F.col("n_id").isNull(), F.lit("removed"))
+        .when(F.col("o_hash") != F.col("n_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("status")
+    )
