@@ -60,7 +60,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument(
         "--mode",
-        choices=("wand", "and", "phrase", "near", "rerank", "not", "bool",
+        choices=("wand", "and", "phrase", "near", "spannear", "rerank",
+                 "not", "bool",
                  "prefix", "fuzzy", "wildcard", "regexp", "mm", "sort",
                  "collapse", "group", "filter", "frange", "boost", "join",
                  "synonym", "bq", "elevate", "termboost", "pf", "bm25f",
@@ -70,6 +71,8 @@ def main(argv: list[str] | None = None) -> int:
         "and: every term required; phrase: exact positional phrase; "
         "near: sloppy phrase — terms in order within --slop extra "
         "positions (Lucene '\"a b\"~N'); "
+        "spannear: two terms within the window in EITHER direction "
+        "(SpanNearQuery inOrder=false); "
         "rerank: BM25 top --rwindow docs rescored original + "
         "--rweight * sloppy-phrase score of --rq (Solr rq={!rerank}); "
         "not: positives AND NOT --neg terms; "
@@ -238,6 +241,28 @@ def main(argv: list[str] | None = None) -> int:
     )
     tv.add_argument("--store", required=True)
     tv.add_argument("--conv-id", required=True)
+
+    pl = sub.add_parser(
+        "payload",
+        help="payload-score ranking: --func over the term's stored "
+        "position payloads (Solr {!payload_score})",
+    )
+    pl.add_argument("--store", required=True)
+    pl.add_argument("--q", required=True, help="exactly ONE term")
+    pl.add_argument("--func", choices=("max", "min", "avg"), default="max")
+    pl.add_argument("--k", type=int, default=10)
+
+    tp = sub.add_parser(
+        "topic",
+        help="checkpointed incremental pull (Solr streaming topic()): "
+        "docs matching --q whose last_ts is after --checkpoint, oldest "
+        "first; prints checkpoint_next to pass back on the next pull",
+    )
+    tp.add_argument("--store", required=True)
+    tp.add_argument("--q", required=True, help="exactly ONE term")
+    tp.add_argument("--checkpoint", default="1970-01-01T00:00:00",
+                    help="ISO timestamp of the last pull")
+    tp.add_argument("--rows", type=int, default=50)
 
     ba = sub.add_parser(
         "batch",
@@ -488,6 +513,24 @@ def main(argv: list[str] | None = None) -> int:
                     exclude_docs=dead_df,
                     bidx=lifecycle.load_block_index(spark, store),
                 )
+            elif args.mode == "spannear":
+                from solr_ocr_processor_spark.operators.query import (
+                    span_near_topk,
+                )
+
+                if args.slop < 0:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": f"negative slop {args.slop}"}))
+                    return BAD_REQUEST_EXIT
+                try:  # unordered spans are a two-term surface
+                    out = span_near_topk(
+                        spark, idx, args.q, slop=args.slop, k=fetch_k,
+                        exclude_docs=dead_df,
+                    )
+                except ValueError as e:
+                    print(json.dumps({"error": "bad_request",
+                                      "detail": str(e)[:200]}))
+                    return BAD_REQUEST_EXIT
             elif args.mode == "rerank":
                 from solr_ocr_processor_spark.operators.query import (
                     rerank_topk,
@@ -1151,6 +1194,63 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"term": r["term"], "tf": r["tf"],
                               "df": r["df"],
                               "tf_idf_scaled": r["tf_idf_scaled"]}))
+        return 0
+    if args.cmd == "payload":
+        from solr_ocr_processor_spark.operators.query import payload_score_topk
+
+        terms = args.q.split()
+        if len(terms) != 1:
+            print(json.dumps({"error": "bad_request",
+                              "detail": "payload needs exactly one term"}))
+            return BAD_REQUEST_EXIT
+        if args.k < 1:
+            print(json.dumps({"error": "bad_request",
+                              "detail": f"k {args.k} < 1"}))
+            return BAD_REQUEST_EXIT
+        idx = lifecycle.load_index(spark, store)
+        dead_df = lifecycle.tombstoned_convs(spark, store)
+        out = payload_score_topk(
+            spark, idx, terms[0], func=args.func, k=args.k,
+            exclude_docs=dead_df,
+        )
+        for r in out.collect():
+            print(json.dumps({"doc_id": r["doc_id"], "conv_id": r["conv_id"],
+                              "payload": r["payload"]}))
+        return 0
+    if args.cmd == "topic":
+        import datetime as _dt
+
+        from solr_ocr_processor_spark.operators.query import topic_pull
+
+        terms = args.q.split()
+        if len(terms) != 1:
+            print(json.dumps({"error": "bad_request",
+                              "detail": "topic needs exactly one term"}))
+            return BAD_REQUEST_EXIT
+        if args.rows < 1:
+            print(json.dumps({"error": "bad_request",
+                              "detail": f"rows {args.rows} < 1"}))
+            return BAD_REQUEST_EXIT
+        try:
+            ckpt = _dt.datetime.fromisoformat(args.checkpoint)
+        except ValueError:
+            print(json.dumps({"error": "bad_request",
+                              "detail": f"bad checkpoint "
+                              f"{args.checkpoint!r} (need ISO timestamp)"}))
+            return BAD_REQUEST_EXIT
+        idx = lifecycle.load_index(spark, store)
+        dead_df = lifecycle.tombstoned_convs(spark, store)
+        rows = topic_pull(
+            spark, idx, terms[0], ckpt, limit=args.rows,
+            exclude_docs=dead_df,
+        ).collect()
+        for r in rows:
+            print(json.dumps({"doc_id": r["doc_id"], "conv_id": r["conv_id"],
+                              "last_ts": str(r["last_ts"])}))
+        # at-least-once contract: the subscriber stores this and passes
+        # it back; an empty pull keeps the old checkpoint
+        nxt = str(rows[-1]["last_ts"]) if rows else args.checkpoint
+        print(json.dumps({"checkpoint_next": nxt}))
         return 0
     if args.cmd == "delete":
         lifecycle.delete_conv(spark, store, args.conv_id)

@@ -1017,3 +1017,65 @@ def test_cli_batch_workload(spark, tmp_path, capsys):
     assert [r["rank"] for r in by_q["a"]] == [1, 2, 3][: len(by_q["a"])]
     assert run("batch", "--store", store, "--queries", "nocolon")[0] == 2
     assert run("batch", "--store", store, "--queries", "a:x", "--k", "0")[0] == 2
+
+
+def test_cli_payload_topic_spannear(spark, tmp_path, capsys):
+    """Round-3 continuation verbs: payload-score ranking, topic()
+    checkpointed pulls (with checkpoint_next echo), unordered
+    span-near — plus their BadRequest knob validation."""
+    cli = _cli()
+    from solr_ocr_processor_spark.sources.transcripts import synth_transcripts
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "st")
+    synth_transcripts(spark, n_convs=12, max_turns=6, seed=5).write.parquet(src)
+    assert cli.main(["build", "--input", src, "--store", store,
+                     "--shards", "2"]) == 0
+
+    def run(*args):
+        capsys.readouterr()
+        rc = cli.main(list(args))
+        out = capsys.readouterr().out
+        rows = [json.loads(l) for l in out.strip().splitlines()
+                if l.startswith("{")]
+        return rc, rows
+
+    # payload: exact BIGINT payloads, score DESC
+    rc, rows = run("payload", "--store", store, "--q", "spark",
+                   "--func", "max", "--k", "5")
+    assert rc == 0 and rows
+    pls = [r["payload"] for r in rows]
+    assert all(isinstance(p, int) for p in pls)
+    assert pls == sorted(pls, reverse=True)
+    rc, _ = run("payload", "--store", store, "--q", "spark merge")
+    assert rc == cli.BAD_REQUEST_EXIT  # exactly one term
+
+    # spannear matches a SUPERSET of the ordered near docs
+    rc, sp = run("query", "--store", store, "--q", "spark merge",
+                 "--mode", "spannear", "--slop", "2", "--k", "50")
+    assert rc == 0
+    rc, nr = run("query", "--store", store, "--q", "spark merge",
+                 "--mode", "near", "--slop", "2", "--k", "50")
+    assert rc == 0
+    assert {r["conv_id"] for r in nr} <= {r["conv_id"] for r in sp}
+    rc, _ = run("query", "--store", store, "--q", "spark",
+                "--mode", "spannear")
+    assert rc == cli.BAD_REQUEST_EXIT  # two-term surface
+
+    # topic: checkpointed paging, no overlap between pulls
+    rc, out1 = run("topic", "--store", store, "--q", "spark", "--rows", "3")
+    assert rc == 0
+    ck1 = out1[-1]["checkpoint_next"]
+    page1 = {r["doc_id"] for r in out1[:-1]}
+    rc, out2 = run("topic", "--store", store, "--q", "spark",
+                   "--rows", "50", "--checkpoint", ck1)
+    assert rc == 0
+    page2 = {r["doc_id"] for r in out2[:-1]}
+    assert not (page1 & page2)
+    # empty pull keeps the checkpoint
+    rc, out3 = run("topic", "--store", store, "--q", "spark",
+                   "--checkpoint", "2300-01-01T00:00:00")
+    assert rc == 0 and out3[-1]["checkpoint_next"] == "2300-01-01T00:00:00"
+    rc, _ = run("topic", "--store", store, "--q", "spark",
+                "--checkpoint", "not-a-time")
+    assert rc == cli.BAD_REQUEST_EXIT
