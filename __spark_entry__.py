@@ -2477,6 +2477,26 @@ def _q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_buckets(_docs(spark, sf_dir), n_buckets=8)
 
 
+def _q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf frequency-of-frequencies over the dictionary: terms per
+    exact collection frequency 1..8 + overflow bucket, with token
+    mass (operators/terms.freq_spectrum)."""
+    from solr_ocr_processor_spark.operators.terms import freq_spectrum
+
+    return freq_spectrum(_index(spark, sf_dir))
+
+
+def _q_template_exchanges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation template EXCHANGES: adjacent two-turn pairs
+    whose normalized text repeats across >= 2 convs — scripted Q→A
+    detection (operators/conversation.template_exchanges)."""
+    from solr_ocr_processor_spark.operators.conversation import (
+        template_exchanges,
+    )
+
+    return template_exchanges(derive_transcripts(spark, sf_dir, TW), min_convs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2664,6 +2684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": _q_corpus_diff,
         "role_stats": _q_role_stats,
         "length_buckets": _q_length_buckets,
+        "freq_spectrum": _q_freq_spectrum,
+        "template_exchanges": _q_template_exchanges,
     }
 
 
@@ -7116,6 +7138,41 @@ ORDER BY si.sum_idf * (spanm.span_tf * 2.2)
          ids.doc_id ASC
 LIMIT 10
 """,
+        # Zipf spectrum: |vocab|-row aggregate, power-of-two buckets
+        # via exact integer bit length (length(bin(cf))).
+        "freq_spectrum": f"""
+WITH {_DOCS},
+tok AS (SELECT unnest(toks) AS term FROM ids),
+cfs AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY term)
+SELECT CAST(length(bin(cf)) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(cf) AS BIGINT) AS token_mass
+FROM cfs GROUP BY 1 ORDER BY bucket
+""",
+        # two-turn template exchanges: lead() + the template_turns
+        # normalization applied to first || '|' || second.
+        "template_exchanges": f"""
+WITH {{_CTE}},
+t AS (
+  SELECT conv_id, turn_idx, text,
+         lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+  FROM transcripts
+),
+p AS (
+  SELECT conv_id, text,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) || '|' ||
+             lower(trim(regexp_replace(nxt, '\\s+', ' ', 'g')))) AS ex_hash
+  FROM t
+  WHERE nxt IS NOT NULL AND trim(text) <> '' AND trim(nxt) <> ''
+)
+SELECT ex_hash,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       min(text) AS sample_first
+FROM p GROUP BY ex_hash
+HAVING count(DISTINCT conv_id) >= 2
+ORDER BY n_convs DESC, ex_hash ASC
+""".replace("{_CTE}", _CTE),
         # CCNet-normalized exact dedup: identical regexp chain.
         "dedup_normalized": """
 WITH h AS (

@@ -237,3 +237,56 @@ def role_stats(transcripts: DataFrame) -> DataFrame:
         )
         .orderBy("role")
     )
+
+
+def template_exchanges(transcripts: DataFrame, min_convs: int = 2) -> DataFrame:
+    """Cross-conversation TEMPLATE EXCHANGES — the two-turn extension
+    of :func:`template_turns`: an adjacent (turn, next-turn) pair whose
+    normalized text repeats across >= ``min_convs`` conversations is a
+    scripted exchange (canned Q→A, injected demo dialogues) that
+    single-turn boilerplate detection misses when either half also
+    appears legitimately on its own. SFT hygiene: repeated exchanges
+    teach the model a template, not a behavior.
+
+    Returns (ex_hash, n_convs, n_occurrences, sample_first) ordered
+    n_convs DESC, ex_hash ASC; normalization (lower + trim + collapse
+    whitespace) and the md5 discipline are template_turns', applied to
+    ``first || '|' || second``.
+
+    Plan: ONE conv-keyed window (lead over turn_idx — the same
+    partitioning materialize_docs already uses) + ONE hash-keyed
+    aggregate moving (hash, conv) narrow rows; the heavy text rides
+    min() as one representative per group."""
+    from pyspark.sql.window import Window
+
+    def norm(c):
+        return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.select("conv_id", "turn_idx", "text").withColumn(
+        "nxt", F.lead("text").over(w)
+    )
+    pairs = t.where(
+        F.col("nxt").isNotNull()
+        & (F.trim(F.col("text")) != "")
+        & (F.trim(F.col("nxt")) != "")
+    )
+    h = pairs.select(
+        "conv_id",
+        F.md5(
+            F.concat(norm(F.col("text")), F.lit("|"), norm(F.col("nxt"))).cast(
+                "binary"
+            )
+        ).alias("ex_hash"),
+        F.col("text").alias("first_text"),
+    )
+    return (
+        h.groupBy("ex_hash")
+        .agg(
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("first_text").alias("sample_first"),
+        )
+        .where(F.col("n_convs") >= F.lit(int(min_convs)))
+        .orderBy(F.desc("n_convs"), F.asc("ex_hash"))
+    )

@@ -69,3 +69,52 @@ def percolate_matches(
         .select("query_id", "doc_id")
         .orderBy("query_id", "doc_id")
     )
+
+
+def percolate_stream(
+    stream: DataFrame,
+    stored_queries: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming percolation — :func:`percolate_matches` over a
+    Structured Streaming document source: tag every arriving document
+    with the stored queries it satisfies, continuously. This is the
+    alerting half of the streaming story (streaming/ingest folds
+    documents IN; this fans matches OUT to subscribers).
+
+    Percolation is stateless per document (a match depends only on the
+    doc and the rule set), so NO state store and NO streaming
+    aggregation: the batch operator's explode+count plan would be a
+    stateful aggregation under Structured Streaming (append mode would
+    demand a watermark the semantics don't have), so the stream form
+    instead evaluates the conjunction per row — a broadcast
+    nested-loop join of each document against the tiny rule table with
+    a ``forall(q_toks, t -> array_contains(d_toks, t))`` predicate.
+    Map-side only, append-mode clean, per-doc cost |rules|·|terms|.
+    Emits (query_id, doc_id) rows; a single-batch replay over a static
+    source equals :func:`percolate_matches` minus its presentation
+    sort (asserted in tests — the same replay-identity gate
+    dedup_doc_stream uses).
+
+    Rule-set updates: the static side re-resolves per microbatch only
+    if the source re-plans; production redeploys the query (Solr
+    reloads its monitor the same way)."""
+    tok = "regexp_extract_all(lower({col}), '[a-z0-9]+', 0)"
+    qtok = stored_queries.select(
+        "query_id",
+        F.array_distinct(F.expr(tok.format(col="query_text"))).alias("q_toks"),
+    ).where(F.size("q_toks") > 0)  # empty conjunction matches nothing
+    d = stream.select(
+        "doc_id",
+        F.array_distinct(F.expr(tok.format(col=text_col))).alias("d_toks"),
+    )
+    return (
+        d.crossJoin(F.broadcast(qtok))
+        .where(
+            F.forall(
+                F.col("q_toks"),
+                lambda t: F.array_contains(F.col("d_toks"), t),
+            )
+        )
+        .select("query_id", "doc_id")
+    )

@@ -289,3 +289,31 @@ def function_fields(
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+def freq_spectrum(index: Index) -> DataFrame:
+    """Frequency spectrum (the Zipf curve every vocabulary / tokenizer
+    decision reads first): dictionary terms bucketed by collection
+    frequency in POWERS OF TWO — bucket b holds terms with
+    cf in [2^(b-1), 2^b). The hapax/rare tail (low buckets) decides
+    vocabulary truncation, OOV handling, and df-cutoff tuning (the
+    suggest/spellcheck mincount knobs upstream of this module); the
+    top buckets are the stopword mass.
+
+    Returns (bucket, n_terms, token_mass) ordered bucket ASC, with
+    ``bucket = bitlength(cf) = ⌊log2 cf⌋ + 1`` — an EXACT integer on
+    both engines (``length(bin(cf))``; a float log2 could round to
+    either side of a power-of-two boundary) — and exact BIGINT
+    counts/mass.
+
+    Plan: ONE |vocab|-row aggregate over the dictionary — never
+    touches postings; the exchange moves ~64 rows."""
+    b = F.length(F.expr("bin(cf)")).cast("int")
+    return (
+        index.term_stats.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("cf").cast("long").alias("token_mass"),
+        )
+        .orderBy("bucket")
+    )

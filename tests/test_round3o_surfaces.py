@@ -1,0 +1,103 @@
+"""Round-3 continuation surfaces (batch y): frequency spectrum,
+template exchanges, streaming percolation replay identity."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from solr_ocr_processor_spark.operators.build import build_postings
+from solr_ocr_processor_spark.operators.conversation import template_exchanges
+from solr_ocr_processor_spark.operators.percolate import (
+    percolate_matches,
+    percolate_stream,
+)
+from solr_ocr_processor_spark.operators.terms import freq_spectrum
+from solr_ocr_processor_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+TS = datetime.datetime(2026, 1, 1)
+
+
+def test_freq_spectrum_power_of_two_buckets(spark):
+    rows = [("c0", 0, "user", "a a a b b c", None, TS)]
+    idx = build_postings(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA))
+    got = {
+        r["bucket"]: (r["n_terms"], r["token_mass"])
+        for r in freq_spectrum(idx).collect()
+    }
+    # cf: a=3 (bitlen 2), b=2 (bitlen 2), c=1 (bitlen 1)
+    assert got == {1: (1, 1), 2: (2, 5)}
+
+
+def test_template_exchanges_normalized_cross_conv(spark):
+    rows = [
+        ("c0", 0, "user", "hi there", None, TS),
+        ("c0", 1, "assistant", "hello world", None, TS),
+        ("c1", 0, "user", "Hi  THERE", None, TS),  # same after normalize
+        ("c1", 1, "assistant", "hello world", None, TS),
+        ("c2", 0, "user", "different", None, TS),
+        ("c2", 1, "assistant", "stuff", None, TS),
+    ]
+    t = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    got = template_exchanges(t, min_convs=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_convs"], r["n_occurrences"]) == (2, 2)
+    assert r["sample_first"] == "Hi  THERE"  # min() representative
+
+
+def test_template_exchanges_skips_empty_halves(spark):
+    rows = [
+        ("c0", 0, "user", "hi", None, TS),
+        ("c0", 1, "assistant", "   ", None, TS),  # empty next half
+        ("c1", 0, "user", "hi", None, TS),
+        ("c1", 1, "assistant", "   ", None, TS),
+    ]
+    t = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    assert template_exchanges(t, min_convs=2).count() == 0
+
+
+@pytest.fixture(scope="module")
+def rule_rows():
+    return [("qa", "spark window"), ("qb", "merge"), ("qe", "  ")]
+
+
+def test_percolate_stream_replay_equals_batch(spark, tmp_path, rule_rows):
+    schema = "doc_id long, text string"
+    doc_rows = [
+        (1, "spark window merge"),
+        (2, "spark only"),
+        (3, "window merge spark combo"),
+        (4, "nothing relevant"),
+    ]
+    qs = spark.createDataFrame(rule_rows, "query_id string, query_text string")
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(doc_rows, schema).coalesce(1).write.parquet(
+        str(src / "f1.parquet")
+    )
+    stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+    q = (
+        percolate_stream(stream, qs)
+        .writeStream.format("memory")
+        .queryName("perc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in spark.sql("SELECT * FROM perc").collect()
+    }
+    want = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate_matches(
+            spark, qs, spark.createDataFrame(doc_rows, schema)
+        ).collect()
+    }
+    assert got == want
+    assert ("qa", 1) in got and ("qa", 3) in got and ("qa", 2) not in got
+    assert not any(qid == "qe" for qid, _ in got)  # empty rule matches nothing
