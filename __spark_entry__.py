@@ -2497,6 +2497,30 @@ def _q_template_exchanges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return template_exchanges(derive_transcripts(spark, sf_dir, TW), min_convs=2)
 
 
+def _q_facet_mincount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet.mincount + facet.excludeTerms: lang buckets with
+    count >= 70, the 'en' term excluded from the value list
+    (operators/facet.field_facet_counts)."""
+    from solr_ocr_processor_spark.operators.facet import field_facet_counts
+
+    return field_facet_counts(
+        _docs(spark, sf_dir), "lang", missing=False, sort="count",
+        mincount=70, exclude_terms=("en",),
+    )
+
+
+def _q_spellcheck_popular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr spellcheck.onlyMorePopular: suggestions for 'fast'
+    restricted to dictionary terms with HIGHER df than 'fast' itself
+    (operators/expand.spellcheck_terms)."""
+    from solr_ocr_processor_spark.operators.expand import spellcheck_terms
+
+    idx = _index(spark, sf_dir)
+    return spellcheck_terms(
+        spark, idx, "fast", n=5, max_edits=2, only_more_popular=True
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2686,6 +2710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": _q_length_buckets,
         "freq_spectrum": _q_freq_spectrum,
         "template_exchanges": _q_template_exchanges,
+        "facet_mincount": _q_facet_mincount,
+        "spellcheck_popular": _q_spellcheck_popular,
     }
 
 
@@ -7137,6 +7163,31 @@ ORDER BY si.sum_idf * (spanm.span_tf * 2.2)
          / (spanm.span_tf + 1.2 * (0.25 + 0.75 * ids.dl / s.avgdl)) DESC,
          ids.doc_id ASC
 LIMIT 10
+""",
+        # facet.mincount + excludeTerms: exclusion before counting,
+        # mincount after counting, before sort/paging.
+        "facet_mincount": """
+SELECT lang AS value, CAST(count(*) AS BIGINT) AS n
+FROM documents
+WHERE lang IS NOT NULL AND lang <> 'en'
+GROUP BY lang
+HAVING count(*) >= 70
+ORDER BY n DESC, value ASC
+""",
+        # onlyMorePopular: df strictly above the query word's own df.
+        "spellcheck_popular": f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM ids),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+own AS (SELECT coalesce(max(df), 0) AS own_df FROM dict WHERE term = 'fast')
+SELECT term,
+       CAST(levenshtein(term, 'fast') AS INT) AS dist,
+       CAST(df AS BIGINT) AS df
+FROM dict CROSS JOIN own
+WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'fast') <= 2
+  AND df > own_df
+ORDER BY dist ASC, df DESC, term ASC
+LIMIT 5
 """,
         # Zipf spectrum: |vocab|-row aggregate, power-of-two buckets
         # via exact integer bit length (length(bin(cf))).

@@ -338,10 +338,15 @@ def _mlt_term_frame(
     max_query_terms: int,
     min_tf: int,
     min_df: int,
+    min_wl: int = 0,
+    max_wl: int | None = None,
 ) -> DataFrame:
     """Shared MLT term-selection plan: (term, tf, df, w) for the seed
     doc, ranked w DESC / term ASC, capped at ``max_query_terms``.
-    ``w = tf * idf`` with the engine's one idf definition."""
+    ``w = tf * idf`` with the engine's one idf definition.
+    ``min_wl``/``max_wl`` are Solr's mlt.minwl/mlt.maxwl word-length
+    noise gates (too-short terms are stopword-ish, too-long ones are
+    artifacts)."""
     n_docs = index.corpus.first()["n_docs"]
     doc_terms = (
         index.postings.where(F.col("doc_id") == int(doc_id)).select("term", "tf")
@@ -349,10 +354,14 @@ def _mlt_term_frame(
     idf_col = F.log1p(
         (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
+    wl = F.length("term")
+    gate = (F.col("tf") >= min_tf) & (F.col("df") >= min_df) & (wl >= min_wl)
+    if max_wl is not None:
+        gate = gate & (wl <= max_wl)
     return (
         index.term_stats.select("term", "df")
         .join(F.broadcast(doc_terms), "term")
-        .where((F.col("tf") >= min_tf) & (F.col("df") >= min_df))
+        .where(gate)
         .withColumn("w", F.col("tf") * idf_col)
         .orderBy(F.desc("w"), F.asc("term"))
         .limit(max_query_terms)
@@ -367,6 +376,8 @@ def mlt_interesting_terms(
     min_tf: int = 1,
     min_df: int = 1,
     cfg: IndexConfig = DEFAULT,
+    min_wl: int = 0,
+    max_wl: int | None = None,
 ) -> DataFrame:
     """Solr MLT ``mlt.interestingTerms=details``: the seed document's
     expansion vocabulary WITH its weights — the introspection surface
@@ -374,11 +385,12 @@ def mlt_interesting_terms(
     weight) where ``weight = round(tf * idf, 6)``, ordered by the RAW
     weight DESC, term ASC (raw-order / round-in-output, the float
     discipline every scorer here uses), capped at
-    ``max_query_terms``. Same plan as :func:`mlt_terms` — a pruned
+    ``max_query_terms``; ``min_wl``/``max_wl`` are the mlt.minwl /
+    mlt.maxwl length gates. Same plan as :func:`mlt_terms` — a pruned
     point read of the seed doc's postings broadcast against the
     dictionary; nothing corpus-sized moves."""
     return _mlt_term_frame(
-        spark, index, doc_id, max_query_terms, min_tf, min_df
+        spark, index, doc_id, max_query_terms, min_tf, min_df, min_wl, max_wl
     ).select(
         "term",
         F.col("tf").cast("int").alias("tf"),
@@ -488,6 +500,7 @@ def spellcheck_terms(
     n: int = 5,
     max_edits: int = 2,
     cfg: IndexConfig = DEFAULT,
+    only_more_popular: bool = False,
 ) -> DataFrame:
     """Spellcheck component — Solr's did-you-mean: the closest
     dictionary terms to a (possibly misspelled) word, (term, dist, df)
@@ -495,17 +508,25 @@ def spellcheck_terms(
     means "correctly spelled" — Lucene's DirectSpellChecker consults
     the same index dictionary, no side corpus.
 
+    ``only_more_popular`` is Solr's ``spellcheck.onlyMorePopular``:
+    keep only suggestions with HIGHER document frequency than the
+    query word itself (a word the corpus knows better than yours) —
+    the word's own df is 0 when it is out-of-dictionary, so every
+    in-dictionary suggestion survives, and the word itself (dist 0,
+    df == df) always drops.
+
     Same |vocab|-bounded plan as :func:`expand_fuzzy`: length band +
     ``F.levenshtein`` are JVM codegen over the stored dictionary; the
-    cap lowers to TakeOrderedAndProject. The (dist, df DESC, term)
-    total order makes the suggestion list deterministic and
-    oracle-replayable."""
+    cap lowers to TakeOrderedAndProject; the popularity gate adds one
+    scalar (the word's own df — a point read of the dictionary). The
+    (dist, df DESC, term) total order makes the suggestion list
+    deterministic and oracle-replayable."""
     empty = spark.createDataFrame([], "term string, dist int, df long")
     w = _normalize_single(word, cfg)
     if not w:
         return empty
     ln = len(w)
-    return (
+    out = (
         index.term_stats.where(
             (F.length("term") >= ln - max_edits)
             & (F.length("term") <= ln + max_edits)
@@ -513,9 +534,12 @@ def spellcheck_terms(
         .withColumn("dist", F.levenshtein(F.col("term"), F.lit(w)).cast("int"))
         .where(F.col("dist") <= max_edits)
         .select("term", "dist", F.col("df").cast("long").alias("df"))
-        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
-        .limit(n)
     )
+    if only_more_popular:
+        own = index.term_stats.where(F.col("term") == w).select("df").collect()
+        own_df = int(own[0]["df"]) if own else 0
+        out = out.where(F.col("df") > F.lit(own_df))
+    return out.orderBy(F.asc("dist"), F.desc("df"), F.asc("term")).limit(n)
 
 
 def spellcheck_collate(

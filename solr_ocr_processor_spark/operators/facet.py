@@ -667,6 +667,8 @@ def field_facet_counts(
     offset: int = 0,
     prefix: str | None = None,
     contains: str | None = None,
+    mincount: int = 0,
+    exclude_terms: tuple[str, ...] = (),
 ) -> DataFrame:
     """Solr ``facet.field=<f>`` with the full response knobs:
     ``facet.missing=true`` (one NULL-valued row counting rows with no
@@ -685,6 +687,8 @@ def field_facet_counts(
         raise ValueError(f"facet.sort must be count|index, got {sort!r}")
     if offset < 0:
         raise ValueError(f"facet.offset must be >= 0, got {offset}")
+    if mincount < 0:
+        raise ValueError(f"facet.mincount must be >= 0, got {mincount}")
     for needle_col in (
         [F.col(field).startswith(prefix)] if prefix is not None else []
     ) + ([F.col(field).contains(contains)] if contains is not None else []):
@@ -692,11 +696,21 @@ def field_facet_counts(
         if missing:
             keep = keep | F.col(field).isNull()
         df = df.where(keep)
+    if exclude_terms:
+        # facet.excludeTerms removes named TERMS from the value list;
+        # NULL is not a term, so the missing bucket is untouched.
+        df = df.where(
+            ~F.col(field).isin(*exclude_terms) | F.col(field).isNull()
+        )
     out = df.groupBy(F.col(field).alias("value")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
     if not missing:
         out = out.where(F.col("value").isNotNull())
+    if mincount > 0:
+        # Solr applies facet.mincount to every bucket, the missing
+        # bucket included, AFTER counting and BEFORE sort/paging.
+        out = out.where(F.col("n") >= F.lit(int(mincount)))
     # Solr appends the missing bucket AFTER the value list -> NULLS LAST
     order = (
         [F.desc("n"), F.asc_nulls_last("value")]

@@ -101,3 +101,73 @@ def test_percolate_stream_replay_equals_batch(spark, tmp_path, rule_rows):
     assert got == want
     assert ("qa", 1) in got and ("qa", 3) in got and ("qa", 2) not in got
     assert not any(qid == "qe" for qid, _ in got)  # empty rule matches nothing
+
+
+# ------------------------------------------------------ Solr knobs
+
+def test_facet_mincount_and_exclude(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("b",), ("c",), (None,)],
+        "lang string",
+    )
+    from solr_ocr_processor_spark.operators.facet import field_facet_counts
+
+    got = [
+        (r["value"], r["n"])
+        for r in field_facet_counts(
+            df, "lang", missing=True, sort="count", mincount=2,
+            exclude_terms=("a",),
+        ).collect()
+    ]
+    # 'a' excluded as a TERM; 'c' (1) and the missing bucket (1) fall
+    # to mincount=2; 'b' survives
+    assert got == [("b", 2)]
+
+
+def test_facet_mincount_zero_keeps_all(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "lang string")
+    from solr_ocr_processor_spark.operators.facet import field_facet_counts
+
+    assert field_facet_counts(df, "lang", missing=False).count() == 2
+
+
+def test_spellcheck_only_more_popular(spark):
+    import pytest as _pt
+
+    rows = [
+        # 'cat' in 1 doc; 'cats' in 3 docs; 'car' in 1 doc
+        ("c0", 0, "user", "cat car", None, TS),
+        ("c1", 0, "user", "cats", None, TS),
+        ("c2", 0, "user", "cats", None, TS),
+        ("c3", 0, "user", "cats", None, TS),
+    ]
+    idx = build_postings(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA))
+    from solr_ocr_processor_spark.operators.expand import spellcheck_terms
+
+    plain = {r["term"] for r in spellcheck_terms(spark, idx, "cat").collect()}
+    assert {"cat", "cats", "car"} <= plain
+    pop = [
+        (r["term"], r["df"])
+        for r in spellcheck_terms(
+            spark, idx, "cat", only_more_popular=True
+        ).collect()
+    ]
+    # only 'cats' (df 3 > 1); the word itself and equal-df 'car' drop
+    assert pop == [("cats", 3)]
+
+
+def test_mlt_word_length_gates(spark):
+    rows = [
+        ("c0", 0, "user", "ab abc abcd abcde", None, TS),
+        ("c1", 0, "user", "filler text", None, TS),
+    ]
+    idx = build_postings(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA))
+    from solr_ocr_processor_spark.operators.expand import mlt_interesting_terms
+
+    got = {
+        r["term"]
+        for r in mlt_interesting_terms(
+            spark, idx, 0, min_wl=3, max_wl=4
+        ).collect()
+    }
+    assert got == {"abc", "abcd"}
