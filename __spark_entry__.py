@@ -2521,6 +2521,26 @@ def _q_spellcheck_popular(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-local df skew for the flagship terms over 8 doc-hash
+    shards — the diagnostic behind the global-stats prepass (scoring
+    with shard-local idf ranks differently per shard)
+    (operators/terms.shard_df_skew)."""
+    from solr_ocr_processor_spark.operators.terms import shard_df_skew
+
+    idx = _index(spark, sf_dir)
+    return shard_df_skew(idx, list(FLAGSHIP_TERMS), n_shards=8)
+
+
+def _q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication-rate dashboard: exact content-hash dupes
+    (non-canonical members) rolled up by source
+    (operators/dedup.dup_rate_by_source)."""
+    from solr_ocr_processor_spark.operators.dedup import dup_rate_by_source
+
+    return dup_rate_by_source(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2712,6 +2732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_exchanges": _q_template_exchanges,
         "facet_mincount": _q_facet_mincount,
         "spellcheck_popular": _q_spellcheck_popular,
+        "shard_skew": _q_shard_skew,
+        "dup_rate_by_source": _q_dup_rate_by_source,
     }
 
 
@@ -7163,6 +7185,41 @@ ORDER BY si.sum_idf * (spanm.span_tf * 2.2)
          / (spanm.span_tf + 1.2 * (0.25 + 0.75 * ids.dl / s.avgdl)) DESC,
          ids.doc_id ASC
 LIMIT 10
+""",
+        # shard-local df vs global df for the flagship terms; df is a
+        # plain per-(term, shard) count of distinct docs (one posting
+        # row per (term, doc) invariant); integer-scaled skew.
+        "shard_skew": f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM ids),
+td AS (SELECT DISTINCT doc_id, term FROM tok
+       WHERE term IN {FLAGSHIP_TERMS!r}),
+sh AS (SELECT term, CAST(doc_id % 8 AS INT) AS shard,
+              CAST(count(*) AS BIGINT) AS df_shard
+       FROM td GROUP BY 1, 2),
+g AS (SELECT term, CAST(count(*) AS BIGINT) AS df_global
+      FROM td GROUP BY term)
+SELECT sh.term, sh.shard, sh.df_shard, g.df_global,
+       CAST(floor(sh.df_shard * 1000000 * 8 / g.df_global) AS BIGINT)
+         AS skew_scaled
+FROM sh JOIN g USING (term)
+ORDER BY sh.term, sh.shard
+""",
+        # per-source exact-dupe rates: corpus-wide content groups,
+        # non-canonical members charged to their holding source.
+        "dup_rate_by_source": """
+WITH h AS (SELECT doc_id, source, md5(text) AS text_hash FROM documents),
+g AS (SELECT text_hash, min(doc_id) AS canonical_id
+      FROM h GROUP BY text_hash),
+f AS (SELECT h.source,
+             CASE WHEN h.doc_id <> g.canonical_id THEN 1 ELSE 0 END AS d
+      FROM h JOIN g USING (text_hash))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d) AS BIGINT) AS n_dupes,
+       CAST(floor(sum(d) * 1000000 / count(*)) AS BIGINT)
+         AS dup_rate_scaled
+FROM f GROUP BY source ORDER BY source
 """,
         # facet.mincount + excludeTerms: exclusion before counting,
         # mincount after counting, before sort/paging.

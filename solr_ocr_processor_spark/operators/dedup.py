@@ -1232,3 +1232,42 @@ def semantic_dedup(
         )
 
     return clustered.groupBy("list_id").applyInPandas(kernel, schema)
+
+
+def dup_rate_by_source(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source duplication-rate dashboard — the first corpus-
+    curation question ("which provider is sending me copies?"): exact
+    content-hash groups (:func:`exact_dup_groups` discipline) rolled
+    up by source. Returns (source, n_docs, n_dupes, dup_rate_scaled)
+    ordered source ASC, where a dupe is any NON-canonical member of a
+    content group (corpus-wide — a copy counts against the source
+    holding the copy, wherever the original lives) and
+    ``dup_rate_scaled = floor(1e6 · n_dupes / n_docs)``.
+
+    Plan: one groupBy(hash) for group minima, a hash-keyed join back
+    (both sides narrow — (hash, id, source)), one |sources|-row
+    aggregate. No pair search, no text comparison beyond the hash."""
+    h = docs.select(
+        "doc_id", "source", F.md5(F.col(text_col).cast("binary")).alias("text_hash")
+    )
+    g = h.groupBy("text_hash").agg(F.min("doc_id").alias("canonical_id"))
+    flagged = h.join(g, "text_hash").select(
+        "source",
+        (F.col("doc_id") != F.col("canonical_id")).cast("long").alias("is_dupe"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_dupe").cast("long").alias("n_dupes"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dupes",
+            F.floor(F.col("n_dupes") * F.lit(1_000_000) / F.col("n_docs"))
+            .cast("long")
+            .alias("dup_rate_scaled"),
+        )
+        .orderBy("source")
+    )

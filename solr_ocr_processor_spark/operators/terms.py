@@ -317,3 +317,51 @@ def freq_spectrum(index: Index) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def shard_df_skew(index: Index, terms: list[str], n_shards: int = 8) -> DataFrame:
+    """Shard-local document-frequency skew — the diagnostic behind the
+    build's GLOBAL-stats prepass (lifecycle A8: score with shard-local
+    df/avgdl and every shard ranks differently; the r2 WAND shard-avgdl
+    bound bug was exactly this class). For each query term and each
+    doc_id-hash shard: the shard's local df next to the global df and
+    the integer-scaled skew ratio
+
+        skew_scaled = floor(1e6 · df_shard · n_shards / df_global)
+
+    (1e6 == perfectly even; spread across shards == how wrong a
+    shard-local idf would be).
+
+    Returns (term, shard, df_shard, df_global, skew_scaled) ordered
+    term ASC, shard ASC. Plan: ONE dictionary-filtered postings scan
+    (row-group pruned to the probe terms), one (term, shard) aggregate
+    with map-side combine, a broadcast join of the |terms|-row global
+    dictionary slice."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    probe = [t for t in terms if t]
+    sh = (
+        index.postings.where(F.col("term").isin(probe))
+        .select("term", F.pmod(F.col("doc_id"), F.lit(int(n_shards))).cast("int").alias("shard"))
+        .groupBy("term", "shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_shard"))
+    )
+    g = index.term_stats.where(F.col("term").isin(probe)).select(
+        "term", F.col("df").cast("long").alias("df_global")
+    )
+    return (
+        sh.join(F.broadcast(g), "term")
+        .select(
+            "term",
+            "shard",
+            "df_shard",
+            "df_global",
+            F.floor(
+                F.col("df_shard") * F.lit(1_000_000) * F.lit(int(n_shards))
+                / F.col("df_global")
+            )
+            .cast("long")
+            .alias("skew_scaled"),
+        )
+        .orderBy("term", "shard")
+    )

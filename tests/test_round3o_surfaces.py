@@ -171,3 +171,39 @@ def test_mlt_word_length_gates(spark):
         ).collect()
     }
     assert got == {"abc", "abcd"}
+
+
+def test_shard_df_skew_conservation(spark):
+    """Σ_shard df_shard == df_global per term; skew 1e6 iff even."""
+    rows = [("c%02d" % i, 0, "user", "alpha beta" if i % 2 == 0 else "alpha",
+             None, TS) for i in range(8)]
+    idx = build_postings(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA))
+    from solr_ocr_processor_spark.operators.terms import shard_df_skew
+
+    got = shard_df_skew(idx, ["alpha", "beta"], n_shards=4).collect()
+    by_term = {}
+    for r in got:
+        by_term.setdefault(r["term"], []).append(r)
+    for term, rs in by_term.items():
+        assert sum(r["df_shard"] for r in rs) == rs[0]["df_global"]
+    # alpha: every doc -> 2 per shard of 4, perfectly even
+    alpha = [r for r in got if r["term"] == "alpha"]
+    assert all(r["skew_scaled"] == 1_000_000 for r in alpha)
+
+
+def test_dup_rate_by_source_charges_the_copy_holder(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "srcA"),   # canonical (min id)
+            (2, "same text", "srcB"),   # the copy -> charged to srcB
+            (3, "unique here", "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    from solr_ocr_processor_spark.operators.dedup import dup_rate_by_source
+
+    got = {
+        r["source"]: (r["n_docs"], r["n_dupes"], r["dup_rate_scaled"])
+        for r in dup_rate_by_source(docs).collect()
+    }
+    assert got == {"srcA": (1, 0, 0), "srcB": (2, 1, 500_000)}
