@@ -2541,6 +2541,18 @@ def _q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_rate_by_source(_docs(spark, sf_dir))
 
 
+def _q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction: the events table's JSON
+    props parsed with the native JSON path (codegen, no UDF) and
+    aggregated per event_type (operators/stream_expr
+    .json_props_stats)."""
+    from solr_ocr_processor_spark.operators.stream_expr import json_props_stats
+
+    return json_props_stats(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2734,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spellcheck_popular": _q_spellcheck_popular,
         "shard_skew": _q_shard_skew,
         "dup_rate_by_source": _q_dup_rate_by_source,
+        "json_props_stats": _q_json_props_stats,
     }
 
 
@@ -7185,6 +7198,25 @@ ORDER BY si.sum_idf * (spanm.span_tf * 2.2)
          / (spanm.span_tf + 1.2 * (0.25 + 0.75 * ids.dl / s.avgdl)) DESC,
          ids.doc_id ASC
 LIMIT 10
+""",
+        # JSON payload extraction: identical path semantics via
+        # json_extract_string; NULL-skipping aggregates on both sides.
+        "json_props_stats": """
+WITH per AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(CASE WHEN count(k) > 0
+                 THEN (sum(k) * 1000000) // count(k) ELSE 0 END AS BIGINT)
+         AS k_avg_scaled
+FROM per GROUP BY event_type ORDER BY event_type
 """,
         # shard-local df vs global df for the flagship terms; df is a
         # plain per-(term, shard) count of distinct docs (one posting

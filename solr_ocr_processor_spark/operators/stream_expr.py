@@ -654,3 +654,45 @@ def sql_handler(spark, tables: dict[str, DataFrame], sql: str) -> DataFrame:
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return spark.sql(sql)
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured payload extraction — the props column is a JSON
+    blob (the shape every real event stream carries: typed envelope +
+    schemaless payload). Extract ``$.k`` with the engine's native JSON
+    path (`get_json_object`, codegen — no Python, no UDF; DuckDB
+    replays it with ``json_extract_string``) and aggregate per
+    event_type: (event_type, n_events, n_with_k, k_min, k_max, k_sum,
+    k_avg_scaled), ordered event_type ASC. ``k_avg_scaled`` is exact
+    integer division over exact BIGINT sums; rows whose props lack a
+    numeric ``k`` count in n_events but not n_with_k (NULL-skipping
+    aggregates, identical on both engines).
+
+    Plan: map-only JSON extraction + ONE |event_types|-row aggregate
+    with map-side combine — the scan reads (event_type, props) only.
+    At 100 TB the win is the same as every map-only op here: no
+    shuffle wider than the group-by key's cardinality."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    per = events.select("event_type", k.alias("k"))
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_with_k",
+            "k_min",
+            "k_max",
+            "k_sum",
+            F.expr("CASE WHEN n_with_k > 0 THEN (k_sum * 1000000) "
+                   "div n_with_k ELSE 0 END").cast("long")
+            .alias("k_avg_scaled"),
+        )
+        .orderBy("event_type")
+    )

@@ -207,3 +207,29 @@ def test_dup_rate_by_source_charges_the_copy_holder(spark):
         for r in dup_rate_by_source(docs).collect()
     }
     assert got == {"srcA": (1, 0, 0), "srcB": (2, 1, 500_000)}
+
+
+def test_json_props_stats_null_and_missing_keys(spark):
+    from solr_ocr_processor_spark.operators.stream_expr import json_props_stats
+
+    events = spark.createDataFrame(
+        [
+            (1, "a", '{"k": 10}'),
+            (2, "a", '{"k": 20}'),
+            (3, "a", '{"other": 5}'),   # no k -> counted, not summed
+            (4, "b", None),             # null props
+            (5, "b", "not json"),       # unparseable -> NULL k
+        ],
+        "event_id long, event_type string, props string",
+    )
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["n_with_k"], r["k_min"], r["k_max"],
+            r["k_sum"], r["k_avg_scaled"],
+        )
+        for r in json_props_stats(events).collect()
+    }
+    assert got == {
+        "a": (3, 2, 10, 20, 30, 15_000_000),
+        "b": (2, 0, None, None, None, 0),
+    }
