@@ -2553,6 +2553,18 @@ def _q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_result_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr clustering component (Carrot2 contrib) analog: the
+    flagship BM25 top-20 grouped by each doc's top tf·idf term,
+    singletons in the Other-Topics (NULL) bucket
+    (operators/cluster.result_clusters)."""
+    from solr_ocr_processor_spark.operators.cluster import result_clusters
+
+    idx = _index(spark, sf_dir)
+    page = bm25_topk(spark, idx, FLAGSHIP_QUERY, k=20)
+    return result_clusters(spark, idx, page, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2747,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_skew": _q_shard_skew,
         "dup_rate_by_source": _q_dup_rate_by_source,
         "json_props_stats": _q_json_props_stats,
+        "result_clusters": _q_result_clusters,
     }
 
 
@@ -7198,6 +7211,51 @@ ORDER BY si.sum_idf * (spanm.span_tf * 2.2)
          / (spanm.span_tf + 1.2 * (0.25 + 0.75 * ids.dl / s.avgdl)) DESC,
          ids.doc_id ASC
 LIMIT 10
+""",
+        # clustering component: flagship top-20 page, per-doc argmax
+        # tf*idf label (w DESC, term ASC), clusters >= 2 docs, NULL =
+        # Other Topics.
+        "result_clusters": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tfq AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+scored AS (
+  SELECT tfq.doc_id,
+         sum(ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tfq.tf * 2.2)
+             / (tfq.tf + 1.2 * (0.25 + 0.75 * tfq.dl / s.avgdl))) AS raw
+  FROM tfq JOIN dfreq USING (term) CROSS JOIN stats s
+  GROUP BY tfq.doc_id
+),
+page AS (SELECT doc_id FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 20),
+alltf AS (
+  SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+  FROM tok JOIN page USING (doc_id) GROUP BY doc_id, term
+),
+alldf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+w AS (
+  SELECT a.doc_id, a.term,
+         a.tf * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS w
+  FROM alltf a JOIN alldf d USING (term) CROSS JOIN stats s
+),
+lab AS (
+  SELECT doc_id, term AS label FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY w DESC, term ASC) AS rn
+    FROM w)
+  WHERE rn = 1
+),
+sz AS (SELECT label, count(*) AS n FROM lab GROUP BY label)
+SELECT CASE WHEN sz.n >= 2 THEN lab.label END AS label, lab.doc_id
+FROM lab JOIN sz USING (label)
+ORDER BY label ASC NULLS LAST, doc_id ASC
 """,
         # JSON payload extraction: identical path semantics via
         # json_extract_string; NULL-skipping aggregates on both sides.

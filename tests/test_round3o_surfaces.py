@@ -233,3 +233,23 @@ def test_json_props_stats_null_and_missing_keys(spark):
         "a": (3, 2, 10, 20, 30, 15_000_000),
         "b": (2, 0, None, None, None, 0),
     }
+
+
+def test_result_clusters_labels_and_other_topics(spark):
+    from solr_ocr_processor_spark.operators.cluster import result_clusters
+
+    rows = [
+        # two docs whose rarest term is 'shuffle' -> one cluster;
+        # one doc about 'codec' alone -> Other Topics (NULL)
+        ("c0", 0, "user", "common common shuffle", None, TS),
+        ("c1", 0, "user", "common shuffle shuffle", None, TS),
+        ("c2", 0, "user", "common codec", None, TS),
+    ]
+    idx = build_postings(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA))
+    page = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    got = [
+        (r["label"], r["doc_id"])
+        for r in result_clusters(spark, idx, page, min_docs=2).collect()
+    ]
+    # 'common' df=3 (idf lowest); shuffle/codec df<=2 dominate tf*idf
+    assert got == [("shuffle", 0), ("shuffle", 1), (None, 2)]
