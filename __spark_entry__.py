@@ -2565,6 +2565,66 @@ def _q_result_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result_clusters(spark, idx, page, min_docs=2)
 
 
+def _q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval evaluation (operators/eval.rank_eval — the
+    trec_eval analog, lexical twin of ann_recall): the batched BM25
+    workload's top-5 pages graded against conjunctive-match qrels
+    (relevant = contains EVERY query term). All metrics integer-scaled
+    ppm via div so the oracle recomputes them bit-identically."""
+    from solr_ocr_processor_spark.functions.tokenizer import query_terms
+    from solr_ocr_processor_spark.operators.eval import rank_eval
+    from solr_ocr_processor_spark.operators.score import bm25_batch_topk
+
+    idx = _index(spark, sf_dir)
+    results = bm25_batch_topk(spark, idx, _BATCH_QUERIES, k=5).select(
+        "query_id", "rank", "doc_id"
+    )
+    qt = [
+        (qid, t) for qid, q in _BATCH_QUERIES.items() for t in set(query_terms(q))
+    ]
+    qt_df = spark.createDataFrame(qt, "query_id string, term string")
+    nt_df = spark.createDataFrame(
+        [(qid, len(set(query_terms(q)))) for qid, q in _BATCH_QUERIES.items()],
+        "query_id string, n_terms long",
+    )
+    union_terms = sorted({t for _, t in qt})
+    # qrels: docs containing ALL the query's terms — a dictionary-
+    # filtered posting scan (row-group pruned isin) + broadcast query
+    # map, the conjunctive_topk shape.
+    qrels = (
+        idx.postings.where(F.col("term").isin(union_terms))
+        .select("term", "doc_id")
+        .join(F.broadcast(qt_df), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .join(F.broadcast(nt_df), "query_id")
+        .where(F.col("_nt") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    return rank_eval(results, qrels, k=5)
+
+
+def _q_segments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /admin/segments analog (operators/terms.segments_report):
+    per doc-id-range shard doc/posting/vocabulary accounting, the
+    store-layout introspection next to the whole-core luke_report."""
+    from solr_ocr_processor_spark.operators.terms import segments_report
+
+    return segments_report(_index(spark, sf_dir), shard_width=128)
+
+
+def _q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle (operators/split
+    .training_order): seeded md5 permutation + contiguous balanced
+    shard slices, via the two-pass parallel rank (no partitionless
+    window)."""
+    from solr_ocr_processor_spark.operators.split import training_order
+
+    return training_order(
+        _docs(spark, sf_dir), seed="seed0", n_shards=8
+    ).orderBy("position")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2760,6 +2820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": _q_dup_rate_by_source,
         "json_props_stats": _q_json_props_stats,
         "result_clusters": _q_result_clusters,
+        "rank_eval": _q_rank_eval,
+        "segments_report": _q_segments_report,
+        "training_order": _q_training_order,
     }
 
 
@@ -7457,6 +7520,135 @@ SELECT c1, c2, CAST(sum(wc) AS BIGINT) AS n
 FROM pr GROUP BY c1, c2
 ORDER BY n DESC, c1 ASC, c2 ASC
 LIMIT 20
+""",
+        # trec_eval analog: batched BM25 page graded against
+        # conjunctive-match qrels; all metrics ppm integers via //
+        # (Spark div == DuckDB //), so floats never enter the hash.
+        "rank_eval": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qs(query_id, term) AS (VALUES
+  ('q1', 'spark'), ('q1', 'window'), ('q1', 'merge'),
+  ('q2', 'spark'), ('q3', 'window'), ('q3', 'merge')),
+qn AS (SELECT query_id, count(*) AS n_terms FROM qs GROUP BY query_id),
+scored AS (
+  SELECT qs.query_id, tf.doc_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) JOIN qs USING (term) CROSS JOIN stats s
+  GROUP BY qs.query_id, tf.doc_id
+),
+page AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY raw DESC, doc_id ASC) AS INT)
+             AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+dt AS (SELECT DISTINCT doc_id, term FROM tok
+       WHERE term IN {FLAGSHIP_TERMS!r}),
+qrels AS (
+  SELECT q.query_id, dt.doc_id
+  FROM dt JOIN qs q USING (term) JOIN qn USING (query_id)
+  GROUP BY q.query_id, dt.doc_id, qn.n_terms
+  HAVING count(*) = qn.n_terms
+),
+nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+         FROM qrels GROUP BY query_id),
+h AS (
+  SELECT p.query_id, p.rank,
+         CASE WHEN qr.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
+  FROM page p LEFT JOIN qrels qr
+    ON qr.query_id = p.query_id AND qr.doc_id = p.doc_id
+),
+c AS (SELECT query_id, rank, is_rel,
+             CAST(sum(is_rel) OVER (PARTITION BY query_id
+                                    ORDER BY rank) AS BIGINT) AS c_i
+      FROM h),
+per AS (
+  SELECT query_id,
+         CAST(sum(is_rel) AS BIGINT) AS n_rel_ret,
+         min(CASE WHEN is_rel = 1 THEN rank END) AS frr,
+         CAST(sum(CASE WHEN is_rel = 1 THEN (1000000 * c_i) // rank
+                       ELSE 0 END) AS BIGINT) AS ap_num
+  FROM c GROUP BY query_id
+)
+SELECT per.query_id,
+       CAST(coalesce(nrel.n_rel, 0) AS BIGINT) AS n_rel,
+       per.n_rel_ret,
+       CAST(coalesce(per.frr, 0) AS INT) AS first_rel_rank,
+       CAST(CASE WHEN per.frr IS NULL THEN 0
+                 ELSE 1000000 // per.frr END AS BIGINT) AS rr_scaled,
+       CAST((1000000 * per.n_rel_ret) // 5 AS BIGINT) AS p_at_k_scaled,
+       CAST(CASE WHEN coalesce(nrel.n_rel, 0) = 0 THEN 0
+                 ELSE per.ap_num // least(nrel.n_rel, 5) END AS BIGINT)
+         AS ap_scaled
+FROM per LEFT JOIN nrel USING (query_id)
+ORDER BY per.query_id
+""",
+        # /admin/segments: per doc-id-range shard accounting
+        # (shard = doc_id // 128, the lifecycle store layout rule).
+        "segments_report": f"""
+WITH {_CTE},
+{_DOCS.strip().lstrip()}
+, nt AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+  FROM transcripts WHERE length(trim(text)) > 0 GROUP BY conv_id
+),
+base AS (
+  SELECT ids.doc_id, ids.toks, nt.n_turns,
+         CAST(ids.doc_id // 128 AS INT) AS shard
+  FROM ids JOIN nt USING (conv_id)
+),
+dm AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+         CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+         CAST(sum(n_turns) AS BIGINT) AS n_turns
+  FROM base GROUP BY shard
+),
+tokk AS (SELECT shard, doc_id, unnest(toks) AS term FROM base),
+tfp AS (SELECT shard, doc_id, term, count(*) AS tf
+        FROM tokk GROUP BY shard, doc_id, term),
+pg AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_postings,
+              CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+              CAST(sum(tf) AS BIGINT) AS n_tokens
+       FROM tfp GROUP BY shard)
+SELECT dm.shard, dm.n_docs, dm.min_doc_id, dm.max_doc_id,
+       CAST(coalesce(pg.n_postings, 0) AS BIGINT) AS n_postings,
+       CAST(coalesce(pg.n_terms, 0) AS BIGINT) AS n_terms,
+       CAST(coalesce(pg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       dm.n_turns
+FROM dm LEFT JOIN pg USING (shard)
+ORDER BY dm.shard
+""",
+        # deterministic training-order shuffle: md5 permutation +
+        # contiguous balanced shards, both engines spell the same
+        # integer division.
+        "training_order": """
+WITH ord AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (
+           ORDER BY md5('seed0:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) - 1 AS BIGINT) AS position
+  FROM documents
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ord)
+SELECT o.doc_id, o.position,
+       CAST((8 * o.position) // t.n AS INT) AS shard
+FROM ord o CROSS JOIN t
+ORDER BY o.position
 """,
         **_PIPELINE_ORACLES,
     }

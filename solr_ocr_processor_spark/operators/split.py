@@ -381,3 +381,77 @@ def length_buckets(
     return per.select(
         "doc_id", "n_tokens", F.ntile(int(n_buckets)).over(w).alias("bucket")
     )
+
+
+def training_order(
+    docs: DataFrame,
+    seed: str = "seed0",
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every epoch's data
+    loader wants the corpus in a reproducible pseudo-random order,
+    sliced into contiguous equal shards (one per data-parallel
+    reader). Order key = ``md5(seed || ':' || id)`` — change the seed,
+    get an independent permutation; rerun the job, get the identical
+    one (content-addressed like :func:`hash_split`).
+
+    Returns ``(doc_id, position, shard)`` where ``position`` is the
+    dense 0-based global rank under the key order and
+    ``shard = position * n_shards div N`` (contiguous, sizes differ by
+    at most 1 — each reader gets a balanced slice).
+
+    Scale: a partitionless ``row_number`` window would funnel the
+    whole corpus through ONE task. This uses the two-pass parallel
+    rank of ``plans/materialize._assign_doc_ids_deferred`` instead:
+    range-partition by the hash key (the sort the shuffle pays is the
+    point — it IS the permutation), collect only the |partitions|-row
+    count vector, and add per-partition offsets to the local
+    row_number. Exact global rank, no single-task stage, determinism
+    independent of where the sampled range boundaries fall.
+    """
+    from pyspark.sql.window import Window
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive: {n_shards}")
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))).alias(
+            "_key"
+        ),
+    )
+    parts = keyed.repartitionByRange(num_partitions, "_key", "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # Persisted: the count pass below and the returned rank plan both
+    # read the range shuffle; without the cache it runs twice.
+    parts = parts.persist()
+    counts = {
+        r["_pid"]: r["n"]
+        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    n_total = max(acc, 1)
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        "_pid int, _off long",
+    )
+    w = Window.partitionBy("_pid").orderBy("_key", "doc_id")
+    return (
+        parts.withColumn("_rn", F.row_number().over(w).cast("long") - F.lit(1))
+        .join(F.broadcast(off_df), "_pid")
+        .select(
+            "doc_id",
+            (F.col("_rn") + F.col("_off")).alias("position"),
+            F.expr(f"div(({int(n_shards)}) * (_rn + _off), {n_total})")
+            .cast("int")
+            .alias("shard"),
+        )
+    )

@@ -365,3 +365,62 @@ def shard_df_skew(index: Index, terms: list[str], n_shards: int = 8) -> DataFram
         )
         .orderBy("term", "shard")
     )
+
+
+def segments_report(index: Index, shard_width: int) -> DataFrame:
+    """Per-segment index introspection — the Solr ``/admin/segments``
+    analog (per-Lucene-segment doc/term/size accounting on the stored
+    core the reference manages; the whole-core roll-up is
+    :func:`luke_report`). Segments here are the store's doc-id range
+    shards (``shard = doc_id // shard_width`` — the exact layout rule
+    of ``lifecycle.build_store``, lifecycle.py:146), so the report
+    rows correspond 1:1 to on-disk ``shard=K`` directories.
+
+    One row per shard::
+
+        shard, n_docs, min_doc_id, max_doc_id, n_postings, n_terms,
+        n_tokens, n_turns
+
+    Plan shape: doc_meta contributes a narrow groupBy (|docs| rows,
+    map-side combinable); postings contribute one groupBy(shard) for
+    counts/sums plus a partial-distinct on (shard, term) for the
+    per-segment vocabulary — each one shuffle of narrow rows, no
+    payload bytes move. Both sides then meet in a |shards|-row join
+    (broadcast). Nothing is collected; at 10^12 docs the report is
+    still |shards| rows.
+    """
+    if shard_width <= 0:
+        raise ValueError(f"shard_width must be positive: {shard_width}")
+    shard = lambda c: F.expr(f"div({c}, {int(shard_width)})").cast("int")  # noqa: E731
+    dm = index.doc_meta.groupBy(shard("doc_id").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+        F.sum("n_turns").cast("long").alias("n_turns"),
+    )
+    p = index.postings.select(shard("doc_id").alias("shard"), "term", "tf")
+    pg = p.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.sum("tf").cast("long").alias("n_tokens"),
+    )
+    tg = (
+        p.select("shard", "term")
+        .distinct()
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_terms"))
+    )
+    return (
+        dm.join(F.broadcast(pg), "shard", "left")
+        .join(F.broadcast(tg), "shard", "left")
+        .select(
+            "shard",
+            "n_docs",
+            "min_doc_id",
+            "max_doc_id",
+            F.coalesce("n_postings", F.lit(0)).cast("long").alias("n_postings"),
+            F.coalesce("n_terms", F.lit(0)).cast("long").alias("n_terms"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            "n_turns",
+        )
+        .orderBy("shard")
+    )
