@@ -2625,6 +2625,30 @@ def _q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("position")
 
 
+def _q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch replication plan (operators/split
+    .epoch_schedule): the up-sampling dual of mixture_sample —
+    floor(e) guaranteed copies per doc plus a content-addressed
+    fractional copy; src0 x2.5, src1 x1, src2 x0.25, others 0."""
+    from solr_ocr_processor_spark.operators.split import epoch_schedule
+
+    return epoch_schedule(
+        _docs(spark, sf_dir), {"src0": 2.5, "src1": 1.0, "src2": 0.25}
+    ).orderBy("doc_id", "epoch")
+
+
+def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (operators/split.curriculum_order):
+    easy-to-hard NTILE(4) buckets over n_chars with a seeded md5
+    shuffle inside each bucket; position via the two-pass parallel
+    rank (no partitionless window)."""
+    from solr_ocr_processor_spark.operators.split import curriculum_order
+
+    return curriculum_order(
+        _docs(spark, sf_dir), score_col="n_chars", n_buckets=4, seed="cur0"
+    ).orderBy("position")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2823,6 +2847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": _q_rank_eval,
         "segments_report": _q_segments_report,
         "training_order": _q_training_order,
+        "epoch_schedule": _q_epoch_schedule,
+        "curriculum_order": _q_curriculum_order,
     }
 
 
@@ -7649,6 +7675,47 @@ SELECT o.doc_id, o.position,
        CAST((8 * o.position) // t.n AS INT) AS shard
 FROM ord o CROSS JOIN t
 ORDER BY o.position
+""",
+        # epoch replication plan: floor(e) copies + one fractional
+        # copy under the md5 unit uniform (same 60-bit discipline as
+        # doc_split); lateral generate_series replays the explode.
+        "epoch_schedule": """
+WITH e AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+                     ELSE 0 END AS base,
+         CASE source WHEN 'src0' THEN 0.5 WHEN 'src2' THEN 0.25
+                     ELSE 0.0 END AS frac,
+         ('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT / 1152921504606846976.0 AS u
+  FROM documents
+),
+n AS (SELECT doc_id, source,
+             base + CASE WHEN frac > 0 AND u < frac THEN 1 ELSE 0 END
+               AS n_copies
+      FROM e)
+SELECT doc_id, source, epoch FROM (
+  SELECT doc_id, source,
+         CAST(unnest(range(0, n_copies)) AS INT) AS epoch
+  FROM n
+)
+ORDER BY doc_id, epoch
+""",
+        # curriculum order: NTILE difficulty buckets, md5 shuffle
+        # within, dense global rank.
+        "curriculum_order": """
+WITH b AS (
+  SELECT doc_id,
+         CAST(ntile(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS INT)
+           AS bucket
+  FROM documents
+),
+k AS (SELECT doc_id, bucket,
+             md5('cur0:' || CAST(doc_id AS VARCHAR)) AS key FROM b)
+SELECT doc_id, bucket,
+       CAST(row_number() OVER (ORDER BY bucket, key, doc_id) - 1 AS BIGINT)
+         AS position
+FROM k ORDER BY position
 """,
         **_PIPELINE_ORACLES,
     }

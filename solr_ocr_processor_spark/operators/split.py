@@ -383,6 +383,52 @@ def length_buckets(
     )
 
 
+def _two_pass_rank(
+    keyed: DataFrame, order_cols: list[str], num_partitions: int | None = None
+) -> tuple[DataFrame, int]:
+    """Exact dense 0-based global rank under ``order_cols`` without a
+    partitionless window (which funnels everything through ONE task) —
+    the parallel-rank shape of ``plans/materialize
+    ._assign_doc_ids_deferred``: range-partition by the order columns,
+    collect only the |partitions|-row count vector, and add each
+    partition's offset to its local row_number. The result is a pure
+    function of the data (independent of where the sampled range
+    boundaries fall). Returns ``(df + position column, total rows)``;
+    the range-shuffled parent stays persisted for the returned plan.
+    """
+    from pyspark.sql.window import Window
+
+    spark = keyed.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = keyed.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # Persisted: the count pass below and the returned rank plan both
+    # read the range shuffle; without the cache it runs twice.
+    parts = parts.persist()
+    counts = {
+        r["_pid"]: r["n"]
+        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        "_pid int, _off long",
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked = (
+        parts.withColumn("_rn", F.row_number().over(w).cast("long") - F.lit(1))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("position", F.col("_rn") + F.col("_off"))
+        .drop("_pid", "_rn", "_off")
+    )
+    return ranked, acc
+
+
 def training_order(
     docs: DataFrame,
     seed: str = "seed0",
@@ -411,47 +457,116 @@ def training_order(
     row_number. Exact global rank, no single-task stage, determinism
     independent of where the sampled range boundaries fall.
     """
-    from pyspark.sql.window import Window
-
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive: {n_shards}")
-    spark = docs.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     keyed = docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))).alias(
             "_key"
         ),
     )
-    parts = keyed.repartitionByRange(num_partitions, "_key", "doc_id").withColumn(
-        "_pid", F.spark_partition_id()
+    ranked, n_total = _two_pass_rank(keyed, ["_key", "doc_id"], num_partitions)
+    return ranked.select(
+        "doc_id",
+        "position",
+        F.expr(f"div(({int(n_shards)}) * position, {max(n_total, 1)})")
+        .cast("int")
+        .alias("shard"),
     )
-    # Persisted: the count pass below and the returned rank plan both
-    # read the range shuffle; without the cache it runs twice.
-    parts = parts.persist()
-    counts = {
-        r["_pid"]: r["n"]
-        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    n_total = max(acc, 1)
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
-        "_pid int, _off long",
+
+
+def epoch_schedule(
+    docs: DataFrame,
+    epochs: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Per-source epoch replication plan — the UP-sampling dual of
+    :func:`mixture_sample` (which only thins). Pretraining mixtures
+    assign each source a fractional epoch count (wiki 2.5 epochs, web
+    0.25, ...): every doc gets ``floor(e)`` guaranteed copies plus one
+    more iff ``unit_hash(seed:id) < frac(e)`` — content-addressed, so
+    the drawn schedule is rerun-stable, monotone in the epoch counts,
+    and exactly oracle-replayable. Sources absent from ``epochs``
+    contribute nothing (0 epochs).
+
+    Returns (doc_id, domain_col, epoch) with ``epoch`` in
+    ``[0, n_copies)`` — one output row per scheduled copy.
+
+    Map-only: a CASE ladder + one md5 + ``explode(sequence(...))`` —
+    the explode is a Generate (no shuffle), so scheduling 100 TB
+    costs the scan plus the output write. Fractional thresholds go
+    through the Fraction(repr) discipline of :func:`hash_split` so
+    the Spark literal and the oracle's decimal literal round to the
+    identical double.
+    """
+    if not epochs:
+        raise ValueError("epochs must be non-empty")
+    from fractions import Fraction
+    from math import floor
+
+    base = F.lit(0)
+    frac = F.lit(0.0)
+    for dom, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"negative epochs for {dom!r}: {e}")
+        b = floor(e)
+        fr = Fraction(repr(e)) - b
+        base = F.when(F.col(domain_col) == dom, F.lit(int(b))).otherwise(base)
+        frac = F.when(F.col(domain_col) == dom, F.lit(float(fr))).otherwise(frac)
+    u = unit_hash(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    n = (base + F.when((frac > 0.0) & (u < frac), F.lit(1)).otherwise(F.lit(0))).cast(
+        "int"
     )
-    w = Window.partitionBy("_pid").orderBy("_key", "doc_id")
     return (
-        parts.withColumn("_rn", F.row_number().over(w).cast("long") - F.lit(1))
-        .join(F.broadcast(off_df), "_pid")
+        docs.select(id_col, domain_col)
+        .withColumn("_n", n)
+        .where(F.col("_n") > 0)
         .select(
-            "doc_id",
-            (F.col("_rn") + F.col("_off")).alias("position"),
-            F.expr(f"div(({int(n_shards)}) * (_rn + _off), {n_total})")
-            .cast("int")
-            .alias("shard"),
+            id_col,
+            domain_col,
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("epoch"),
         )
+        .withColumn("epoch", F.col("epoch").cast("int"))
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    score_col: str = "n_chars",
+    n_buckets: int = 4,
+    seed: str = "cur0",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Curriculum data ordering: easy-to-hard bucket progression with
+    a reproducible shuffle INSIDE each difficulty bucket (pure
+    sort-by-score ordering correlates adjacent batches; trainers want
+    the curriculum coarse and the within-stage order random). Buckets
+    are equal-height NTILE(n) under the total order (score, id) —
+    the :func:`length_buckets` discipline — and the within-bucket
+    permutation is the seeded md5 key of :func:`training_order`.
+
+    Returns (doc_id, bucket 1..n, position) where ``position`` is the
+    dense 0-based rank under (bucket, md5(seed:id), id) — i.e. the
+    global curriculum order: all of bucket 1 (shuffled), then bucket
+    2, ...
+
+    Scale: NTILE's global sort is one range exchange; the final rank
+    reuses the two-pass parallel rank (no partitionless window).
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive: {n_buckets}")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.asc(score_col), F.asc(id_col))
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.ntile(int(n_buckets)).over(w).alias("bucket"),
+    ).withColumn(
+        "_key",
+        F.md5(F.concat_ws(":", F.lit(seed), F.col("doc_id").cast("string"))),
+    )
+    ranked, _n = _two_pass_rank(keyed, ["bucket", "_key", "doc_id"], num_partitions)
+    return ranked.select("doc_id", "bucket", "position")

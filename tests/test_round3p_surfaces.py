@@ -143,3 +143,89 @@ def test_training_order_deterministic_and_seed_sensitive(spark):
     assert c != a  # a different seed is a different permutation
     with pytest.raises(ValueError):
         training_order(_ids_df(spark, 5), n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# epoch_schedule
+# ---------------------------------------------------------------------------
+
+
+def _src_df(spark, n, sources):
+    rows = [(i, sources[i % len(sources)]) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_epoch_schedule_integer_epochs_exact(spark):
+    from solr_ocr_processor_spark.operators.split import epoch_schedule
+
+    d = _src_df(spark, 12, ["a", "b", "c"])
+    out = epoch_schedule(d, {"a": 2.0, "b": 1.0}).collect()
+    per = {}
+    for r in out:
+        per.setdefault((r["doc_id"], r["source"]), []).append(r["epoch"])
+    for (_, src), eps in per.items():
+        assert sorted(eps) == list(range(2 if src == "a" else 1))
+    # c (absent from the map) contributes nothing
+    assert all(src != "c" for _, src in per)
+    # every a/b doc present
+    assert len(per) == 8
+
+
+def test_epoch_schedule_fraction_monotone_and_bounds(spark):
+    from solr_ocr_processor_spark.operators.split import epoch_schedule
+
+    d = _src_df(spark, 200, ["a"])
+    lo = {r["doc_id"] for r in epoch_schedule(d, {"a": 0.25}).collect()}
+    hi = {r["doc_id"] for r in epoch_schedule(d, {"a": 0.75}).collect()}
+    assert lo <= hi  # same seed: fractional keeps nest (monotone)
+    assert 0 < len(lo) < len(hi) < 200
+    full = epoch_schedule(d, {"a": 2.5}).groupBy("doc_id").count().collect()
+    assert all(r["count"] in (2, 3) for r in full)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        epoch_schedule(d, {"a": -1.0})
+    with _pt.raises(ValueError):
+        epoch_schedule(d, {})
+
+
+# ---------------------------------------------------------------------------
+# curriculum_order
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_order_buckets_are_contiguous_blocks(spark):
+    from solr_ocr_processor_spark.operators.split import curriculum_order
+
+    rows = [(i, (i * 37) % 100) for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = sorted(
+        curriculum_order(d, n_buckets=4).collect(), key=lambda r: r["position"]
+    )
+    assert sorted(r["position"] for r in out) == list(range(40))
+    buckets = [r["bucket"] for r in out]
+    assert buckets == sorted(buckets)  # bucket-major curriculum
+    assert {b: buckets.count(b) for b in set(buckets)} == {1: 10, 2: 10, 3: 10, 4: 10}
+    # within a bucket, order is the md5 shuffle, not the score order
+    b1 = [r["doc_id"] for r in out if r["bucket"] == 1]
+    scores = dict(rows)
+    assert [scores[i] for i in b1] != sorted(scores[i] for i in b1)
+
+
+def test_curriculum_order_partition_independent(spark):
+    from solr_ocr_processor_spark.operators.split import curriculum_order
+
+    rows = [(i, (i * 13) % 50) for i in range(60)]
+    a = {
+        r["doc_id"]: (r["bucket"], r["position"])
+        for r in curriculum_order(
+            spark.createDataFrame(rows, "doc_id long, n_chars long").repartition(1)
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["bucket"], r["position"])
+        for r in curriculum_order(
+            spark.createDataFrame(rows, "doc_id long, n_chars long").repartition(9)
+        ).collect()
+    }
+    assert a == b
