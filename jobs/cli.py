@@ -302,6 +302,16 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--store", required=True)
     d.add_argument("--conv-id", required=True)
 
+    sy = sub.add_parser(
+        "sync", help="diff-and-fold the store against a new corpus snapshot"
+    )
+    sy.add_argument("--input", required=True, help="new corpus (parquet path/table)")
+    sy.add_argument("--store", required=True)
+    sy.add_argument(
+        "--no-compact", action="store_true",
+        help="leave tombstoned docs suppressed-but-present (cheaper)",
+    )
+
     sub.add_parser("compact", help="physically drop tombstoned docs").add_argument(
         "--store", required=True
     )
@@ -1251,6 +1261,17 @@ def main(argv: list[str] | None = None) -> int:
         # it back; an empty pull keeps the old checkpoint
         nxt = str(rows[-1]["last_ts"]) if rows else args.checkpoint
         print(json.dumps({"checkpoint_next": nxt}))
+        return 0
+    if args.cmd == "sync":
+        try:
+            t = read_transcripts(spark, args.input)
+        except Exception as e:  # unreadable/absent input = bad request
+            print(json.dumps({"error": "bad_request", "detail": str(e)[:200]}))
+            return BAD_REQUEST_EXIT
+        res = lifecycle.sync_store(
+            spark, store, t, compact_after=not args.no_compact
+        )
+        print(json.dumps({"synced": args.store, **res}))
         return 0
     if args.cmd == "delete":
         lifecycle.delete_conv(spark, store, args.conv_id)

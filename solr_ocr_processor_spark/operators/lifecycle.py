@@ -224,6 +224,13 @@ def build_store(
 
     # --- step 2: finalize global stats ---------------------------------
     finalize_store(spark, store)
+    # content fingerprints for the incremental sync path (sync_store):
+    # one extra narrow md5 groupBy over the input — idempotent on
+    # resume (overwrite), and the only way a FIRST sync can tell a
+    # changed conv from an unchanged one.
+    hp = store.path("conv_hashes")
+    if not _exists(spark, hp):
+        conv_content_hashes(transcripts).write.mode("overwrite").parquet(hp)
     return store
 
 
@@ -306,11 +313,18 @@ def load_block_index(spark: SparkSession, store: IndexStore) -> BlockIndex:
 
 
 def check(spark: SparkSession, store: IndexStore, conv_id: str) -> bool:
-    """GET membership: indexed and not tombstoned (numFound>0 analog)."""
-    if tombstoned_convs(spark, store).where(F.col("conv_id") == conv_id).limit(1).count():
-        return False
-    dm = spark.read.parquet(store.path("doc_map"))
-    return bool(dm.where(F.col("conv_id") == conv_id).limit(1).count())
+    """GET membership: indexed and not tombstoned (numFound>0 analog).
+
+    Doc-LEVEL, not conv-level: a conv deleted and later re-added (the
+    sync_store changed-conv path) holds BOTH a tombstoned old doc id
+    and a live new one in doc_map — it IS indexed. A conv-level
+    "any tombstone row => gone" test would wrongly report it missing.
+    """
+    dm = spark.read.parquet(store.path("doc_map")).where(
+        F.col("conv_id") == conv_id
+    )
+    dead = tombstoned_convs(spark, store).select("doc_id")
+    return bool(dm.join(dead, "doc_id", "left_anti").limit(1).count())
 
 
 def check_offline(root: str, conv_id: str) -> bool:
@@ -331,21 +345,29 @@ def check_offline(root: str, conv_id: str) -> bool:
     if root.startswith("file://"):
         root = root[len("file://"):]
 
-    tomb = os.path.join(root, "tombstones")
-    if os.path.isdir(tomb):
-        hit = pads.dataset(tomb, format="parquet").count_rows(
-            filter=pads.field("conv_id") == conv_id
-        )
-        if hit:
-            return False
     dm = os.path.join(root, "doc_map")
     if not os.path.isdir(dm):
         return False
-    return bool(
-        pads.dataset(dm, format="parquet").count_rows(
-            filter=pads.field("conv_id") == conv_id
-        )
-    )
+    live = {
+        r["doc_id"]
+        for r in pads.dataset(dm, format="parquet")
+        .to_table(filter=pads.field("conv_id") == conv_id, columns=["doc_id"])
+        .to_pylist()
+    }
+    if not live:
+        return False
+    tomb = os.path.join(root, "tombstones")
+    if os.path.isdir(tomb):
+        # doc-level (see check()): only this conv's doc ids are read —
+        # O(rows-for-one-conv), still a point lookup.
+        dead = {
+            r["doc_id"]
+            for r in pads.dataset(tomb, format="parquet")
+            .to_table(filter=pads.field("conv_id") == conv_id, columns=["doc_id"])
+            .to_pylist()
+        }
+        live -= dead
+    return bool(live)
 
 
 def delete_conv(spark: SparkSession, store: IndexStore, conv_id: str) -> None:
@@ -357,6 +379,157 @@ def delete_conv(spark: SparkSession, store: IndexStore, conv_id: str) -> None:
         "deleted_at", F.lit(time.time())
     )
     victims.write.mode("append").parquet(store.path("tombstones"))
+
+
+def conv_content_hashes(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation content fingerprint for change detection:
+    sum of the 40-bit md5 prefix of each turn's canonical string
+    (the order-independent-sum discipline of functions/textstats
+    .fingerprint — 2^40 x 10^5 turns stays exact in a BIGINT).
+    Returns (conv_id, content_hash). Map + one map-side-combinable
+    aggregate; no window, no shuffle beyond the groupBy."""
+    canon = F.concat_ws(
+        "\x1f",
+        F.col("conv_id"),
+        F.col("turn_idx").cast("string"),
+        F.col("role"),
+        F.coalesce(F.col("tool"), F.lit("")),
+        F.col("text"),
+        F.col("ts").cast("long").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 10), 16, 10).cast("long")
+    return transcripts.groupBy("conv_id").agg(
+        F.sum(h).cast("long").alias("content_hash")
+    )
+
+
+def delete_convs(spark: SparkSession, store: IndexStore, convs: DataFrame) -> int:
+    """Batch DELETE: tombstone every doc id of every conv in ``convs``
+    (a (conv_id) frame) in ONE doc_map pass + one append — the set
+    form of :func:`delete_conv` (the reference deletes one item per
+    HTTP call, app/handler/indexer.go:155-163; a sync deletes many).
+    Already-tombstoned doc ids are skipped so repeated syncs don't
+    grow the tombstone table. Returns the number of docs tombstoned."""
+    dm = spark.read.parquet(store.path("doc_map"))
+    victims = (
+        dm.join(convs.select("conv_id").distinct(), "conv_id", "left_semi")
+        .join(tombstoned_convs(spark, store).select("doc_id"), "doc_id", "left_anti")
+        .withColumn("deleted_at", F.lit(time.time()))
+        .select("doc_id", "conv_id", "deleted_at")
+    )
+    victims.persist()
+    n = victims.count()
+    if n:
+        victims.write.mode("append").parquet(store.path("tombstones"))
+    victims.unpersist()
+    return n
+
+
+def sync_store(
+    spark: SparkSession,
+    store: IndexStore,
+    new_transcripts: DataFrame,
+    compact_after: bool = True,
+) -> dict:
+    """Batch corpus synchronisation — make the store serve exactly
+    ``new_transcripts`` WITHOUT a blind full rebuild (the don't-
+    rebuild-blind gate corpus_diff motivates, now acting on the store):
+
+      - removed convs (live in doc_map, absent from the new corpus)
+        are tombstoned;
+      - changed convs (content fingerprint differs from the
+        ``conv_hashes`` table the build/sync maintains) are tombstoned
+        AND re-folded under fresh doc ids — the reference's re-POST =
+        DELETE + add lifecycle (app/handler/indexer.go:46-163) as one
+        batch plan;
+      - added convs fold in as one new shard
+        (streaming.ingest.fold_turns — the merge_stream core);
+      - unchanged convs are untouched: no tokenize, no re-encode.
+
+    ``compact_after=True`` (default) physically drops the tombstoned
+    docs and refreshes df/avgdl, after which queries are rank- and
+    score-identical to a fresh build of the new corpus (tested).
+    With ``compact_after=False`` the sync is cheaper (no rewrite);
+    dead docs stay suppressed by the tombstone anti-join and global
+    stats are refreshed only over live+dead shards — the same
+    documented staleness as delete-without-compact.
+
+    Stores built before conv_hashes existed: present convs can't be
+    change-checked (no stored fingerprint) and are treated as
+    unchanged; the sync writes the table, so the NEXT sync detects
+    changes. Returns {"added", "changed", "removed", "unchanged"}
+    conv counts.
+
+    Scale shape: the diff is three conv-scale joins (conv_id,
+    content_hash — narrow rows, ~1e9 convs is tens of GB shuffled,
+    not the corpus); only added+changed conversations' turns are
+    scanned/tokenized; the fold is one appended shard.
+    """
+    from ..streaming.ingest import _resume_unfinalized, fold_turns
+
+    _resume_unfinalized(spark, store)
+
+    new_h = conv_content_hashes(new_transcripts).persist()
+    dm = spark.read.parquet(store.path("doc_map"))
+    dead = tombstoned_convs(spark, store).select("doc_id")
+    live = (
+        dm.join(dead, "doc_id", "left_anti").select("conv_id").distinct().persist()
+    )
+    # counted EAGERLY: every count below must see the PRE-sync state,
+    # and the fold's doc_map append invalidates the file listing under
+    # the cached plan (a lazy re-count would include the new convs).
+    n_live = live.count()
+
+    new_convs = new_h.select("conv_id")
+    removed = live.join(new_convs, "conv_id", "left_anti")
+
+    hashes_path = store.path("conv_hashes")
+    if _exists(spark, hashes_path):
+        old_h = spark.read.parquet(hashes_path)
+        changed = (
+            live.join(old_h, "conv_id")
+            .join(new_h.withColumnRenamed("content_hash", "_new"), "conv_id")
+            .where(F.col("content_hash") != F.col("_new"))
+            .select("conv_id")
+            .distinct()
+        )
+    else:
+        changed = spark.createDataFrame([], "conv_id string")
+    changed = changed.persist()
+    n_changed = changed.count()
+
+    victims = removed.unionByName(changed).persist()
+    n_victims_convs = victims.count()
+    n_removed = n_victims_convs - n_changed
+    if n_victims_convs:
+        delete_convs(spark, store, victims)
+
+    # added + changed = new convs minus the live-and-unchanged set
+    keep = live.join(changed, "conv_id", "left_anti")
+    to_add = new_convs.join(keep, "conv_id", "left_anti")
+    fresh = new_transcripts.join(to_add, "conv_id", "left_semi")
+    n_folded = fold_turns(spark, store, fresh)
+    n_added = n_folded - n_changed
+
+    # refresh the fingerprints to exactly the new corpus
+    tmp = store.path("_conv_hashes_sync")
+    new_h.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(hashes_path)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    n_unchanged = n_live - n_changed - n_removed
+    for df in (new_h, live, changed, victims):
+        df.unpersist()
+    if compact_after and n_victims_convs:
+        compact(spark, store)
+    return {
+        "added": n_added,
+        "changed": n_changed,
+        "removed": n_removed,
+        "unchanged": n_unchanged,
+    }
 
 
 def tombstoned_convs(spark: SparkSession, store: IndexStore) -> DataFrame:

@@ -248,10 +248,7 @@ def merge_stream(spark: SparkSession, store) -> int:
     """
     import shutil
 
-    from ..operators.blocks import build_block_index
-    from ..operators.build import build_postings
     from ..operators.lifecycle import _exists
-    from ..plans.materialize import assign_doc_ids, ordered_turns
 
     recovered = _resume_unfinalized(spark, store)
 
@@ -263,11 +260,36 @@ def merge_stream(spark: SparkSession, store) -> int:
     )
     doc_map = spark.read.parquet(store.path("doc_map"))
     fresh = staged.join(doc_map.select("conv_id"), "conv_id", "left_anti")
+    n_new = fold_turns(spark, store, fresh)
+    shutil.rmtree(staged_path, ignore_errors=True)
+    return recovered + n_new
+
+
+def fold_turns(spark: SparkSession, store, fresh: DataFrame) -> int:
+    """The fold core shared by :func:`merge_stream` (staged stream
+    turns) and the batch corpus synchroniser
+    (``operators/lifecycle.sync_store``): build the given fresh turns
+    into ONE new queryable shard with doc ids after the current max,
+    commit-ordered exactly as documented on merge_stream (shard tables
+    -> 'staged' manifest row -> idempotent finalize). Returns the
+    number of conversations folded (0 = empty input, nothing written).
+
+    The caller owns idempotency/diff policy: merge_stream anti-joins
+    staged convs against doc_map (re-POST = no-op); sync_store passes
+    added + changed convs (the changed conv's OLD doc ids must already
+    be tombstoned — its new rows get fresh ids, and the doc_id-keyed
+    anti-join in _finalize_merge appends them cleanly next to the dead
+    ones).
+    """
+    from ..operators.blocks import build_block_index
+    from ..operators.build import build_postings
+    from ..plans.materialize import assign_doc_ids, ordered_turns
+
+    doc_map = spark.read.parquet(store.path("doc_map"))
     turns = ordered_turns(fresh)
     n_new = turns.select("conv_id").distinct().count()
     if n_new == 0:
-        shutil.rmtree(staged_path, ignore_errors=True)
-        return recovered
+        return 0
 
     base = doc_map.agg(F.max("doc_id").alias("m")).first()["m"] + 1
     ids0 = assign_doc_ids(turns)
@@ -321,8 +343,7 @@ def merge_stream(spark: SparkSession, store) -> int:
         ids0.unpersist()
         idx.postings.unpersist()
         idx.mat.unpersist()  # docs + the persisted turns base
-    shutil.rmtree(staged_path, ignore_errors=True)
-    return recovered + n_new
+    return n_new
 
 
 def turns_per_window(
