@@ -2649,6 +2649,49 @@ def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("position")
 
 
+def _q_stream_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr graph streaming expression (operators/stream_expr nodes
+    verb): one-hop walk doc_id->src over the deterministic edge
+    relation from a 5-doc root page, gathered dst nodes with in-walk
+    counts."""
+    from solr_ocr_processor_spark.operators.graph import synth_edges
+    from solr_ocr_processor_spark.operators.stream_expr import compile_stream
+
+    tables = {
+        **_stream_tables(spark, sf_dir),
+        "edges": synth_edges(_docs(spark, sf_dir)),
+    }
+    expr = (
+        'nodes(edges, search(documents, q="doc_id:[0 TO 4]", fl="doc_id"), '
+        'walk="doc_id->src", gather="dst")'
+    )
+    return compile_stream(expr, tables).orderBy("node")
+
+
+def _q_range_facet_include(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.range.include=all (operators/facet.range_facet_include):
+    every bucket closed on both sides — boundary values double-count
+    in adjacent buckets, before/after own their boundary via outer —
+    the full FacetRangeInclude envelope next to other/hardend."""
+    from solr_ocr_processor_spark.operators.facet import range_facet_include
+
+    return range_facet_include(
+        _docs(spark, sf_dir), "n_chars", start=150, end=1100, gap=250,
+        include=("all",),
+    )
+
+
+def _q_terms_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr terms.prefix knob (operators/terms.terms_enum(prefix=)):
+    literal prefix enumeration with mincount, StartsWith row-group
+    pruning on the term-sorted dictionary."""
+    from solr_ocr_processor_spark.operators.terms import terms_enum
+
+    return terms_enum(
+        spark, _index(spark, sf_dir), prefix="s", mincount=2, limit=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2849,6 +2892,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": _q_training_order,
         "epoch_schedule": _q_epoch_schedule,
         "curriculum_order": _q_curriculum_order,
+        "stream_nodes": _q_stream_nodes,
+        "range_facet_include": _q_range_facet_include,
+        "terms_prefix": _q_terms_prefix,
     }
 
 
@@ -7675,6 +7721,57 @@ SELECT o.doc_id, o.position,
        CAST((8 * o.position) // t.n AS INT) AS shard
 FROM ord o CROSS JOIN t
 ORDER BY o.position
+""",
+        # nodes(): one hop over the deterministic edge relation from
+        # the doc_id 0..4 root set, gathered dst with in-walk counts.
+        "stream_nodes": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS src FROM documents),
+edges AS (
+  SELECT src,
+         CAST((src * 31 + j * 7 + 1) % (SELECT n FROM nn) AS BIGINT) AS dst
+  FROM nodes CROSS JOIN (SELECT unnest([0, 1]) AS j)
+  WHERE (src * 31 + j * 7 + 1) % (SELECT n FROM nn) <> src
+),
+roots AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS r FROM documents
+          WHERE doc_id BETWEEN 0 AND 4)
+SELECT e.dst AS node, CAST(1 AS INT) AS level,
+       CAST(count(*) AS BIGINT) AS count
+FROM edges e JOIN roots ON e.src = roots.r
+GROUP BY e.dst ORDER BY node
+""",
+        # facet.range.include=all: closed buckets (boundary values
+        # double-count), outer gives before/after their boundary.
+        # start=150 end=1100 gap=250 -> nb=4, end_eff=1150.
+        "range_facet_include": """
+WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents)
+SELECT 0 AS ord, '150' AS bucket,
+       CAST(count(CASE WHEN v BETWEEN 150 AND 400 THEN 1 END) AS BIGINT)
+         AS n_docs FROM v
+UNION ALL SELECT 1, '400',
+       CAST(count(CASE WHEN v BETWEEN 400 AND 650 THEN 1 END) AS BIGINT) FROM v
+UNION ALL SELECT 2, '650',
+       CAST(count(CASE WHEN v BETWEEN 650 AND 900 THEN 1 END) AS BIGINT) FROM v
+UNION ALL SELECT 3, '900',
+       CAST(count(CASE WHEN v BETWEEN 900 AND 1150 THEN 1 END) AS BIGINT) FROM v
+UNION ALL SELECT 4, 'before',
+       CAST(count(CASE WHEN v <= 150 THEN 1 END) AS BIGINT) FROM v
+UNION ALL SELECT 5, 'between',
+       CAST(count(CASE WHEN v BETWEEN 150 AND 1150 THEN 1 END) AS BIGINT) FROM v
+UNION ALL SELECT 6, 'after',
+       CAST(count(CASE WHEN v >= 1150 THEN 1 END) AS BIGINT) FROM v
+ORDER BY ord
+""",
+        # terms.prefix: literal prefix + mincount over the dictionary.
+        "terms_prefix": f"""
+WITH {_DOCS},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM ids),
+dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                CAST(count(*) AS BIGINT) AS cf
+         FROM tok GROUP BY term)
+SELECT term, df, cf FROM dict
+WHERE term LIKE 's%' AND df >= 2
+ORDER BY df DESC, term ASC LIMIT 10
 """,
         # epoch replication plan: floor(e) copies + one fractional
         # copy under the md5 unit uniform (same 60-bit discipline as

@@ -790,3 +790,92 @@ def range_facet_other(
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_docs"),
     )
     return buckets.unionByName(others).orderBy("ord")
+
+
+def range_facet_include(
+    df: DataFrame,
+    field: str,
+    start: int,
+    end: int,
+    gap: int,
+    include: tuple[str, ...] = ("lower",),
+    hardend: bool = False,
+) -> DataFrame:
+    """Solr ``facet.range.include`` — the boundary-membership knob
+    that completes the range-facet envelope next to
+    :func:`range_facet_other`'s other/hardend. ``include`` is a SET of
+    flags (FacetRangeInclude): ``lower`` / ``upper`` / ``edge`` /
+    ``outer`` / ``all`` (= the other four). Bucket i over
+    [lo_i, hi_i]:
+
+    - lower bound included iff ``lower`` in the set, or ``edge`` and
+      i == 0;
+    - upper bound included iff ``upper`` in the set, or ``edge`` and
+      i == nb-1;
+    - with BOTH lower and upper (or ``all``) a boundary value counts
+      in TWO adjacent buckets — Solr's documented double-count;
+    - ``before`` additionally owns v == start iff the set has neither
+      lower nor edge, OR has outer; symmetrically ``after`` for the
+      effective end; ``between``'s bounds follow lower/edge and
+      upper/edge.
+
+    Returns (ord, bucket, n_docs) like range_facet_other: gap buckets
+    first (labelled by their start), then before/between/after.
+
+    Plan: buckets may overlap, so the floor-division histogram is out;
+    instead every bucket is one codegen'd conditional sum over ONE
+    scan (the interval_facet_counts shape — nb is a request property,
+    so the stack is plan-size), unpivoted with a literal stack. One
+    single-row aggregate, zero shuffles of doc rows at any corpus
+    size.
+    """
+    flags = set(include)
+    if "all" in flags:
+        flags |= {"lower", "upper", "edge", "outer"}
+    bad = flags - {"lower", "upper", "edge", "outer", "all"}
+    if bad:
+        raise ValueError(f"unknown facet.range.include flags: {sorted(bad)}")
+    if gap <= 0:
+        raise ValueError(f"facet.range.gap must be positive, got {gap}")
+    if end <= start:
+        raise ValueError(f"facet.range end must be > start ({start}..{end})")
+    nb = -((start - end) // gap)
+    end_eff = end if hardend else start + nb * gap
+    v = F.col(field).cast("long")
+
+    def bucket_pred(i: int):
+        lo = start + i * gap
+        hi = min(start + (i + 1) * gap, end_eff) if hardend else start + (i + 1) * gap
+        low_inc = "lower" in flags or ("edge" in flags and i == 0)
+        high_inc = "upper" in flags or ("edge" in flags and i == nb - 1)
+        p_lo = (v >= lo) if low_inc else (v > lo)
+        p_hi = (v <= hi) if high_inc else (v < hi)
+        return p_lo & p_hi
+
+    before_eq = ("lower" not in flags and "edge" not in flags) or "outer" in flags
+    after_eq = ("upper" not in flags and "edge" not in flags) or "outer" in flags
+    btw_lo_inc = "lower" in flags or "edge" in flags
+    btw_hi_inc = "upper" in flags or "edge" in flags
+    p_before = (v <= start) if before_eq else (v < start)
+    p_after = (v >= end_eff) if after_eq else (v > end_eff)
+    p_btw_lo = (v >= start) if btw_lo_inc else (v > start)
+    p_btw_hi = (v <= end_eff) if btw_hi_inc else (v < end_eff)
+
+    aggs = [
+        F.sum(F.when(bucket_pred(i), 1).otherwise(0)).cast("long").alias(f"_c{i}")
+        for i in range(nb)
+    ] + [
+        F.sum(F.when(p_before, 1).otherwise(0)).cast("long").alias("_before"),
+        F.sum(F.when(p_btw_lo & p_btw_hi, 1).otherwise(0)).cast("long").alias("_between"),
+        F.sum(F.when(p_after, 1).otherwise(0)).cast("long").alias("_after"),
+    ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"{i}, '{start + i * gap}', _c{i}" for i in range(nb)
+    ) + (
+        f", {nb}, 'before', _before, {nb + 1}, 'between', _between,"
+        f" {nb + 2}, 'after', _after"
+    )
+    return wide.select(
+        F.expr(f"stack({nb + 3}, {stack}) AS (ord, bucket, n_docs)")
+    ).orderBy("ord")

@@ -627,6 +627,40 @@ def _compile(node: Node, tables: dict[str, DataFrame]) -> DataFrame:
         right = tables[coll].select(rf, *fields)
         joined = stream.join(F.broadcast(right), stream[lf] == right[rf], "left")
         return joined.drop(right[rf])
+    if n == "nodes":
+        # nodes(edges, <root stream>, walk="rootF->edgeF", gather="g")
+        # — Solr's graph streaming expression: ONE hop over the edge
+        # collection from the inner stream's root set, gathered nodes
+        # deduped with their in-walk counts (the count(*) Solr emits
+        # when requested; we always emit it). Multi-hop walks compose
+        # by nesting nodes() — each hop is one join, exactly Solr's
+        # contract. Plan: the root set reduces to DISTINCT keys first
+        # (roots are a result page — small; AQE broadcasts the probe),
+        # then one join against the edge scan + a groupBy(gather):
+        # edges shuffle once on the gather key, never the corpus.
+        if not node.args or not isinstance(node.args[0], str):
+            raise StreamExprError("nodes wants an edge collection name")
+        coll = node.args[0]
+        if coll not in tables:
+            raise StreamExprError(f"unknown collection {coll!r}; have {sorted(tables)}")
+        inner = _stream_arg(node, tables, 1)
+        walk = node.kwargs.get("walk")
+        gather = node.kwargs.get("gather")
+        if not walk or "->" not in walk or not gather:
+            raise StreamExprError('nodes wants walk="rootField->edgeField" and gather=')
+        root_f, edge_f = (s.strip() for s in walk.split("->", 1))
+        edges = tables[coll]
+        if edge_f not in edges.columns or gather not in edges.columns:
+            raise StreamExprError(
+                f"walk/gather fields must exist on {coll!r}: have {edges.columns}"
+            )
+        roots = inner.select(F.col(root_f).alias("_root")).distinct()
+        return (
+            edges.join(roots, edges[edge_f] == F.col("_root"), "inner")
+            .groupBy(F.col(gather).alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("count"))
+            .select("node", F.lit(1).cast("int").alias("level"), "count")
+        )
     raise StreamExprError(f"unknown streaming function {n!r}")
 
 

@@ -69,15 +69,22 @@ def terms_enum(
     regex: str | None = None,
     mincount: int = 1,
     limit: int = 50,
+    prefix: str | None = None,
 ) -> DataFrame:
     """Solr /terms: enumerate dictionary terms with their document and
-    collection frequencies, optionally filtered by ``terms.regex`` and
-    ``terms.mincount``, ranked (df DESC, term ASC), top ``limit``.
+    collection frequencies, optionally filtered by ``terms.regex``,
+    ``terms.mincount`` and ``terms.prefix`` (literal prefix filter —
+    composes with regex exactly as Solr applies both), ranked
+    (df DESC, term ASC), top ``limit``.
 
-    Returns (term, df, cf)."""
+    Returns (term, df, cf). The prefix lowers to StartsWith, which a
+    term-sorted dictionary serves via row-group min/max pruning.
+    """
     out = index.term_stats.select(
         "term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf")
     )
+    if prefix:
+        out = out.where(F.col("term").startswith(prefix))
     if mincount > 1:
         out = out.where(F.col("df") >= F.lit(int(mincount)))
     if regex is not None:
