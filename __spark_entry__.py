@@ -2692,6 +2692,56 @@ def _q_terms_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr shortestPath() streaming expression (operators/graph
+    .shortest_path): min-parent BFS + distributed backtrack over the
+    deterministic edge relation, from node 0 to the node three j=0
+    hops out — (step, node) rows of THE tie-broken shortest path."""
+    from solr_ocr_processor_spark.operators.graph import (
+        shortest_path,
+        synth_edges,
+    )
+
+    docs = _docs(spark, sf_dir)
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    d1 = 1 % n
+    d2 = (31 * d1 + 1) % n
+    d3 = (31 * d2 + 1) % n
+    return shortest_path(synth_edges(docs), 0, d3, max_depth=6)
+
+
+def _q_stream_scorenodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr scoreNodes() streaming expression (operators/graph
+    .score_nodes): one-hop gather from the doc_id 0..4 root set,
+    scored walk-count x ln((n+1)/(indeg+1)) — the idf-weighted graph
+    relevance that keeps hub nodes from drowning discriminative ones."""
+    from solr_ocr_processor_spark.operators.graph import (
+        score_nodes,
+        synth_edges,
+    )
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    roots = (
+        docs.where("doc_id BETWEEN 0 AND 4")
+        .select(F.col("doc_id").cast("long").alias("node"))
+        .distinct()
+    )
+    return score_nodes(synth_edges(docs), roots, n_nodes=n, k=10)
+
+
+def _q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF preference-pair mining (operators/conversation
+    .preference_pairs): repeated user prompts with divergent assistant
+    replies -> (chosen, rejected) by distinct-token reward, unique
+    under the shared row_number tie-break."""
+    from solr_ocr_processor_spark.operators.conversation import (
+        preference_pairs,
+    )
+
+    return preference_pairs(derive_transcripts(spark, sf_dir, TW), min_replies=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2895,6 +2945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_nodes": _q_stream_nodes,
         "range_facet_include": _q_range_facet_include,
         "terms_prefix": _q_terms_prefix,
+        "stream_shortest_path": _q_stream_shortest_path,
+        "stream_scorenodes": _q_stream_scorenodes,
+        "preference_pairs": _q_preference_pairs,
     }
 
 
@@ -7773,6 +7826,117 @@ SELECT term, df, cf FROM dict
 WHERE term LIKE 's%' AND df >= 2
 ORDER BY df DESC, term ASC LIMIT 10
 """,
+        # shortestPath(): bounded recursive BFS to min depths, best
+        # parent = min src one layer up, recursive backtrack from the
+        # 3-hop j=0 target; step 0 row appended when reachable.
+        "stream_shortest_path": """
+WITH RECURSIVE
+nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS src FROM documents),
+edges AS (
+  SELECT src,
+         CAST((src * 31 + j * 7 + 1) % (SELECT n FROM nn) AS BIGINT) AS dst
+  FROM nodes CROSS JOIN (SELECT unnest([0, 1]) AS j)
+  WHERE (src * 31 + j * 7 + 1) % (SELECT n FROM nn) <> src
+),
+tgt AS (
+  SELECT CAST((31 * ((31 * (1 % n) + 1) % n) + 1) % n AS BIGINT) AS t
+  FROM nn
+),
+bfs(node, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, b.depth + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.depth < 6
+),
+dist AS (SELECT node, min(depth) AS d FROM bfs GROUP BY node),
+bp AS (
+  SELECT dn.node, min(e.src) AS parent, dn.d
+  FROM dist dn
+  JOIN edges e ON e.dst = dn.node
+  JOIN dist ds ON ds.node = e.src AND ds.d = dn.d - 1
+  WHERE dn.d > 0
+  GROUP BY dn.node, dn.d
+),
+chain(node, parent, step) AS (
+  SELECT b.node, b.parent, b.d FROM bp b, tgt WHERE b.node = tgt.t
+  UNION
+  SELECT b.node, b.parent, b.d FROM bp b JOIN chain c ON b.node = c.parent
+)
+SELECT CAST(step AS INT) AS step, node FROM (
+  SELECT step, node FROM chain
+  UNION ALL
+  SELECT 0, CAST(0 AS BIGINT)
+  WHERE EXISTS (SELECT 1 FROM dist, tgt WHERE dist.node = tgt.t
+                AND dist.d <= 6)
+)
+ORDER BY step
+""",
+        # scoreNodes(): one-hop gather counts x ln((n+1)/(indeg+1)).
+        "stream_scorenodes": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS src FROM documents),
+edges AS (
+  SELECT src,
+         CAST((src * 31 + j * 7 + 1) % (SELECT n FROM nn) AS BIGINT) AS dst
+  FROM nodes CROSS JOIN (SELECT unnest([0, 1]) AS j)
+  WHERE (src * 31 + j * 7 + 1) % (SELECT n FROM nn) <> src
+),
+roots AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS r FROM documents
+          WHERE doc_id BETWEEN 0 AND 4),
+walk AS (SELECT e.dst AS node, CAST(count(*) AS BIGINT) AS cnt
+         FROM edges e JOIN roots ON e.src = roots.r GROUP BY e.dst),
+indeg AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS indeg
+          FROM edges GROUP BY dst)
+SELECT w.node, w.cnt, i.indeg,
+       round(w.cnt * ln((nn.n + 1.0) / (i.indeg + 1.0)), 6) AS score
+FROM walk w JOIN indeg i USING (node) CROSS JOIN nn
+ORDER BY score DESC, node ASC LIMIT 10
+""",
+        # preference pairs: same lead() reply attach, distinct-token
+        # reward, identical row_number tie-breaks both ways.
+        "preference_pairs": """
+WITH {_CTE},
+t AS (
+  SELECT conv_id, turn_idx, role, text,
+         lead(text) OVER w AS reply,
+         lead(turn_idx) OVER w AS reply_turn
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+base AS (
+  SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           AS prompt_hash,
+         conv_id, CAST(reply_turn AS INT) AS turn_idx,
+         CAST(len(list_distinct(
+             regexp_extract_all(lower(reply), '[a-z0-9]+'))) AS BIGINT)
+           AS reward
+  FROM t
+  WHERE role = 'user' AND reply IS NOT NULL
+    AND trim(text) <> '' AND trim(reply) <> ''
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY prompt_hash
+             ORDER BY reward DESC, conv_id ASC, turn_idx ASC) AS rb,
+         row_number() OVER (PARTITION BY prompt_hash
+             ORDER BY reward ASC, conv_id ASC, turn_idx ASC) AS rw,
+         CAST(count(*) OVER (PARTITION BY prompt_hash) AS BIGINT)
+           AS n_replies
+  FROM base
+)
+SELECT c.prompt_hash, c.n_replies,
+       c.conv_id AS chosen_conv, c.turn_idx AS chosen_turn,
+       c.reward AS chosen_reward,
+       r.conv_id AS rejected_conv, r.turn_idx AS rejected_turn,
+       r.reward AS rejected_reward,
+       CAST(c.reward - r.reward AS BIGINT) AS margin
+FROM (SELECT * FROM ranked WHERE rb = 1) c
+JOIN (SELECT * FROM ranked WHERE rw = 1) r USING (prompt_hash)
+WHERE c.n_replies >= 2 AND c.reward > r.reward
+ORDER BY margin DESC, prompt_hash ASC
+""".replace("{_CTE}", _CTE),
         # epoch replication plan: floor(e) copies + one fractional
         # copy under the md5 unit uniform (same 60-bit discipline as
         # doc_split); lateral generate_series replays the explode.

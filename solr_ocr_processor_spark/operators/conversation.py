@@ -290,3 +290,99 @@ def template_exchanges(transcripts: DataFrame, min_convs: int = 2) -> DataFrame:
         .where(F.col("n_convs") >= F.lit(int(min_convs)))
         .orderBy(F.desc("n_convs"), F.asc("ex_hash"))
     )
+
+
+def preference_pairs(transcripts: DataFrame, min_replies: int = 2) -> DataFrame:
+    """RLHF preference-pair mining over repeated prompts: wherever the
+    SAME user prompt (normalized text) appears in >= ``min_replies``
+    conversations with different assistant replies, emit one
+    (chosen, rejected) pair — the highest- and lowest-reward replies —
+    the DPO/RLHF dataset-construction step a training pipeline runs
+    after template detection (:func:`template_exchanges` finds the
+    scripted prompts; this op turns their reply variance into
+    preference signal).
+
+    Reward proxy is deterministic and engine-neutral: the DISTINCT
+    token count of the reply (lexical richness under the engine's
+    [a-z0-9]+ analyzer — richer replies win). Ties break by
+    (conv_id, turn_idx) ascending through the SAME row_number ordering
+    on both engines, so the picked pair is unique and the DuckDB twin
+    replays it bit-for-bit. Pairs with zero margin (all replies equal
+    reward) are dropped — they carry no preference signal.
+
+    Plan: ONE conv-keyed window (lead over turn_idx — the partitioning
+    materialize_docs already establishes) to attach each user turn's
+    reply, then ONE prompt-hash-keyed window pass computing best/worst
+    rank + group size in a single shuffle; the two rank-1 slices
+    self-join on prompt_hash (hash-keyed, same exchange). Rows moved
+    after the first aggregate are one per (prompt, reply) — the text
+    itself never shuffles twice.
+
+    Returns (prompt_hash, n_replies, chosen_conv, chosen_turn,
+    chosen_reward, rejected_conv, rejected_turn, rejected_reward,
+    margin) ordered margin DESC, prompt_hash ASC."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = (
+        transcripts.select("conv_id", "turn_idx", "role", "text")
+        .withColumn("reply", F.lead("text").over(w))
+        .withColumn("reply_turn", F.lead("turn_idx").over(w))
+    )
+    pr = t.where(
+        (F.col("role") == "user")
+        & F.col("reply").isNotNull()
+        & (F.trim(F.col("text")) != "")
+        & (F.trim(F.col("reply")) != "")
+    )
+    base = pr.select(
+        F.md5(
+            F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))).cast(
+                "binary"
+            )
+        ).alias("prompt_hash"),
+        "conv_id",
+        F.col("reply_turn").cast("int").alias("turn_idx"),
+        F.size(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(F.col("reply")), F.lit("[a-z0-9]+"), F.lit(0)
+                )
+            )
+        )
+        .cast("long")
+        .alias("reward"),
+    )
+    wp = Window.partitionBy("prompt_hash")
+    wb = wp.orderBy(F.desc("reward"), F.asc("conv_id"), F.asc("turn_idx"))
+    ww = wp.orderBy(F.asc("reward"), F.asc("conv_id"), F.asc("turn_idx"))
+    ranked = (
+        base.withColumn("rb", F.row_number().over(wb))
+        .withColumn("rw", F.row_number().over(ww))
+        .withColumn("n_replies", F.count(F.lit(1)).over(wp).cast("long"))
+    )
+    chosen = ranked.where(F.col("rb") == 1).select(
+        "prompt_hash",
+        "n_replies",
+        F.col("conv_id").alias("chosen_conv"),
+        F.col("turn_idx").alias("chosen_turn"),
+        F.col("reward").alias("chosen_reward"),
+    )
+    rejected = ranked.where(F.col("rw") == 1).select(
+        "prompt_hash",
+        F.col("conv_id").alias("rejected_conv"),
+        F.col("turn_idx").alias("rejected_turn"),
+        F.col("reward").alias("rejected_reward"),
+    )
+    return (
+        chosen.join(rejected, "prompt_hash")
+        .where(
+            (F.col("n_replies") >= F.lit(int(min_replies)))
+            & (F.col("chosen_reward") > F.col("rejected_reward"))
+        )
+        .withColumn(
+            "margin",
+            (F.col("chosen_reward") - F.col("rejected_reward")).cast("long"),
+        )
+        .orderBy(F.desc("margin"), F.asc("prompt_hash"))
+    )

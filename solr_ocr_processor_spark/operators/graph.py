@@ -99,3 +99,113 @@ def graph_expand(
         visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     return visited.orderBy("depth", "node")
+
+
+def shortest_path(
+    edges: DataFrame, src: int, dst: int, max_depth: int = 6
+) -> DataFrame:
+    """Solr ``shortestPath()`` streaming-expression analog (the graph
+    verb next to ``nodes()`` in the /stream registry the reference's
+    Solr core exposes; the reference forwards such expressions verbatim
+    — app/process/solr.go:48-49): THE deterministic shortest path from
+    ``src`` to ``dst`` over ``edges`` (src, dst), as (step, node) rows,
+    step 0 = src … step L = dst; empty if ``dst`` is unreachable within
+    ``max_depth`` hops.
+
+    Spark-first shape, two bounded phases:
+
+    1. **BFS with min-parent** — the same iterative-hash-join layering
+       as :func:`graph_expand`, but each newly-reached node also
+       records ``parent = min(src over the reaching frontier edges)``.
+       Solr breaks shortest-path ties by traversal order, which is
+       partition-dependent; min-parent is the deterministic refinement
+       (lowest-id predecessor), so the SAME path comes back on any
+       cluster layout and the relational oracle can replay it. One
+       shuffle per hop, lineage truncated per hop
+       (``localCheckpoint``, the dup_clusters discipline), early-exit
+       as soon as ``dst`` enters the frontier.
+    2. **Distributed backtrack** — ``max_depth`` broadcast joins of the
+       one-row current-path-node set against the parents table; the
+       union of joined rows IS the path (each node on it appears in
+       parents exactly once, at its BFS depth = its step). No driver
+       loop over collected parents: the parents relation can be
+       |V|-sized at 10^12-doc scale, while every backtrack probe moves
+       one broadcast row.
+    """
+    spark = edges.sparkSession
+    src, dst = int(src), int(dst)
+    parents = spark.createDataFrame(
+        [(src, None, 0)], "node long, parent long, depth int"
+    )
+    frontier = parents.select("node")
+    found = src == dst
+    for d in range(1, max_depth + 1):
+        if found:
+            break
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "src")
+            .groupBy("node")
+            .agg(F.min("src").alias("parent"))
+            .join(parents.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+            .select("node", "parent", "depth")
+            .localCheckpoint(eager=True)
+        )
+        parents = parents.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+        found = nxt.where(F.col("node") == F.lit(dst)).limit(1).count() > 0
+    path = parents.where(F.col("node") == F.lit(dst))
+    acc = path
+    for _ in range(max_depth):
+        path = parents.join(
+            F.broadcast(
+                path.where(F.col("parent").isNotNull()).select(
+                    F.col("parent").alias("node")
+                )
+            ),
+            "node",
+        )
+        acc = acc.unionByName(path)
+    return acc.select(F.col("depth").alias("step"), "node").orderBy("step")
+
+
+def score_nodes(
+    edges: DataFrame, roots: DataFrame, n_nodes: int, k: int = 10
+) -> DataFrame:
+    """Solr ``scoreNodes()`` streaming-expression analog: relevance-
+    score the nodes gathered by a one-hop ``nodes()`` walk so hub nodes
+    that every walk reaches do not drown out discriminative ones —
+    Solr's own formula is walk-count × idf over the collection link
+    field; here ``score = cnt * ln((n_nodes + 1) / (indeg + 1))`` with
+    ``indeg`` the node's GLOBAL in-degree in ``edges`` (the docFreq
+    analog) and ``cnt`` the number of walk edges reaching it.
+
+    Plan: two aggregates over the edge relation — the walk gather
+    (edges ⋈ broadcast roots, grouped on dst) and the global in-degree
+    (grouped on dst, shuffle keyed the same so AQE can reuse the
+    exchange) — joined on node, scored as a column expression,
+    TakeOrderedAndProject for the top-k. Returns (node, cnt, indeg,
+    score) ordered score DESC, node ASC."""
+    walk = (
+        edges.join(F.broadcast(roots.withColumnRenamed("node", "src")), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    indeg = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("indeg")
+    )
+    scored = walk.join(indeg, "node").select(
+        "node",
+        "cnt",
+        "indeg",
+        F.round(
+            F.col("cnt")
+            * F.log(
+                (F.lit(float(n_nodes)) + F.lit(1.0))
+                / (F.col("indeg").cast("double") + F.lit(1.0))
+            ),
+            6,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("node")).limit(int(k))
