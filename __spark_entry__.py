@@ -2742,6 +2742,34 @@ def _q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference_pairs(derive_transcripts(spark, sf_dir, TW), min_replies=2)
 
 
+def _q_winnow_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing (operators/dedup.winnow_common_spans): k=8-gram
+    md5 window-min fingerprints, cross-doc shared spans >= 2 docs —
+    the boilerplate detector with the k+w-1 shared-substring
+    guarantee."""
+    from solr_ocr_processor_spark.operators.dedup import winnow_common_spans
+
+    return winnow_common_spans(_docs(spark, sf_dir), k=8, w=4, min_docs=2)
+
+
+def _q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs (operators/dedup.winnow_pairs):
+    fp-bucket join with ubiquity cull, containment sim =
+    shared / min(|A|,|B|) >= 0.5 — the MOSS match report."""
+    from solr_ocr_processor_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(_docs(spark, sf_dir), k=8, w=4, tau=0.5, max_df=50)
+
+
+def _q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 token-budget mixture plan (operators/pipeline
+    .token_budget_plan): per-source target tokens + epochs under a
+    0.6x-corpus budget with sqrt-mass weights."""
+    from solr_ocr_processor_spark.operators.pipeline import token_budget_plan
+
+    return token_budget_plan(_docs(spark, sf_dir), budget_frac=0.6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2948,6 +2976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_shortest_path": _q_stream_shortest_path,
         "stream_scorenodes": _q_stream_scorenodes,
         "preference_pairs": _q_preference_pairs,
+        "winnow_common_spans": _q_winnow_common_spans,
+        "dedup_winnow_pairs": _q_dedup_winnow_pairs,
+        "token_budget_plan": _q_token_budget_plan,
     }
 
 
@@ -7937,6 +7968,82 @@ JOIN (SELECT * FROM ranked WHERE rw = 1) r USING (prompt_hash)
 WHERE c.n_replies >= 2 AND c.reward > r.reward
 ORDER BY margin DESC, prompt_hash ASC
 """.replace("{_CTE}", _CTE),
+        # winnowing: k=8 gram md5s, w=4 window minima (identical ROWS
+        # frame), per-doc distinct, shared-span census.
+        "winnow_common_spans": """
+WITH s AS (SELECT doc_id, lower(text) AS s FROM documents
+           WHERE length(lower(text)) >= 11),
+g0 AS (SELECT doc_id, s, length(s) - 7 AS n_pos,
+              CAST(unnest(range(0, length(s) - 7)) AS INT) AS pos
+       FROM s),
+g AS (SELECT doc_id, n_pos, pos, md5(substr(s, pos + 1, 8)) AS h
+      FROM g0),
+m AS (SELECT doc_id, pos, n_pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+      FROM g),
+sel AS (SELECT DISTINCT doc_id, mh AS fp FROM m WHERE pos <= n_pos - 4)
+SELECT fp, CAST(count(*) AS BIGINT) AS n_docs
+FROM sel GROUP BY fp HAVING count(*) >= 2
+ORDER BY n_docs DESC, fp ASC LIMIT 20
+""",
+        # winnowing pair report: ubiquity cull (df <= 50), fp-bucket
+        # self-join, containment sim vs the smaller fingerprint set.
+        "dedup_winnow_pairs": """
+WITH s AS (SELECT doc_id, lower(text) AS s FROM documents
+           WHERE length(lower(text)) >= 11),
+g0 AS (SELECT doc_id, s, length(s) - 7 AS n_pos,
+              CAST(unnest(range(0, length(s) - 7)) AS INT) AS pos
+       FROM s),
+g AS (SELECT doc_id, n_pos, pos, md5(substr(s, pos + 1, 8)) AS h
+      FROM g0),
+m AS (SELECT doc_id, pos, n_pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+      FROM g),
+sel AS (SELECT DISTINCT doc_id, mh AS fp FROM m WHERE pos <= n_pos - 4),
+rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 50),
+culled AS (SELECT sel.doc_id, sel.fp FROM sel JOIN rare USING (fp)),
+shared AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM culled a JOIN culled b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM sel GROUP BY doc_id)
+SELECT doc1, doc2, shared,
+       round(CAST(shared AS DOUBLE) / least(s1.n_fp, s2.n_fp), 6) AS sim
+FROM shared
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE CAST(shared AS DOUBLE) / least(s1.n_fp, s2.n_fp) >= 0.5
+ORDER BY sim DESC, doc1 ASC, doc2 ASC LIMIT 50
+""",
+        # temperature-0.5 mixture plan: sqrt-mass weights, 0.6x budget.
+        "token_budget_plan": """
+WITH pd AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS BIGINT) AS n_tok
+  FROM documents
+),
+ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS tokens
+       FROM pd GROUP BY source),
+t AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total,
+             sum(sqrt(CAST(tokens AS DOUBLE))) AS z
+      FROM ps)
+SELECT source, n_docs, tokens,
+       round(tokens / total, 6) AS share,
+       round(sqrt(CAST(tokens AS DOUBLE)) / z, 6) AS weight,
+       CAST(round(0.6 * total * sqrt(CAST(tokens AS DOUBLE)) / z)
+            AS BIGINT) AS target_tokens,
+       round(0.6 * total * sqrt(CAST(tokens AS DOUBLE)) / z / tokens, 6)
+         AS epochs,
+       CAST(round(0.6 * total * sqrt(CAST(tokens AS DOUBLE)) / z / tokens,
+                  6) > 1.0 AS INT) AS upsampled
+FROM ps CROSS JOIN t ORDER BY source
+""",
         # epoch replication plan: floor(e) copies + one fractional
         # copy under the md5 unit uniform (same 60-bit discipline as
         # doc_split); lateral generate_series replays the explode.

@@ -1271,3 +1271,139 @@ def dup_rate_by_source(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS local fingerprinting algorithm): hash every k-char gram of
+    the lowercased text, slide a w-gram window over the hash sequence,
+    keep the minimum hash of each window, dedup per document. The
+    guarantee winnowing buys over "sample every Nth gram" is POSITIONAL
+    ROBUSTNESS: any shared substring of length >= k + w - 1 yields at
+    least one shared selected fingerprint, regardless of how the copy
+    is offset — the property plain stride sampling loses on a 1-char
+    shift.
+
+    Returns (doc_id, fp) — the selected fingerprint set per doc.
+
+    Engine discipline: gram hashes are md5 (bit-equal in DuckDB, the
+    repo-wide oracle rule); the window minimum is a plain SQL window
+    frame (ROWS CURRENT..w-1 FOLLOWING), identical in both engines.
+    Plan shape: the gram array is built JVM-side (transform over
+    sequence — no Python), exploded once, then ONE doc-keyed window
+    pass + distinct. Rows scale with corpus characters; at 10^12-turn
+    scale a production pass swaps md5 for a rolling polynomial inside
+    the SAME plan (the hash is an implementation detail of the gram
+    column, nothing downstream changes) — md5 here is the exactness
+    spine the relational oracle can replay."""
+    from pyspark.sql.window import Window
+
+    k, w = int(k), int(w)
+    s = docs.select(
+        "doc_id", F.lower(F.col(text_col)).alias("s")
+    ).where(F.length("s") >= F.lit(k + w - 1))
+    g = s.select(
+        "doc_id",
+        (F.length("s") - F.lit(k) + 1).alias("n_pos"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.length("s") - F.lit(k)),
+                lambda i: F.md5(
+                    F.col("s").substr(i + F.lit(1), F.lit(k)).cast("binary")
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    wv = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        g.withColumn("mh", F.min("h").over(wv))
+        .where(F.col("pos") <= F.col("n_pos") - F.lit(w))
+        .select("doc_id", F.col("mh").alias("fp"))
+        .distinct()
+    )
+    return sel
+
+
+def winnow_common_spans(
+    docs: DataFrame, k: int = 8, w: int = 4, min_docs: int = 2, limit: int = 20
+) -> DataFrame:
+    """Cross-document boilerplate spans via winnowing: the selected
+    fingerprints shared by >= ``min_docs`` documents, most-shared
+    first — the corpus-level view MOSS builds its match report from,
+    and the detector that catches license headers / scraped chrome /
+    injected templates that doc-level near-dup misses when the rest of
+    the document differs.
+
+    Returns (fp, n_docs) ordered n_docs DESC, fp ASC, top ``limit``.
+    One fp-keyed aggregate over the per-doc fingerprint set; top-k
+    lowers to TakeOrderedAndProject."""
+    sel = winnow_fingerprints(docs, k=k, w=w)
+    return (
+        sel.groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(int(min_docs)))
+        .orderBy(F.desc("n_docs"), F.asc("fp"))
+        .limit(int(limit))
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    tau: float = 0.5,
+    max_df: int = 50,
+    limit: int = 50,
+) -> DataFrame:
+    """Winnowing near-dup PAIRS (the MOSS similarity report): documents
+    sharing >= ``tau`` of the smaller side's selected fingerprints.
+    ``sim = |A ∩ B| / min(|A|, |B|)`` — containment-style, so a doc
+    pasted inside a larger one still scores 1.0.
+
+    Scale shape — the same bucket-join discipline as minhash_lsh_pairs:
+    fingerprints appearing in more than ``max_df`` docs are DROPPED
+    before the self-join (ubiquitous boilerplate spans pair everything
+    with everything; MOSS applies the identical cull), so candidate
+    generation is a fp-keyed equi-join whose fan-out per fp is capped
+    at max_df², never corpus². Per-doc fingerprint sizes join back
+    broadcast-free on doc keys.
+
+    Returns (doc1, doc2, shared, sim) with doc1 < doc2, sim rounded
+    6dp, ordered sim DESC, doc1 ASC, doc2 ASC, top ``limit``."""
+    sel = winnow_fingerprints(docs, k=k, w=w).persist()
+    rare = (
+        sel.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= F.lit(int(max_df)))
+        .select("fp")
+    )
+    culled = sel.join(rare, "fp", "left_semi")
+    a = culled.select("fp", F.col("doc_id").alias("doc1"))
+    b = culled.select("fp", F.col("doc_id").alias("doc2"))
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sizes = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    out = (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc1"), "doc1")
+        .withColumnRenamed("n_fp", "n1")
+        .join(sizes.withColumnRenamed("doc_id", "doc2"), "doc2")
+        .withColumnRenamed("n_fp", "n2")
+        .select(
+            "doc1",
+            "doc2",
+            "shared",
+            F.round(
+                F.col("shared") / F.least("n1", "n2").cast("double"), 6
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= F.lit(float(tau)))
+        .orderBy(F.desc("sim"), F.asc("doc1"), F.asc("doc2"))
+        .limit(int(limit))
+    )
+    return out

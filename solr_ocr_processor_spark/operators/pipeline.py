@@ -976,3 +976,80 @@ def corpus_diff(
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("status")
     )
+
+
+def token_budget_plan(
+    docs: DataFrame, budget_frac: float = 0.6, text_col: str = "text"
+) -> DataFrame:
+    """Token-budget mixture plan: given per-source token mass, a total
+    training budget of ``budget_frac * corpus_tokens``, and
+    temperature-0.5 source weights (w_d ∝ sqrt(tokens_d) — the
+    multilingual-sampling p^α rule, α = 1/2, that upweights small
+    sources without letting any dominate), emit the per-source plan a
+    data loader executes: target token count, epochs over the source
+    (epochs > 1 = upsampling), and the raw vs reweighted share.
+
+    This is the planning half of the mixture pipeline (the execution
+    half is mixture_sample / dsir_resample / epoch_schedule): a 100 TB
+    run materializes exactly this table once per training config and
+    drives every downstream sampler from it.
+
+    Returns (source, n_docs, tokens, share, weight, target_tokens,
+    epochs, upsampled) ordered by source; floats rounded 6dp.
+
+    Plan: one source-keyed aggregate over token counts (the analyzer's
+    [a-z0-9]+ rule — token_count's column expression), then a
+    broadcast of the single-row corpus totals; everything after the
+    aggregate is request-scale (|sources| rows). sqrt (not pow) on
+    both engines: sqrt is IEEE correctly-rounded, so the oracle's
+    doubles are bit-identical."""
+    per_doc = docs.select(
+        "source",
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("tokens").cast("double").alias("total"),
+        F.sum(F.sqrt(F.col("tokens").cast("double"))).alias("z"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.sqrt(F.col("tokens").cast("double")) / F.col("z"), 6
+            ).alias("weight"),
+            F.round(
+                F.lit(float(budget_frac))
+                * F.col("total")
+                * F.sqrt(F.col("tokens").cast("double"))
+                / F.col("z")
+            )
+            .cast("long")
+            .alias("target_tokens"),
+            F.round(
+                F.lit(float(budget_frac))
+                * F.col("total")
+                * F.sqrt(F.col("tokens").cast("double"))
+                / F.col("z")
+                / F.col("tokens"),
+                6,
+            ).alias("epochs"),
+        )
+        .withColumn(
+            "upsampled", (F.col("epochs") > F.lit(1.0)).cast("int")
+        )
+        .orderBy("source")
+    )
