@@ -2770,6 +2770,32 @@ def _q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_plan(_docs(spark, sf_dir), budget_frac=0.6)
 
 
+def _q_segments_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-tiered merge planning (operators/lifecycle
+    .tiered_merge_plan): bit-length tiers over the (source,lang)
+    segment census, complete merge_factor=4 candidates of
+    similar-sized segments — the TieredMergePolicy analog that drives
+    compact/fold-in."""
+    from solr_ocr_processor_spark.operators.lifecycle import tiered_merge_plan
+
+    segs = (
+        _docs(spark, sf_dir)
+        .groupBy(F.concat_ws(":", "source", "lang").alias("seg"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return tiered_merge_plan(segs, merge_factor=4)
+
+
+def _q_ann_hard_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FaceNet hard-triplet mining (operators/ann.hard_triplets):
+    per-anchor hardest positive (min same-label cos) + hardest
+    negative (max other-label cos), margin < 0 = violated triplet —
+    the contrastive-training data miner over the embeddings table."""
+    from solr_ocr_processor_spark.operators.ann import hard_triplets
+
+    return hard_triplets(_embs(spark, sf_dir), n_anchors=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -2979,6 +3005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_common_spans": _q_winnow_common_spans,
         "dedup_winnow_pairs": _q_dedup_winnow_pairs,
         "token_budget_plan": _q_token_budget_plan,
+        "segments_merge_plan": _q_segments_merge_plan,
+        "ann_hard_triplets": _q_ann_hard_triplets,
     }
 
 
@@ -8043,6 +8071,48 @@ SELECT source, n_docs, tokens,
        CAST(round(0.6 * total * sqrt(CAST(tokens AS DOUBLE)) / z / tokens,
                   6) > 1.0 AS INT) AS upsampled
 FROM ps CROSS JOIN t ORDER BY source
+""",
+        # size-tiered merge plan: bit-length tiers (length(bin())-1 is
+        # integer-exact floor(log2) on both engines), complete
+        # merge_factor groups of similar-sized segments.
+        "segments_merge_plan": """
+WITH seg AS (SELECT source || ':' || lang AS seg,
+                    CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY 1),
+t AS (SELECT seg, n_docs, CAST(length(bin(n_docs)) - 1 AS INT) AS tier
+      FROM seg WHERE n_docs > 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY tier
+          ORDER BY n_docs ASC, seg ASC) AS rn FROM t),
+g AS (SELECT tier, CAST((rn - 1) // 4 AS INT) AS merge_ord,
+             CAST(count(*) AS BIGINT) AS n_segs,
+             string_agg(seg, ',' ORDER BY seg) AS seg_ids,
+             CAST(sum(n_docs) AS BIGINT) AS total_docs
+      FROM r GROUP BY tier, merge_ord)
+SELECT tier, merge_ord, n_segs, seg_ids, total_docs FROM g
+WHERE n_segs = 4 ORDER BY tier, merge_ord
+""",
+        # hard triplets: one CASE-keyed row_number picks min-cos
+        # positive and max-cos negative per anchor.
+        "ann_hard_triplets": """
+WITH b AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+                  list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+a AS (SELECT id AS aid, label AS albl, v AS av FROM b WHERE id < 32),
+p AS (SELECT a.aid, a.albl, b.id, b.label,
+             list_cosine_similarity(b.v, a.av) AS c,
+             (b.label = a.albl) AS is_pos
+      FROM b CROSS JOIN a WHERE b.id <> a.aid),
+r AS (SELECT *, row_number() OVER (PARTITION BY aid, is_pos
+          ORDER BY (CASE WHEN is_pos THEN c ELSE -c END) ASC, id ASC)
+            AS rn
+      FROM p)
+SELECT pos.aid AS anchor, pos.albl AS label, pos.id AS pos_id,
+       round(pos.c, 6) AS pos_cos, neg.id AS neg_id,
+       round(neg.c, 6) AS neg_cos, round(pos.c - neg.c, 6) AS margin
+FROM (SELECT * FROM r WHERE rn = 1 AND is_pos) pos
+JOIN (SELECT * FROM r WHERE rn = 1 AND NOT is_pos) neg
+  ON pos.aid = neg.aid
+ORDER BY anchor
 """,
         # epoch replication plan: floor(e) copies + one fractional
         # copy under the md5 unit uniform (same 60-bit discipline as

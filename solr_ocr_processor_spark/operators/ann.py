@@ -1102,3 +1102,105 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
         .cast("long")
         .alias("recall_scaled"),
     )
+
+
+def hard_triplets(
+    embs: DataFrame,
+    n_anchors: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-triplet mining for contrastive / metric training (FaceNet
+    semantics): for each anchor vector, the hardest POSITIVE (same
+    label, MINIMUM cosine — the same-class example currently furthest
+    away) and the hardest NEGATIVE (different label, MAXIMUM cosine —
+    the impostor currently closest). The triplet is violated when
+    ``neg_cos > pos_cos`` (margin < 0), and those violations are
+    exactly the examples worth training on.
+
+    Returns (anchor, label, pos_id, pos_cos, neg_id, neg_cos, margin)
+    ordered anchor ASC; cosines rounded 6dp, margin = round(pos − neg,
+    6); ties broken id ASC under the SAME row_number ordering the
+    oracle replays.
+
+    Plan: the anchor slice broadcasts (n_anchors × dim floats), the
+    corpus streams past it once — cosine is a zip_with/aggregate fold
+    in whole-stage codegen (no Python), one (anchor, side)-keyed
+    window pass picks both extremes. Mining cost is inherently
+    anchors × corpus; at 10^12 scale the corpus leg narrows to the
+    ANN store's probed candidates (ann_store.py) with this exact
+    kernel as the rerank tail."""
+    from pyspark.sql.window import Window
+
+    base = embs.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("long").alias("label"),
+        F.col(vec_col).alias("v"),
+        _norm_expr(vec_col).alias("nrm"),
+    )
+    anchors = base.where(F.col("id") < F.lit(int(n_anchors))).select(
+        F.col("id").alias("aid"),
+        F.col("label").alias("albl"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("av"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(anchors))
+        .where(F.col("id") != F.col("aid"))
+        .select(
+            "aid",
+            "albl",
+            "id",
+            "label",
+            F.when(
+                F.col("nrm") * F.col("anrm") > 0,
+                dot / (F.col("nrm") * F.col("anrm")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("c"),
+            (F.col("label") == F.col("albl")).alias("is_pos"),
+        )
+    )
+    win = Window.partitionBy("aid", "is_pos").orderBy(
+        # hardest positive = min cos; hardest negative = max cos —
+        # one ordering expression serves both sides
+        F.when(F.col("is_pos"), F.col("c")).otherwise(-F.col("c")).asc(),
+        F.asc("id"),
+    )
+    top = pairs.withColumn("rn", F.row_number().over(win)).where(
+        F.col("rn") == 1
+    )
+    pos = top.where(F.col("is_pos")).select(
+        F.col("aid").alias("anchor"),
+        F.col("albl").alias("label"),
+        F.col("id").alias("pos_id"),
+        F.col("c").alias("pc"),
+    )
+    neg = top.where(~F.col("is_pos")).select(
+        F.col("aid").alias("anchor"),
+        F.col("id").alias("neg_id"),
+        F.col("c").alias("nc"),
+    )
+    return (
+        pos.join(neg, "anchor")
+        .select(
+            "anchor",
+            "label",
+            "pos_id",
+            F.round("pc", 6).alias("pos_cos"),
+            "neg_id",
+            F.round("nc", 6).alias("neg_cos"),
+            F.round(F.col("pc") - F.col("nc"), 6).alias("margin"),
+        )
+        .orderBy("anchor")
+    )

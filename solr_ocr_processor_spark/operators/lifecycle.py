@@ -718,3 +718,55 @@ def atomic_update(
         *[_inserted(f) for f in base.schema.fields if f.name != key],
     )
     return updated.unionByName(inserts)
+
+
+def tiered_merge_plan(
+    segments: DataFrame, merge_factor: int = 4, max_merged_docs: int | None = None
+) -> DataFrame:
+    """Size-tiered merge planning — the Lucene TieredMergePolicy /
+    size-tiered-compaction analog for the store's shard manifest: the
+    policy Solr runs continuously inside the core the reference writes
+    to (segment merging is what made its repeated POST /item/{id}
+    builds stay queryable — SURVEY §2 Q7), surfaced here as an explicit
+    PLAN over a (seg, n_docs) relation so the engine's compact/merge
+    ops (:func:`compact`, streaming fold-in shards) can be driven by
+    policy instead of manually.
+
+    Tiering rule (deterministic, integer-exact): ``tier =
+    bit_length(n_docs) - 1`` (= floor(log2) with NO floating log — the
+    length(bin()) discipline, exact on both engines). Within a tier,
+    segments sort (n_docs ASC, seg ASC) and group into COMPLETE
+    ``merge_factor``-sized candidates — merging similar-sized segments
+    is the whole point of tiering (merging a giant with a dwarf
+    rewrites the giant for nothing); leftovers wait for the tier to
+    fill. ``max_merged_docs`` drops plans whose merged size would
+    exceed the cap (Lucene's maxMergedSegmentMB analog).
+
+    Returns (tier, merge_ord, n_segs, seg_ids, total_docs) ordered
+    (tier, merge_ord); ``seg_ids`` is the comma-joined sorted member
+    list. Plan: one tier-keyed window pass + one group aggregate —
+    manifest-scale rows throughout, never doc rows."""
+    from pyspark.sql.window import Window
+
+    mf = int(merge_factor)
+    t = segments.where(F.col("n_docs") > 0).withColumn(
+        "tier", (F.length(F.bin("n_docs")) - F.lit(1)).cast("int")
+    )
+    w = Window.partitionBy("tier").orderBy(F.asc("n_docs"), F.asc("seg"))
+    r = t.withColumn("rn", F.row_number().over(w)).withColumn(
+        "merge_ord", F.floor((F.col("rn") - 1) / F.lit(mf)).cast("int")
+    )
+    grp = (
+        r.groupBy("tier", "merge_ord")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.concat_ws(",", F.sort_array(F.collect_list("seg"))).alias(
+                "seg_ids"
+            ),
+            F.sum("n_docs").cast("long").alias("total_docs"),
+        )
+        .where(F.col("n_segs") == F.lit(mf))
+    )
+    if max_merged_docs is not None:
+        grp = grp.where(F.col("total_docs") <= F.lit(int(max_merged_docs)))
+    return grp.orderBy("tier", "merge_ord")
