@@ -2796,6 +2796,45 @@ def _q_ann_hard_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_triplets(_embs(spark, sf_dir), n_anchors=32)
 
 
+def _q_geofilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr spatial {!geofilt}+geodist() (operators/spatial
+    .geofilt_topk): haversine radius filter + nearest-first sort over
+    the deterministic coordinate grid, pt=(12.5,45), d=3000 km."""
+    from solr_ocr_processor_spark.operators.spatial import (
+        geofilt_topk,
+        synth_coords,
+    )
+
+    return geofilt_topk(
+        synth_coords(_docs(spark, sf_dir)), 12.5, 45.0, 3000.0, k=20
+    )
+
+
+def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence funnel view->click->purchase
+    (operators/analytics.funnel): per-step reach counts + step-over-
+    step conversion, one conditional-min aggregate."""
+    from solr_ocr_processor_spark.operators.analytics import funnel
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(events, ["view", "click", "purchase"])
+
+
+def _q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch cohort retention (operators/analytics
+    .retention_cohorts): day-0 cohorts x day offsets 0..7, distinct
+    active users per cell."""
+    from solr_ocr_processor_spark.operators.analytics import retention_cohorts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = retention_cohorts(events, max_offset_days=7)
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+    ).orderBy("cohort_day", "day_offset")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -3007,6 +3046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_plan": _q_token_budget_plan,
         "segments_merge_plan": _q_segments_merge_plan,
         "ann_hard_triplets": _q_ann_hard_triplets,
+        "geofilt_topk": _q_geofilt_topk,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
     }
 
 
@@ -8113,6 +8155,80 @@ FROM (SELECT * FROM r WHERE rn = 1 AND is_pos) pos
 JOIN (SELECT * FROM r WHERE rn = 1 AND NOT is_pos) neg
   ON pos.aid = neg.aid
 ORDER BY anchor
+""",
+        # geofilt + geodist: deterministic coordinate grid, haversine
+        # radius filter, nearest-first.
+        "geofilt_topk": """
+WITH c AS (
+  SELECT doc_id,
+         CAST(doc_id * 37 % 1800 AS DOUBLE) / 10.0 - 90.0 AS lat,
+         CAST(doc_id * 73 % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon
+  FROM documents
+),
+d AS (
+  SELECT doc_id, lat, lon,
+         2.0 * 6371.0088 * asin(sqrt(
+             sin(radians(lat - 12.5) / 2) * sin(radians(lat - 12.5) / 2)
+             + cos(radians(12.5)) * cos(radians(lat))
+             * sin(radians(lon - 45.0) / 2) * sin(radians(lon - 45.0) / 2)
+         )) AS dist
+  FROM c
+)
+SELECT doc_id, lat, lon, round(dist, 6) AS dist_km
+FROM d WHERE dist <= 3000.0
+ORDER BY dist ASC, doc_id ASC LIMIT 20
+""",
+        # first-occurrence funnel: conditional mins, sequential gate.
+        "events_funnel": """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id
+),
+m1 AS (SELECT *, CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN t1 END AS m1
+       FROM f),
+m2 AS (SELECT *, CASE WHEN m1 IS NOT NULL AND t2 > m1 THEN t2 END AS m2
+       FROM m1),
+c AS (SELECT CAST(count(t0) AS BIGINT) AS n0,
+             CAST(count(m1) AS BIGINT) AS n1,
+             CAST(count(m2) AS BIGINT) AS n2
+      FROM m2)
+SELECT * FROM (
+  SELECT 0 AS step_ord, 'view' AS step, n0 AS n_users,
+         round(CASE WHEN n0 > 0 THEN 1.0 ELSE 0.0 END, 6) AS conv_rate
+  FROM c
+  UNION ALL
+  SELECT 1, 'click', n1,
+         round(CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / n0
+               ELSE 0.0 END, 6)
+  FROM c
+  UNION ALL
+  SELECT 2, 'purchase', n2,
+         round(CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1
+               ELSE 0.0 END, 6)
+  FROM c
+) ORDER BY step_ord
+""",
+        # first-touch retention cohorts over distinct active days.
+        "events_retention": """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+              FROM events),
+first AS (SELECT user_id, min(day) AS cohort_day FROM days
+          GROUP BY user_id)
+SELECT strftime(g.cd, '%Y-%m-%d') AS cohort_day, g.day_offset,
+       g.n_users
+FROM (
+  SELECT first.cohort_day AS cd,
+         CAST(date_diff('day', first.cohort_day, days.day) AS INT)
+           AS day_offset,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM days JOIN first USING (user_id)
+  WHERE date_diff('day', first.cohort_day, days.day) <= 7
+  GROUP BY 1, 2
+) g ORDER BY cohort_day, day_offset
 """,
         # epoch replication plan: floor(e) copies + one fractional
         # copy under the md5 unit uniform (same 60-bit discipline as

@@ -1,0 +1,86 @@
+"""Solr spatial search analogs — ``{!geofilt}`` / ``geodist()``.
+
+Lucene-surface parity: the reference forwards query strings verbatim
+to its stored Solr core (app/process/solr.go:48-49), and the spatial
+query parsers (`{!geofilt pt=lat,lon sfield=loc d=km}`, `sort=geodist()
+asc`) are part of that core's registry — radius filtering plus
+distance ranking over a LatLonPointSpatialField.
+
+Spark-first shape: great-circle distance is a pure column expression
+(haversine over radians/sin/cos/asin — whole-stage codegen, no
+Python), so the radius filter PUSHES into the scan stage and the
+distance sort lowers to TakeOrderedAndProject. At 10^12-doc scale the
+real pruning win is a geohash / spatial-cell partition key (filter cells
+whose bounding box intersects the radius before computing exact
+distances) — the cell column composes with this kernel exactly like
+the ANN store's bucket pruning composes with the exact rerank; the
+haversine kernel below is the exactness spine either way.
+
+The sandbox tables carry no coordinates, so :func:`synth_coords`
+derives a deterministic lat/lon grid from doc ids (the synth_edges /
+synth_media discipline — integer arithmetic the relational oracle
+replays exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+
+
+def synth_coords(docs: DataFrame) -> DataFrame:
+    """Deterministic (doc_id, lat, lon) grid: lat sweeps [-90, 89.9]
+    in 0.1-degree steps keyed by doc_id*37, lon sweeps [-180, 179.9]
+    keyed by doc_id*73 — coprime strides so the points scatter rather
+    than line up. Pure integer arithmetic + one division; bit-equal
+    in SQL."""
+    return docs.select(
+        "doc_id",
+        (F.pmod(F.col("doc_id") * 37, F.lit(1800)) / 10.0 - 90.0).alias("lat"),
+        (F.pmod(F.col("doc_id") * 73, F.lit(3600)) / 10.0 - 180.0).alias("lon"),
+    )
+
+
+def _haversine_km(lat_col, lon_col, pt_lat: float, pt_lon: float):
+    """Great-circle distance (km) from (pt_lat, pt_lon) as a codegen
+    column expression: 2R·asin(√(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2)))."""
+    dlat = F.radians(lat_col - F.lit(float(pt_lat)))
+    dlon = F.radians(lon_col - F.lit(float(pt_lon)))
+    h = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(F.lit(float(pt_lat))))
+        * F.cos(F.radians(lat_col))
+        * F.sin(dlon / 2)
+        * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(h))
+
+
+def geofilt_topk(
+    coords: DataFrame,
+    pt_lat: float,
+    pt_lon: float,
+    d_km: float,
+    k: int = 20,
+) -> DataFrame:
+    """``fq={!geofilt pt=lat,lon d=km}&sort=geodist() asc`` — documents
+    within ``d_km`` of the point, nearest first. Returns (doc_id, lat,
+    lon, dist_km) with dist rounded 6dp, ordered (raw dist ASC, doc_id
+    ASC), top ``k``.
+
+    The filter and the sort share ONE distance expression (computed
+    once per row in codegen); the predicate sits in the scan stage, so
+    column pruning + the top-k TakeOrderedAndProject keep driver
+    traffic at k rows."""
+    dist = _haversine_km(F.col("lat"), F.col("lon"), pt_lat, pt_lon)
+    return (
+        coords.withColumn("d", dist)
+        .where(F.col("d") <= F.lit(float(d_km)))
+        .orderBy(F.asc("d"), F.asc("doc_id"))
+        .limit(int(k))
+        .select(
+            "doc_id", "lat", "lon", F.round("d", 6).alias("dist_km")
+        )
+    )
