@@ -8046,7 +8046,9 @@ WITH s AS (SELECT doc_id, lower(text) AS s FROM documents
 g0 AS (SELECT doc_id, s, length(s) - 7 AS n_pos,
               CAST(unnest(range(0, length(s) - 7)) AS INT) AS pos
        FROM s),
-g AS (SELECT doc_id, n_pos, pos, md5(substr(s, pos + 1, 8)) AS h
+g AS (SELECT doc_id, n_pos, pos,
+             ('0x' || substr(md5(substr(s, pos + 1, 8)), 1, 15))::BIGINT
+               AS h
       FROM g0),
 m AS (SELECT doc_id, pos, n_pos,
              min(h) OVER (PARTITION BY doc_id ORDER BY pos
@@ -8065,7 +8067,9 @@ WITH s AS (SELECT doc_id, lower(text) AS s FROM documents
 g0 AS (SELECT doc_id, s, length(s) - 7 AS n_pos,
               CAST(unnest(range(0, length(s) - 7)) AS INT) AS pos
        FROM s),
-g AS (SELECT doc_id, n_pos, pos, md5(substr(s, pos + 1, 8)) AS h
+g AS (SELECT doc_id, n_pos, pos,
+             ('0x' || substr(md5(substr(s, pos + 1, 8)), 1, 15))::BIGINT
+               AS h
       FROM g0),
 m AS (SELECT doc_id, pos, n_pos,
              min(h) OVER (PARTITION BY doc_id ORDER BY pos

@@ -1288,42 +1288,86 @@ def winnow_fingerprints(
 
     Returns (doc_id, fp) — the selected fingerprint set per doc.
 
-    Engine discipline: gram hashes are md5 (bit-equal in DuckDB, the
-    repo-wide oracle rule); the window minimum is a plain SQL window
-    frame (ROWS CURRENT..w-1 FOLLOWING), identical in both engines.
-    Plan shape: the gram array is built JVM-side (transform over
-    sequence — no Python), exploded once, then ONE doc-keyed window
-    pass + distinct. Rows scale with corpus characters; at 10^12-turn
-    scale a production pass swaps md5 for a rolling polynomial inside
-    the SAME plan (the hash is an implementation detail of the gram
-    column, nothing downstream changes) — md5 here is the exactness
-    spine the relational oracle can replay."""
-    from pyspark.sql.window import Window
+    Engine discipline: gram hashes are the 60-bit md5 prefix as BIGINT
+    (the repo-wide '0x'||substr(md5,1,15) rule — bit-equal in DuckDB
+    and 4x lighter to move than 32-char hex strings); the window
+    minimum is replayed in SQL as a plain ROWS CURRENT..w-1 FOLLOWING
+    frame.
 
+    Plan shape — ARRAY-NATIVE, no window exchange: the gram-hash array
+    and its per-window minima are both built inside one whole-stage-
+    codegen projection (transform over sequence, array_min over
+    slice), deduped per doc with array_distinct, and only the SELECTED
+    fingerprints explode. The naive formulation (explode every gram,
+    SQL window min, distinct) shuffles |corpus chars| rows through a
+    doc-keyed sort — measured 20+ s at sf0.1 vs ~4 s for this shape —
+    and at 10^12 turns that exchange is the difference between a
+    map-only fingerprint pass and re-sorting the corpus. A production
+    pass swaps md5 for a rolling polynomial inside the SAME gram
+    lambda; nothing downstream changes."""
     k, w = int(k), int(w)
     s = docs.select(
         "doc_id", F.lower(F.col(text_col)).alias("s")
     ).where(F.length("s") >= F.lit(k + w - 1))
-    g = s.select(
+    # materialize the gram-hash array as its OWN projection so the
+    # window lambda below references the attribute, not the
+    # expression — otherwise slice(<transform...>, i, w) re-derives
+    # every gram hash per window (an O(n²) codegen blowup).
+    # greatest(…, 0) guards: Catalyst may collapse these projections
+    # into the length filter's predicate (subexpression elimination),
+    # evaluating the arrays on rows the filter is about to drop — a
+    # descending sequence(0, -1) there feeds slice a 0 start and
+    # throws. Clamped bounds keep the (discarded) evaluation total.
+    hashed = s.select(
         "doc_id",
-        (F.length("s") - F.lit(k) + 1).alias("n_pos"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.length("s") - F.lit(k)),
-                lambda i: F.md5(
-                    F.col("s").substr(i + F.lit(1), F.lit(k)).cast("binary")
+        F.greatest(F.length("s") - F.lit(k) + 1, F.lit(1)).alias("sz"),
+        F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.length("s") - F.lit(k), F.lit(0))
+            ),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.col("s").substr(i + F.lit(1), F.lit(k)).cast("binary")
+                    ),
+                    1,
+                    15,
                 ),
-            )
-        ).alias("pos", "h"),
+                16,
+                10,
+            ).cast("long"),
+        ).alias("hs"),
     )
-    wv = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    sel = (
-        g.withColumn("mh", F.min("h").over(wv))
-        .where(F.col("pos") <= F.col("n_pos") - F.lit(w))
-        .select("doc_id", F.col("mh").alias("fp"))
-        .distinct()
+    # window minima as a SHIFTED-ARRAY zip chain, NOT a per-window
+    # lambda: transform(seq, i -> array_min(slice(hs, i+1, w))) lets
+    # CollapseProject substitute the hs expression inside the lambda,
+    # where it re-evaluates per WINDOW ELEMENT — an O(n²·k) codegen
+    # blowup (measured: minutes at sf0.1). The zip chain references
+    # hs only at top level, and the localCheckpoint FENCES the
+    # optimizer so the gram-hash array is materialized exactly once
+    # per row (CollapseProject otherwise still inlines hs into every
+    # slice — measured ~8x md5 recompute, 35 s vs 6.5 s at sf0.1).
+    # The fence is a local, partition-parallel materialization (no
+    # shuffle, no lineage beyond the scan); a production pass swaps
+    # md5 for a rolling polynomial cheap enough to drop the fence and
+    # recompute instead. zip_with pads the shorter side with nulls and
+    # least skips them, so the tail holds partial-window minima —
+    # dropped by the final full-window slice.
+    hashed = hashed.localCheckpoint(eager=False)
+    z = F.col("hs")
+    for j in range(1, w):
+        z = F.zip_with(
+            z,
+            F.slice(F.col("hs"), j + 1, F.col("sz")),
+            lambda x, y: F.least(x, y),
+        )
+    mins = hashed.select(
+        "doc_id",
+        F.array_distinct(
+            F.slice(z, 1, F.greatest(F.col("sz") - F.lit(w - 1), F.lit(1)))
+        ).alias("fps"),
     )
-    return sel
+    return mins.select("doc_id", F.explode("fps").alias("fp"))
 
 
 def winnow_common_spans(

@@ -31,7 +31,7 @@ def _ref_winnow(text, k=8, w=4):
     if len(s) < k + w - 1:
         return set()
     hashes = [
-        hashlib.md5(s[i : i + k].encode()).hexdigest()
+        int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:15], 16)
         for i in range(len(s) - k + 1)
     ]
     return {min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)}
