@@ -2835,6 +2835,51 @@ def _q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cohort_day", "day_offset")
 
 
+def _q_rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded nDCG@5 (operators/eval.ndcg_at_k) over the batched BM25
+    workload: grade = number of distinct query terms the doc contains,
+    gain 2^g−1, log2 discount, deterministic ideal page — the graded
+    companion to rank_eval's binary metrics."""
+    from solr_ocr_processor_spark.functions.tokenizer import query_terms
+    from solr_ocr_processor_spark.operators.eval import ndcg_at_k
+    from solr_ocr_processor_spark.operators.score import bm25_batch_topk
+
+    idx = _index(spark, sf_dir)
+    results = bm25_batch_topk(spark, idx, _BATCH_QUERIES, k=5).select(
+        "query_id", "rank", "doc_id"
+    )
+    qt = [
+        (qid, t) for qid, q in _BATCH_QUERIES.items() for t in set(query_terms(q))
+    ]
+    qt_df = spark.createDataFrame(qt, "query_id string, term string")
+    union_terms = sorted({t for _, t in qt})
+    qrels = (
+        idx.postings.where(F.col("term").isin(union_terms))
+        .select("term", "doc_id")
+        .join(F.broadcast(qt_df), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("grade"))
+    )
+    return ndcg_at_k(results, qrels, k=5)
+
+
+def _q_geofilt_cells_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-pruned geofilt (operators/spatial.cell_geofilt_topk): the
+    partition-pruning shape of the spatial query — coarse grid cells
+    culled against the circle's conservative bbox before exact
+    haversine. The ORACLE is the brute formulation, so the hash match
+    proves the pruning lossless."""
+    from solr_ocr_processor_spark.operators.spatial import (
+        cell_geofilt_topk,
+        synth_coords,
+    )
+
+    return cell_geofilt_topk(
+        synth_coords(_docs(spark, sf_dir)), 12.5, 45.0, 3000.0, k=20,
+        cell_deg=5.0,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -3049,6 +3094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofilt_topk": _q_geofilt_topk,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
+        "rank_ndcg": _q_rank_ndcg,
+        "geofilt_cells_topk": _q_geofilt_cells_topk,
     }
 
 
@@ -8182,6 +8229,29 @@ SELECT doc_id, lat, lon, round(dist, 6) AS dist_km
 FROM d WHERE dist <= 3000.0
 ORDER BY dist ASC, doc_id ASC LIMIT 20
 """,
+        # cell-pruned geofilt: the oracle is intentionally the SAME
+        # brute formulation — the hash match proves the Spark side's
+        # cell pruning is lossless.
+        "geofilt_cells_topk": """
+WITH c AS (
+  SELECT doc_id,
+         CAST(doc_id * 37 % 1800 AS DOUBLE) / 10.0 - 90.0 AS lat,
+         CAST(doc_id * 73 % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon
+  FROM documents
+),
+d AS (
+  SELECT doc_id, lat, lon,
+         2.0 * 6371.0088 * asin(sqrt(
+             sin(radians(lat - 12.5) / 2) * sin(radians(lat - 12.5) / 2)
+             + cos(radians(12.5)) * cos(radians(lat))
+             * sin(radians(lon - 45.0) / 2) * sin(radians(lon - 45.0) / 2)
+         )) AS dist
+  FROM c
+)
+SELECT doc_id, lat, lon, round(dist, 6) AS dist_km
+FROM d WHERE dist <= 3000.0
+ORDER BY dist ASC, doc_id ASC LIMIT 20
+""",
         # first-occurrence funnel: conditional mins, sequential gate.
         "events_funnel": """
 WITH f AS (
@@ -8233,6 +8303,63 @@ FROM (
   WHERE date_diff('day', first.cohort_day, days.day) <= 7
   GROUP BY 1, 2
 ) g ORDER BY cohort_day, day_offset
+""",
+        # graded nDCG@5: same scored/page CTEs as rank_eval, grade =
+        # matched-term count, gain 2^g-1, log2 discount.
+        "rank_ndcg": f"""
+WITH {_DOCS},
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ids),
+tok AS (SELECT doc_id, conv_id, dl, unnest(toks) AS term FROM ids),
+tf AS (
+  SELECT doc_id, conv_id, dl, term, CAST(count(*) AS INT) AS tf
+  FROM tok WHERE term IN {FLAGSHIP_TERMS!r}
+  GROUP BY doc_id, conv_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qs(query_id, term) AS (VALUES
+  ('q1', 'spark'), ('q1', 'window'), ('q1', 'merge'),
+  ('q2', 'spark'), ('q3', 'window'), ('q3', 'merge')),
+scored AS (
+  SELECT qs.query_id, tf.doc_id,
+         sum(
+           ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+         ) AS raw
+  FROM tf JOIN dfreq USING (term) JOIN qs USING (term) CROSS JOIN stats s
+  GROUP BY qs.query_id, tf.doc_id
+),
+page AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY raw DESC, doc_id ASC) AS INT)
+             AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+dt AS (SELECT DISTINCT doc_id, term FROM tok
+       WHERE term IN {FLAGSHIP_TERMS!r}),
+g AS (SELECT q.query_id, dt.doc_id, CAST(count(*) AS BIGINT) AS grade
+      FROM dt JOIN qs q USING (term) GROUP BY 1, 2),
+h AS (SELECT p.query_id, p.rank, coalesce(g.grade, 0) AS grade
+      FROM page p LEFT JOIN g
+        ON g.query_id = p.query_id AND g.doc_id = p.doc_id),
+d AS (SELECT query_id,
+             sum((power(2, grade) - 1) / log2(rank + 1.0)) AS dcg
+      FROM h GROUP BY 1),
+ir AS (SELECT query_id, grade,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY grade DESC, doc_id ASC) AS irank
+       FROM g),
+i AS (SELECT query_id,
+             sum((power(2, grade) - 1) / log2(irank + 1.0)) AS idcg
+      FROM ir WHERE irank <= 5 GROUP BY 1)
+SELECT d.query_id, round(d.dcg, 6) AS dcg,
+       round(coalesce(i.idcg, 0), 6) AS idcg,
+       round(CASE WHEN coalesce(i.idcg, 0) > 0 THEN d.dcg / i.idcg
+             ELSE 0 END, 6) AS ndcg
+FROM d LEFT JOIN i ON d.query_id = i.query_id
+ORDER BY d.query_id
 """,
         # epoch replication plan: floor(e) copies + one fractional
         # copy under the md5 unit uniform (same 60-bit discipline as

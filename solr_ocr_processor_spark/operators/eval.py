@@ -109,3 +109,58 @@ def rank_eval(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
         .alias("ap_scaled"),
     )
     return out.orderBy("query_id")
+
+
+def ndcg_at_k(results: DataFrame, qrels: DataFrame, k: int) -> DataFrame:
+    """Graded-relevance nDCG@k — the metric trec_eval adds beyond the
+    binary RR/P@k/AP family of :func:`rank_eval` when judgments carry
+    GRADES (here: how many of the query's terms the doc matches).
+
+    ``results``: (query_id, rank starting at 1, doc_id);
+    ``qrels``: (query_id, doc_id, grade int >= 1) — unjudged docs
+    grade 0. Gain is the standard exponential ``2^grade − 1`` with a
+    ``log2(rank+1)`` discount; IDCG re-ranks the judged set by
+    (grade DESC, doc_id ASC) — the deterministic ideal page — cut at
+    k. Returns (query_id, dcg, idcg, ndcg) rounded 6dp, ordered by
+    query_id; ndcg = 0 when a query has no judged docs.
+
+    Plan shape: one |Q·k|-row left join + aggregate for DCG, one
+    qrels-keyed window for the ideal ranking — nothing scales with
+    the corpus."""
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    rel = qrels.select("query_id", "doc_id", F.col("grade").cast("long").alias("grade"))
+    j = (
+        results.where(F.col("rank") <= F.lit(int(k)))
+        .join(rel, ["query_id", "doc_id"], "left")
+        .withColumn("grade", F.coalesce(F.col("grade"), F.lit(0)))
+    )
+    gain = F.pow(F.lit(2.0), F.col("grade")) - F.lit(1.0)
+    dcg = j.groupBy("query_id").agg(
+        F.sum(gain / F.log2(F.col("rank") + F.lit(1.0))).alias("_dcg")
+    )
+    wi = Window.partitionBy("query_id").orderBy(
+        F.desc("grade"), F.asc("doc_id")
+    )
+    ideal = rel.withColumn("irank", F.row_number().over(wi)).where(
+        F.col("irank") <= F.lit(int(k))
+    )
+    idcg = ideal.groupBy("query_id").agg(
+        F.sum(gain / F.log2(F.col("irank") + F.lit(1.0))).alias("_idcg")
+    )
+    return (
+        dcg.join(idcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.round("_dcg", 6).alias("dcg"),
+            F.round(F.coalesce(F.col("_idcg"), F.lit(0.0)), 6).alias("idcg"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("_idcg"), F.lit(0.0)) > 0,
+                    F.col("_dcg") / F.col("_idcg"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

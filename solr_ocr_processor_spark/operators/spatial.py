@@ -84,3 +84,53 @@ def geofilt_topk(
             "doc_id", "lat", "lon", F.round("d", 6).alias("dist_km")
         )
     )
+
+
+def cell_geofilt_topk(
+    coords: DataFrame,
+    pt_lat: float,
+    pt_lon: float,
+    d_km: float,
+    k: int = 20,
+    cell_deg: float = 5.0,
+) -> DataFrame:
+    """Cell-pruned ``{!geofilt}`` — the 10^12-doc shape of
+    :func:`geofilt_topk`: points carry a coarse (lat, lon) grid-cell
+    id (``floor(deg / cell_deg)`` — the geohash-lite partition key a
+    stored table would be partitioned by), the radius query first
+    prunes WHOLE CELLS against the conservative bounding box of the
+    circle, and only survivors pay the exact haversine. On a
+    partitioned store the cell predicate is partition pruning — the
+    scan never opens out-of-box files; here it demonstrates the same
+    plan shape with the cell filter ahead of the distance math.
+
+    Soundness (so pruning can NEVER change the answer): on the
+    R=6371.0088 sphere one degree of latitude is 111.195 km; the
+    latitude margin uses 111.0 (smaller divisor -> wider box) and the
+    longitude margin divides by cos at the band's extreme latitude,
+    both padded 2%. If the box crosses the antimeridian or a pole the
+    corresponding axis simply stops pruning. The driver twin checks
+    this structurally: the ORACLE is the brute-force formulation, so
+    the hash match proves the pruned plan lossless.
+
+    Returns exactly :func:`geofilt_topk`'s output."""
+    import math
+
+    dlat = d_km / 111.0 * 1.02
+    lat_edge = min(abs(float(pt_lat)) + dlat, 89.0)
+    dlon = d_km / (111.0 * math.cos(math.radians(lat_edge))) * 1.02
+    c = float(cell_deg)
+    cells = coords.withColumn(
+        "cell_lat", F.floor(F.col("lat") / F.lit(c)).cast("int")
+    ).withColumn("cell_lon", F.floor(F.col("lon") / F.lit(c)).cast("int"))
+    pred = (F.col("cell_lat") >= math.floor((pt_lat - dlat) / c)) & (
+        F.col("cell_lat") <= math.floor((pt_lat + dlat) / c)
+    )
+    if dlon < 180.0 and pt_lon - dlon >= -180.0 and pt_lon + dlon <= 180.0:
+        pred = (
+            pred
+            & (F.col("cell_lon") >= math.floor((pt_lon - dlon) / c))
+            & (F.col("cell_lon") <= math.floor((pt_lon + dlon) / c))
+        )
+    pruned = cells.where(pred).select("doc_id", "lat", "lon")
+    return geofilt_topk(pruned, pt_lat, pt_lon, d_km, k=k)
