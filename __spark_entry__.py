@@ -2880,6 +2880,30 @@ def _q_geofilt_cells_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction MaxSim (operators/ann
+    .maxsim_topk): multi-vector doc bags (pmod groups), score =
+    Σ_q max_d cos — the retrieval model single-vector ANN can't
+    express."""
+    from solr_ocr_processor_spark.operators.ann import maxsim_topk
+
+    return maxsim_topk(_embs(spark, sf_dir), query_group=0, n_groups=50, k=10)
+
+
+def _q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption budget plan (operators/pipeline
+    .span_corruption_plan): per-doc corrupt/span counts and
+    encoder/decoder lengths at density 0.15, mean span 3 — the table
+    pack_sequences sizes its bins from. First 200 docs."""
+    from solr_ocr_processor_spark.operators.pipeline import (
+        span_corruption_plan,
+    )
+
+    return span_corruption_plan(
+        _docs(spark, sf_dir), noise_density=0.15, mean_span_len=3.0
+    ).where(F.col("doc_id") < 200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -3096,6 +3120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _q_events_retention,
         "rank_ndcg": _q_rank_ndcg,
         "geofilt_cells_topk": _q_geofilt_cells_topk,
+        "ann_maxsim_topk": _q_ann_maxsim_topk,
+        "span_corruption_plan": _q_span_corruption_plan,
     }
 
 
@@ -8360,6 +8386,53 @@ SELECT d.query_id, round(d.dcg, 6) AS dcg,
              ELSE 0 END, 6) AS ndcg
 FROM d LEFT JOIN i ON d.query_id = i.query_id
 ORDER BY d.query_id
+""",
+        # MaxSim late interaction: per (group, query-vec) max cosine,
+        # summed per group.
+        "ann_maxsim_topk": """
+WITH b AS (SELECT vec_id, CAST(vec_id % 50 AS BIGINT) AS gid,
+                  list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM b WHERE gid = 0),
+p AS (SELECT b.gid, q.qid,
+             list_cosine_similarity(b.v, q.qv) AS c
+      FROM b CROSS JOIN q),
+mx AS (SELECT gid, qid, max(c) AS mx FROM p GROUP BY gid, qid)
+SELECT gid AS group_id, CAST(count(*) AS BIGINT) AS n_query_vecs,
+       round(sum(mx), 6) AS score
+FROM mx GROUP BY gid
+ORDER BY score DESC, group_id ASC LIMIT 10
+""",
+        # T5 span-corruption budget: all-DOUBLE casts so DuckDB's
+        # decimal literals don't round differently from Spark doubles.
+        "span_corruption_plan": """
+WITH n AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS BIGINT) AS n_tok
+  FROM documents WHERE doc_id < 200
+),
+c AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_tok >= 2 THEN
+           least(greatest(CAST(round(n_tok * CAST(0.15 AS DOUBLE))
+                               AS BIGINT), 1), n_tok - 1)
+         ELSE 0 END AS n_corrupt
+  FROM n
+),
+s AS (
+  SELECT doc_id, n_tok, n_corrupt,
+         CASE WHEN n_corrupt > 0 THEN
+           greatest(CAST(round(CAST(n_corrupt AS DOUBLE)
+                               / CAST(3.0 AS DOUBLE)) AS BIGINT), 1)
+         ELSE 0 END AS n_spans
+  FROM c
+)
+SELECT doc_id, n_tok, n_corrupt, n_spans,
+       CAST(n_tok - n_corrupt + n_spans + 1 AS BIGINT) AS inputs_len,
+       CAST(CASE WHEN n_spans > 0 THEN n_corrupt + n_spans + 1
+            ELSE 0 END AS BIGINT) AS targets_len
+FROM s ORDER BY doc_id
 """,
         # epoch replication plan: floor(e) copies + one fractional
         # copy under the md5 unit uniform (same 60-bit discipline as

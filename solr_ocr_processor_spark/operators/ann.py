@@ -1204,3 +1204,78 @@ def hard_triplets(
         )
         .orderBy("anchor")
     )
+
+
+def maxsim_topk(
+    vecs: DataFrame,
+    query_group: int = 0,
+    n_groups: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim): documents
+    are BAGS of vectors (multi-vector representation — one embedding
+    per token/passage), the query is likewise a bag, and relevance is
+    ``score(d) = Σ_{q∈Q} max_{v∈d} cos(q, v)`` — each query vector
+    finds its best match in the document independently, then the
+    per-query maxima sum. This is the retrieval model single-vector
+    ANN cannot express (a doc matching ALL query aspects beats one
+    matching a single aspect strongly).
+
+    The sandbox embeddings table carries no doc grouping, so the bag
+    structure is derived deterministically: ``group = pmod(vec_id,
+    n_groups)`` (the synth_edges discipline), and the query bag is
+    group ``query_group``.
+
+    Returns (group_id, n_query_vecs, score) rounded 6dp, ordered
+    score DESC, group_id ASC, top ``k``.
+
+    Plan: the query bag broadcasts (|Q| × dim floats); the corpus
+    streams past it once — cosine per (corpus vec, query vec) pair in
+    whole-stage codegen, then a two-level aggregate: max per
+    (group, query vec) and sum per group, both map-side combinable on
+    the SAME group key (one shuffle). At 10^12 vectors the corpus leg
+    narrows to per-query-vector ANN candidates (the PLAID pattern)
+    with this exact kernel as the scoring tail."""
+    base = vecs.select(
+        F.col(id_col).alias("vid"),
+        F.pmod(F.col(id_col), F.lit(int(n_groups))).cast("long").alias("gid"),
+        F.col(vec_col).alias("v"),
+        _norm_expr(vec_col).alias("nrm"),
+    )
+    q = base.where(F.col("gid") == F.lit(int(query_group))).select(
+        F.col("vid").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("qv"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = base.crossJoin(F.broadcast(q)).select(
+        "gid",
+        "qid",
+        F.when(
+            F.col("nrm") * F.col("qnrm") > 0,
+            dot / (F.col("nrm") * F.col("qnrm")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("c"),
+    )
+    per_q = pairs.groupBy("gid", "qid").agg(F.max("c").alias("mx"))
+    return (
+        per_q.groupBy("gid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_query_vecs"),
+            F.round(F.sum("mx"), 6).alias("score"),
+        )
+        .select(F.col("gid").alias("group_id"), "n_query_vecs", "score")
+        .orderBy(F.desc("score"), F.asc("group_id"))
+        .limit(int(k))
+    )

@@ -1053,3 +1053,83 @@ def token_budget_plan(
         )
         .orderBy("source")
     )
+
+
+def span_corruption_plan(
+    docs: DataFrame,
+    noise_density: float = 0.15,
+    mean_span_len: float = 3.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """T5-style span-corruption BUDGET plan: for each document, the
+    sequence-length accounting the denoising data loader needs BEFORE
+    it materializes masked examples — how many tokens will be
+    corrupted, how many noise spans (and thus sentinel tokens) that
+    makes at ``mean_span_len``, and the resulting encoder/decoder
+    sequence lengths. These are T5's own formulas
+    (t5.data.preprocessors.random_spans_helper): with n tokens,
+    ``n_corrupt = clamp(round(n * density), 1, n - 1)`` and
+    ``n_spans = max(1, round(n_corrupt / mean_span))``;
+    inputs_len = n − n_corrupt + n_spans (+1 EOS),
+    targets_len = n_corrupt + n_spans + 1. Batch packers
+    (:func:`pack_sequences` upstream) size their bins from exactly
+    this table; at 100 TB it is materialized once per (density, span)
+    config.
+
+    Documents shorter than 2 tokens cannot be corrupted (T5's helper
+    skips them) — emitted with n_spans = 0 and untouched lengths.
+
+    Pure integer/double column arithmetic over ONE token-count
+    aggregate per row; round() is half-away-from-zero on both engines
+    for positives, so the plan replays bit-identically in SQL.
+
+    Returns (doc_id, n_tok, n_corrupt, n_spans, inputs_len,
+    targets_len) ordered doc_id."""
+    d, m = float(noise_density), float(mean_span_len)
+    n = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+        )
+    ).cast("long")
+    base = docs.select("doc_id", n.alias("n_tok"))
+    nc = F.least(
+        F.greatest(F.round(F.col("n_tok") * F.lit(d)).cast("long"), F.lit(1)),
+        F.col("n_tok") - F.lit(1),
+    )
+    corruptible = F.col("n_tok") >= 2
+    plan = base.select(
+        "doc_id",
+        "n_tok",
+        F.when(corruptible, nc).otherwise(F.lit(0)).cast("long").alias(
+            "n_corrupt"
+        ),
+    ).select(
+        "doc_id",
+        "n_tok",
+        "n_corrupt",
+        F.when(
+            F.col("n_corrupt") > 0,
+            F.greatest(
+                F.round(F.col("n_corrupt") / F.lit(m)).cast("long"), F.lit(1)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_spans"),
+    )
+    return plan.select(
+        "doc_id",
+        "n_tok",
+        "n_corrupt",
+        "n_spans",
+        (F.col("n_tok") - F.col("n_corrupt") + F.col("n_spans") + F.lit(1))
+        .cast("long")
+        .alias("inputs_len"),
+        F.when(
+            F.col("n_spans") > 0,
+            F.col("n_corrupt") + F.col("n_spans") + F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("targets_len"),
+    ).orderBy("doc_id")
