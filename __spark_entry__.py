@@ -2904,6 +2904,28 @@ def _q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("doc_id") < 200)
 
 
+def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.pagerank): 10 power
+    rounds over the deterministic edge relation, lineage truncated per
+    round — the centrality companion to the BFS graph verbs. Ordered
+    by ROUNDED rank so float noise cannot reorder ties across
+    engines."""
+    from solr_ocr_processor_spark.operators.graph import pagerank, synth_edges
+
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    return pagerank(synth_edges(docs), nodes, iters=10, damping=0.85, k=20)
+
+
+def _q_conv_topic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical topic segmentation (operators/conversation
+    .topic_segments): TextTiling's adjacent-similarity rule at turn
+    granularity — boundaries where distinct-token Jaccard < 0.2."""
+    from solr_ocr_processor_spark.operators.conversation import topic_segments
+
+    return topic_segments(derive_transcripts(spark, sf_dir, TW), tau=0.2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -3122,6 +3144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofilt_cells_topk": _q_geofilt_cells_topk,
         "ann_maxsim_topk": _q_ann_maxsim_topk,
         "span_corruption_plan": _q_span_corruption_plan,
+        "graph_pagerank": _q_graph_pagerank,
+        "conv_topic_segments": _q_conv_topic_segments,
     }
 
 
@@ -6113,6 +6137,47 @@ FROM flags GROUP BY source ORDER BY source
 """
 
 
+def _pagerank_sql(iters: int = 10, k: int = 20) -> str:
+    """Unrolled power-iteration PageRank twin: DuckDB's recursive CTEs
+    reject aggregation in the recursive term, so the fixed iteration
+    count unrolls into chained CTEs (pr0..prN) — each the exact
+    relational transcription of one Spark round. All float literals
+    CAST to DOUBLE (DuckDB parses 0.85 as DECIMAL; decimal arithmetic
+    diverges from Spark's doubles)."""
+    head = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+edges AS (
+  SELECT src,
+         CAST((src * 31 + j * 7 + 1) % (SELECT n FROM nn) AS BIGINT) AS dst
+  FROM (SELECT node AS src FROM nodes)
+  CROSS JOIN (SELECT unnest([0, 1]) AS j)
+  WHERE (src * 31 + j * 7 + 1) % (SELECT n FROM nn) <> src
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r
+        FROM nodes)"""
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+pr{i} AS (
+  SELECT nd.node,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE) * coalesce(c.c, 0) AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(p.r / d.outdeg) AS c
+    FROM edges e JOIN deg d USING (src) JOIN pr{i - 1} p ON p.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = nd.node
+)"""
+    tail = f"""
+SELECT node, round(r, 6) AS rank FROM pr{iters}
+ORDER BY rank DESC, node ASC LIMIT {k}
+"""
+    return head + body + tail
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_materialize": f"""
@@ -8434,6 +8499,35 @@ SELECT doc_id, n_tok, n_corrupt, n_spans,
             ELSE 0 END AS BIGINT) AS targets_len
 FROM s ORDER BY doc_id
 """,
+        # unrolled 10-round PageRank (see _pagerank_sql).
+        "graph_pagerank": _pagerank_sql(iters=10, k=20),
+        # TextTiling-style adjacent-turn Jaccard segmentation.
+        "conv_topic_segments": """
+WITH {_CTE},
+t AS (SELECT conv_id, turn_idx,
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS toks
+      FROM transcripts WHERE length(trim(text)) > 0),
+p AS (SELECT conv_id, toks,
+             lag(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS prev
+      FROM t),
+i AS (SELECT conv_id, toks, prev,
+             len(list_filter(toks, x -> list_contains(prev, x))) AS inter
+      FROM p),
+j AS (SELECT conv_id,
+             CASE WHEN prev IS NULL THEN NULL
+                  WHEN (len(toks) + len(prev) - inter) > 0
+                    THEN CAST(inter AS DOUBLE)
+                         / (len(toks) + len(prev) - inter)
+                  ELSE 0.0 END AS jacc
+      FROM i)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(1 + sum(CASE WHEN jacc < 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_segments,
+       round(avg(jacc), 6) AS mean_jacc
+FROM j GROUP BY conv_id ORDER BY conv_id
+""".replace("{_CTE}", _CTE),
         # epoch replication plan: floor(e) copies + one fractional
         # copy under the md5 unit uniform (same 60-bit discipline as
         # doc_split); lateral generate_series replays the explode.

@@ -404,3 +404,59 @@ def preference_pairs(transcripts: DataFrame, min_replies: int = 2) -> DataFrame:
         )
         .orderBy(F.desc("margin"), F.asc("prompt_hash"))
     )
+
+
+def topic_segments(transcripts: DataFrame, tau: float = 0.2) -> DataFrame:
+    """Lexical topic segmentation of conversations (TextTiling's
+    adjacent-similarity rule at turn granularity): a segment boundary
+    falls between consecutive turns whose DISTINCT-token Jaccard
+    similarity drops below ``tau`` — the preprocessing step that
+    splits long multi-topic agent traces into coherent training
+    chunks before packing, and the lexical stand-in for
+    embedding-based segmentation (same plan, swap the similarity
+    column).
+
+    Returns one row per conversation: (conv_id, n_turns, n_segments,
+    mean_jacc) with mean_jacc the average adjacent-pair similarity
+    (rounded 6dp; single-turn convs have n_segments = 1 and NULL
+    mean_jacc), ordered conv_id.
+
+    Plan: ONE conv-keyed window (lag — the materialize partitioning)
+    computing intersection size against the previous turn's distinct
+    tokens, then one conv-keyed aggregate. The token arrays live only
+    inside the window stage; the aggregate moves three numbers per
+    turn."""
+    from pyspark.sql.window import Window
+
+    toks = F.array_distinct(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+        )
+    )
+    t = transcripts.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "conv_id", "turn_idx", toks.alias("toks")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    p = t.withColumn("prev", F.lag("toks").over(w))
+    inter = F.size(F.array_intersect(F.col("toks"), F.col("prev")))
+    union = F.size("toks") + F.size("prev") - inter
+    jacc = F.when(
+        F.col("prev").isNotNull(),
+        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
+    )
+    scored = p.select(
+        "conv_id",
+        jacc.alias("jacc"),
+        F.when(jacc < F.lit(float(tau)), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("boundary"),
+    )
+    return (
+        scored.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            (F.lit(1) + F.sum("boundary")).cast("long").alias("n_segments"),
+            F.round(F.avg("jacc"), 6).alias("mean_jacc"),
+        )
+        .orderBy("conv_id")
+    )
