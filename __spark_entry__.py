@@ -2926,6 +2926,25 @@ def _q_conv_topic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topic_segments(derive_transcripts(spark, sf_dir, TW), tau=0.2)
 
 
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth (functions/textstats.vocab_growth):
+    distinct-term and token counts at 10% corpus prefixes via the
+    first-occurrence histogram — one aggregate, not ten scans."""
+    from solr_ocr_processor_spark.functions.textstats import vocab_growth
+
+    return vocab_growth(_docs(spark, sf_dir), n_steps=10)
+
+
+def _q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume anomalies per event type (operators/analytics
+    .daily_anomalies): z-scores against each type's own daily
+    distribution, top-20 by |z|."""
+    from solr_ocr_processor_spark.operators.analytics import daily_anomalies
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return daily_anomalies(events, z_thresh=2.0, k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -3146,6 +3165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption_plan": _q_span_corruption_plan,
         "graph_pagerank": _q_graph_pagerank,
         "conv_topic_segments": _q_conv_topic_segments,
+        "vocab_growth": _q_vocab_growth,
+        "events_anomaly": _q_events_anomaly,
     }
 
 
@@ -8528,6 +8549,51 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        round(avg(jacc), 6) AS mean_jacc
 FROM j GROUP BY conv_id ORDER BY conv_id
 """.replace("{_CTE}", _CTE),
+        # Heaps'-law growth: first-occurrence histogram, same integer
+        # ceil cuts as the Spark side.
+        "vocab_growth": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+tok AS (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+first AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY term),
+nt AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS BIGINT) AS ntok
+       FROM documents),
+cuts AS (SELECT CAST(step AS INT) AS step,
+                CAST(step * 100 // 10 AS INT) AS pct,
+                CAST(((SELECT n FROM nn) * step + 9) // 10 AS BIGINT)
+                  AS cut_docs
+         FROM (SELECT unnest(range(1, 11)) AS step)),
+tk AS (SELECT c.step, CAST(sum(nt.ntok) AS BIGINT) AS s
+       FROM cuts c JOIN nt ON nt.doc_id < c.cut_docs GROUP BY c.step),
+vb AS (SELECT c.step, CAST(count(*) AS BIGINT) AS s
+       FROM cuts c JOIN first f ON f.fd < c.cut_docs GROUP BY c.step)
+SELECT c.step, c.pct, c.cut_docs AS n_docs_prefix,
+       CAST(coalesce(tk.s, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(vb.s, 0) AS BIGINT) AS vocab_size
+FROM cuts c
+LEFT JOIN tk ON tk.step = c.step
+LEFT JOIN vb ON vb.step = c.step
+ORDER BY c.step
+""",
+        # daily volume z-scores per event type, top-20 by |z|.
+        "events_anomaly": """
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+sc AS (SELECT event_type, day, n,
+              avg(n) OVER (PARTITION BY event_type) AS mu,
+              stddev_samp(n) OVER (PARTITION BY event_type) AS sd
+       FROM daily)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+       round((n - mu) / sd, 6) AS z,
+       CAST(abs((n - mu) / sd) > 2.0 AS INT) AS is_anomaly
+FROM sc WHERE sd > 0
+ORDER BY abs(round((n - mu) / sd, 6)) DESC, event_type, day
+LIMIT 20
+""",
         # epoch replication plan: floor(e) copies + one fractional
         # copy under the md5 unit uniform (same 60-bit discipline as
         # doc_split); lateral generate_series replays the explode.

@@ -642,3 +642,62 @@ def term_drift(
         .orderBy(F.desc("drift_scaled"), F.asc("term"))
         .limit(k)
     )
+
+
+def vocab_growth(docs: DataFrame, n_steps: int = 10) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-term count and
+    token count after each 1/``n_steps`` prefix of the corpus in
+    doc_id order — the table that calibrates V ≈ K·Nᵝ and tells a
+    tokenizer-training pipeline how much corpus buys how much
+    vocabulary.
+
+    The cumulative-distinct trick keeps this ONE aggregate instead of
+    ``n_steps`` corpus scans: a term's contribution to every prefix is
+    fully determined by its FIRST occurrence doc (min doc_id per
+    term), so vocab@c = |{terms: first_doc < c}| — a histogram over
+    first-occurrence docs — and tokens@c is the same conditional sum
+    over per-doc token counts. Both sides of the oracle compute the
+    checkpoint cuts with the same integer ceil ((n·j + s−1) div s).
+
+    Returns (step, pct, n_docs_prefix, n_tokens, vocab_size) ordered
+    step. Plan: one term aggregate (min first doc) + one doc
+    aggregate, folded into a single spine of n_steps conditional
+    sums — request-scale after the two aggregates."""
+    n = docs.count()
+    s = int(n_steps)
+    cuts = [(j, (n * j + s - 1) // s) for j in range(1, s + 1)]
+    toks = _toks("text")
+    tok = docs.select("doc_id", F.explode(toks).alias("term"))
+    first = tok.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    vocab = first.agg(
+        *[
+            F.sum((F.col("fd") < F.lit(c)).cast("long")).alias(f"v{j}")
+            for j, c in cuts
+        ]
+    )
+    ntok = docs.select("doc_id", F.size(toks).cast("long").alias("nt")).agg(
+        *[
+            F.sum(F.when(F.col("doc_id") < F.lit(c), F.col("nt"))).alias(
+                f"t{j}"
+            )
+            for j, c in cuts
+        ]
+    )
+    spark = docs.sparkSession
+    spine = spark.createDataFrame(
+        [(j, j * 100 // s, c) for j, c in cuts],
+        "step int, pct int, n_docs_prefix long",
+    )
+    wide = spine.crossJoin(F.broadcast(vocab)).crossJoin(F.broadcast(ntok))
+    tcol = F.when(F.col("step") == 1, F.col("t1"))
+    vcol = F.when(F.col("step") == 1, F.col("v1"))
+    for j, _ in cuts[1:]:
+        tcol = tcol.when(F.col("step") == j, F.col(f"t{j}"))
+        vcol = vcol.when(F.col("step") == j, F.col(f"v{j}"))
+    return wide.select(
+        "step",
+        "pct",
+        "n_docs_prefix",
+        F.coalesce(tcol, F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(vcol, F.lit(0)).cast("long").alias("vocab_size"),
+    ).orderBy("step")

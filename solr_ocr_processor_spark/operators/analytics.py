@@ -126,3 +126,52 @@ def retention_cohorts(events: DataFrame, max_offset_days: int = 7) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def daily_anomalies(
+    events: DataFrame, z_thresh: float = 2.0, k: int = 20
+) -> DataFrame:
+    """Per-event-type daily volume anomalies — the ops-dashboard query
+    over the reference deployment's request log (the S11 metrics-table
+    mapping): day counts per event_type scored by z-score against that
+    type's own daily distribution; |z| beyond ``z_thresh`` is an
+    anomaly (traffic spike, collapse, stuck producer).
+
+    Returns the top ``k`` days by |z|: (event_type, day, n, z,
+    is_anomaly) with day formatted yyyy-MM-dd, z rounded 6dp, ordered
+    |z| DESC then (event_type, day); types whose volume never varies
+    (stddev 0) are excluded — z is undefined there.
+
+    Plan: one (type, day) aggregate over the event stream (the only
+    data-scale exchange), then a type-keyed window for mean/stddev
+    over |types × days| rows — request-scale."""
+    from pyspark.sql.window import Window
+
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type")
+    scored = (
+        daily.withColumn("mu", F.avg("n").over(w))
+        .withColumn("sd", F.stddev_samp(F.col("n").cast("double")).over(w))
+        .where(F.col("sd") > 0)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            ((F.col("n") - F.col("mu")) / F.col("sd")).alias("_z"),
+        )
+    )
+    return (
+        scored.select(
+            "event_type",
+            "day",
+            "n",
+            F.round("_z", 6).alias("z"),
+            (F.abs(F.col("_z")) > F.lit(float(z_thresh))).cast("int").alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy(F.desc(F.abs(F.col("z"))), F.asc("event_type"), F.asc("day"))
+        .limit(int(k))
+    )

@@ -1,0 +1,82 @@
+"""Round-3 continuation surfaces (batch ll): Heaps'-law vocabulary
+growth, daily volume anomalies."""
+
+from __future__ import annotations
+
+import datetime
+import statistics
+
+from solr_ocr_processor_spark.functions.textstats import vocab_growth
+from solr_ocr_processor_spark.operators.analytics import daily_anomalies
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_vocab_growth_monotone_and_exact_tail(spark):
+    texts = ["a b c", "a b d", "a e", "f g h i", "a b"]
+    out = vocab_growth(_docs(spark, texts), n_steps=5).collect()
+    assert [r["step"] for r in out] == [1, 2, 3, 4, 5]
+    assert [r["n_docs_prefix"] for r in out] == [1, 2, 3, 4, 5]
+    vs = [r["vocab_size"] for r in out]
+    ts = [r["n_tokens"] for r in out]
+    assert vs == sorted(vs) and ts == sorted(ts)
+    # exact hand counts: prefixes of the doc list
+    assert vs == [3, 4, 5, 9, 9]
+    assert ts == [3, 6, 8, 12, 14]
+    assert out[-1]["pct"] == 100
+
+
+def test_vocab_growth_sublinear(spark):
+    # heavy term reuse: vocabulary grows sublinearly vs tokens
+    texts = ["common words repeat here"] * 9 + ["novel unique terms appear"]
+    out = vocab_growth(_docs(spark, texts), n_steps=10).collect()
+    assert out[0]["vocab_size"] == 4
+    assert out[-2]["vocab_size"] == 4  # steps 1..9 identical docs
+    assert out[-1]["vocab_size"] == 8
+
+
+def _events(spark, rows):
+    base = datetime.datetime(2026, 1, 1)
+    data = [
+        (i, base + datetime.timedelta(days=d, hours=h % 24), 1, t, 1.0, "{}")
+        for i, (t, d, h) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_daily_anomalies_flags_spike(spark):
+    rows = []
+    for d in range(10):
+        n = 24 if d == 5 else 2  # spike day
+        rows += [("click", d, h) for h in range(n)]
+    out = daily_anomalies(_events(spark, rows), z_thresh=2.0, k=20).collect()
+    top = out[0]
+    assert top["day"] == "2026-01-06" and top["is_anomaly"] == 1
+    counts = [24 if d == 5 else 2 for d in range(10)]
+    mu = statistics.mean(counts)
+    sd = statistics.stdev(counts)
+    assert top["z"] == round((24 - mu) / sd, 6)
+
+
+def test_daily_anomalies_constant_type_excluded(spark):
+    rows = [("view", d, 0) for d in range(5)]  # identical every day
+    assert daily_anomalies(_events(spark, rows)).count() == 0
+
+
+def test_daily_anomalies_orders_by_abs_z(spark):
+    rows = []
+    for d in range(8):
+        n = {0: 20, 7: 1}.get(d, 5)
+        rows += [("x", d, h) for h in range(n)]
+    out = daily_anomalies(_events(spark, rows), k=3).collect()
+    zs = [abs(r["z"]) for r in out]
+    assert zs == sorted(zs, reverse=True)
