@@ -2945,6 +2945,16 @@ def _q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_anomalies(events, z_thresh=2.0, k=20)
 
 
+def _q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup accounting (operators/dedup
+    .cdc_chunk_stats): rolling-hash boundaries (h % 64 == 0), per-
+    source chunk counts / uniqueness / reclaimable ratio — the
+    blob-store dedup view."""
+    from solr_ocr_processor_spark.operators.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(_docs(spark, sf_dir), k=8, modulus=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -3167,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_topic_segments": _q_conv_topic_segments,
         "vocab_growth": _q_vocab_growth,
         "events_anomaly": _q_events_anomaly,
+        "cdc_chunk_stats": _q_cdc_chunk_stats,
     }
 
 
@@ -8593,6 +8604,41 @@ SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
 FROM sc WHERE sd > 0
 ORDER BY abs(round((n - mu) / sd, 6)) DESC, event_type, day
 LIMIT 20
+""",
+        # CDC chunk accounting: cut where the 60-bit gram hash % 64
+        # == 0 at the gram's END char; lag() rebuilds spans; tail span
+        # closes each doc.
+        "cdc_chunk_stats": """
+WITH s AS (SELECT doc_id, source, lower(text) AS s FROM documents
+           WHERE length(lower(text)) >= 8),
+g0 AS (SELECT doc_id, source, s,
+              CAST(unnest(range(1, length(s) - 8 + 2)) AS INT) AS p
+       FROM s),
+cut AS (SELECT doc_id, source, s, p + 7 AS cut
+        FROM g0
+        WHERE ('0x' || substr(md5(substr(s, p, 8)), 1, 15))::BIGINT
+              % 64 = 0),
+spans AS (
+  SELECT doc_id, source, s,
+         coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0)
+           AS a,
+         cut AS b
+  FROM cut
+),
+mx AS (SELECT doc_id, max(cut) AS mc FROM cut GROUP BY doc_id),
+tail AS (SELECT s.doc_id, s.source, s.s, coalesce(mx.mc, 0) AS a,
+                length(s.s) AS b
+         FROM s LEFT JOIN mx USING (doc_id)),
+ch AS (SELECT source, md5(substr(s, a + 1, b - a)) AS h,
+              CAST(b - a AS BIGINT) AS chunk_len
+       FROM (SELECT * FROM spans UNION ALL SELECT * FROM tail)
+       WHERE b > a)
+SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+       round(avg(chunk_len), 6) AS avg_len,
+       round(1.0 - count(DISTINCT h) / CAST(count(*) AS DOUBLE), 6)
+         AS dedup_ratio
+FROM ch GROUP BY source ORDER BY source
 """,
         # epoch replication plan: floor(e) copies + one fractional
         # copy under the md5 unit uniform (same 60-bit discipline as

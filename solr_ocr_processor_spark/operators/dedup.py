@@ -1451,3 +1451,102 @@ def winnow_pairs(
         .limit(int(limit))
     )
     return out
+
+
+def cdc_chunk_stats(
+    docs: DataFrame, k: int = 8, modulus: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup accounting — the
+    storage-layer dedup (LBFS/FastCDC family) that complements the
+    document-level family: chunk boundaries fall where the rolling
+    k-gram hash satisfies ``h % modulus == 0``, so INSERTING text into
+    a document shifts only the chunks it touches (fixed-size blocks
+    would re-align everything downstream — the whole point of CDC).
+    Per source, reports how much chunk-level redundancy a
+    dedup-aware blob store would reclaim.
+
+    Gram hashing is the winnowing frame verbatim (60-bit md5 prefix,
+    array-native, localCheckpoint fence — see winnow_fingerprints for
+    the O(n²) trap it avoids); expected chunk length is ``modulus``
+    chars. Documents shorter than ``k`` carry no grams and are
+    skipped. A cut lands at the END char of its gram (i + k − 1);
+    the document tail past the last cut is the final chunk.
+
+    Returns (source, n_chunks, n_unique, avg_len, dedup_ratio) with
+    avg_len/dedup_ratio rounded 6dp, ordered source. Plan: the
+    map-only fenced gram pass, one explode of CHUNK structs (≈ chars /
+    modulus rows, 24 B each — far below gram rows), one source-keyed
+    aggregate."""
+    k, mod = int(k), int(modulus)
+    s = docs.select(
+        "doc_id", "source", F.lower(F.col(text_col)).alias("s")
+    ).where(F.length("s") >= F.lit(k))
+    hashed = s.select(
+        "doc_id",
+        "source",
+        "s",
+        F.greatest(F.length("s") - F.lit(k) + 1, F.lit(1)).alias("sz"),
+        F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.length("s") - F.lit(k), F.lit(0))
+            ),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.col("s").substr(i + F.lit(1), F.lit(k)).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ).alias("hs"),
+    ).localCheckpoint(eager=False)
+    cuts = F.filter(
+        F.zip_with(
+            F.col("hs"),
+            F.sequence(F.lit(1), F.col("sz")),
+            lambda h, i: F.when(
+                F.pmod(h, F.lit(mod)) == 0, i + F.lit(k - 1)
+            ).otherwise(F.lit(-1)),
+        ),
+        lambda x: x != F.lit(-1),
+    )
+    framed = hashed.select("doc_id", "source", "s", cuts.alias("cuts"))
+    starts = F.concat(F.array(F.lit(0)), F.col("cuts"))
+    ends = F.concat(F.col("cuts"), F.array(F.length("s").cast("int")))
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda a, b: F.when(
+            b > a,
+            F.struct(
+                F.md5(F.col("s").substr(a + F.lit(1), b - a).cast("binary"))
+                .alias("h"),
+                (b - a).cast("long").alias("chunk_len"),
+            ),
+        ),
+    )
+    ex = framed.select("source", F.explode(chunks).alias("c")).where(
+        F.col("c").isNotNull()
+    )
+    return (
+        ex.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct("c.h").cast("long").alias("n_unique"),
+            F.round(F.avg("c.chunk_len"), 6).alias("avg_len"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_unique",
+            "avg_len",
+            F.round(
+                F.lit(1.0) - F.col("n_unique") / F.col("n_chunks").cast("double"),
+                6,
+            ).alias("dedup_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -80,3 +80,44 @@ def test_daily_anomalies_orders_by_abs_z(spark):
     out = daily_anomalies(_events(spark, rows), k=3).collect()
     zs = [abs(r["z"]) for r in out]
     assert zs == sorted(zs, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunk_stats
+# ---------------------------------------------------------------------------
+
+from solr_ocr_processor_spark.operators.dedup import cdc_chunk_stats  # noqa: E402
+
+
+def test_cdc_exact_duplicates_fully_dedup(spark):
+    text = "the exact same long document body repeated verbatim " * 4
+    docs = _docs(spark, [text, text, text])
+    out = cdc_chunk_stats(docs, k=8, modulus=16).collect()
+    r = out[0]
+    # 3 identical docs (internally repetitive too): at least 2/3 of
+    # the chunk mass is redundant, and the ratio is consistent
+    assert r["dedup_ratio"] >= round(1 - 1 / 3, 6) - 1e-9
+    assert abs(r["dedup_ratio"] - (1 - r["n_unique"] / r["n_chunks"])) < 1e-6
+
+
+def test_cdc_insertion_shifts_only_local_chunks(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    edited = base[:100] + " INSERTED NOVEL MATERIAL " + base[100:]
+    docs = _docs(spark, [base, edited])
+    out = cdc_chunk_stats(docs, k=8, modulus=16).collect()[0]
+    # the suffix chunks re-sync after the insertion: most chunks shared
+    assert out["dedup_ratio"] > 0.25
+
+
+def test_cdc_chunks_cover_document(spark):
+    # chunk lengths must sum to the doc length (cuts partition the doc)
+    text = "abcdefghijklmnopqrstuvwxyz0123456789 " * 8
+    docs = _docs(spark, [text])
+    out = cdc_chunk_stats(docs, k=8, modulus=8).collect()[0]
+    total = out["avg_len"] * out["n_chunks"]
+    assert abs(total - len(text.lower())) < 1e-3
+
+
+def test_cdc_short_docs_skipped(spark):
+    docs = _docs(spark, ["short", "x"])
+    assert cdc_chunk_stats(docs, k=8).count() == 0
