@@ -2955,6 +2955,17 @@ def _q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunk_stats(_docs(spark, sf_dir), k=8, modulus=64)
 
 
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit (operators/split.split_leakage):
+    MinHash near-dup pairs bucketed by similarity band, counting
+    pairs whose members straddle the 90/5/5 hash split — the sibling
+    contamination doc-level decontamination misses."""
+    from solr_ocr_processor_spark.operators.split import split_leakage
+
+    docs = _docs(spark, sf_dir)
+    return split_leakage(docs, minhash_lsh_pairs(docs, n=3, tau=0.3))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -3178,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": _q_vocab_growth,
         "events_anomaly": _q_events_anomaly,
         "cdc_chunk_stats": _q_cdc_chunk_stats,
+        "split_leakage": _q_split_leakage,
     }
 
 
@@ -8639,6 +8651,48 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
        round(1.0 - count(DISTINCT h) / CAST(count(*) AS DOUBLE), 6)
          AS dedup_ratio
 FROM ch GROUP BY source ORDER BY source
+""",
+        # split leakage: exact-join pair list (the minhash oracle) x
+        # the 90/5/5 hash split, banded.
+        "split_leakage": """
+WITH docs AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents),
+pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS p, toks FROM docs),
+sh AS (SELECT DISTINCT doc_id,
+              toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2] AS shingle
+       FROM pos WHERE p + 2 <= len(toks)),
+card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+j AS (SELECT doc1, doc2, i::DOUBLE / (c1.c + c2.c - i) AS jac
+      FROM inter
+      JOIN card c1 ON doc1 = c1.doc_id
+      JOIN card c2 ON doc2 = c2.doc_id),
+pr AS (SELECT doc1, doc2, round(jac, 6) AS jaccard FROM j
+       WHERE jac >= 0.3),
+sp AS (SELECT doc_id,
+              CASE WHEN u < 0.90 THEN 'train'
+                   WHEN u < 0.95 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM (SELECT doc_id,
+                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT / 1152921504606846976.0 AS u
+             FROM documents)),
+x AS (SELECT CASE WHEN jaccard < 0.5 THEN '0.30-0.50'
+                  WHEN jaccard < 0.7 THEN '0.50-0.70'
+                  WHEN jaccard < 0.9 THEN '0.70-0.90'
+                  ELSE '0.90-1.00' END AS band,
+             CASE WHEN s1.split <> s2.split THEN 1 ELSE 0 END AS leaked
+      FROM pr
+      JOIN sp s1 ON pr.doc1 = s1.doc_id
+      JOIN sp s2 ON pr.doc2 = s2.doc_id)
+SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(leaked) AS BIGINT) AS n_leaked,
+       round(sum(leaked) / CAST(count(*) AS DOUBLE), 6) AS leak_rate
+FROM x GROUP BY band ORDER BY band
 """,
         # epoch replication plan: floor(e) copies + one fractional
         # copy under the md5 unit uniform (same 60-bit discipline as

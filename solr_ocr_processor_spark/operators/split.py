@@ -570,3 +570,66 @@ def curriculum_order(
     )
     ranked, _n = _two_pass_rank(keyed, ["bucket", "_key", "doc_id"], num_partitions)
     return ranked.select("doc_id", "bucket", "position")
+
+
+def split_leakage(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Train/test LEAKAGE audit — the split-hygiene check every
+    training pipeline needs after :func:`hash_split`: a near-dup pair
+    whose members land in DIFFERENT splits leaks training content
+    into evaluation (the contamination mode document-level
+    decontamination misses, because both docs are legitimately in the
+    corpus — they're just siblings straddling the split).
+
+    ``pairs``: (doc1, doc2, jaccard) from any near-dup detector
+    (minhash_lsh_pairs is the scale path). Pairs are bucketed by
+    similarity band; per band: total pairs, pairs crossing splits,
+    and the leak rate. Random hash splitting makes the EXPECTED leak
+    rate 1 − Σ w² (≈ 0.185 for 90/5/5) regardless of band — the audit
+    exists precisely to surface that near-dups must be co-assigned
+    (cluster-then-split) rather than independently hashed.
+
+    Returns (band, n_pairs, n_leaked, leak_rate) rounded 6dp, ordered
+    band. Plan: two broadcast-or-shuffle joins of the pair list
+    against the split labels (pairs ≪ corpus after LSH), one
+    request-scale aggregate."""
+    sp = hash_split(docs.select("doc_id")).select("doc_id", "split")
+    j = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc1"), F.col("split").alias("s1")
+            ),
+            "doc1",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc2"), F.col("split").alias("s2")
+            ),
+            "doc2",
+        )
+    )
+    band = (
+        F.when(F.col("jaccard") < 0.5, F.lit("0.30-0.50"))
+        .when(F.col("jaccard") < 0.7, F.lit("0.50-0.70"))
+        .when(F.col("jaccard") < 0.9, F.lit("0.70-0.90"))
+        .otherwise(F.lit("0.90-1.00"))
+    )
+    return (
+        j.select(
+            band.alias("band"),
+            (F.col("s1") != F.col("s2")).cast("int").alias("leaked"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("leaked").cast("long").alias("n_leaked"),
+        )
+        .select(
+            "band",
+            "n_pairs",
+            "n_leaked",
+            F.round(
+                F.col("n_leaked") / F.col("n_pairs").cast("double"), 6
+            ).alias("leak_rate"),
+        )
+        .orderBy("band")
+    )

@@ -121,3 +121,56 @@ def test_cdc_chunks_cover_document(spark):
 def test_cdc_short_docs_skipped(spark):
     docs = _docs(spark, ["short", "x"])
     assert cdc_chunk_stats(docs, k=8).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# split_leakage
+# ---------------------------------------------------------------------------
+
+from solr_ocr_processor_spark.operators.split import split_leakage  # noqa: E402
+
+
+def test_split_leakage_bands_and_rates(spark):
+    docs = _docs(spark, ["d%d" % i for i in range(10)])
+    pairs = spark.createDataFrame(
+        [
+            (0, 1, 0.35),
+            (0, 2, 0.45),
+            (3, 4, 0.75),
+            (5, 6, 0.95),
+            (7, 8, 0.96),
+        ],
+        "doc1 long, doc2 long, jaccard double",
+    )
+    out = {r["band"]: r for r in split_leakage(docs, pairs).collect()}
+    assert set(out) == {"0.30-0.50", "0.70-0.90", "0.90-1.00"}
+    assert out["0.30-0.50"]["n_pairs"] == 2
+    assert out["0.90-1.00"]["n_pairs"] == 2
+    for r in out.values():
+        assert 0.0 <= r["leak_rate"] <= 1.0
+        assert r["leak_rate"] == round(r["n_leaked"] / r["n_pairs"], 6)
+
+
+def test_split_leakage_same_split_pair_not_leaked(spark):
+    from solr_ocr_processor_spark.operators.split import hash_split
+
+    docs = _docs(spark, ["d%d" % i for i in range(50)])
+    sp = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.select("doc_id")).collect()
+    }
+    # build one same-split and one cross-split pair from actual labels
+    ids = list(sp)
+    same = next(
+        (a, b) for a in ids for b in ids if a < b and sp[a] == sp[b]
+    )
+    cross = next(
+        (a, b) for a in ids for b in ids if a < b and sp[a] != sp[b]
+    )
+    pairs = spark.createDataFrame(
+        [(same[0], same[1], 0.99), (cross[0], cross[1], 0.99)],
+        "doc1 long, doc2 long, jaccard double",
+    )
+    out = split_leakage(docs, pairs).collect()
+    assert out[0]["n_pairs"] == 2 and out[0]["n_leaked"] == 1
+    assert out[0]["leak_rate"] == 0.5
