@@ -2966,6 +2966,29 @@ def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage(docs, minhash_lsh_pairs(docs, n=3, tau=0.3))
 
 
+def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-split census (operators/split.cluster_split):
+    near-dup components co-assigned to splits via their
+    representative's hash — zero cross-split leakage by
+    construction."""
+    from solr_ocr_processor_spark.operators.split import cluster_split
+
+    docs = _docs(spark, sf_dir)
+    return cluster_split(docs, minhash_lsh_pairs(docs, n=3, tau=0.3))
+
+
+def _q_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask accounting (operators/conversation
+    .loss_mask_stats): trainable (assistant) vs context token mass per
+    conversation — the effective-budget table for packers and lr
+    schedules."""
+    from solr_ocr_processor_spark.operators.conversation import (
+        loss_mask_stats,
+    )
+
+    return loss_mask_stats(derive_transcripts(spark, sf_dir, TW))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -3190,6 +3213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": _q_events_anomaly,
         "cdc_chunk_stats": _q_cdc_chunk_stats,
         "split_leakage": _q_split_leakage,
+        "cluster_split": _q_cluster_split,
+        "sft_loss_mask": _q_sft_loss_mask,
     }
 
 
@@ -8694,6 +8719,66 @@ SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
        round(sum(leaked) / CAST(count(*) AS DOUBLE), 6) AS leak_rate
 FROM x GROUP BY band ORDER BY band
 """,
+        # cluster-then-split census: components (recursive closure,
+        # the dup_clusters oracle) -> rep-hash split -> census.
+        "cluster_split": """
+WITH RECURSIVE
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                AS toks
+         FROM documents),
+pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS p, toks
+        FROM docs),
+sh AS (SELECT DISTINCT doc_id,
+              toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2] AS shingle
+       FROM pos WHERE p + 2 <= len(toks)),
+card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+prs AS (SELECT doc1, doc2
+        FROM inter
+        JOIN card c1 ON doc1 = c1.doc_id
+        JOIN card c2 ON doc2 = c2.doc_id
+        WHERE i::DOUBLE / (c1.c + c2.c - i) >= 0.3),
+edges AS (SELECT doc1 AS a, doc2 AS b FROM prs
+          UNION ALL SELECT doc2, doc1 FROM prs),
+walk(doc_id, n) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.doc_id, e.b FROM walk w JOIN edges e ON e.a = w.n
+),
+labs AS (SELECT doc_id, min(n) AS rep_id FROM walk GROUP BY doc_id),
+spl AS (SELECT rep_id,
+               CASE WHEN u < 0.90 THEN 'train'
+                    WHEN u < 0.95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT rep_id,
+                     ('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 15))
+                       ::BIGINT / 1152921504606846976.0 AS u
+              FROM (SELECT DISTINCT rep_id FROM labs)))
+SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT l.rep_id) AS BIGINT) AS n_clusters
+FROM labs l JOIN spl s USING (rep_id)
+GROUP BY s.split ORDER BY s.split
+""",
+        # SFT loss-mask accounting over non-empty turns.
+        "sft_loss_mask": """
+WITH {_CTE},
+t AS (SELECT conv_id, role,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS BIGINT) AS nt
+      FROM transcripts WHERE length(trim(text)) > 0)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN role = 'assistant' THEN nt ELSE 0 END)
+            AS BIGINT) AS n_trainable,
+       round(CASE WHEN sum(nt) > 0 THEN
+               sum(CASE WHEN role = 'assistant' THEN nt ELSE 0 END)
+               / CAST(sum(nt) AS DOUBLE)
+             ELSE 0.0 END, 6) AS trainable_frac
+FROM t GROUP BY conv_id ORDER BY conv_id
+""".replace("{_CTE}", _CTE),
         # epoch replication plan: floor(e) copies + one fractional
         # copy under the md5 unit uniform (same 60-bit discipline as
         # doc_split); lateral generate_series replays the explode.

@@ -460,3 +460,54 @@ def topic_segments(transcripts: DataFrame, tau: float = 0.2) -> DataFrame:
         )
         .orderBy("conv_id")
     )
+
+
+def loss_mask_stats(transcripts: DataFrame) -> DataFrame:
+    """SFT loss-mask accounting: in supervised fine-tuning only the
+    ASSISTANT turns carry loss — user/tool tokens are context, masked
+    out. Per conversation, count total vs trainable tokens so the
+    batch packer and the cost model see the EFFECTIVE token budget
+    (a corpus can be 10x bigger than its trainable mass; epochs and
+    lr schedules should be sized on the latter).
+
+    Returns (conv_id, n_turns, n_tokens, n_trainable, trainable_frac)
+    with the fraction rounded 6dp (0.0 when the conv has no tokens),
+    ordered conv_id. Empty/whitespace turns are dropped first — the
+    same dense-ordinal rule the indexer applies.
+
+    ONE conv-keyed aggregate over per-turn token counts (the
+    analyzer's [a-z0-9]+ rule); map-side combinable."""
+    n = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+        )
+    ).cast("long")
+    t = transcripts.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "conv_id",
+        n.alias("nt"),
+        F.when(F.col("role") == "assistant", n).otherwise(F.lit(0)).alias(
+            "tr"
+        ),
+    )
+    return (
+        t.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum("tr").cast("long").alias("n_trainable"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            "n_tokens",
+            "n_trainable",
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("n_trainable") / F.col("n_tokens").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("trainable_frac"),
+        )
+        .orderBy("conv_id")
+    )

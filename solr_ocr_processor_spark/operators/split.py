@@ -633,3 +633,39 @@ def split_leakage(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+def cluster_split(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Cluster-then-split — the FIX :func:`split_leakage` motivates:
+    near-dup connected components are assigned to train/val/test AS
+    UNITS (every member inherits its component representative's hash
+    split), so no near-dup pair can straddle a split boundary by
+    construction. Singleton docs are their own representative, which
+    makes their assignment IDENTICAL to plain :func:`hash_split` —
+    co-assignment only bends the split where duplicates exist.
+
+    Returns the split census: (split, n_docs, n_clusters) ordered by
+    split — the table that shows the 90/5/5 weights still hold after
+    co-assignment (cluster-size skew is the price of zero leakage).
+
+    Plan: label propagation (:func:`~solr_ocr_processor_spark.operators
+    .dedup.dup_clusters`) over the pair graph, the split hash on the
+    DISTINCT representative set (|clusters| rows), one broadcast join
+    back, one request-scale aggregate."""
+    from solr_ocr_processor_spark.operators.dedup import dup_clusters
+
+    labels = dup_clusters(docs.select("doc_id"), pairs).select(
+        "doc_id", "rep_id"
+    )
+    reps = hash_split(
+        labels.select(F.col("rep_id").alias("doc_id")).distinct()
+    ).select(F.col("doc_id").alias("rep_id"), "split")
+    return (
+        labels.join(F.broadcast(reps), "rep_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("rep_id").cast("long").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
