@@ -2989,6 +2989,37 @@ def _q_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loss_mask_stats(derive_transcripts(spark, sf_dir, TW))
 
 
+def _q_ann_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal k-NN pairs (operators/ann.mutual_knn): (i, j) in
+    each other's cosine top-5 over the bounded 500-vector panel —
+    the hub-resistant matching graph (k-reciprocal encoding)."""
+    from solr_ocr_processor_spark.operators.ann import mutual_knn
+
+    return mutual_knn(_embs(spark, sf_dir), k=5, max_id=500)
+
+
+def _q_ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF list-balance report over the PERSISTED ANN store
+    (operators/ann_store): per-list vector counts + share — the
+    index-quality diagnostic that decides when centroids need
+    re-seeding (a hot list degrades probe cost toward brute force)."""
+    store = _ann_store(spark, sf_dir)
+    ivf = spark.read.parquet(store.path("ivf"))
+    per = ivf.groupBy(F.col("list_id").cast("int").alias("list_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    total = per.agg(F.sum("n_vecs").cast("double").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "list_id",
+            "n_vecs",
+            F.round(F.col("n_vecs") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("list_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -3215,6 +3246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": _q_split_leakage,
         "cluster_split": _q_cluster_split,
         "sft_loss_mask": _q_sft_loss_mask,
+        "ann_mutual_knn": _q_ann_mutual_knn,
+        "ann_ivf_balance": _q_ann_ivf_balance,
     }
 
 
@@ -8779,6 +8812,56 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
              ELSE 0.0 END, 6) AS trainable_frac
 FROM t GROUP BY conv_id ORDER BY conv_id
 """.replace("{_CTE}", _CTE),
+        # mutual kNN: one ranked direction, self-joined on the
+        # reversed key.
+        "ann_mutual_knn": """
+WITH b AS (SELECT vec_id AS id,
+                  list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings WHERE vec_id < 500),
+p AS (SELECT a.id AS ia, c.id AS ib,
+             list_cosine_similarity(a.v, c.v) AS c
+      FROM b a CROSS JOIN b c WHERE a.id <> c.id),
+r AS (SELECT *, row_number() OVER (PARTITION BY ia
+          ORDER BY c DESC, ib ASC) AS rn
+      FROM p),
+knn AS (SELECT ia, ib, c FROM r WHERE rn <= 5)
+SELECT f.ia AS id1, f.ib AS id2, round(f.c, 6) AS cos
+FROM knn f JOIN knn g ON g.ia = f.ib AND g.ib = f.ia
+WHERE f.ia < f.ib
+ORDER BY cos DESC, id1 ASC, id2 ASC
+""",
+        # IVF list balance: the stored assignment (md5-rank seed
+        # centroids, cosine argmax) re-derived relationally.
+        "ann_ivf_balance": """
+WITH cent AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE)
+           AS cvec,
+         CAST(row_number() OVER (ORDER BY md5('17:' || vec_id)) - 1
+              AS INT) AS list_id
+  FROM embeddings
+  ORDER BY md5('17:' || vec_id) LIMIT 16
+),
+ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       FROM embeddings),
+scored AS (
+  SELECT ev.vec_id, c.list_id, list_cosine_similarity(ev.v, c.cvec)
+           AS cs
+  FROM ev CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id
+               ORDER BY cs DESC, list_id ASC) AS rn
+    FROM scored) t WHERE rn = 1
+),
+per AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM assign GROUP BY list_id),
+t AS (SELECT CAST(sum(n_vecs) AS DOUBLE) AS t FROM per)
+SELECT CAST(list_id AS INT) AS list_id, n_vecs,
+       round(n_vecs / t.t, 6) AS share
+FROM per CROSS JOIN t ORDER BY list_id
+""",
         # epoch replication plan: floor(e) copies + one fractional
         # copy under the md5 unit uniform (same 60-bit discipline as
         # doc_split); lateral generate_series replays the explode.

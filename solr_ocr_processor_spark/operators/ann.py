@@ -1279,3 +1279,85 @@ def maxsim_topk(
         .orderBy(F.desc("score"), F.asc("group_id"))
         .limit(int(k))
     )
+
+
+def mutual_knn(
+    vecs: DataFrame,
+    k: int = 5,
+    max_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal (mutual) k-nearest-neighbor pairs: (i, j) such that
+    j is in i's cosine top-k AND i is in j's — the symmetric
+    refinement dedup/matching pipelines use when one-directional kNN
+    is too permissive (a hub vector appears in everyone's top-k;
+    mutuality kills hub edges, and mutual-kNN graphs are the standard
+    substrate for clustering/re-ranking à la k-reciprocal encoding).
+
+    ``max_id`` bounds the panel (ids < max_id) so the all-pairs pass
+    is explicitly budgeted; at 10^12 scale each side's top-k comes
+    from the ANN store's probes and the mutuality check is the same
+    rank join over candidate lists.
+
+    Returns (id1, id2, cos) with id1 < id2, cos rounded 6dp, ordered
+    cos DESC, id1, id2. Plan: one crossJoin of the bounded panel with
+    itself (codegen cosine), ONE window pass ranks both directions
+    (the rank of (a,b) under partition a), and the mutual filter is a
+    self-join on the reversed key — rank rows only, k·n each side."""
+    from pyspark.sql.window import Window
+
+    base = vecs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm_expr(vec_col).alias("nrm"),
+    )
+    if max_id is not None:
+        base = base.where(F.col("id") < F.lit(int(max_id)))
+    a = base.select(
+        F.col("id").alias("ia"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("id").alias("ib"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("va"),
+            F.col("vb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.when(
+                F.col("na") * F.col("nb") > 0,
+                dot / (F.col("na") * F.col("nb")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("c"),
+        )
+    )
+    w = Window.partitionBy("ia").orderBy(F.desc("c"), F.asc("ib"))
+    knn = pairs.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= F.lit(int(k))
+    )
+    fwd = knn.select("ia", "ib", "c")
+    rev = knn.select(
+        F.col("ib").alias("ia"), F.col("ia").alias("ib")
+    )
+    return (
+        fwd.join(rev, ["ia", "ib"], "left_semi")
+        .where(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("id1"),
+            F.col("ib").alias("id2"),
+            F.round("c", 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("id1"), F.asc("id2"))
+    )

@@ -106,3 +106,49 @@ def test_loss_mask_drops_empty_turns_and_handles_no_assistant(spark):
     got = {r["conv_id"]: r for r in loss_mask_stats(t).collect()}
     assert got["a"]["n_turns"] == 1 and got["a"]["n_trainable"] == 0
     assert got["b"]["trainable_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# mutual_knn
+# ---------------------------------------------------------------------------
+
+from solr_ocr_processor_spark.operators.ann import mutual_knn  # noqa: E402
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rows)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_mutual_knn_requires_reciprocity(spark):
+    # 0 and 1 are each other's nearest; hub 2 is near everyone but
+    # with k=1 nobody reciprocates the hub unless it's their nearest
+    rows = [
+        [1.0, 0.0],
+        [0.99, 0.1],
+        [0.7, 0.7],
+        [0.0, 1.0],
+        [-1.0, 0.0],
+    ]
+    out = mutual_knn(_vecs(spark, rows), k=1).collect()
+    assert [(r["id1"], r["id2"]) for r in out] == [(0, 1)]
+
+
+def test_mutual_knn_pairs_symmetric_and_bounded(spark):
+    rows = [[float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)]
+            for i in range(9)]
+    out = mutual_knn(_vecs(spark, rows), k=3, max_id=6).collect()
+    for r in out:
+        assert r["id1"] < r["id2"] < 6
+    # identical one-hot vectors are mutually nearest: cos 1.0 pairs exist
+    assert any(r["cos"] == 1.0 for r in out)
+
+
+def test_mutual_knn_excludes_self(spark):
+    rows = [[1.0, 0.0], [1.0, 0.0]]
+    out = mutual_knn(_vecs(spark, rows), k=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id1"], r["id2"], r["cos"]) == (0, 1, 1.0)
