@@ -2959,7 +2959,18 @@ def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test leakage audit (operators/split.split_leakage):
     MinHash near-dup pairs bucketed by similarity band, counting
     pairs whose members straddle the 90/5/5 hash split — the sibling
-    contamination doc-level decontamination misses."""
+    contamination doc-level decontamination misses.
+
+    Oracle data-dependence (deliberate): the Spark side feeds
+    minhash_lsh_pairs (b=32/r=4 banded CANDIDATES, exact-verified)
+    while the DuckDB twin computes the exact all-pairs jaccard>=0.3
+    join. A band at jaccard j survives LSH with p = 1-(1-j^4)^32 —
+    ~1.0 at the sandbox's ~0.9-jaccard near-dups but only ~23% at
+    j=0.3 — so the hash match holds because the synthetic corpus has
+    no mid-band (0.3-0.7) pairs, the same argument recorded at the
+    dedup_minhash_lsh oracle. If the generator ever grows mid-band
+    pairs, re-point this query at the exact ngram_jaccard_pairs
+    spine or extend the oracle to replay the band/bucket step."""
     from solr_ocr_processor_spark.operators.split import split_leakage
 
     docs = _docs(spark, sf_dir)
@@ -2970,7 +2981,11 @@ def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-then-split census (operators/split.cluster_split):
     near-dup components co-assigned to splits via their
     representative's hash — zero cross-split leakage by
-    construction."""
+    construction.
+
+    Oracle data-dependence: same LSH-candidates-vs-exact-oracle
+    argument as _q_split_leakage (see its docstring) — valid while
+    the synthetic near-dups stay far above the j=0.3 band floor."""
     from solr_ocr_processor_spark.operators.split import cluster_split
 
     docs = _docs(spark, sf_dir)

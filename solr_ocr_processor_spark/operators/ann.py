@@ -1122,7 +1122,12 @@ def hard_triplets(
     Returns (anchor, label, pos_id, pos_cos, neg_id, neg_cos, margin)
     ordered anchor ASC; cosines rounded 6dp, margin = round(pos − neg,
     6); ties broken id ASC under the SAME row_number ordering the
-    oracle replays.
+    oracle replays. An anchor that lacks EITHER a same-label positive
+    or a different-label negative among the non-anchor rows is DROPPED
+    (the pos/neg inner join — FaceNet mines only complete triplets),
+    so the output can have fewer than ``n_anchors`` rows; callers that
+    need per-anchor diagnostics should outer-join the anchor panel
+    back against this result.
 
     Plan: the anchor slice broadcasts (n_anchors × dim floats), the
     corpus streams past it once — cosine is a zip_with/aggregate fold

@@ -1450,7 +1450,14 @@ def winnow_pairs(
         .orderBy(F.desc("sim"), F.asc("doc1"), F.asc("doc2"))
         .limit(int(limit))
     )
-    return out
+    # The report is <= `limit` rows, so materialize it here and release
+    # the fingerprint cache — without this every invocation leaked a
+    # persisted dataset for the driver session's lifetime (the
+    # 226-query sweep runs in ONE session).
+    spark = docs.sparkSession
+    rows = out.collect()
+    sel.unpersist(blocking=False)
+    return spark.createDataFrame(rows, schema=out.schema)
 
 
 def cdc_chunk_stats(

@@ -108,8 +108,10 @@ def cell_geofilt_topk(
     R=6371.0088 sphere one degree of latitude is 111.195 km; the
     latitude margin uses 111.0 (smaller divisor -> wider box) and the
     longitude margin divides by cos at the band's extreme latitude,
-    both padded 2%. If the box crosses the antimeridian or a pole the
-    corresponding axis simply stops pruning. The driver twin checks
+    both padded 2%. If the box crosses the antimeridian or reaches a
+    pole (``abs(pt_lat) + dlat >= 90`` — near a pole EVERY longitude
+    can be in range even when the computed dlon stays under 180, e.g.
+    pt_lat=88, d=250km) the longitude axis stops pruning entirely. The driver twin checks
     this structurally: the ORACLE is the brute-force formulation, so
     the hash match proves the pruned plan lossless.
 
@@ -126,7 +128,13 @@ def cell_geofilt_topk(
     pred = (F.col("cell_lat") >= math.floor((pt_lat - dlat) / c)) & (
         F.col("cell_lat") <= math.floor((pt_lat + dlat) / c)
     )
-    if dlon < 180.0 and pt_lon - dlon >= -180.0 and pt_lon + dlon <= 180.0:
+    pole_reach = abs(float(pt_lat)) + dlat >= 90.0
+    if (
+        not pole_reach
+        and dlon < 180.0
+        and pt_lon - dlon >= -180.0
+        and pt_lon + dlon <= 180.0
+    ):
         pred = (
             pred
             & (F.col("cell_lon") >= math.floor((pt_lon - dlon) / c))

@@ -71,6 +71,11 @@ def test_cell_pruning_is_lossless(spark):
         (0.0, 0.0, 500.0),
         (80.0, 170.0, 2500.0),  # near-pole: lon pruning disabled
         (-45.0, -179.0, 1000.0),  # antimeridian box: lon disabled
+        # circle ENCLOSES the pole while dlon stays < 180: the pole
+        # is 222 km from (88, 0), so points at every longitude near
+        # the pole are in range — pruning must shut off (ADVICE r3)
+        (88.0, 0.0, 250.0),
+        (-88.5, 120.0, 300.0),
     ]:
         brute = geofilt_topk(coords, pt_lat, pt_lon, d, k=50).collect()
         cell = cell_geofilt_topk(coords, pt_lat, pt_lon, d, k=50).collect()
