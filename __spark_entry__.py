@@ -3035,6 +3035,46 @@ def _q_ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ocr_alto_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ALTO ingestion (operators/ocr_ingest.alto_e2e_topk):
+    synthesize real ALTO XML documents from the documents table, then
+    run the reference's whole ingest flow as ONE declarative plan —
+    1,200-char format sniff, measurement-unit + xdpi extraction (with
+    the 300-dpi config fallback on odd docs), inch1200 / mm10 / pixel
+    coordinate conversion on Page dims and String coords, skip-empty
+    token numbering — and finish with BM25 top-10 over the parsed
+    corpus, each winner carrying its first query-term hit's pixel
+    bbox (the IIIF-snippet-coordinate analog). The oracle replays the
+    layout + conversion + scoring relationally WITHOUT the XML round
+    trip, so a hash match proves generation∘parse is lossless."""
+    from solr_ocr_processor_spark.operators.ocr_ingest import alto_e2e_topk
+
+    return alto_e2e_topk(_docs(spark, sf_dir), n_docs=60, n_tokens=24)
+
+
+def _q_ocr_hocr_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end hOCR ingestion (operators/ocr_ingest.hocr_e2e_topk):
+    the hOCR sibling — class-attr word spans with bbox CORNERS in
+    title attributes, rewritten to extents (hpos=x0, vpos=y0,
+    width=x1−x0, height=y1−y0; app/process/hocr.go:148-168), page
+    dims from the reference's `bbox 0 0 w h` page regex, then the
+    same BM25+first-hit leg as the ALTO twin."""
+    from solr_ocr_processor_spark.operators.ocr_ingest import hocr_e2e_topk
+
+    return hocr_e2e_topk(_docs(spark, sf_dir), n_docs=60, n_tokens=24)
+
+
+def _q_ocr_miniocr_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MiniOCR artifact render (operators/ocr_ingest.miniocr_render):
+    the output side of convertToMiniOcr — `<ocr><p xml:id wh><b><l>
+    <w x="h v w h">word </w>` with the trailing-space, skip-empty and
+    full-index quote-swap quirks; string-equality against a DuckDB
+    string-assembly twin."""
+    from solr_ocr_processor_spark.operators.ocr_ingest import miniocr_render
+
+    return miniocr_render(_docs(spark, sf_dir), n_docs=40, n_tokens=24)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
@@ -3263,6 +3303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_loss_mask": _q_sft_loss_mask,
         "ann_mutual_knn": _q_ann_mutual_knn,
         "ann_ivf_balance": _q_ann_ivf_balance,
+        "ocr_alto_e2e": _q_ocr_alto_e2e,
+        "ocr_hocr_e2e": _q_ocr_hocr_e2e,
+        "ocr_miniocr_render": _q_ocr_miniocr_render,
     }
 
 
@@ -8876,6 +8919,185 @@ t AS (SELECT CAST(sum(n_vecs) AS DOUBLE) AS t FROM per)
 SELECT CAST(list_id AS INT) AS list_id, n_vecs,
        round(n_vecs / t.t, 6) AS share
 FROM per CROSS JOIN t ORDER BY list_id
+""",
+        # ALTO end-to-end: the oracle replays layout formulas + unit
+        # conversion + BM25 + first-hit DIRECTLY from the source text
+        # (no XML) — a hash match proves the Spark side's synth->parse
+        # XML round trip recovers exactly the intended data.
+        "ocr_alto_e2e": """
+WITH d AS (
+  SELECT doc_id, list_slice(string_split(text, ' '), 1, 24) AS toks
+  FROM documents WHERE doc_id < 60
+),
+w AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS i
+  FROM d
+),
+meta AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'mm10' WHEN 1 THEN 'inch1200'
+              ELSE 'pixel' END AS unit,
+         CASE WHEN doc_id % 2 = 0 THEN (doc_id % 4) * 50 + 150
+              ELSE 300 END AS dpi,
+         4000 + doc_id * 3 AS pw_raw, 6000 + doc_id * 5 AS ph_raw
+  FROM d
+),
+raw AS (
+  SELECT w.doc_id, w.i, w.term, m.unit, m.dpi, m.pw_raw, m.ph_raw,
+         100 + w.i * 17 AS h_raw, 50 + (w.i // 4) * 23 AS v_raw,
+         40 + (w.i % 7) * 3 AS w_raw, 20 + (w.i % 5) * 2 AS ht_raw
+  FROM w JOIN meta m USING (doc_id)
+),
+conv AS (
+  SELECT doc_id, i AS token_pos, term,
+    CASE unit WHEN 'inch1200' THEN (h_raw * dpi) // 1200
+         WHEN 'mm10' THEN CAST(floor(3.7795275591 * h_raw) AS BIGINT)
+         ELSE h_raw END AS hpos,
+    CASE unit WHEN 'inch1200' THEN (v_raw * dpi) // 1200
+         WHEN 'mm10' THEN CAST(floor(3.7795275591 * v_raw) AS BIGINT)
+         ELSE v_raw END AS vpos,
+    CASE unit WHEN 'inch1200' THEN (w_raw * dpi) // 1200
+         WHEN 'mm10' THEN CAST(floor(3.7795275591 * w_raw) AS BIGINT)
+         ELSE w_raw END AS width,
+    CASE unit WHEN 'inch1200' THEN (ht_raw * dpi) // 1200
+         WHEN 'mm10' THEN CAST(floor(3.7795275591 * ht_raw) AS BIGINT)
+         ELSE ht_raw END AS height,
+    CASE unit WHEN 'inch1200' THEN (pw_raw * dpi) // 1200
+         WHEN 'mm10' THEN CAST(floor(3.7795275591 * pw_raw) AS BIGINT)
+         ELSE pw_raw END AS page_w,
+    CASE unit WHEN 'inch1200' THEN (ph_raw * dpi) // 1200
+         WHEN 'mm10' THEN CAST(floor(3.7795275591 * ph_raw) AS BIGINT)
+         ELSE ph_raw END AS page_h
+  FROM raw
+),
+dl AS (SELECT doc_id, any_value(page_w) AS page_w,
+              any_value(page_h) AS page_h,
+              CAST(count(*) AS BIGINT) AS dl
+       FROM conv GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+  FROM conv WHERE term IN ('table', 'value')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS raw
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+firsth AS (
+  SELECT doc_id, token_pos AS hit_pos, term AS hit_term,
+         hpos, vpos, width, height,
+         row_number() OVER (PARTITION BY doc_id ORDER BY token_pos)
+           AS rn
+  FROM conv WHERE term IN ('table', 'value')
+)
+SELECT s.doc_id, 'Page.0' AS page_id, dl.page_w, dl.page_h, dl.dl,
+       round(s.raw, 6) AS score, f.hit_pos, f.hit_term,
+       f.hpos, f.vpos, f.width, f.height
+FROM scored s JOIN dl USING (doc_id)
+     JOIN firsth f ON f.doc_id = s.doc_id AND f.rn = 1
+ORDER BY s.raw DESC, s.doc_id ASC
+LIMIT 10
+""",
+        # hOCR end-to-end: corner formulas -> extents, page dims from
+        # the page bbox; same direct-replay discipline as the ALTO twin.
+        "ocr_hocr_e2e": """
+WITH d AS (
+  SELECT doc_id, list_slice(string_split(text, ' '), 1, 24) AS toks
+  FROM documents WHERE doc_id < 60
+),
+w AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS i
+  FROM d
+),
+conv AS (
+  SELECT doc_id, i AS token_pos, term,
+         90 + i * 13 AS hpos, 40 + (i // 4) * 19 AS vpos,
+         30 + (i % 6) * 4 AS width, 18 + (i % 4) * 3 AS height,
+         3000 + doc_id * 2 AS page_w, 4500 + doc_id * 3 AS page_h
+  FROM w
+),
+dl AS (SELECT doc_id, any_value(page_w) AS page_w,
+              any_value(page_h) AS page_h,
+              CAST(count(*) AS BIGINT) AS dl
+       FROM conv GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+  FROM conv WHERE term IN ('table', 'value')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS raw
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+       CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+firsth AS (
+  SELECT doc_id, token_pos AS hit_pos, term AS hit_term,
+         hpos, vpos, width, height,
+         row_number() OVER (PARTITION BY doc_id ORDER BY token_pos)
+           AS rn
+  FROM conv WHERE term IN ('table', 'value')
+)
+SELECT s.doc_id, 'Page.0' AS page_id, dl.page_w, dl.page_h, dl.dl,
+       round(s.raw, 6) AS score, f.hit_pos, f.hit_term,
+       CAST(f.hpos AS BIGINT) AS hpos, CAST(f.vpos AS BIGINT) AS vpos,
+       CAST(f.width AS BIGINT) AS width,
+       CAST(f.height AS BIGINT) AS height
+FROM scored s JOIN dl USING (doc_id)
+     JOIN firsth f ON f.doc_id = s.doc_id AND f.rn = 1
+ORDER BY s.raw DESC, s.doc_id ASC
+LIMIT 10
+""",
+        # MiniOCR render: Go xml.Marshal string assembly — trailing
+        # space inside <w>, skip-empty words, full-index quote swap
+        # (double -> single) applied LAST across the whole artifact.
+        "ocr_miniocr_render": """
+WITH d AS (
+  SELECT doc_id, list_slice(string_split(text, ' '), 1, 24) AS toks
+  FROM documents WHERE doc_id < 40
+),
+w AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS i
+  FROM d
+),
+wx AS (
+  SELECT doc_id, i, i // 4 AS line, i // 8 AS block,
+         '<w x="' || (100 + i * 17) || ' ' || (50 + (i // 4) * 23)
+           || ' ' || (40 + (i % 7) * 3) || ' ' || (20 + (i % 5) * 2)
+           || '">' || term || ' </w>' AS piece
+  FROM w WHERE term <> ''
+),
+l AS (SELECT doc_id, block, line,
+             string_agg(piece, '' ORDER BY i) AS body
+      FROM wx GROUP BY doc_id, block, line),
+b AS (SELECT doc_id, block,
+             string_agg('<l>' || body || '</l>', '' ORDER BY line)
+               AS body
+      FROM l GROUP BY doc_id, block),
+p AS (SELECT doc_id,
+             string_agg('<b>' || body || '</b>', '' ORDER BY block)
+               AS body
+      FROM b GROUP BY doc_id)
+SELECT doc_id,
+       replace('<ocr><p xml:id="Page.0" wh="' || (2480 + doc_id)
+               || ' ' || (3508 + doc_id) || '">' || body
+               || '</p></ocr>', '"', chr(39)) AS miniocr
+FROM p
 """,
         # epoch replication plan: floor(e) copies + one fractional
         # copy under the md5 unit uniform (same 60-bit discipline as
