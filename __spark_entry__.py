@@ -2255,6 +2255,21 @@ def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(_docs(spark, sf_dir), n=3, tau_num=1, tau_den=2)
 
 
+def _q_dedup_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-scale containment path (operators/dedup.
+    containment_pairs_banded): prefix-filtered candidate generation
+    (AllPairs/PPJoin pigeonhole band — LOSSLESS, unlike MinHash
+    banding which keys on symmetric Jaccard) + exact verify on
+    candidates only. Oracle = the exact spine's SQL, so the hash
+    match proves the banded plan answers identically with the
+    s²-per-hot-shingle self-join gone."""
+    from solr_ocr_processor_spark.operators.dedup import containment_pairs_banded
+
+    return containment_pairs_banded(
+        _docs(spark, sf_dir), n=3, tau_num=1, tau_den=2
+    )
+
+
 def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer fertility / bytes-per-piece profile — the
     tokenizer-efficiency dashboard of a data mixture
@@ -3013,6 +3028,21 @@ def _q_ann_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_knn(_embs(spark, sf_dir), k=5, max_id=500)
 
 
+def _q_ann_mutual_knn_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-probed reciprocal k-NN (operators/ann_store.
+    mutual_knn_stored): each side's top-5 comes from the persisted
+    IVF lists' candidates (nprobe=4 of 16, co-located list_id join —
+    the 10^12-scale formulation the panel version's docstring named,
+    now implemented), mutuality via the reversed-key semi-join. The
+    oracle replays centroid seeding, assignment, probe selection,
+    candidate top-k, and the mutual filter relationally."""
+    from solr_ocr_processor_spark.operators.ann_store import mutual_knn_stored
+
+    return mutual_knn_stored(
+        spark, _ann_store(spark, sf_dir), k=5, max_id=500, nprobe=4
+    )
+
+
 def _q_ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF list-balance report over the PERSISTED ANN store
     (operators/ann_store): per-list vector counts + share — the
@@ -3243,6 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analysis_chain": _q_analysis_chain,
         "mlt_interesting_terms": _q_mlt_interesting_terms,
         "dedup_containment": _q_dedup_containment,
+        "dedup_containment_banded": _q_dedup_containment_banded,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "knn_postfilter_topk": _q_knn_postfilter_topk,
         "code_profile": _q_code_profile,
@@ -3302,6 +3333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split": _q_cluster_split,
         "sft_loss_mask": _q_sft_loss_mask,
         "ann_mutual_knn": _q_ann_mutual_knn,
+        "ann_mutual_knn_stored": _q_ann_mutual_knn_stored,
         "ann_ivf_balance": _q_ann_ivf_balance,
         "ocr_alto_e2e": _q_ocr_alto_e2e,
         "ocr_hocr_e2e": _q_ocr_hocr_e2e,
@@ -6338,7 +6370,7 @@ ORDER BY rank DESC, node ASC LIMIT {k}
     return head + body + tail
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "doc_materialize": f"""
 WITH {_CTE},
@@ -8888,6 +8920,53 @@ FROM knn f JOIN knn g ON g.ia = f.ib AND g.ib = f.ia
 WHERE f.ia < f.ib
 ORDER BY cos DESC, id1 ASC, id2 ASC
 """,
+        # store-probed mutual kNN: centroid seeding (md5 rank),
+        # assignment (cosine argmax), per-query probe selection
+        # (top-nprobe centroids), candidate top-k, mutual filter —
+        # the whole probed formulation replayed relationally.
+        "ann_mutual_knn_stored": """
+WITH cent AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE)
+           AS cvec,
+         CAST(row_number() OVER (ORDER BY md5('17:' || vec_id)) - 1
+              AS INT) AS list_id
+  FROM embeddings
+  ORDER BY md5('17:' || vec_id) LIMIT 16
+),
+ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       FROM embeddings),
+scored AS (
+  SELECT ev.vec_id, c.list_id, list_cosine_similarity(ev.v, c.cvec)
+           AS cs
+  FROM ev CROSS JOIN cent c
+),
+ranked AS (
+  SELECT vec_id, list_id,
+         row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, list_id ASC) AS rn
+  FROM scored
+),
+assign AS (SELECT vec_id, list_id FROM ranked WHERE rn = 1),
+probe AS (SELECT vec_id AS qid, list_id FROM ranked WHERE rn <= 4),
+cand AS (
+  SELECT p.qid, a.vec_id AS cid
+  FROM probe p JOIN assign a USING (list_id)
+  WHERE a.vec_id <> p.qid
+),
+s AS (
+  SELECT cand.qid, cand.cid, list_cosine_similarity(q.v, e.v) AS c
+  FROM cand JOIN ev q ON q.vec_id = cand.qid
+            JOIN ev e ON e.vec_id = cand.cid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY c DESC, cid ASC) AS rn
+      FROM s),
+knn AS (SELECT qid, cid, c FROM r WHERE rn <= 5)
+SELECT f.qid AS id1, f.cid AS id2, round(f.c, 6) AS cos
+FROM knn f JOIN knn g ON g.qid = f.cid AND g.cid = f.qid
+WHERE f.qid < f.cid
+ORDER BY cos DESC, id1 ASC, id2 ASC
+""",
         # IVF list balance: the stored assignment (md5-rank seed
         # centroids, cosine argmax) re-derived relationally.
         "ann_ivf_balance": """
@@ -9142,3 +9221,11 @@ FROM k ORDER BY position
 """,
         **_PIPELINE_ORACLES,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # the banded containment path must answer IDENTICALLY to the exact
+    # spine — same oracle, so the hash match proves losslessness
+    d["dedup_containment_banded"] = d["dedup_containment"]
+    return d

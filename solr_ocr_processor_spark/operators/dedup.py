@@ -352,6 +352,102 @@ def containment_pairs(
     )
 
 
+def containment_pairs_banded(
+    docs: DataFrame,
+    n: int = 3,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """PRODUCTION-SCALE :func:`containment_pairs` — same contract,
+    same output, with the s²-per-hot-shingle self-join replaced by
+    PREFIX-FILTERED candidate generation (the AllPairs / PPJoin /
+    SSJoin family — Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06).
+    This is the round-3 verdict's "banded containment" item, solved
+    with a LOSSLESS band instead of a probabilistic one: MinHash
+    banding keys on symmetric Jaccard and can miss the very pairs
+    containment exists to find (a small doc quoted inside a huge one
+    has high C but tiny J), whereas the prefix filter is exact.
+
+    The pigeonhole bound: if ``C(A→B) = |A∩B|/|A| >= tau`` then B
+    misses at most ``|A| - ceil(tau·|A|)`` of A's shingles, so among
+    A's ``|A| - ceil(tau·|A|) + 1`` GLOBALLY RAREST shingles (rank by
+    (df, shingle) — any fixed total order works) at least one is
+    shared with B. Candidate join = A-side prefix rows ⋈ B-side all
+    rows on shingle. A hot shingle (the s² killer: df=10⁵ boilerplate
+    ⇒ 10¹⁰ join rows in the exact spine) almost never ranks inside
+    any doc's rarest-few prefix, so its prefix-side occurrence count
+    — and with it the join fan-out df_prefix·df — collapses; the cost
+    concentrates on rare shingles where df is small by definition.
+    Exact containment is then verified on candidates only.
+
+    Plan: shingle build (map-side distinct) → df aggregate → one
+    rank window per doc → prefix filter → candidate equi-join +
+    distinct → verify join bounded by |candidates|·|A| → the same
+    integer cross-multiplied threshold as the spine. Every stage is
+    keyed, bounded, and skew-resistant; no crossJoin, no s² blowup.
+
+    Returns exactly :func:`containment_pairs`'s rows (the pytest
+    suite asserts set-equality; the driver oracle is the exact
+    spine's SQL, so a hash match proves losslessness)."""
+    from pyspark.sql.window import Window
+
+    sh = shingles(docs, n, text_col)
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .join(card, "doc_id")
+    )
+    # prefix size = c - ceil(tau*c) + 1; ceil(a/b) on positive ints is
+    # (a + b - 1) // b — exact integer arithmetic, no float boundary
+    ceil_tau_c = F.floor(
+        (F.col("c") * F.lit(int(tau_num)) + F.lit(int(tau_den) - 1))
+        / F.lit(int(tau_den))
+    )
+    prefix = ranked.where(F.col("rk") <= F.col("c") - ceil_tau_c + 1)
+    cands = (
+        prefix.select("shingle", F.col("doc_id").alias("doc_src"))
+        .join(
+            sh.select("shingle", F.col("doc_id").alias("doc_dst")), "shingle"
+        )
+        .where(F.col("doc_src") != F.col("doc_dst"))
+        .select("doc_src", "doc_dst")
+        .distinct()
+    )
+    inter = (
+        cands.join(
+            sh.select(F.col("doc_id").alias("doc_src"), "shingle"), "doc_src"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_dst"), "shingle"),
+            ["doc_dst", "shingle"],
+        )
+        .groupBy("doc_src", "doc_dst")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    c_src = card.select(F.col("doc_id").alias("doc_src"), F.col("c").alias("c_src"))
+    return (
+        inter.join(c_src, "doc_src")
+        .where(
+            F.col("i") * F.lit(int(tau_den)) >= F.lit(int(tau_num)) * F.col("c_src")
+        )
+        .select(
+            "doc_src",
+            "doc_dst",
+            F.floor(F.col("i") * F.lit(1_000_000) / F.col("c_src"))
+            .cast("long")
+            .alias("containment_scaled"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
