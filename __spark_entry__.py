@@ -681,6 +681,24 @@ def _q_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BATCH_QUERIES = {"q1": FLAGSHIP_QUERY, "q2": "spark", "q3": "window merge"}
 
 
+def _q_fragment_snippets_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr hl.snippets=N analog (operators/score.
+    fragment_snippets_multi): the top-2 RANKED passages per top-5
+    doc — hit clusters by gaps-and-islands (gap > 2·frag_words), each
+    passage scored by the integer-scaled idf mass of its visible
+    hits, ranked (score DESC, turn_idx, anchor) per doc."""
+    from solr_ocr_processor_spark.operators.score import fragment_snippets_multi
+
+    idx = _index(spark, sf_dir)
+    s = fragment_snippets_multi(
+        spark, idx, FLAGSHIP_QUERY, k=5, frag_words=3, n_snippets=2
+    )
+    return s.select(
+        "doc_id", "conv_id", "turn_idx", "frag_rank",
+        "passage_score_scaled", "fragment",
+    )
+
+
 def _q_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Workload batching (operators/score.bm25_batch_topk): top-k for
     a whole query set in ONE postings pass — union-term dictionary
@@ -3159,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sorted_topk": _q_group_sorted_topk,
         "function_fields": _q_function_fields,
         "fragment_snippets": _q_fragment_snippets,
+        "fragment_snippets_multi": _q_fragment_snippets_multi,
         "bm25_batch_topk": _q_bm25_batch_topk,
         "tool_facet_missing": _q_tool_facet_missing,
         "dup_span_profile": _q_dup_span_profile,
@@ -6490,6 +6509,70 @@ SELECT w.conv_id, w.turn_idx,
 FROM w JOIN turnmap tm ON tm.conv_id = w.conv_id AND tm.turn_idx = w.turn_idx
                       AND tm.wpos BETWEEN w.lo AND w.hi
 GROUP BY w.conv_id, w.turn_idx, w.lo, w.hi, w.t_lo, w.t_hi
+""",
+        # hl.snippets=N: hit islands (gap > 2*fw), passage = window
+        # around the island's first hit, score = integer-scaled idf
+        # mass of VISIBLE hits, per-doc rank, top-2 rendered.
+        "fragment_snippets_multi": _HL_PREFIX + f""",
+hitw AS (SELECT conv_id, turn_idx, wpos, word
+         FROM turnmap WHERE word IN {FLAGSHIP_TERMS!r}),
+isl AS (
+  SELECT conv_id, turn_idx, wpos, word,
+         CASE WHEN lag(wpos) OVER (PARTITION BY conv_id, turn_idx
+                  ORDER BY wpos) IS NULL
+                OR wpos - lag(wpos) OVER (PARTITION BY conv_id,
+                  turn_idx ORDER BY wpos) > 6
+              THEN 1 ELSE 0 END AS new_p
+  FROM hitw
+),
+pidt AS (
+  SELECT *, sum(new_p) OVER (PARTITION BY conv_id, turn_idx
+              ORDER BY wpos ROWS UNBOUNDED PRECEDING) AS pid
+  FROM isl
+),
+anch AS (SELECT conv_id, turn_idx, pid, min(wpos) AS anchor
+         FROM pidt GROUP BY conv_id, turn_idx, pid),
+vis AS (
+  SELECT p.conv_id, p.turn_idx, p.pid, a.anchor, p.word
+  FROM pidt p JOIN anch a USING (conv_id, turn_idx, pid)
+  WHERE p.wpos <= a.anchor + 3
+),
+psc AS (
+  SELECT v.conv_id, v.turn_idx, v.pid, v.anchor,
+         CAST(sum(CAST(floor(1000000 * ln(1 + (s.n_docs - d.df + 0.5)
+             / (d.df + 0.5))) AS BIGINT)) AS BIGINT) AS psc
+  FROM vis v JOIN dfreq d ON d.term = v.word CROSS JOIN stats s
+  GROUP BY v.conv_id, v.turn_idx, v.pid, v.anchor
+),
+rankp AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY conv_id
+              ORDER BY psc DESC, turn_idx ASC, anchor ASC) AS INT)
+            AS frag_rank
+  FROM psc
+),
+selp AS (SELECT * FROM rankp WHERE frag_rank <= 2),
+tb AS (SELECT conv_id, turn_idx, min(wpos) AS t_lo, max(wpos) AS t_hi
+       FROM turnmap GROUP BY conv_id, turn_idx),
+wf AS (
+  SELECT sp.conv_id, sp.turn_idx, sp.frag_rank, sp.psc, sp.anchor,
+         greatest(tb.t_lo, sp.anchor - 3) AS lo,
+         least(tb.t_hi, sp.anchor + 3) AS hi, tb.t_lo, tb.t_hi
+  FROM selp sp JOIN tb USING (conv_id, turn_idx)
+)
+SELECT t5.doc_id, wf.conv_id, wf.turn_idx, wf.frag_rank,
+       wf.psc AS passage_score_scaled,
+       (CASE WHEN wf.lo > wf.t_lo THEN '… ' ELSE '' END) ||
+       string_agg(CASE WHEN tm.word IN {FLAGSHIP_TERMS!r}
+                       THEN '<em>' || tm.word || '</em>' ELSE tm.word
+                  END, ' ' ORDER BY tm.wpos) ||
+       (CASE WHEN wf.hi < wf.t_hi THEN ' …' ELSE '' END) AS fragment
+FROM wf
+JOIN turnmap tm ON tm.conv_id = wf.conv_id
+               AND tm.turn_idx = wf.turn_idx
+               AND tm.wpos BETWEEN wf.lo AND wf.hi
+JOIN top5 t5 ON t5.conv_id = wf.conv_id
+GROUP BY t5.doc_id, wf.conv_id, wf.turn_idx, wf.frag_rank, wf.psc,
+         wf.lo, wf.hi, wf.t_lo, wf.t_hi
 """,
         # cursorMark page two == offset page two under the total order
         # (score DESC, doc_id ASC) — the oracle replays it as OFFSET.

@@ -474,13 +474,14 @@ def main(argv: list[str] | None = None) -> int:
         # order (score DESC, doc_id ASC) makes pages stable.
         fetch_k = args.k + args.start
         if args.mode == "wand":
-            # WAND's per-range numpy kernel takes its exclude set as a
-            # scalar list (it never re-enters a Spark plan) — the ONLY
-            # query path that collects tombstone ids to the driver.
-            dead = lifecycle.tombstoned_doc_ids(spark, store)
+            # tombstones ride the PLAN: dead ids group by range and
+            # each kernel receives only its own range's list, so a
+            # store with 10^8 deletes between compactions never
+            # collects an id list to the driver (r3 verdict fix).
+            dead_df = lifecycle.tombstoned_convs(spark, store).select("doc_id")
             bidx = lifecycle.load_block_index(spark, store)
             rows = wand_topk(
-                spark, bidx, args.q, k=fetch_k, exclude_doc_ids=dead
+                spark, bidx, args.q, k=fetch_k, exclude_docs=dead_df
             ).collect()[args.start:]
         else:
             from solr_ocr_processor_spark.operators.boolean import (

@@ -754,6 +754,152 @@ def fragment_snippets(
     )
 
 
+def fragment_snippets_multi(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    k: int = 10,
+    frag_words: int = 3,
+    n_snippets: int = 2,
+    cfg: IndexConfig = DEFAULT,
+    pre: str = "<em>",
+    post: str = "</em>",
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Solr ``hl.snippets=N`` — the TOP-``n_snippets`` RANKED passages
+    per top-k document, where :func:`fragment_snippets` returns only
+    one window around the first hit (round-3 verdict Missing #5).
+    Lucene's UnifiedHighlighter forms passages around hit clusters and
+    ranks them by hit weight; the deterministic reformulation here:
+
+    - hits within a turn are grouped into PASSAGES by gaps-and-islands:
+      a new passage starts when the gap to the previous hit exceeds
+      ``2·frag_words`` (so rendered windows of consecutive passages
+      can never overlap — the next anchor is > anchor + 2·frag_words);
+    - each passage renders the ``2·frag_words+1`` window around its
+      FIRST hit (anchor), clamped to the turn, ellipses on trimmed
+      sides, every query-term occurrence inside the window marked —
+      identical rendering to the single-fragment op;
+    - passage score = Σ floor(1e6·idf(term)) over the hits VISIBLE in
+      the window (idf = the BM25 idf from the index's term stats;
+      integer-scaled so the ranking boundary is exact arithmetic on
+      both engines — hits the cluster owns beyond the window edge are
+      not shown and not scored, matching Solr dropping them);
+    - passages rank per DOC (not per turn) by (score DESC, turn_idx
+      ASC, anchor ASC); the top ``n_snippets`` survive.
+
+    Output: (doc_id, conv_id, score, turn_idx, frag_rank,
+    passage_score_scaled, fragment) ordered doc_id, frag_rank.
+
+    Plan shape: everything after the k-bounded highlight pass is
+    codegen array math + two rank windows over O(k · hits-per-doc)
+    rows; the idf dimension is a |terms|-row broadcast."""
+    from pyspark.sql.window import Window
+
+    if frag_words < 0:
+        raise ValueError(f"frag_words must be >= 0, got {frag_words}")
+    if n_snippets < 1:
+        raise ValueError(f"n_snippets must be >= 1, got {n_snippets}")
+    terms = sorted(set(query_terms(query, cfg)))
+    h = highlights(
+        spark, index, query, k, cfg, exclude_docs=exclude_docs, with_text=True
+    )
+    turn = h.groupBy("doc_id", "conv_id", "score", "turn_idx").agg(
+        F.first("text").alias("text")
+    )
+    # no persist: turn is k-bounded (one row per matched turn of the
+    # top-k) and recomputing it for the render join is cheaper than
+    # holding a cached dataset across a long driver session
+    turn = turn.withColumn("ntext", _norm_text_udf(cfg)(F.col("text")))
+    tarr = F.array(*[F.lit(t) for t in terms])
+    ws = F.split(F.col("ntext"), " ")
+    hit_idx = F.filter(
+        F.transform(
+            ws, lambda x, i: F.when(F.array_contains(tarr, x), i).otherwise(F.lit(-1))
+        ),
+        lambda v: v >= 0,
+    )
+    hits = (
+        turn.select(
+            "doc_id", "turn_idx", "ntext", F.explode(hit_idx).alias("hpos")
+        )
+        .withColumn(
+            "hterm", F.element_at(F.split(F.col("ntext"), " "), F.col("hpos") + 1)
+        )
+        .drop("ntext")
+    )
+    wseq = Window.partitionBy("doc_id", "turn_idx").orderBy("hpos")
+    hits = hits.withColumn(
+        "new_p",
+        F.when(
+            F.lag("hpos").over(wseq).isNull()
+            | (F.col("hpos") - F.lag("hpos").over(wseq) > 2 * frag_words),
+            1,
+        ).otherwise(0),
+    ).withColumn("pid", F.sum("new_p").over(wseq))
+    wp = Window.partitionBy("doc_id", "turn_idx", "pid")
+    hits = hits.withColumn("anchor", F.min("hpos").over(wp))
+    # idf dimension: |terms| rows, integer-scaled
+    idf = (
+        index.term_stats.where(F.col("term").isin(terms))
+        .crossJoin(F.broadcast(index.corpus.select("n_docs")))
+        .select(
+            F.col("term").alias("hterm"),
+            F.floor(
+                F.lit(1_000_000)
+                * F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+            )
+            .cast("long")
+            .alias("idf_scaled"),
+        )
+    )
+    visible = hits.where(F.col("hpos") <= F.col("anchor") + frag_words)
+    passages = (
+        visible.join(F.broadcast(idf), "hterm")
+        .groupBy("doc_id", "turn_idx", "pid", "anchor")
+        .agg(F.sum("idf_scaled").cast("long").alias("psc"))
+    )
+    wrank = Window.partitionBy("doc_id").orderBy(
+        F.desc("psc"), F.asc("turn_idx"), F.asc("anchor")
+    )
+    top = passages.withColumn("frag_rank", F.row_number().over(wrank)).where(
+        F.col("frag_rank") <= n_snippets
+    )
+    # render: join anchors back to the turn text, same window fold as
+    # the single-fragment op
+    r = top.join(turn, ["doc_id", "turn_idx"])
+    ws2 = F.split(F.col("ntext"), " ")
+    lo = F.greatest(F.lit(0), F.col("anchor") - F.lit(frag_words))
+    hi = F.least(F.size(ws2) - 1, F.col("anchor") + F.lit(frag_words))
+    win = F.slice(ws2, lo + 1, hi - lo + 1)
+    marked = F.transform(
+        win,
+        lambda x: F.when(
+            F.array_contains(tarr, x), F.concat(F.lit(pre), x, F.lit(post))
+        ).otherwise(x),
+    )
+    fragment = F.concat(
+        F.when(lo > 0, F.lit("… ")).otherwise(F.lit("")),
+        F.array_join(marked, " "),
+        F.when(hi < F.size(ws2) - 1, F.lit(" …")).otherwise(F.lit("")),
+    )
+    return (
+        r.select(
+            "doc_id",
+            "conv_id",
+            "score",
+            "turn_idx",
+            "frag_rank",
+            F.col("psc").alias("passage_score_scaled"),
+            fragment.alias("fragment"),
+        )
+        .orderBy("doc_id", "frag_rank")
+    )
+
+
 def bm25_batch_topk(
     spark: SparkSession,
     index: Index,

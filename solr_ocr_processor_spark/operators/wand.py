@@ -76,6 +76,16 @@ def _make_range_scorer(
         range_id = int(pdf["range_id"].iat[0])
         base = range_id * range_size
         dense = np.zeros(range_size, dtype=np.float64)
+        # per-range tombstones ride the PLAN (dead_ids column from the
+        # range-grouped anti-... aggregate join in wand_topk) so the
+        # driver never materializes the global dead list; the scalar
+        # `exclude` closure remains for direct/API callers.
+        plan_dead: list[int] = []
+        if "dead_ids" in pdf.columns:
+            for v in pdf["dead_ids"]:
+                if v is not None and not (isinstance(v, float) and np.isnan(v)):
+                    plan_dead = [int(x) for x in v]
+                    break
         pdf = pdf.sort_values(["term", "block_id"], kind="mergesort")
         for row in pdf.itertuples():
             docs = delta_decode(row.doc_ids).astype(np.int64)
@@ -83,9 +93,13 @@ def _make_range_scorer(
             dls = varint_decode(row.dls).astype(np.int64)
             contrib = row.idf * tf_norm(tfs, dls, avgdl, k1, b)
             np.add.at(dense, docs - base, contrib)
-        if exclude:
+        if exclude or plan_dead:
             dead = np.array(
-                [d - base for d in exclude if base <= d < base + range_size],
+                [
+                    d - base
+                    for d in set(plan_dead).union(exclude)
+                    if base <= d < base + range_size
+                ],
                 dtype=np.int64,
             )
             if dead.size:
@@ -120,13 +134,23 @@ def wand_topk(
     k: int = 10,
     cfg: IndexConfig | None = None,
     exclude_doc_ids: list[int] | None = None,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k via two-phase block-max pruning.
 
     Returns (doc_id, conv_id, score) ordered by (score desc, doc_id).
-    ``exclude_doc_ids``: tombstoned docs to suppress (exact — zeroed
-    inside the scorer, not post-filtered, so the result always has k
-    live docs when k exist).
+    Tombstone suppression (exact — zeroed inside the scorer, not
+    post-filtered, so the result always has k live docs when k exist)
+    has two forms:
+
+    - ``exclude_docs``: a (doc_id) DataFrame — the SCALE path. Dead
+      ids are grouped BY RANGE (``range_id = doc_id // range_size``)
+      in the plan and each range's list rides its block group into
+      the kernel, so driver traffic stays O(touched ranges) and a
+      store with 10^8 tombstones between compactions never
+      materializes a driver-side id list (round-3 verdict item).
+    - ``exclude_doc_ids``: a scalar list closed over by the kernel —
+      kept for direct API callers with small known sets; both compose.
     """
     cfg = cfg or bidx.cfg
     terms = query_terms(query, cfg)
@@ -170,6 +194,19 @@ def wand_topk(
             "doc_ids", "tfs", "dls",
         )
     )
+    if exclude_docs is not None:
+        # tombstones grouped by the range their doc id falls in; the
+        # left join hands each kernel ONLY its own range's dead list
+        dead_ranges = (
+            exclude_docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+            .withColumn(
+                "range_id",
+                F.floor(F.col("doc_id") / F.lit(int(cfg.range_size))).cast("long"),
+            )
+            .groupBy("range_id")
+            .agg(F.collect_list("doc_id").alias("dead_ids"))
+        )
+        qb = qb.join(dead_ranges, "range_id", "left")
     qb.persist()
     bounds_df = (
         qb.groupBy("range_id", "term")
