@@ -3046,6 +3046,48 @@ def _q_ann_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_knn(_embs(spark, sf_dir), k=5, max_id=500)
 
 
+_hnsw_cache: dict = {}
+
+
+def _hnsw_store(spark: SparkSession, sf_dir: str):
+    """Persisted per-segment HNSW graphs over the sf embeddings
+    (Lucene's per-segment {!knn} layout, operators/hnsw.py), built
+    once per session like _ann_store."""
+    from solr_ocr_processor_spark.operators.hnsw import build_hnsw_store
+
+    key = (id(spark), sf_dir)
+    if key not in _hnsw_cache:
+        import atexit
+        import os
+        import re
+        import shutil
+
+        tag = re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.strip("/"))
+        root = f"/tmp/spark_graft_hnsw_{tag}_{os.getpid()}"
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _hnsw_cache[key] = build_hnsw_store(
+            spark, _embs(spark, sf_dir), root, dim=64, seg_size=256
+        )
+    return _hnsw_cache[key]
+
+
+def _q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment HNSW {!knn} (operators/hnsw.hnsw_topk_stored):
+    deterministic graph build (md5 levels, ascending-id insertion,
+    id-asc tie-breaks), per-segment greedy descent + ef-beam, global
+    exact-cosine merge. Probed at ef = seg_size, where the beam is
+    exhaustive per segment and the result provably equals the brute
+    scan — so the brute-force SQL IS the oracle (the full-probe ==
+    brute discipline of the IVF/PQ stores); approximate-ef recall and
+    build determinism are pytest-asserted."""
+    from solr_ocr_processor_spark.operators.hnsw import hnsw_topk_stored
+
+    store = _hnsw_store(spark, sf_dir)
+    return hnsw_topk_stored(
+        spark, store, _qvec(spark, sf_dir), k=10, ef=store.seg_size
+    )
+
+
 def _q_ann_mutual_knn_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Store-probed reciprocal k-NN (operators/ann_store.
     mutual_knn_stored): each side's top-5 comes from the persisted
@@ -3353,6 +3395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_loss_mask": _q_sft_loss_mask,
         "ann_mutual_knn": _q_ann_mutual_knn,
         "ann_mutual_knn_stored": _q_ann_mutual_knn_stored,
+        "ann_hnsw_topk": _q_ann_hnsw_topk,
         "ann_ivf_balance": _q_ann_ivf_balance,
         "ocr_alto_e2e": _q_ocr_alto_e2e,
         "ocr_hocr_e2e": _q_ocr_hocr_e2e,
@@ -9311,4 +9354,7 @@ def oracle_sql() -> dict[str, str]:
     # the banded containment path must answer IDENTICALLY to the exact
     # spine — same oracle, so the hash match proves losslessness
     d["dedup_containment_banded"] = d["dedup_containment"]
+    # HNSW probed at ef >= seg_size is exhaustive per segment (see
+    # _q_ann_hnsw_topk) — the brute-force scan is its exact oracle
+    d["ann_hnsw_topk"] = d["ann_cosine_topk"]
     return d
