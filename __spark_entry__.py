@@ -3165,7 +3165,53 @@ def _q_ocr_miniocr_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return miniocr_render(_docs(spark, sf_dir), n_docs=40, n_tokens=24)
 
 
+# The driver's correctness gate checks the FIRST 50 queries() entries
+# (CORRECTNESS_r01-r03 each recorded exactly the head of this dict).
+# Rounds 1-3 kept the same head, so 176 queries were only ever
+# self-sweep-verified; round 4 rotates the head (r3 verdict item 1):
+# a few flagships stay for regression continuity, the rest of the 50
+# are this round's new queries plus the highest-value families the
+# driver has never checked (persisted ANN stores, winnowing, CDC,
+# graph, DSIR, decontamination, split/leakage, conversation ops).
+# Every query NOT in the head is still verified by the committed
+# ORACLE_SWEEP artifact (tools/check_oracle.py over the full dict).
+_DRIVER_HEAD = [
+    # regression continuity
+    "doc_materialize", "bm25_topk", "bm25_wand_topk", "phrase_topk",
+    "highlight_offsets",
+    # round-4 queries
+    "ocr_alto_e2e", "ocr_hocr_e2e", "ocr_miniocr_render",
+    "dedup_containment_banded", "ann_mutual_knn_stored", "ann_hnsw_topk",
+    "fragment_snippets_multi",
+    # never driver-checked: ANN family (stored probes + compressions)
+    "ann_ivf_topk", "ann_lsh_topk", "ann_ivfpq_topk", "ann_pq_topk",
+    "ann_int8_topk", "ann_matryoshka_topk", "ann_maxsim_topk",
+    "ann_mutual_knn", "ann_recall", "knn_filtered_topk",
+    # never driver-checked: dedup family
+    "dedup_winnow_pairs", "winnow_common_spans", "cdc_chunk_stats",
+    "dedup_containment", "dedup_clusters", "dedup_keep_best",
+    "semantic_dedup", "incremental_dedup", "dedup_simhash",
+    "simhash_near_pairs", "dup_span_trim", "dedup_embedding_lsh",
+    # never driver-checked: graph
+    "graph_pagerank", "stream_shortest_path", "stream_scorenodes",
+    "graph_expand",
+    # never driver-checked: pipeline / quality / decontam
+    "dsir_resample", "quality_classifier", "lm_ppl_buckets",
+    "bloom_decontaminate", "decontaminate", "corpus_export",
+    # never driver-checked: split / conversation / eval
+    "split_leakage", "cluster_split", "preference_pairs",
+    "sft_loss_mask", "result_clusters", "rank_ndcg",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _queries_base()
+    head = {k: base[k] for k in _DRIVER_HEAD}
+    head.update({k: v for k, v in base.items() if k not in head})
+    return head
+
+
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_materialize": _q_doc_materialize,
         "turn_ordinals": _q_turn_ordinals,

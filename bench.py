@@ -95,6 +95,12 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         t2 = time.perf_counter()
         entry._child_index(spark, sf_dir)
         child_build_sec = time.perf_counter() - t2
+        # r4: the per-segment HNSW graph store is its own build-side
+        # artifact (Lucene builds segment graphs at index time, not at
+        # query time) — charge it to its own leg like the ANN store.
+        t3 = time.perf_counter()
+        entry._hnsw_store(spark, sf_dir)
+        hnsw_build_sec = time.perf_counter() - t3
 
         # Post-build settle: the build leg leaves the JVM mid-GC and the
         # OS page cache churning; timing queries immediately after
@@ -130,6 +136,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
             "build_sec": round(build_sec, 3),
             "ann_build_sec": round(ann_build_sec, 3),
             "child_build_sec": round(child_build_sec, 3),
+            "hnsw_build_sec": round(hnsw_build_sec, 3),
             "n_turns": n_turns,
             "turns_per_sec": round(n_turns / build_sec, 1) if build_sec else 0.0,
             "queries": timings,

@@ -283,6 +283,101 @@ def load_hnsw_store(root: str) -> HnswStore:
         return HnswStore(root=root, **json.load(f))
 
 
+def append_hnsw_store(
+    spark: SparkSession,
+    store: HnswStore,
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Fold NEW vectors into the HNSW store — Lucene's flush model
+    made literal: new vectors become NEW segments (graphs over their
+    own id ranges) appended next to the existing ones; stored graphs
+    are immutable and are never edited (editing an HNSW graph in
+    place is the operation Lucene also refuses — it rewrites on
+    merge). Queries automatically fan over the new segments because
+    the search groups by the ``seg`` partition column.
+
+    Idempotent: ids already present in the node table are dropped
+    first (the GET-before-POST re-add discipline of the text index's
+    fold-in); re-sending an indexed batch is a no-op returning 0.
+    Because segments are id-range keyed and the graph build is
+    content-addressed, append-then-query equals a fresh build's
+    result whenever the appended ids land in their own segments
+    (asserted in tests). Returns the number of vectors appended."""
+    existing = spark.read.parquet(store.path("nodes")).select("id")
+    base = embs.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    ).join(existing, "id", "left_anti")
+    n = base.count()
+    if n == 0:
+        return 0
+    base = base.withColumn(
+        "seg", F.floor(F.col("id") / F.lit(int(store.seg_size))).cast("long")
+    )
+
+    m, efc, seed = store.m, store.ef_construction, store.seed
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort")
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        vecs = np.vstack(pdf["vec"].values).astype(np.float64)
+        seg = int(pdf["seg"].iat[0])
+        edges = _build_segment_graph(ids, vecs, m, efc, seed)
+        return pd.DataFrame(
+            {
+                "seg": np.full(len(edges), seg, dtype=np.int64),
+                "level": np.array([e[0] for e in edges], dtype=np.int32),
+                "src": ids[[e[1] for e in edges]],
+                "dst": ids[[e[2] for e in edges]],
+            }
+        )
+
+    (
+        base.groupBy("seg")
+        .applyInPandas(gen, _EDGE_SCHEMA)
+        .repartition("seg")
+        .write.mode("append")
+        .partitionBy("seg")
+        .parquet(store.path("edges"))
+    )
+    (
+        base.repartition("seg")
+        .write.mode("append")
+        .partitionBy("seg")
+        .parquet(store.path("nodes"))
+    )
+    return n
+
+
+def merge_hnsw_segments(
+    spark: SparkSession, store: HnswStore, factor: int = 4
+) -> HnswStore:
+    """Force-merge: rebuild the store with ``factor``× larger segments
+    — Lucene's segment merge (graphs are rebuilt from vectors, never
+    spliced; the per-segment query fan-in shrinks by ``factor`` at the
+    cost of one full rebuild pass, the classic merge trade). Returns
+    the updated store (meta rewritten in place)."""
+    nodes = spark.read.parquet(store.path("nodes")).select("id", "vec")
+    new = build_hnsw_store(
+        spark,
+        nodes,
+        store.root + "_merged",
+        dim=store.dim,
+        m=store.m,
+        ef_construction=store.ef_construction,
+        seed=store.seed,
+        seg_size=store.seg_size * int(factor),
+        id_col="id",
+        vec_col="vec",
+    )
+    import shutil
+
+    shutil.rmtree(store.root)
+    os.rename(new.root, store.root)
+    return load_hnsw_store(store.root)
+
+
 _CAND_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType(), False),

@@ -72,6 +72,55 @@ def test_build_is_partition_independent(spark, embs, tmp_path):
     assert e1 == e2 and len(e1) > 0
 
 
+def test_append_new_segments_equals_fresh_build(spark, embs, tmp_path):
+    """Lucene flush model: appending a disjoint id range as new
+    segments must answer identically to a fresh build over the union
+    (segments are id-range keyed, graphs content-addressed)."""
+    from solr_ocr_processor_spark.operators.hnsw import append_hnsw_store
+
+    lo = embs.where("vec_id < 192")
+    hi = embs.where("vec_id >= 192")
+    r1, r2 = str(tmp_path / "inc"), str(tmp_path / "fresh")
+    s_inc = build_hnsw_store(spark, lo, r1, dim=64, seg_size=64)
+    n = append_hnsw_store(spark, s_inc, hi)
+    assert n == hi.count()
+    # idempotent re-send
+    assert append_hnsw_store(spark, s_inc, hi) == 0
+    s_fresh = build_hnsw_store(spark, embs, r2, dim=64, seg_size=64)
+    qv = list(embs.where("vec_id = 5").first()["embedding"])
+    a = hnsw_topk_stored(spark, s_inc, qv, k=10, ef=64).collect()
+    b = hnsw_topk_stored(spark, s_fresh, qv, k=10, ef=64).collect()
+    assert [(r["id"], r["cos"]) for r in a] == [(r["id"], r["cos"]) for r in b]
+    # and edges are identical table-wise
+    e1 = spark.read.parquet(s_inc.path("edges")).orderBy(
+        "seg", "level", "src", "dst"
+    ).collect()
+    e2 = spark.read.parquet(s_fresh.path("edges")).orderBy(
+        "seg", "level", "src", "dst"
+    ).collect()
+    assert e1 == e2
+
+
+def test_merge_shrinks_segment_count_exact_results_hold(spark, embs, tmp_path):
+    from solr_ocr_processor_spark.operators.hnsw import merge_hnsw_segments
+
+    root = str(tmp_path / "m")
+    s = build_hnsw_store(spark, embs, root, dim=64, seg_size=64)
+    qv = list(embs.where("vec_id = 0").first()["embedding"])
+    before = hnsw_topk_stored(spark, s, qv, k=10, ef=s.seg_size).collect()
+    s2 = merge_hnsw_segments(spark, s, factor=4)
+    assert s2.seg_size == 256
+    segs = {
+        r["seg"]
+        for r in spark.read.parquet(s2.path("nodes")).select("seg").distinct().collect()
+    }
+    assert len(segs) <= 2
+    after = hnsw_topk_stored(spark, s2, qv, k=10, ef=s2.seg_size).collect()
+    assert [(r["id"], r["cos"]) for r in after] == [
+        (r["id"], r["cos"]) for r in before
+    ]
+
+
 def test_store_roundtrip_and_segment_layout(spark, embs, store):
     s = load_hnsw_store(store.root)
     assert (s.m, s.seg_size, s.seed) == (store.m, store.seg_size, store.seed)

@@ -182,9 +182,26 @@ def test_multimodal_frames_cover_payload(spark, docs):
         assert sorted(offs) == list(range(0, feats[mid], 64))
 
 
-def test_decode_image_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG....")
+def test_decode_image_conditional_on_pillow():
+    """Env-gated decode (r3 verdict item 9): when Pillow is present
+    the decode path must actually decode; when absent it must raise
+    the documented NotImplementedError. Either way the Spark-side
+    plumbing (extract_features) is unaffected — its oracle rows never
+    depend on a real decoder."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG....")
+    else:  # pragma: no cover - exercised only where Pillow ships
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (2, 2), (255, 0, 0)).save(buf, format="PNG")
+        img = decode_image(buf.getvalue())
+        assert img.size == (2, 2)
 
 
 def test_lsh_near_dup_subset_of_exact(spark, embs):
