@@ -303,6 +303,7 @@ def main() -> None:
         r["build_sec"]
         + r["ann_build_sec"]
         + r["child_build_sec"]
+        + r["hnsw_build_sec"]
         + sum(r["queries"].values())
     )
     print(
@@ -316,6 +317,7 @@ def main() -> None:
                 "build_sec": r["build_sec"],
                 "ann_build_sec": r["ann_build_sec"],
                 "child_build_sec": r["child_build_sec"],
+                "hnsw_build_sec": r["hnsw_build_sec"],
                 "n_turns": r["n_turns"],
                 "turns_per_sec": r["turns_per_sec"],
                 "cpus": CPUS,

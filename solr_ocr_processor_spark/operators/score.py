@@ -807,10 +807,14 @@ def fragment_snippets_multi(
     turn = h.groupBy("doc_id", "conv_id", "score", "turn_idx").agg(
         F.first("text").alias("text")
     )
-    # no persist: turn is k-bounded (one row per matched turn of the
-    # top-k) and recomputing it for the render join is cheaper than
-    # holding a cached dataset across a long driver session
-    turn = turn.withColumn("ntext", _norm_text_udf(cfg)(F.col("text")))
+    # the turn table feeds hit extraction AND the render join; fence
+    # it (k-bounded — one row per matched turn of the top-k) so the
+    # highlight pass runs once, not once per consumer. localCheckpoint
+    # storage frees with the RDD, so nothing leaks across a long
+    # driver session (the winnow_pairs persist lesson, ADVICE r3).
+    turn = turn.withColumn(
+        "ntext", _norm_text_udf(cfg)(F.col("text"))
+    ).localCheckpoint(eager=False)
     tarr = F.array(*[F.lit(t) for t in terms])
     ws = F.split(F.col("ntext"), " ")
     hit_idx = F.filter(
