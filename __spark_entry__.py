@@ -3177,10 +3177,11 @@ def _q_ocr_miniocr_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ORACLE_SWEEP artifact (tools/check_oracle.py over the full dict).
 _DRIVER_HEAD = [
     # regression continuity
-    "doc_materialize", "bm25_topk", "bm25_wand_topk", "phrase_topk",
+    "doc_materialize", "bm25_topk", "bm25_wand_topk",
     "highlight_offsets",
     # round-4 queries
-    "ocr_alto_e2e", "ocr_hocr_e2e", "ocr_miniocr_render",
+    "ocr_alto_e2e", "ocr_alto_multipage_e2e", "ocr_hocr_e2e",
+    "ocr_miniocr_render",
     "dedup_containment_banded", "ann_mutual_knn_stored", "ann_hnsw_topk",
     "fragment_snippets_multi",
     # never driver-checked: ANN family (stored probes + compressions)
@@ -3202,6 +3203,18 @@ _DRIVER_HEAD = [
     "split_leakage", "cluster_split", "preference_pairs",
     "sft_loss_mask", "result_clusters", "rank_ndcg",
 ]
+
+
+def _q_ocr_alto_multipage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's per-item multi-file loop end-to-end
+    (operators/ocr_ingest.alto_multipage_e2e): an ordered file list
+    with empty-body holes, skip-then-number dense Page.{position}
+    ordinals (app/handler/indexer.go:98-148 — the misordered-pages ⇒
+    wrong-highlights invariant the reference warns about), per-file
+    sniff + unit/dpi conversion. One row per PROCESSED file."""
+    from solr_ocr_processor_spark.operators.ocr_ingest import alto_multipage_e2e
+
+    return alto_multipage_e2e(_docs(spark, sf_dir), n_docs=20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3444,6 +3457,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hnsw_topk": _q_ann_hnsw_topk,
         "ann_ivf_balance": _q_ann_ivf_balance,
         "ocr_alto_e2e": _q_ocr_alto_e2e,
+        "ocr_alto_multipage_e2e": _q_ocr_alto_multipage,
         "ocr_hocr_e2e": _q_ocr_hocr_e2e,
         "ocr_miniocr_render": _q_ocr_miniocr_render,
     }
@@ -9256,6 +9270,51 @@ FROM scored s JOIN dl USING (doc_id)
      JOIN firsth f ON f.doc_id = s.doc_id AND f.rn = 1
 ORDER BY s.raw DESC, s.doc_id ASC
 LIMIT 10
+""",
+        # multi-file item loop: designated-empty slots + exhausted
+        # chunks both skip WITHOUT incrementing the ordinal (the
+        # indexer.go:98-148 dense-position semantics), replayed as two
+        # stacked skip-then-rank windows.
+        "ocr_alto_multipage_e2e": """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < 20
+),
+slots AS (SELECT doc_id, toks, unnest(range(6)) AS slot FROM d),
+des AS (
+  SELECT doc_id, toks, slot,
+         row_number() OVER (PARTITION BY doc_id ORDER BY slot) - 1
+           AS k
+  FROM slots WHERE (slot + doc_id) % 3 <> 1
+),
+pages AS (
+  SELECT doc_id, slot,
+         list_slice(toks, k * 8 + 1, k * 8 + 8) AS chunk
+  FROM des
+),
+proc AS (
+  SELECT doc_id, slot, chunk,
+         row_number() OVER (PARTITION BY doc_id ORDER BY slot) - 1
+           AS ordinal
+  FROM pages WHERE len(chunk) > 0
+),
+meta AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'mm10' WHEN 1 THEN 'inch1200'
+              ELSE 'pixel' END AS unit,
+         CASE WHEN doc_id % 2 = 0 THEN (doc_id % 4) * 50 + 150
+              ELSE 300 END AS dpi
+  FROM d
+)
+SELECT p.doc_id, p.slot,
+       'Page.' || p.ordinal AS page_id,
+       CAST(len(p.chunk) AS BIGINT) AS n_page_tokens,
+       p.chunk[1] AS first_term,
+       CASE m.unit WHEN 'inch1200' THEN (100 * m.dpi) // 1200
+            WHEN 'mm10' THEN CAST(floor(3.7795275591 * 100) AS BIGINT)
+            ELSE 100 END AS first_hpos
+FROM proc p JOIN meta m USING (doc_id)
+ORDER BY p.doc_id, p.slot
 """,
         # hOCR end-to-end: corner formulas -> extents, page dims from
         # the page bbox; same direct-replay discipline as the ALTO twin.

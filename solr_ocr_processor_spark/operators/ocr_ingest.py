@@ -67,12 +67,12 @@ E2E_TERMS = ("table", "value")
 
 # piece patterns shared by synth and parse (and replayed by the oracle)
 _ALTO_WORD_RE = (
-    r'<String CONTENT="([a-z]*)" HPOS="(\d+)" VPOS="(\d+)"'
+    r'<String CONTENT="([a-z0-9]*)" HPOS="(\d+)" VPOS="(\d+)"'
     r' WIDTH="(\d+)" HEIGHT="(\d+)"/>'
 )
 _HOCR_WORD_RE = (
     r"<span class='ocrx_word' title='bbox (\d+) (\d+) (\d+) (\d+)'>"
-    r"([a-z]*)</span>"
+    r"([a-z0-9]*)</span>"
 )
 _HOCR_PAGE_RE = r"bbox 0 0 (\d+) (\d+)"  # app/process/hocr.go:16
 
@@ -525,6 +525,170 @@ def hocr_e2e_topk(
 ) -> DataFrame:
     """synth → sniff → parse → corner rewrite → index → BM25+highlight."""
     return ocr_e2e_topk(parse_hocr(synth_hocr(docs, n_docs, n_tokens)), terms, k)
+
+
+def synth_alto_files(
+    docs: DataFrame,
+    n_docs: int = 20,
+    tokens_per_page: int = 8,
+    n_slots: int = 6,
+) -> DataFrame:
+    """(doc_id, slot, xml) — the reference's MULTI-FILE item shape:
+    one item (doc) has an ORDERED list of OCR files (slots), each file
+    one page (app/handler/indexer.go:81-148). Deterministic structure:
+
+    - slot ``s`` of doc ``d`` is DESIGNATED EMPTY when
+      ``(s + d) % 3 == 1`` — the empty-body files the reference skips
+      without incrementing its position counter (indexer.go:98-148);
+    - the remaining slots consume the doc's tokens in slot order,
+      ``tokens_per_page`` per file (2 lines of 4); a designated slot
+      whose chunk is exhausted (short doc) also yields an empty body —
+      so which files are "processed" is a CONTENT property the parse
+      side must discover, exactly as in the reference;
+    - every file carries the doc's measurement unit + xdpi header
+      (one processor configuration per item)."""
+    toks = F.slice(F.split(F.col("text"), " "), 1, 10_000)
+    base = (
+        docs.where(F.col("doc_id") < F.lit(int(n_docs)))
+        .select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.lit(int(n_slots) - 1))).alias("slot"),
+        )
+        .withColumn("designated", (F.col("slot") + F.col("doc_id")) % 3 != 1)
+    )
+    k = (
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("slot")
+        )
+        - 1
+    )
+    des = base.where(F.col("designated")).withColumn("k", k)
+    chunk = F.slice(
+        F.col("toks"),
+        F.col("k") * tokens_per_page + 1,
+        int(tokens_per_page),
+    )
+    des = des.withColumn("chunk", chunk)
+    words = des.select(
+        "doc_id", "slot", F.posexplode("chunk").alias("i", "term")
+    ).withColumn("line", F.floor(F.col("i") / WORDS_PER_LINE).cast("int"))
+    h, v, wd, ht = _alto_coords(F.col("i"), F.col("line"))
+    piece = F.format_string(
+        '<String CONTENT="%s" HPOS="%d" VPOS="%d" WIDTH="%d" HEIGHT="%d"/>',
+        F.col("term"), h, v, wd, ht,
+    )
+    lines = (
+        words.withColumn("piece", piece)
+        .groupBy("doc_id", "slot", "line")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "piece"))),
+                    lambda s: s["piece"],
+                ),
+                "",
+            ).alias("body")
+        )
+        .withColumn("lx", F.format_string("<TextLine>%s</TextLine>", F.col("body")))
+        .groupBy("doc_id", "slot")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line", "lx"))),
+                    lambda s: s["lx"],
+                ),
+                "",
+            ).alias("body")
+        )
+    )
+    unit, dpi, pw, ph = _doc_meta(F.col("doc_id"))
+    settings = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.format_string("deskew:0.5; xdpi:%d; ydpi:300", dpi),
+    ).otherwise(F.lit("deskew:0.5"))
+    xml = F.format_string(
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        "<alto><Description><MeasurementUnit>%s</MeasurementUnit>"
+        "<OCRProcessing ID=\"OCR1\"><ocrProcessingStep>"
+        "<processingStepSettings>%s</processingStepSettings>"
+        "</ocrProcessingStep></OCRProcessing></Description>"
+        '<Layout><Page ID="P0" WIDTH="%d" HEIGHT="%d"><PrintSpace>'
+        "%s</PrintSpace></Page></Layout></alto>",
+        unit, settings, pw, ph, F.col("body"),
+    )
+    # non-designated slots AND designated-but-exhausted slots emit the
+    # empty body the reference's skip path sees
+    return (
+        base.select("doc_id", "slot")
+        .distinct()
+        .join(lines, ["doc_id", "slot"], "left")
+        .withColumn(
+            "xml", F.when(F.col("body").isNotNull(), xml).otherwise(F.lit(""))
+        )
+        .select("doc_id", "slot", "xml")
+    )
+
+
+def alto_multipage_e2e(
+    docs: DataFrame,
+    n_docs: int = 20,
+    tokens_per_page: int = 8,
+    n_slots: int = 6,
+) -> DataFrame:
+    """The reference's WHOLE per-item loop over an ordered multi-file
+    item (app/handler/indexer.go:100-148): skip empty file bodies
+    WITHOUT incrementing the position counter, sniff + parse the
+    processed files, rewrite each page id to the dense
+    ``Page.{position}`` ordinal, convert coordinates per the item's
+    unit/dpi header. Returns one row per PROCESSED file:
+
+    (doc_id, slot, page_id, n_page_tokens, first_term, first_hpos)
+
+    — page_id is the dense ordinal (``Page.0``, ``Page.1``, … with no
+    gaps even though the slot list has holes), first_hpos is the first
+    word's pixel HPOS after unit conversion. Ordered doc_id, slot."""
+    files = synth_alto_files(docs, n_docs, tokens_per_page, n_slots)
+    processed = files.where(F.length(F.col("xml")) > 0)
+    ordinal = (
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("slot")) - 1
+    )
+    p = processed.withColumn("ordinal", ordinal)
+    unit = F.regexp_extract(
+        F.col("xml"), r"<MeasurementUnit>([^<]*)</MeasurementUnit>", 1
+    )
+    dpi = extract_dpi(
+        F.regexp_extract(
+            F.col("xml"),
+            r"<processingStepSettings>([^<]*)</processingStepSettings>",
+            1,
+        )
+    )
+    first_h = F.regexp_extract(F.col("xml"), r'HPOS="(\d+)"', 1).cast("long")
+    n_words = F.size(
+        F.regexp_extract_all(F.col("xml"), F.lit(_ALTO_WORD_RE), F.lit(0))
+    )
+    first_term = F.regexp_extract(
+        F.col("xml"), r'<String CONTENT="([a-z0-9]+)"', 1
+    )
+    px = (
+        F.when(unit == "inch1200", inch1200_to_px(first_h, dpi))
+        .when(unit == "mm10", mm10_to_px(first_h))
+        .otherwise(first_h)
+    )
+    return (
+        p.where(sniff_format(F.col("xml")) == "alto")
+        .select(
+            "doc_id",
+            "slot",
+            F.format_string("Page.%d", F.col("ordinal")).alias("page_id"),
+            n_words.cast("long").alias("n_page_tokens"),
+            first_term.alias("first_term"),
+            px.alias("first_hpos"),
+        )
+        .orderBy("doc_id", "slot")
+    )
 
 
 def miniocr_render(

@@ -133,6 +133,41 @@ def test_miniocr_lazy_keeps_double_quotes(spark):
     assert out["miniocr"].startswith('<ocr><p xml:id="Page.0" wh="2481 3509">')
 
 
+def test_multipage_dense_ordinals_skip_then_number(spark):
+    """The indexer.go:98-148 invariant: empty file bodies (designated
+    holes AND exhausted chunks) are skipped WITHOUT incrementing the
+    page position — ordinals stay dense across slot gaps."""
+    from solr_ocr_processor_spark.operators.ocr_ingest import alto_multipage_e2e
+
+    # doc 0: 23 tokens -> chunks of 8,8,7; designated-empty slots are
+    # s%3==1 (1, 4); slot 5 is designated but exhausted
+    docs = _docs(spark, [(0, " ".join(f"w{i}" for i in range(23)))])
+    out = alto_multipage_e2e(docs, n_docs=1).collect()
+    assert [(r["slot"], r["page_id"], r["n_page_tokens"]) for r in out] == [
+        (0, "Page.0", 8), (2, "Page.1", 8), (3, "Page.2", 7)
+    ]
+    assert out[0]["first_term"] == "w0"
+    assert out[1]["first_term"] == "w8"
+    # doc 0 unit mm10: first word raw HPOS 100 -> floor(377.95) px
+    assert out[0]["first_hpos"] == 377
+
+
+def test_multipage_unit_conversion_per_item(spark):
+    from solr_ocr_processor_spark.operators.ocr_ingest import alto_multipage_e2e
+
+    docs = _docs(
+        spark,
+        [(1, " ".join(f"a{i}" for i in range(10))),
+         (2, " ".join(f"b{i}" for i in range(10)))],
+    )
+    out = {r["doc_id"]: r for r in alto_multipage_e2e(docs, n_docs=3).collect()
+           if r["page_id"] == "Page.0"}
+    # doc 1: inch1200, odd -> 300 dpi fallback -> 100*300//1200 = 25
+    assert out[1]["first_hpos"] == 25
+    # doc 2: pixel identity
+    assert out[2]["first_hpos"] == 100
+
+
 def test_miniocr_render_skips_injected_empty(spark):
     # doc 0 line 0 gets an injected empty word; the artifact must not
     # contain an empty <w> element
