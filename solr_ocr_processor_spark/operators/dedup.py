@@ -1587,7 +1587,12 @@ def winnow_fingerprints(
 
 
 def winnow_common_spans(
-    docs: DataFrame, k: int = 8, w: int = 4, min_docs: int = 2, limit: int = 20
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_docs: int = 2,
+    limit: int = 20,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Cross-document boilerplate spans via winnowing: the selected
     fingerprints shared by >= ``min_docs`` documents, most-shared
@@ -1599,7 +1604,7 @@ def winnow_common_spans(
     Returns (fp, n_docs) ordered n_docs DESC, fp ASC, top ``limit``.
     One fp-keyed aggregate over the per-doc fingerprint set; top-k
     lowers to TakeOrderedAndProject."""
-    sel = winnow_fingerprints(docs, k=k, w=w)
+    sel = winnow_fingerprints(docs, k=k, w=w, hasher=hasher)
     return (
         sel.groupBy("fp")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
