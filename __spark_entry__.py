@@ -1063,6 +1063,50 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("id", "text_hash")
 
 
+_stream_near_dedup_runs = [0]
+
+
+def _q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate gate (streaming/dedup.
+    near_dedup_doc_stream): foreachBatch incremental MinHash against
+    the persisted admitted-document store — the rolling-ingest shape
+    of incremental_dedup as a live stream. Replayed here as one
+    availableNow batch (new = doc_id%5==0 as the stream source, the
+    rest pre-seeded as the store), which the module contract makes
+    equal to the batch incremental operator — so the stream gets the
+    same FULL DuckDB oracle as incremental_dedup, not a rows-only
+    pass. Same candidate-recall data-dependence note as that query
+    (LSH bands vs the exact-join oracle)."""
+    import shutil
+    import tempfile
+
+    from solr_ocr_processor_spark.streaming.dedup import near_dedup_doc_stream
+
+    _stream_near_dedup_runs[0] += 1
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="snd_")
+    try:
+        src, store, out = (os.path.join(root, d) for d in ("src", "store", "out"))
+        docs.where(F.col("doc_id") % 5 == 0).write.parquet(src)
+        docs.where(F.col("doc_id") % 5 != 0).write.parquet(store)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            near_dedup_doc_stream(stream, store, out)
+            .option("checkpointLocation", os.path.join(root, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = spark.read.parquet(out).select(
+            "doc_id", "dup_of", "jaccard"
+        ).collect()
+        return spark.createDataFrame(
+            rows, "doc_id long, dup_of long, jaccard double"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-corpus export: near-dup keep-one
     (connected components over the MinHash+LSH verified pairs) ->
@@ -3353,6 +3397,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "atomic_update": _q_atomic_update,
         "blocklist_profile": _q_blocklist_profile,
         "incremental_dedup": _q_incremental_dedup,
+        "stream_near_dedup": _q_stream_near_dedup,
         "ltr_topk": _q_ltr_topk,
         "facet_interval": _q_facet_interval,
         "realtime_get": _q_realtime_get,
@@ -9495,4 +9540,7 @@ def oracle_sql() -> dict[str, str]:
         "('0x' || substr(md5(substr(s, pos + 1, 8)), 1, 15))::BIGINT",
         f"({poly}) % {WINNOW_POLY_MOD}",
     )
+    # the streaming near-dup gate replays, in one availableNow batch,
+    # exactly the batch incremental operator's answer — same oracle
+    d["stream_near_dedup"] = d["incremental_dedup"]
     return d

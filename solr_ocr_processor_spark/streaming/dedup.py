@@ -72,3 +72,93 @@ def dedup_doc_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def near_dedup_doc_stream(
+    stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    n: int = 3,
+    tau: float = 0.3,
+    num_bands: int = 32,
+    rows_per_band: int = 4,
+):
+    """Streaming NEAR-duplicate gate (round 4) — the rolling-ingest
+    shape of :func:`operators.dedup.incremental_minhash_dedup`: every
+    microbatch checks its documents against the PERSISTED corpus of
+    previously-admitted documents, flags verified near-dups, and folds
+    only the survivors into the store.
+
+    Why ``foreachBatch`` and not ``applyInPandasWithState``: a MinHash
+    near-dup decision needs cross-bucket coordination (one doc lands
+    in ``num_bands`` band buckets and is a duplicate if ANY bucket
+    yields a verified candidate), but stateful-operator state is
+    per-key — the per-bucket verdicts of one doc live in different
+    state partitions and cannot be joined inside the operator. The
+    standard production answer is exactly this: keep the signature /
+    document store as an external append-only table (the ann_store /
+    merge_stream discipline) and run the batch incremental operator
+    per microbatch — at 10^12 docs the store is bucket-partitioned
+    parquet/Iceberg and each batch pays O(batch) plus pruned bucket
+    probes, never O(corpus).
+
+    Semantics (documented, matching repeated incremental batches):
+    a batch's docs are checked against the store as of the batch
+    START — near-dups WITHIN one microbatch are not suppressed (the
+    batch incremental op has the same contract); a doc flagged dup is
+    NOT admitted, so a later copy of it still matches the ORIGINAL.
+
+    Per batch, appends to ``out_dir``: (doc_id, dup_of, jaccard,
+    batch_id) for verified pairs; admits survivors into
+    ``store_dir``. Returns the DataStreamWriter (caller starts it —
+    e.g. ``.trigger(availableNow=True).start()``).
+
+    Exactly-once note: the dup-report append and the store fold-in
+    are two writes per batch; a crash between them re-runs the batch
+    against the un-folded store, reproducing the same report rows
+    (overwrite-by-batch-id idempotence) and re-attempting the fold —
+    the same commit-ordered recovery as ingest.merge_stream."""
+    from pyspark.sql import functions as SF
+
+    from solr_ocr_processor_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.select("doc_id", "text").persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            import os as _os
+
+            if _os.path.exists(_os.path.join(store_dir, "_SUCCESS")) or (
+                _os.path.isdir(store_dir) and _os.listdir(store_dir)
+            ):
+                corpus = spark.read.parquet(store_dir)
+            else:
+                corpus = spark.createDataFrame(
+                    [], "doc_id long, text string"
+                )
+            dups = incremental_minhash_dedup(
+                batch_df,
+                corpus,
+                n=n,
+                tau=tau,
+                num_bands=num_bands,
+                rows_per_band=rows_per_band,
+            ).persist()
+            (
+                dups.withColumn("batch_id", SF.lit(int(batch_id)))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+            survivors = batch_df.join(
+                dups.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+            survivors.write.mode("append").parquet(store_dir)
+            dups.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return stream.writeStream.foreachBatch(_batch).outputMode("update")
