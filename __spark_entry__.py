@@ -2554,6 +2554,15 @@ def _q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_buckets(_docs(spark, sf_dir), n_buckets=8)
 
 
+def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent OLS over the dictionary (operators/terms.
+    zipf_fit): ln(cf) on ln(rank) for the top-5000 terms — alpha, r²
+    and the fitted rank-1 height, closed-form from five sums."""
+    from solr_ocr_processor_spark.operators.terms import zipf_fit
+
+    return zipf_fit(_index(spark, sf_dir), top_n=5000)
+
+
 def _q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf frequency-of-frequencies over the dictionary: terms per
     exact collection frequency 1..8 + overflow bucket, with token
@@ -3474,6 +3483,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_stats": _q_role_stats,
         "length_buckets": _q_length_buckets,
         "freq_spectrum": _q_freq_spectrum,
+        "zipf_fit": _q_zipf_fit,
         "template_exchanges": _q_template_exchanges,
         "facet_mincount": _q_facet_mincount,
         "spellcheck_popular": _q_spellcheck_popular,
@@ -8212,6 +8222,33 @@ SELECT CAST(length(bin(cf)) AS INT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_terms,
        CAST(sum(cf) AS BIGINT) AS token_mass
 FROM cfs GROUP BY 1 ORDER BY bucket
+""",
+        # Zipf OLS: same cf spine, deterministic (cf DESC, term ASC)
+        # rank, closed-form slope/r2 from five sums.
+        "zipf_fit": f"""
+WITH {_DOCS},
+tok AS (SELECT unnest(toks) AS term FROM ids),
+cfs AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY term),
+rk AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY cf DESC, term ASC)
+               AS DOUBLE)) AS x,
+         ln(CAST(cf AS DOUBLE)) AS y
+  FROM cfs
+  QUALIFY row_number() OVER (ORDER BY cf DESC, term ASC) <= 5000
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM rk
+)
+SELECT n AS n_terms,
+       round(-( (sxy - sx * sy / n) / (sxx - sx * sx / n) ), 6)
+         AS alpha,
+       round((sxy - sx * sy / n) * (sxy - sx * sy / n)
+             / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2,
+       round(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+             * sx / n, 6) AS ln_cf_at_rank1
+FROM s
 """,
         # two-turn template exchanges: lead() + the template_turns
         # normalization applied to first || '|' || second.

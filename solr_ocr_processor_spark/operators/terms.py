@@ -326,6 +326,64 @@ def freq_spectrum(index: Index) -> DataFrame:
     )
 
 
+def zipf_fit(index: Index, top_n: int = 5000) -> DataFrame:
+    """Zipf-law exponent fit over the dictionary — the one-number
+    companion to :func:`freq_spectrum` (Zipf 1949: cf(rank) ∝
+    rank^(−α), α ≈ 1 for natural language; a synthetic or
+    template-heavy corpus drifts visibly — the tripwire mixture
+    dashboards read next to n-gram diversity). Ordinary least squares
+    of ln(cf) on ln(rank) over the ``top_n`` most frequent terms
+    (rank by cf DESC, term ASC — the deterministic total order):
+
+        alpha = −slope,   r2 = corr(x, y)²
+
+    Returns ONE row (n_terms, alpha, r2, ln_cf_at_rank1) rounded 6dp
+    — ``ln_cf_at_rank1`` is the fit's intercept, the log-scale height
+    of the curve.
+
+    Plan: one rank window over the |vocab|-row dictionary (never the
+    postings), a five-sum aggregate, closed-form OLS in the final
+    1-row projection — the exchange moves |vocab| skinny rows once.
+    Float seam: the ln() sums are order-dependent at ~1e-12; the 6dp
+    round is the repo's standard tolerance class for float
+    aggregates."""
+    from pyspark.sql.window import Window
+
+    ranked = (
+        index.term_stats.select("term", "cf")
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("cf"), F.asc("term"))),
+        )
+        .where(F.col("rank") <= F.lit(int(top_n)))
+        .select(
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("cf").cast("double")).alias("y"),
+        )
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = cov / varx
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(-slope, 6).alias("alpha"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+        F.round(
+            F.col("sy") / n - slope * F.col("sx") / n, 6
+        ).alias("ln_cf_at_rank1"),
+    )
+
+
 def shard_df_skew(index: Index, terms: list[str], n_shards: int = 8) -> DataFrame:
     """Shard-local document-frequency skew — the diagnostic behind the
     build's GLOBAL-stats prepass (lifecycle A8: score with shard-local
