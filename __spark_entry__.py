@@ -9231,7 +9231,8 @@ ranked AS (
   FROM scored
 ),
 assign AS (SELECT vec_id, list_id FROM ranked WHERE rn = 1),
-probe AS (SELECT vec_id AS qid, list_id FROM ranked WHERE rn <= 4),
+probe AS (SELECT vec_id AS qid, list_id FROM ranked
+          WHERE rn <= 4 AND vec_id < 500),
 cand AS (
   SELECT p.qid, a.vec_id AS cid
   FROM probe p JOIN assign a USING (list_id)
