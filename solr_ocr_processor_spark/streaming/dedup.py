@@ -113,11 +113,25 @@ def near_dedup_doc_stream(
     ``store_dir``. Returns the DataStreamWriter (caller starts it —
     e.g. ``.trigger(availableNow=True).start()``).
 
-    Exactly-once note: the dup-report append and the store fold-in
-    are two writes per batch; a crash between them re-runs the batch
-    against the un-folded store, reproducing the same report rows
-    (overwrite-by-batch-id idempotence) and re-attempting the fold —
-    the same commit-ordered recovery as ingest.merge_stream."""
+    Exactly-once note (replay-idempotent at ANY crash point): the
+    dup-report and the store fold-in are two non-atomic writes per
+    batch, and a foreachBatch retry re-runs the whole batch, so each
+    write must be a fixed point of replay. Three mechanics make it so:
+
+    - the corpus this batch is checked against is reconstructed as
+      store-as-of-batch-start by anti-joining the batch's own doc_ids
+      out of the store read (a crashed attempt may have folded them in
+      already) — so a replay computes bit-identical dup pairs;
+    - the report is written ``partitionBy(batch_id)`` with DYNAMIC
+      partition overwrite, so a replay overwrites exactly its own
+      partition instead of appending duplicate rows;
+    - fold-in appends only survivors NOT already present in the store
+      (anti-join on doc_id), so a replay after a completed fold
+      appends nothing.
+
+    A defensive ``doc_id != dup_of`` filter additionally drops
+    self-pairs should a caller hand the operator a store that already
+    contains the batch under different ids-per-content assumptions."""
     from pyspark.sql import functions as SF
 
     from solr_ocr_processor_spark.operators.dedup import (
@@ -135,26 +149,41 @@ def near_dedup_doc_stream(
             if _os.path.exists(_os.path.join(store_dir, "_SUCCESS")) or (
                 _os.path.isdir(store_dir) and _os.listdir(store_dir)
             ):
-                corpus = spark.read.parquet(store_dir)
+                full_store = spark.read.parquet(store_dir)
             else:
-                corpus = spark.createDataFrame(
+                full_store = spark.createDataFrame(
                     [], "doc_id long, text string"
                 )
-            dups = incremental_minhash_dedup(
-                batch_df,
-                corpus,
-                n=n,
-                tau=tau,
-                num_bands=num_bands,
-                rows_per_band=rows_per_band,
-            ).persist()
-            (
-                dups.withColumn("batch_id", SF.lit(int(batch_id)))
-                .write.mode("append")
-                .parquet(out_dir)
+            # store AS OF batch start: a crashed prior attempt of THIS
+            # batch may already have folded its survivors in — exclude
+            # them so replay recomputes the identical dup pairs.
+            corpus = full_store.join(
+                SF.broadcast(batch_df.select("doc_id")), "doc_id", "left_anti"
             )
+            dups = (
+                incremental_minhash_dedup(
+                    batch_df,
+                    corpus,
+                    n=n,
+                    tau=tau,
+                    num_bands=num_bands,
+                    rows_per_band=rows_per_band,
+                )
+                .where(SF.col("doc_id") != SF.col("dup_of"))
+                .persist()
+            )
+            if not dups.isEmpty():
+                (
+                    dups.withColumn("batch_id", SF.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(out_dir)
+                )
             survivors = batch_df.join(
                 dups.select("doc_id").distinct(), "doc_id", "left_anti"
+            ).join(  # replay guard: never re-admit an already-stored id
+                full_store.select("doc_id"), "doc_id", "left_anti"
             )
             survivors.write.mode("append").parquet(store_dir)
             dups.unpersist()

@@ -67,30 +67,25 @@ def test_single_batch_replay_equals_batch_incremental(spark, tmp_path):
 def test_cross_batch_suppression_and_original_retention(spark, tmp_path):
     """A batch-2 near-copy of a batch-1-ADMITTED doc is flagged
     against it; a batch-2 copy of a batch-1 REJECTED doc still matches
-    the original (rejected docs leave no trace in the store)."""
+    the original (rejected docs leave no trace in the store). ONE
+    query instance, ONE checkpoint — the second availableNow run picks
+    up only the files added since (the rolling-ingest shape the report
+    table's batch_id partitioning assumes)."""
     store, out = str(tmp_path / "store"), str(tmp_path / "out")
     seed = [(0, BASE)]
     _write(spark, store, seed)
 
-    src1 = str(tmp_path / "s1")
-    _write(spark, src1, [(10, BASE + " tail"), (20, "novel one of a kind body text")])
-    _run_available_now(spark, src1, store, out, tmp_path / "a")
+    src = str(tmp_path / "src")
+    _write(spark, src, [(10, BASE + " tail"), (20, "novel one of a kind body text")])
+    _run_available_now(spark, src, store, out, tmp_path)
 
-    src2 = str(tmp_path / "s2")
     _write(
         spark,
-        src2,
+        src,
         [(30, "novel one of a kind body text plus suffix"),  # dups 20
          (31, BASE + " tail")],                               # dups 0 (10 was rejected)
     )
-    stream = spark.readStream.schema(SCHEMA).parquet(src2)
-    q = (
-        near_dedup_doc_stream(stream, store, out)
-        .option("checkpointLocation", str(tmp_path / "b" / "ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    _run_available_now(spark, src, store, out, tmp_path)
 
     pairs = {
         (r["doc_id"], r["dup_of"])
@@ -102,6 +97,37 @@ def test_cross_batch_suppression_and_original_retention(spark, tmp_path):
     assert not any(d == 10 for _, d in pairs)
     ids = {r["doc_id"] for r in spark.read.parquet(store).collect()}
     assert ids == {0, 20}
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch retry semantics: re-executing the SAME batch after
+    both writes committed (worst-case crash point — simulated by
+    wiping the checkpoint so the same files replay as batch 0) must
+    leave the report and the store bit-identical: the report partition
+    is overwritten, not appended, and already-stored ids are never
+    re-admitted or self-matched."""
+    store, out, src = (str(tmp_path / d) for d in ("store", "out", "src"))
+    _write(spark, store, [(0, BASE)])
+    _write(spark, src, [(10, BASE + " tail"), (11, "fresh unseen material")])
+
+    _run_available_now(spark, src, store, out, tmp_path / "ck1")
+    first_pairs = sorted(
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in spark.read.parquet(out).collect()
+    )
+    first_store = sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+
+    # fresh checkpoint => the identical files re-run as batch 0 against
+    # the post-fold store: exactly a replayed batch
+    _run_available_now(spark, src, store, out, tmp_path / "ck2")
+    again_pairs = sorted(
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in spark.read.parquet(out).collect()
+    )
+    again_store = sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+
+    assert again_pairs == first_pairs == [(10, 0, first_pairs[0][2])]
+    assert again_store == first_store == [0, 11]
 
 
 def test_empty_store_admits_everything(spark, tmp_path):
