@@ -3156,6 +3156,26 @@ def _q_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_hnsw_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched per-segment HNSW (operators/hnsw.hnsw_batch_topk,
+    round-5): Q queries share ONE pass over the stored graphs — the
+    grouped kernel parses each segment once and probes every query
+    against it, so store scan + shuffle cost is per batch, not per
+    query (the bm25_batch_topk amortization; plan-asserted single-scan
+    in tests). Probed at ef = seg_size where the undirected level-0
+    beam is provably exhaustive, so the per-qid brute-force scan IS
+    the oracle."""
+    from solr_ocr_processor_spark.operators.hnsw import hnsw_batch_topk
+
+    store = _hnsw_store(spark, sf_dir)
+    embs = _embs(spark, sf_dir)
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in embs.where(F.col("vec_id").isin(0, 17, 100)).collect()
+    ]
+    return hnsw_batch_topk(spark, store, queries, k=10, ef=store.seg_size)
+
+
 def _q_ann_mutual_knn_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Store-probed reciprocal k-NN (operators/ann_store.
     mutual_knn_stored): each side's top-5 comes from the persisted
@@ -3526,6 +3546,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mutual_knn": _q_ann_mutual_knn,
         "ann_mutual_knn_stored": _q_ann_mutual_knn_stored,
         "ann_hnsw_topk": _q_ann_hnsw_topk,
+        "ann_hnsw_batch_topk": _q_ann_hnsw_batch_topk,
         "ann_ivf_balance": _q_ann_ivf_balance,
         "ocr_alto_e2e": _q_ocr_alto_e2e,
         "ocr_alto_multipage_e2e": _q_ocr_alto_multipage,
@@ -9561,6 +9582,21 @@ def oracle_sql() -> dict[str, str]:
     # HNSW probed at ef >= seg_size is exhaustive per segment (see
     # _q_ann_hnsw_topk) — the brute-force scan is its exact oracle
     d["ann_hnsw_topk"] = d["ann_cosine_topk"]
+    # the batch path at the same ef: per-qid brute top-k
+    d["ann_hnsw_batch_topk"] = """
+WITH qs AS (SELECT vec_id AS qid,
+                   list_transform(embedding, x -> x::DOUBLE) AS qv
+            FROM embeddings WHERE vec_id IN (0, 17, 100)),
+s AS (SELECT qs.qid, e.vec_id AS id,
+             list_cosine_similarity(
+               list_transform(e.embedding, x -> x::DOUBLE), qs.qv) AS c
+      FROM embeddings e CROSS JOIN qs),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY c DESC, id ASC) AS rn
+      FROM s)
+SELECT qid, id, round(c, 6) AS cos FROM r WHERE rn <= 10
+ORDER BY qid ASC, cos DESC, id ASC
+"""
     # poly winnowing: identical pipeline, gram hash swapped for the
     # integer Rabin-Karp polynomial both engines evaluate exactly
     from solr_ocr_processor_spark.operators.dedup import (
