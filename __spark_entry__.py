@@ -2310,11 +2310,17 @@ def _q_mlt_interesting_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional shingle containment >= 1/2 (Broder's second
     resemblance): the doc-in-doc / quote contamination detector
-    Jaccard misses (operators/dedup.containment_pairs). Integer
-    cross-multiplied threshold, BIGINT scaled output."""
-    from solr_ocr_processor_spark.operators.dedup import containment_pairs
+    Jaccard misses. The DEFAULT entry is the round-5 plan dispatcher
+    (operators/dedup.containment_pairs_auto): one df-moment aggregate
+    (Σdf² vs Σdf) picks the exact spine on uniform data — as here —
+    or the prefix-filtered banded plan under hot-shingle skew; both
+    answer identically, so the spine's SQL stays the oracle either
+    way. Integer cross-multiplied threshold, BIGINT scaled output."""
+    from solr_ocr_processor_spark.operators.dedup import containment_pairs_auto
 
-    return containment_pairs(_docs(spark, sf_dir), n=3, tau_num=1, tau_den=2)
+    return containment_pairs_auto(
+        _docs(spark, sf_dir), n=3, tau_num=1, tau_den=2
+    )
 
 
 def _q_dedup_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
