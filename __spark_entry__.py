@@ -3260,42 +3260,45 @@ def _q_ocr_miniocr_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries
-# (CORRECTNESS_r01-r03 each recorded exactly the head of this dict).
-# Rounds 1-3 kept the same head, so 176 queries were only ever
-# self-sweep-verified; round 4 rotates the head (r3 verdict item 1):
-# a few flagships stay for regression continuity, the rest of the 50
-# are this round's new queries plus the highest-value families the
-# driver has never checked (persisted ANN stores, winnowing, CDC,
-# graph, DSIR, decontamination, split/leakage, conversation ops).
-# Every query NOT in the head is still verified by the committed
-# ORACLE_SWEEP artifact (tools/check_oracle.py over the full dict).
+# (CORRECTNESS_r0N records exactly the head of this dict). Rounds 1-3
+# kept one static head; round 4 rotated it onto the never-checked
+# ANN/dedup/graph/pipeline families; round 5 rotates again,
+# disjoint-maximal vs r4's head (r4 verdict item 6): a few flagships
+# stay for regression continuity, this round's new/changed queries are
+# hard-gated, and the remaining 42 slots cover the facet / streaming-
+# expression / conversation / terms / spellcheck long tail the driver
+# has never checked. Every query NOT in the head is still verified by
+# the committed ORACLE_SWEEP artifact (tools/check_oracle.py over the
+# full dict).
 _DRIVER_HEAD = [
     # regression continuity
     "doc_materialize", "bm25_topk", "bm25_wand_topk",
     "highlight_offsets",
-    # round-4 queries
-    "ocr_alto_e2e", "ocr_alto_multipage_e2e", "ocr_hocr_e2e",
-    "ocr_miniocr_render",
-    "dedup_containment_banded", "ann_mutual_knn_stored", "ann_hnsw_topk",
-    "fragment_snippets_multi",
-    # never driver-checked: ANN family (stored probes + compressions)
-    "ann_ivf_topk", "ann_lsh_topk", "ann_ivfpq_topk", "ann_pq_topk",
-    "ann_int8_topk", "ann_matryoshka_topk", "ann_maxsim_topk",
-    "ann_mutual_knn", "ann_recall", "knn_filtered_topk",
-    # never driver-checked: dedup family
-    "dedup_winnow_pairs", "winnow_common_spans", "cdc_chunk_stats",
-    "dedup_containment", "dedup_clusters", "dedup_keep_best",
-    "semantic_dedup", "incremental_dedup", "dedup_simhash",
-    "simhash_near_pairs", "dup_span_trim", "dedup_embedding_lsh",
-    # never driver-checked: graph
-    "graph_pagerank", "stream_shortest_path", "stream_scorenodes",
-    "graph_expand",
-    # never driver-checked: pipeline / quality / decontam
-    "dsir_resample", "quality_classifier", "lm_ppl_buckets",
-    "bloom_decontaminate", "decontaminate", "corpus_export",
-    # never driver-checked: split / conversation / eval
-    "split_leakage", "cluster_split", "preference_pairs",
-    "sft_loss_mask", "result_clusters", "rank_ndcg",
+    # round-5 new / changed paths
+    "ann_hnsw_batch_topk",      # new: batched HNSW, exhaustive-ef oracle
+    "dedup_containment",        # now routed through the plan dispatcher
+    "ann_mutual_knn_stored",    # oracle probe-side fix re-gated
+    "stream_near_dedup",        # replay-idempotent rewrite re-gated
+    # never driver-checked: facet family
+    "facet_counts", "date_facet_counts", "pivot_facet_counts",
+    "facet_interval", "facet_query_counts", "facet_mincount",
+    "facet_contains", "facet_range_other", "range_facet_include",
+    "group_facet_counts",
+    # never driver-checked: streaming expressions
+    "stream_rollup", "stream_hashjoin", "stream_complement",
+    "stream_facet", "stream_stats", "stream_fetch", "stream_cartesian",
+    "sql_select", "stream_topic", "stream_nodes",
+    # never driver-checked: conversation ops
+    "sft_pairs", "conv_lint", "refusal_profile", "template_turns",
+    "template_exchanges", "conv_topic_segments", "tool_transitions",
+    "role_stats",
+    # never driver-checked: terms / text statistics
+    "terms_enum", "term_vectors", "significant_terms", "collocations",
+    "bpe_merges", "freq_spectrum", "vocab_growth", "term_drift",
+    "tokenizer_fertility",
+    # never driver-checked: expand / spellcheck
+    "mlt_topk", "suggest_terms", "spellcheck", "spellcheck_collate",
+    "spellcheck_popular",
 ]
 
 

@@ -372,6 +372,31 @@ def _containment_df_moments(
     return int(row["s1"] or 0), int(row["s2"] or 0)
 
 
+def _containment_hot_estimate(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    probe_fraction: float = 0.1,
+    seed: int = 11,
+) -> float:
+    """Sampled estimate of the df-weighted mean document frequency
+    ``Σdf²/Σdf`` that :func:`containment_pairs_auto` dispatches on.
+    A deterministic ``probe_fraction`` doc sample scales a shingle's
+    df by ≈f, so the sampled ratio (hot shingles dominate it) is ≈f
+    times the full ratio — divide it back out. Mis-estimation only
+    risks a slower plan, never a wrong answer (both dispatch targets
+    are identical by construction), so a cheap probe is the right
+    trade: it turns the full tokenize+aggregate pass into an f-sized
+    one."""
+    f = float(probe_fraction)
+    probe = docs if f >= 1.0 else docs.sample(fraction=f, seed=seed)
+    s1, s2 = _containment_df_moments(probe, n, text_col)
+    if s1 == 0:
+        return 0.0
+    ratio = s2 / s1
+    return ratio / f if f < 1.0 else ratio
+
+
 def containment_pairs_auto(
     docs: DataFrame,
     n: int = 3,
@@ -379,6 +404,7 @@ def containment_pairs_auto(
     tau_den: int = 2,
     text_col: str = "text",
     hot_ratio: int = 64,
+    probe_fraction: float = 0.1,
 ) -> DataFrame:
     """Plan DISPATCHER for directional containment (round-4 verdict
     item 3: the rule lived in a docstring; now it is code): one cheap
@@ -395,12 +421,15 @@ def containment_pairs_auto(
     filter keeps hot shingles out of the candidate join. Dispatch to
     the banded plan iff ``Σdf² > hot_ratio · Σdf``.
 
-    The probe costs one extra tokenize+aggregate pass — O(corpus
-    scan), map-side combinable, and in production the df table is the
-    index's own term-stats artifact, making the probe a metadata
-    read."""
-    s1, s2 = _containment_df_moments(docs, n, text_col)
-    fn = containment_pairs_banded if s2 > hot_ratio * s1 else containment_pairs
+    The probe runs on a deterministic ``probe_fraction`` doc sample
+    (:func:`_containment_hot_estimate` — the sampled ratio scales by
+    f, divided back out), so it costs an f-sized tokenize+aggregate
+    pass; a mis-estimate can only pick the slower of two identical
+    plans. In production the df table is the index's own term-stats
+    artifact, making the probe a metadata read; ``probe_fraction=1.0``
+    computes the exact moments."""
+    est = _containment_hot_estimate(docs, n, text_col, probe_fraction)
+    fn = containment_pairs_banded if est > hot_ratio else containment_pairs
     return fn(docs, n=n, tau_num=tau_num, tau_den=tau_den, text_col=text_col)
 
 

@@ -9,6 +9,7 @@ import pytest
 
 from solr_ocr_processor_spark.operators.dedup import (
     _containment_df_moments,
+    _containment_hot_estimate,
     containment_pairs,
     containment_pairs_auto,
     containment_pairs_banded,
@@ -51,14 +52,14 @@ def test_dispatch_uniform_picks_exact_spine(uniform):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
-    # the probe itself chose the spine
-    s1, s2 = _containment_df_moments(uniform)
-    assert s2 <= 64 * s1
+    # the (sampled) probe itself chose the spine
+    assert _containment_hot_estimate(uniform) <= 64
 
 
 def test_dispatch_skewed_picks_banded_and_matches_spine(skewed):
+    assert _containment_hot_estimate(skewed) > 64  # dispatcher goes banded
     s1, s2 = _containment_df_moments(skewed)
-    assert s2 > 64 * s1  # dispatcher goes banded
+    assert s2 > 64 * s1  # ...and the exact moments agree
     auto = sorted(map(tuple, containment_pairs_auto(skewed).collect()))
     banded = sorted(map(tuple, containment_pairs_banded(skewed).collect()))
     exact = sorted(map(tuple, containment_pairs(skewed).collect()))
