@@ -3197,6 +3197,29 @@ def _q_ann_mutual_knn_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF store probe (operators/ann_store.
+    ivf_batch_topk_stored, round-5): Q queries rank the persisted
+    centroid panel driver-side, the UNION of probed lists is read in
+    ONE partition-pruned scan (plan-asserted in tests), candidates fan
+    out to their probing queries via a broadcast map, exact cosine in
+    one Arrow kernel, per-qid rank. The oracle replays seeding,
+    assignment, per-query probe selection, and the per-qid top-k
+    relationally — the same probed-formulation discipline as
+    ann_mutual_knn_stored."""
+    from solr_ocr_processor_spark.operators.ann_store import (
+        ivf_batch_topk_stored,
+    )
+
+    store = _ann_store(spark, sf_dir)
+    embs = _embs(spark, sf_dir)
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in embs.where(F.col("vec_id").isin(0, 17, 100)).collect()
+    ]
+    return ivf_batch_topk_stored(spark, store, queries, k=10, nprobe=4)
+
+
 def _q_ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF list-balance report over the PERSISTED ANN store
     (operators/ann_store): per-list vector counts + share — the
@@ -3556,6 +3579,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mutual_knn_stored": _q_ann_mutual_knn_stored,
         "ann_hnsw_topk": _q_ann_hnsw_topk,
         "ann_hnsw_batch_topk": _q_ann_hnsw_batch_topk,
+        "ann_ivf_batch_topk": _q_ann_ivf_batch_topk,
         "ann_ivf_balance": _q_ann_ivf_balance,
         "ocr_alto_e2e": _q_ocr_alto_e2e,
         "ocr_alto_multipage_e2e": _q_ocr_alto_multipage,
@@ -9284,6 +9308,57 @@ ORDER BY cos DESC, id1 ASC, id2 ASC
 """,
         # IVF list balance: the stored assignment (md5-rank seed
         # centroids, cosine argmax) re-derived relationally.
+        # batched IVF probe: seeding, assignment, per-query probe
+        # selection, per-qid candidate top-k — replayed relationally
+        "ann_ivf_batch_topk": """
+WITH cent AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE)
+           AS cvec,
+         CAST(row_number() OVER (ORDER BY md5('17:' || vec_id)) - 1
+              AS INT) AS list_id
+  FROM embeddings
+  ORDER BY md5('17:' || vec_id) LIMIT 16
+),
+ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       FROM embeddings),
+scored AS (
+  SELECT ev.vec_id, c.list_id, list_cosine_similarity(ev.v, c.cvec)
+           AS cs
+  FROM ev CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id
+               ORDER BY cs DESC, list_id ASC) AS rn
+    FROM scored) t WHERE rn = 1
+),
+qs AS (SELECT vec_id AS qid,
+              list_transform(embedding, x -> x::DOUBLE) AS qv
+       FROM embeddings WHERE vec_id IN (0, 17, 100)),
+probe AS (
+  SELECT qid, list_id FROM (
+    SELECT qs.qid, c.list_id,
+           row_number() OVER (PARTITION BY qs.qid
+               ORDER BY list_cosine_similarity(c.cvec, qs.qv) DESC,
+                        c.list_id ASC) AS rn
+    FROM cent c CROSS JOIN qs) t WHERE rn <= 4
+),
+cand AS (SELECT p.qid, a.vec_id FROM probe p JOIN assign a USING (list_id)),
+s AS (
+  SELECT cand.qid, e.vec_id AS id,
+         list_cosine_similarity(
+           list_transform(e.embedding, x -> x::DOUBLE), qs.qv) AS cs
+  FROM embeddings e
+  JOIN cand ON cand.vec_id = e.vec_id
+  JOIN qs ON qs.qid = cand.qid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY cs DESC, id ASC) AS rn
+      FROM s)
+SELECT qid, id, round(cs, 6) AS cos FROM r WHERE rn <= 10
+ORDER BY qid ASC, cos DESC, id ASC
+""",
         "ann_ivf_balance": """
 WITH cent AS (
   SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE)

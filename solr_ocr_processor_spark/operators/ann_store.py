@@ -441,6 +441,91 @@ def mutual_knn_stored(
     )
 
 
+def ivf_batch_topk_stored(
+    spark: SparkSession,
+    store: AnnStore,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Batched IVF store probe (round 5) — the vector-store analog of
+    ``bm25_batch_topk`` / ``hnsw_batch_topk``: Q queries share ONE
+    partition-pruned scan of the stored lists instead of Q point
+    probes.
+
+    Probe selection is driver-side over the tiny persisted centroid
+    matrix per query (same stable dot-rank as
+    :func:`ivf_topk_stored` — centroids are L2-normalized, so the
+    rank equals cosine, ties to the lower list_id); the UNION of all
+    probed lists is read once (``list_id`` is the table's partition
+    key, so the scan prunes to exactly those directories), each
+    candidate row fans out to the queries probing its list via a
+    broadcast (qid, list_id) map, exact cosine runs in one Arrow
+    kernel over the flat candidate rows, and a per-qid rank window
+    takes the top-``k``. Scan + shuffle cost is per BATCH; per query
+    it amortizes to the marginal new lists a query probes.
+
+    Returns (qid, id, cos) — per qid the top-``k`` by (cos DESC,
+    id ASC), rounded 6dp, rows ordered (qid ASC, cos DESC, id ASC).
+    With ``nprobe = n_centroids`` each query's candidate set is the
+    full corpus and the per-qid result equals the brute scan
+    (asserted in tests — the same full-probe == brute discipline as
+    every stored family's oracle)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.window import Window
+
+    qmat = [
+        (int(qid), np.asarray(qv, dtype=np.float64)) for qid, qv in queries
+    ]
+    probe_rows = []
+    for qid, q in qmat:
+        qn = q / np.linalg.norm(q)
+        pr = np.argsort(-(store.centroids @ qn), kind="stable")[: int(nprobe)]
+        probe_rows += [(qid, int(x)) for x in pr]
+    probe_map = spark.createDataFrame(probe_rows, "qid long, list_id int")
+    lists = sorted({x for _, x in probe_rows})
+    cand = (
+        spark.read.parquet(store.path("ivf"))
+        .where(F.col("list_id").isin(lists))
+        .join(F.broadcast(probe_map), "list_id")
+        .select("qid", "id", "vec")
+    )
+    qdf = spark.createDataFrame(
+        [(qid, [float(x) for x in q]) for qid, q in qmat],
+        "qid long, qv array<double>",
+    )
+    joined = cand.join(F.broadcast(qdf), "qid")
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.vstack(pdf["qv"].values).astype(np.float64)
+            V = np.vstack(pdf["vec"].values).astype(np.float64)
+            d = np.linalg.norm(Q, axis=1) * np.linalg.norm(V, axis=1)
+            dot = np.einsum("ij,ij->i", Q, V)
+            c = np.where(d > 0, dot / np.where(d > 0, d, 1.0), 0.0)
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].values.astype(np.int64),
+                    "id": pdf["id"].values.astype(np.int64),
+                    "c": c,
+                }
+            )
+
+    scored = joined.mapInPandas(_score, "qid long, id long, c double")
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("id"))
+        ),
+    ).where(F.col("rn") <= F.lit(int(k)))
+    return ranked.select(
+        "qid", "id", F.round("c", 6).alias("cos")
+    ).orderBy(F.asc("qid"), F.desc("cos"), F.asc("id"))
+
+
 def append_ann_store(
     spark: SparkSession,
     store: AnnStore,
