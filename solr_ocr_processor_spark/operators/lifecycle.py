@@ -632,6 +632,141 @@ def compact(spark: SparkSession, store: IndexStore) -> None:
         shutil.rmtree(store.path(t), ignore_errors=True)
 
 
+def _swap_merged_shard(
+    store: IndexStore, stage: str, members: list[int], target: int
+) -> None:
+    """Journal replay half of the shard merge: delete member shard
+    partitions and move the staged tables in as ``shard=target``.
+    Idempotent — a staged table already moved is skipped, deletes
+    ignore missing dirs — so :func:`heal_shard_merges` can re-run it
+    from any crash point. Driver-local fs ops (local/NFS roots; on
+    object stores swap via the catalog)."""
+    import shutil
+
+    for name in ("postings", "doc_meta", "blocks"):
+        src = os.path.join(stage, name)
+        if not os.path.exists(src):
+            continue  # already swapped in a previous attempt
+        for m in members:
+            shutil.rmtree(store.path(f"{name}/shard={m}"), ignore_errors=True)
+        dst = store.path(f"{name}/shard={target}")
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(src, dst)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def heal_shard_merges(spark: SparkSession, store: IndexStore) -> int:
+    """Complete any shard merge interrupted between its journal write
+    and the final swap (the merge_stream staged/done discipline applied
+    to merges): a stage dir WITH a journal finishes its swap; one
+    without (crash mid-stage) is discarded — the member shards are
+    still intact, so the merge simply re-plans next call. Returns the
+    number of healed merges."""
+    import glob
+    import json as _json
+    import shutil
+
+    healed = 0
+    for stage in glob.glob(store.path("_shard_merge_stage_*")):
+        j = os.path.join(stage, "journal.json")
+        if os.path.exists(j):
+            with open(j) as f:
+                info = _json.load(f)
+            _swap_merged_shard(store, stage, info["members"], info["target"])
+            healed += 1
+        else:
+            shutil.rmtree(stage, ignore_errors=True)
+    return healed
+
+
+def merge_shards_tiered(
+    spark: SparkSession, store: IndexStore, merge_factor: int = 4
+) -> int:
+    """Selective size-tiered SHARD merge for the text index (round 5)
+    — :func:`tiered_merge_plan` executed against the store's own shard
+    census, the same policy object that drives the HNSW store's
+    ``merge_hnsw_tiered``: streaming fold-in (`merge_stream`) keeps
+    appending small ``shard=N`` partitions, and this is the compaction
+    that folds complete groups of similar-sized shards into one —
+    Lucene's TieredMergePolicy against Solr's continuously-POSTed core
+    (SURVEY §2 Q7), per group instead of the full rewrite
+    :func:`compact` performs.
+
+    Per planned group: the members' postings and doc_meta concatenate
+    unchanged (doc ids are global — a shard is just a storage
+    partition), the group's blocks RE-ENCODE from the union postings
+    against the store's GLOBAL corpus stats (same rule as the sharded
+    build, so WAND bounds stay exact), everything stages beside the
+    store, a journal commits the intent, and the swap (delete members,
+    rename stage in as ``shard=min(members)``) is replay-idempotent —
+    :func:`heal_shard_merges` (called first) completes any interrupted
+    swap. df/avgdl are untouched (no docs added or removed), so query
+    results are rank-identical before and after (asserted in tests).
+
+    Returns the number of merge groups executed (0 = nothing to do)."""
+    import json as _json
+
+    heal_shard_merges(spark, store)
+    census = (
+        spark.read.parquet(store.path("doc_meta"))
+        .groupBy(F.col("shard").cast("long").alias("seg"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    plan = tiered_merge_plan(census, merge_factor=merge_factor).collect()
+    if not plan:
+        return 0
+    crow = spark.read.parquet(store.path("corpus")).first()
+    gstats = (int(crow["n_docs"]), float(crow["avgdl"]))
+    from ..plans.materialize import Materialized
+
+    for row in plan:
+        members = sorted(int(s) for s in row["seg_ids"].split(","))
+        target = members[0]
+        stage = store.path(f"_shard_merge_stage_{target}")
+        postings = (
+            spark.read.parquet(store.path("postings"))
+            .where(F.col("shard").isin(members))
+            .drop("shard")
+        )
+        doc_meta = (
+            spark.read.parquet(store.path("doc_meta"))
+            .where(F.col("shard").isin(members))
+            .drop("shard")
+        )
+        postings.write.mode("overwrite").parquet(os.path.join(stage, "postings"))
+        doc_meta.write.mode("overwrite").parquet(os.path.join(stage, "doc_meta"))
+        pseudo = Index(
+            postings=spark.read.parquet(os.path.join(stage, "postings")),
+            doc_meta=spark.read.parquet(os.path.join(stage, "doc_meta")),
+            term_stats=spark.read.parquet(store.path("term_stats")),
+            corpus=spark.read.parquet(store.path("corpus")),
+            mat=Materialized(turns=None, docs=None),
+        )
+        bidx = build_block_index(pseudo, store.cfg, corpus_stats=gstats)
+        (
+            bidx.blocks.repartition(F.col("term"))
+            .sortWithinPartitions("term", "range_id", "block_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, "blocks"))
+        )
+        with open(os.path.join(stage, "journal.json"), "w") as f:
+            _json.dump({"members": members, "target": target}, f)
+        _swap_merged_shard(store, stage, members, target)
+        # lineage: one manifest row per executed merge
+        n_convs = (
+            spark.read.parquet(store.path(f"doc_meta/shard={target}"))
+            .count()
+        )
+        spark.createDataFrame(
+            [(
+                "tiered-merge", int(target), "done", int(n_convs), 0, 0, 0,
+                0.0, 0.0,
+            )],
+            MANIFEST_SCHEMA,
+        ).write.mode("append").parquet(store.path("manifest"))
+    return len(plan)
+
+
 def build_metrics(spark: SparkSession, store: IndexStore) -> DataFrame:
     """Lineage/metrics table: one row per built shard (build_id, counts,
     wall_sec, turns/sec) — the reference's log-sink analog (S11) as a
