@@ -315,6 +315,14 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("compact", help="physically drop tombstoned docs").add_argument(
         "--store", required=True
     )
+    mg = sub.add_parser(
+        "merge",
+        help="policy-driven shard compaction: execute the size-tiered "
+        "merge plan against the store's shard census (heals any "
+        "interrupted merge first)",
+    )
+    mg.add_argument("--store", required=True)
+    mg.add_argument("--factor", type=int, default=4)
     sub.add_parser("status", help="build lineage/metrics").add_argument(
         "--store", required=True
     )
@@ -1281,6 +1289,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "compact":
         lifecycle.compact(spark, store)
         print(json.dumps({"compacted": args.store}))
+        return 0
+    if args.cmd == "merge":
+        n = lifecycle.merge_shards_tiered(spark, store, merge_factor=args.factor)
+        print(json.dumps({"merged_groups": n, "store": args.store}))
         return 0
     if args.cmd == "status":
         for r in lifecycle.build_metrics(spark, store).collect():

@@ -145,3 +145,44 @@ def test_heal_completes_interrupted_swap(spark, corpus, tmp_path_factory):
     assert after == before
     assert not os.path.exists(stage)
     del shutil
+
+
+def test_cli_merge_subcommand(spark, corpus, tmp_path, capsys):
+    """`merge` rides the same CLI dispatch as build/compact: runs the
+    tiered plan, reports merged group count, queries stay identical."""
+    import importlib.util
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "socr_cli_merge", os.path.join(repo, "jobs", "cli.py")
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    from solr_ocr_processor_spark.config import DEFAULT
+
+    src = str(tmp_path / "in")
+    root = str(tmp_path / "st")
+    corpus.write.parquet(src)
+    # the CLI builds (and re-encodes on merge) with its own DEFAULT
+    # config — query with the same one
+    assert cli.main(["build", "--input", src, "--store", root,
+                     "--shards", "8"]) == 0
+    store = IndexStore(root, DEFAULT)
+    bidx = load_block_index(spark, store)
+    before = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in wand_topk(spark, bidx, QUERY, k=10, cfg=DEFAULT).collect()
+    ]
+    capsys.readouterr()
+    assert cli.main(["merge", "--store", root, "--factor", "4"]) == 0
+    out = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()
+           if ln.startswith("{")]
+    assert out and out[-1]["merged_groups"] >= 1
+    bidx2 = load_block_index(spark, store)
+    after = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in wand_topk(spark, bidx2, QUERY, k=10, cfg=DEFAULT).collect()
+    ]
+    assert after == before
