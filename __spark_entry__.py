@@ -3220,6 +3220,27 @@ def _q_ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_batch_topk_stored(spark, store, queries, k=10, nprobe=4)
 
 
+def _q_ann_lsh_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched LSH store probe (operators/ann_store.
+    lsh_batch_topk_stored, round-5): the union of Q queries'
+    multi-probe (band, bucket) sets drives ONE pruned scan of the LSH
+    table (PartitionFilters on band/bdir, bucket row-group pruning),
+    candidates fan out via a broadcast probe map, shared Arrow cosine
+    + per-qid rank tail. Oracle replays each query's Hamming-radius
+    probe relationally (bit_count(xor) <= 1), per qid."""
+    from solr_ocr_processor_spark.operators.ann_store import (
+        lsh_batch_topk_stored,
+    )
+
+    store = _ann_store(spark, sf_dir)
+    embs = _embs(spark, sf_dir)
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in embs.where(F.col("vec_id").isin(0, 17, 100)).collect()
+    ]
+    return lsh_batch_topk_stored(spark, store, queries, k=10, radius=1)
+
+
 def _q_ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF list-balance report over the PERSISTED ANN store
     (operators/ann_store): per-list vector counts + share — the
@@ -3580,6 +3601,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hnsw_topk": _q_ann_hnsw_topk,
         "ann_hnsw_batch_topk": _q_ann_hnsw_batch_topk,
         "ann_ivf_batch_topk": _q_ann_ivf_batch_topk,
+        "ann_lsh_batch_topk": _q_ann_lsh_batch_topk,
         "ann_ivf_balance": _q_ann_ivf_balance,
         "ocr_alto_e2e": _q_ocr_alto_e2e,
         "ocr_alto_multipage_e2e": _q_ocr_alto_multipage,
@@ -5842,6 +5864,28 @@ WHERE {_COS_D} >= 0.45
     # <= 1 of vec 0's bucket in >= 1 band (multi-probe radius 1 —
     # lsh_topk_stored's default), then the exact cosine re-rank —
     # identical to the Spark operator.
+    # batched LSH probe: per-qid Hamming-radius candidates + top-k
+    "ann_lsh_batch_topk": _lsh_buckets_cte(8) + """,
+qs AS (SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS qv
+       FROM embeddings WHERE vec_id IN (0, 17, 100)),
+qb AS (SELECT vec_id AS qid, band, bucket AS qbucket FROM buckets
+       WHERE vec_id IN (0, 17, 100)),
+cand AS (SELECT DISTINCT qb.qid, b.vec_id AS id
+         FROM buckets b JOIN qb USING (band)
+         WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 1),
+s AS (
+  SELECT c.qid, c.id,
+         list_cosine_similarity(
+           list_transform(e.embedding, x -> x::DOUBLE), qs.qv) AS cs
+  FROM cand c JOIN embeddings e ON e.vec_id = c.id
+  JOIN qs ON qs.qid = c.qid
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY cs DESC, id ASC) AS rn
+      FROM s)
+SELECT qid, id, round(cs, 6) AS cos FROM r WHERE rn <= 10
+ORDER BY qid ASC, cos DESC, id ASC
+""",
     "ann_lsh_topk": _lsh_buckets_cte(8) + """,
 qb AS (SELECT band, bucket AS qbucket FROM buckets WHERE vec_id = 0),
 cand AS (SELECT DISTINCT b.vec_id AS id FROM buckets b JOIN qb USING (band)

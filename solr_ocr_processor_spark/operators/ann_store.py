@@ -495,7 +495,17 @@ def ivf_batch_topk_stored(
         [(qid, [float(x) for x in q]) for qid, q in qmat],
         "qid long, qv array<double>",
     )
-    joined = cand.join(F.broadcast(qdf), "qid")
+    return _batch_cosine_rank(cand.join(F.broadcast(qdf), "qid"), k)
+
+
+def _batch_cosine_rank(joined: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every batched store probe: exact cosine over the
+    flat (qid, id, vec, qv) candidate rows in ONE Arrow kernel, then a
+    per-qid rank window. Returns (qid, id, cos) rounded 6dp, ordered
+    (qid ASC, cos DESC, id ASC)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.window import Window
 
     def _score(batches):
         for pdf in batches:
@@ -514,7 +524,9 @@ def ivf_batch_topk_stored(
                 }
             )
 
-    scored = joined.mapInPandas(_score, "qid long, id long, c double")
+    scored = joined.select("qid", "id", "vec", "qv").mapInPandas(
+        _score, "qid long, id long, c double"
+    )
     ranked = scored.withColumn(
         "rn",
         F.row_number().over(
@@ -524,6 +536,65 @@ def ivf_batch_topk_stored(
     return ranked.select(
         "qid", "id", F.round("c", 6).alias("cos")
     ).orderBy(F.asc("qid"), F.desc("cos"), F.asc("id"))
+
+
+def lsh_batch_topk_stored(
+    spark: SparkSession,
+    store: AnnStore,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    radius: int = 1,
+) -> DataFrame:
+    """Batched LSH store probe (round 5) — Q queries, ONE pruned scan,
+    completing the batch symmetry across the stored families
+    (``bm25_batch_topk`` / ``hnsw_batch_topk`` /
+    :func:`ivf_batch_topk_stored`).
+
+    Each query's multi-probe set ((band, bucket) within Hamming
+    ``radius``, Lv et al. VLDB'07) is a driver-side pure function of
+    the md5 planes; the UNION of all probe predicates drives one scan
+    of the LSH table — band/bdir prune directories (PartitionFilters),
+    bucket prunes row groups — and each candidate row fans out to the
+    queries that probed its (band, bucket) via a broadcast map, dedup
+    by (qid, id), then the shared Arrow cosine + per-qid rank tail.
+    Per-query marginal cost = the new buckets it probes; scan cost is
+    per batch.
+
+    Returns (qid, id, cos) — per qid identical to
+    :func:`lsh_topk_stored` at the same radius (asserted in tests)."""
+    probe_rows: list[tuple[int, int, int]] = []
+    for qid, qv in queries:
+        for b, v in _query_buckets(store, list(qv)):
+            for x in _expand_bucket(v, store.bits_per_band, radius):
+                probe_rows.append((int(qid), int(b), int(x)))
+    probe_map = spark.createDataFrame(
+        probe_rows, "qid long, band int, bucket long"
+    )
+    # one scan predicate = OR over the per-(band, bdir) probe sets —
+    # the same pruning structure as the point probe, over the union
+    by_band_dir: dict[tuple[int, int], set[int]] = {}
+    for _, b, x in probe_rows:
+        by_band_dir.setdefault((b, x >> store.bucket_shift), set()).add(x)
+    pred = None
+    for (b, d), vals in sorted(by_band_dir.items()):
+        clause = (
+            (F.col("band") == b)
+            & (F.col("bdir") == d)
+            & (F.col("bucket").isin(sorted(vals)))
+        )
+        pred = clause if pred is None else (pred | clause)
+    cand = (
+        spark.read.parquet(store.path("lsh"))
+        .where(pred)
+        .join(F.broadcast(probe_map), ["band", "bucket"])
+        .select("qid", "id", "vec")
+        .dropDuplicates(["qid", "id"])
+    )
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+        "qid long, qv array<double>",
+    )
+    return _batch_cosine_rank(cand.join(F.broadcast(qdf), "qid"), k)
 
 
 def append_ann_store(

@@ -79,3 +79,39 @@ def test_one_pruned_scan_for_all_queries(spark, embs, store):
     assert "PartitionFilters" in plan and "list_id" in plan.split(
         "PartitionFilters"
     )[1][:200]
+
+
+def test_lsh_batch_equals_point_probe_per_query(spark, embs, store):
+    from solr_ocr_processor_spark.operators.ann_store import (
+        lsh_batch_topk_stored,
+        lsh_topk_stored,
+    )
+
+    qids = [0, 17, 100]
+    got = lsh_batch_topk_stored(
+        spark, store, [(q, _qv(embs, q)) for q in qids], k=10, radius=1
+    ).collect()
+    for q in qids:
+        point = [
+            (r["id"], r["cos"])
+            for r in lsh_topk_stored(spark, store, _qv(embs, q), k=10, radius=1)
+            .collect()
+        ]
+        mine = [(r["id"], r["cos"]) for r in got if r["qid"] == q]
+        assert mine == point, q
+
+
+def test_lsh_batch_one_scan(spark, embs, store):
+    from solr_ocr_processor_spark.operators.ann_store import (
+        lsh_batch_topk_stored,
+    )
+
+    df = lsh_batch_topk_stored(
+        spark, store, [(q, _qv(embs, q)) for q in (0, 17, 100, 333)], k=5
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("ReadSchema:") == 1  # ONE scan of the lsh table
+    assert "PartitionFilters" in plan
